@@ -19,14 +19,14 @@ object VariantQueries extends QueryPack {
   val queries: Seq[Q] = Seq(
 
     // P3: variant path extraction + cast-down, the reference's
-    // `v:k::number` (dp_setup.sql:193, dp_demo.sql:132). try_variant_get
-    // returns NULL on malformed input (never throws) — same totality as
-    // Snowflake's `try_cast` semantics our pipeline needs.
+    // `v:k::number` (dp_setup.sql:193, dp_demo.sql:132). try_parse_json +
+    // try_variant_get return NULL on malformed input (never throw) — the
+    // same totality as Snowflake's TRY semantics our pipeline needs.
     Q("p3_variant_get",
       (s, d) => Tables.load(s, d, "events")
         .select(
           col("event_id"),
-          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+          try_variant_get(try_parse_json(col("props")), "$.k", "int").as("k"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
              FROM events ORDER BY event_id""")),
@@ -37,7 +37,7 @@ object VariantQueries extends QueryPack {
       (s, d) => Tables.load(s, d, "events")
         .select(
           col("event_type"),
-          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+          try_variant_get(try_parse_json(col("props")), "$.k", "int").as("k"))
         .filter(col("k") >= 50)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))

@@ -34,11 +34,11 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
-  test("all queries run at sf0.001 and have stable schemas") {
+  test("all queries return rows at sf0.001 and have stable schemas") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.count()
-      assert(n >= 0, s"$name")
+      assert(n > 0, s"$name returned no rows")
       assert(df.schema.fieldNames.nonEmpty, s"$name")
     }
   }

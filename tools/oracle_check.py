@@ -4,7 +4,7 @@
 Dev tool only (driver-side python deps) — the shipped Scala library never
 imports this. Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, os
+import json, sys, os
 import duckdb
 import pandas as pd
 
@@ -41,13 +41,13 @@ for name in sorted(os.listdir(outdir)):
         for c in a.columns:
             va, vb = ka[c], kb[c]
             try:
-                same = (va.astype(str) == vb.astype(str)).all()
-            except Exception as e:
-                same = False
-            if not same:
                 diffs = (va.astype(str) != vb.astype(str))
-                i = diffs.idxmax()
-                status.append(f"COL {c} row{i}: {va[i]!r} vs {vb[i]!r}")
+                if diffs.any():
+                    i = diffs.idxmax()
+                    status.append(f"COL {c} row{i}: {va[i]!r} vs {vb[i]!r}")
+                    break
+            except Exception as e:
+                status.append(f"COL {c} compare error: {e}")
                 break
     if status:
         fails += 1
