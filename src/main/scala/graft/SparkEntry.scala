@@ -16,7 +16,8 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     VariantQueries,
-    GovernanceQueries)
+    GovernanceQueries,
+    PipelineQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

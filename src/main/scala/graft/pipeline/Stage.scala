@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-surface operators (SURVEY §2.1 S3/S4/S12): the reference's
+  * external stage is a directory of JSON files queryable before load.
+  */
+object Stage {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** S4 — `list @stage` (dp_setup.sql:25, dp_demo.sql:36): name, size,
+    * last_modified. Driver-side listing like Snowflake's; at cloud scale
+    * this is one LIST call per prefix, not a data scan.
+    */
+  def list(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, stageDir)
+    val rows =
+      if (!f.exists(new Path(stageDir))) Seq.empty
+      else f.listStatus(new Path(stageDir)).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+        .map(s => (s.getPath.getName, s.getLen, new java.sql.Timestamp(s.getModificationTime)))
+    rows.toDF("name", "size", "last_modified").orderBy("name")
+  }
+
+  /** S3 — `select $1 from @stage` (dp_demo.sql:122): query files in place,
+    * one variant document per line as positional column `$1`. Distributed
+    * read: `spark.read.text` scans the files on executors.
+    */
+  def scanDollar1(spark: SparkSession, stageDir: String): DataFrame =
+    spark.read.textFile(s"$stageDir/*.json").toDF("raw")
+      .select(try_parse_json(col("raw")).as("$1"))
+
+  /** S12 — `rm @stage/<name>` (dp_setup.sql:120-122, dp_demo.sql:13,295).
+    * Returns true if the file existed and was deleted.
+    */
+  def rm(spark: SparkSession, stageDir: String, fileName: String): Boolean =
+    fs(spark, stageDir).delete(new Path(s"$stageDir/$fileName"), false)
+}

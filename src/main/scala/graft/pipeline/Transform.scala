@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The three incremental tasks' DML (dp_setup.sql:188-245), as pure
+  * DataFrame transforms over a micro-batch of raw rows (column `v` =
+  * the JSON document, schema-on-read).
+  *
+  * Scale notes: the shred is a narrow per-row projection (no shuffle);
+  * `distinct`/`union` shuffle only the tiny dimension payloads; the
+  * insert-only merge is a left-anti join against the current dimension
+  * table on its key — with dims that stay dimension-sized this is a
+  * broadcast anti-join, so no fact-side shuffle at any scale.
+  */
+object Transform {
+
+  val tripsSchema: StructType = StructType(Seq(
+    StructField("tripduration", IntegerType),
+    StructField("starttime", TimestampNTZType),
+    StructField("stoptime", TimestampNTZType),
+    StructField("start_station_id", IntegerType),
+    StructField("end_station_id", IntegerType),
+    StructField("bikeid", LongType),
+    StructField("usertype", StringType),
+    StructField("birth_year", IntegerType),
+    StructField("gender", IntegerType),
+    StructField("program_id", IntegerType)))
+
+  val stationsSchema: StructType = StructType(Seq(
+    StructField("station_id", IntegerType),
+    StructField("station_name", StringType),
+    StructField("station_latitude", DoubleType),
+    StructField("station_longitude", DoubleType),
+    StructField("station_comment", StringType)))
+
+  val programsSchema: StructType = StructType(Seq(
+    StructField("program_id", IntegerType),
+    StructField("program_name", StringType)))
+
+  private def v(field: String, typ: String) =
+    try_variant_get(try_parse_json(col("v")), s"$$.$field", typ)
+
+  /** push_trips' INSERT…SELECT shred (dp_setup.sql:192-203): ten
+    * `v:field::type` casts. `try_*` totality: malformed documents shred
+    * to all-null rows instead of failing the pipeline.
+    */
+  def shredTrips(raw: DataFrame): DataFrame = raw.select(
+    v("tripduration", "int").as("tripduration"),
+    v("starttime", "timestamp_ntz").as("starttime"),
+    v("stoptime", "timestamp_ntz").as("stoptime"),
+    v("start_station_id", "int").as("start_station_id"),
+    v("end_station_id", "int").as("end_station_id"),
+    v("bikeid", "bigint").as("bikeid"),
+    v("usertype", "string").as("usertype"),
+    v("birth_year", "int").as("birth_year"),
+    v("gender", "int").as("gender"),
+    v("program_id", "int").as("program_id"))
+
+  /** push_programs' merge source (dp_setup.sql:211-215): distinct
+    * (program_id, program_name) from the new raw rows.
+    */
+  def newPrograms(raw: DataFrame): DataFrame = raw.select(
+    v("program_id", "int").as("program_id"),
+    v("program_name", "string").as("program_name"))
+    .distinct()
+
+  /** push_stations' merge source (dp_setup.sql:227-241): UNION (distinct —
+    * Snowflake UNION semantics, SURVEY §7.4 #3) of the start- and
+    * end-station projections, with the derived `station_comment`.
+    */
+  def newStations(raw: DataFrame): DataFrame = {
+    def side(prefix: String) = raw.select(
+      v(s"${prefix}_station_id", "int").as("station_id"),
+      v(s"${prefix}_station_name", "string").as("station_name"),
+      v(s"${prefix}_station_latitude", "double").as("station_latitude"),
+      v(s"${prefix}_station_longitude", "double").as("station_longitude"),
+      concat(lit("Station at "), v(s"${prefix}_station_name", "string"))
+        .as("station_comment"))
+    side("start").union(side("end")).distinct()
+  }
+
+  /** Insert-only MERGE (dp_setup.sql:211-219, 227-245): survivors are the
+    * update rows whose key is absent from the existing dimension. The
+    * anti-join makes replay idempotent — re-running after a partial
+    * append re-excludes whatever already landed (SURVEY §7.4 #1).
+    */
+  def mergeInsertOnly(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.join(broadcast(existing.select(key)), Seq(key), "left_anti")
+
+  /** Read a parquet table dir that may not exist yet (first batch). */
+  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path).select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+/** End-to-end pipeline test — the reference demo script's golden-count
+  * walk-through (dp_demo.sql), automated per SURVEY §5:
+  * producer → stage → pipe (AvailableNow) → raw → shred/merge → metrics
+  * → purge, plus rerun-idempotence and the SKIPPED task gate.
+  *
+  * Tests in this suite run in order and share one pipeline instance.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val root = Files.createTempDirectory("graft_pipe").toString
+  private lazy val paths = PipelinePaths(root)
+  private lazy val clock =
+    new ManualClock(java.sql.Timestamp.valueOf("1995-02-01 00:00:00").getTime)
+  private lazy val pipe = new Pipeline(spark, paths, clock, taskIntervalSec = 60)
+
+  // First ingest window: 1995-01-02 .. 1995-01-08 (reference date format
+  // MM/dd/yyyy, dp_demo.sql:115).
+  private def window1 =
+    CitibikeSource.trips(spark, sf)
+      .filter(to_date(col("starttime")).between("1995-01-02", "1995-01-08"))
+  private def window2 =
+    CitibikeSource.trips(spark, sf)
+      .filter(to_date(col("starttime")).between("1995-01-09", "1995-01-14"))
+
+  test("producer unloads one JSON file set per day (S7/T6)") {
+    val nDays = Producer.streamData(
+      spark, sf, paths.stage, "01/02/1995", "01/08/1995")
+    val expDays = window1.select(to_date(col("starttime"))).distinct().count()
+    assert(nDays === expDays)
+    assert(Stage.list(spark, paths.stage).count() === nDays)
+  }
+
+  test("stage files are queryable in place as $1 (S3)") {
+    val docs = Stage.scanDollar1(spark, paths.stage)
+    assert(docs.count() === window1.count())
+    assert(docs.filter(col("$1").isNull).count() === 0)
+  }
+
+  test("pipe ingests exactly-once and pushes the modelled tables (T1/T2/S6/S8)") {
+    pipe.runAvailableNow()
+    val got = pipe.trips()
+    val exp = window1
+    assert(got.count() === exp.count())
+    // full-row equality after the JSON round trip
+    val cols = Transform.tripsSchema.fieldNames.map(col).toIndexedSeq
+    assert(got.select(cols: _*).exceptAll(exp.select(cols: _*)).count() === 0)
+    assert(exp.select(cols: _*).exceptAll(got.select(cols: _*)).count() === 0)
+  }
+
+  test("dimensions are deduplicated insert-only merges (S9/T5)") {
+    val expProgIds = window1.select("program_id").distinct()
+    assert(pipe.programs().count() === expProgIds.count())
+    // every program key appears exactly once and carries the source name
+    val progs = pipe.programs()
+      .join(CitibikeSource.programs(spark, sf).withColumnRenamed("program_name", "src_name"),
+        "program_id")
+    assert(progs.filter(col("program_name") =!= col("src_name")).count() === 0)
+
+    val expStationIds = window1.select(col("start_station_id").as("id"))
+      .union(window1.select(col("end_station_id").as("id"))).distinct()
+    assert(pipe.stations().count() === expStationIds.count())
+    assert(pipe.stations().groupBy("station_id").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(pipe.stations()
+      .filter(!col("station_comment").startsWith("Station at ")).count() === 0)
+  }
+
+  test("copy_history + task_history record the load (§2.8 metadata fns)") {
+    val ch = pipe.copyHistory()
+    val nFiles = window1.select(to_date(col("starttime"))).distinct().count()
+    assert(ch.count() === nFiles) // one row per loaded file (filesPerDay=1)
+    assert(ch.agg(sum("row_count")).head.getLong(0) === window1.count())
+    assert(ch.filter(col("error_count") =!= 0).count() === 0)
+    val th = pipe.taskHistoryRecent()
+    val states = th.select("name", "state").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states("push_trips") === "SUCCEEDED")
+    assert(states("push_programs") === "SUCCEEDED")
+    assert(states("push_stations") === "SUCCEEDED")
+  }
+
+  test("purge deleted loaded files; pipe reports no pending files (S12/T7)") {
+    assert(Stage.list(spark, paths.stage).count() === 0)
+    assert(pipe.pipeStatus().contains("\"pendingFileCount\":0"))
+  }
+
+  test("dashboard mirrors dp_demo.sql:127-142 over live state (Q1)") {
+    val row = pipe.dashboard().head
+    assert(row.getAs[Long]("trips_raw") === window1.count())
+    assert(row.getAs[Long]("trips_modelled") === window1.count())
+    assert(row.getAs[Long]("recs_in_stream") === 0L)
+    assert(row.getAs[Long]("files_in_bucket") === 0L)
+    assert(row.getAs[Long]("pending_file_count") === 0L)
+    assert(row.getAs[Long]("num_programs") === pipe.programs().count())
+    assert(row.getAs[Long]("num_stations") === pipe.stations().count())
+    assert(row.getAs[Long]("time_to_next_pulse") === 60L)
+  }
+
+  test("batch replay is idempotent (SURVEY §7.4 #1)") {
+    val before = (pipe.trips().count(), pipe.programs().count(),
+      pipe.stations().count(), pipe.rawTrips().count())
+    pipe.applyBatch(pipe.rawTrips(), 0L) // re-deliver batch 0 verbatim
+    val after = (pipe.trips().count(), pipe.programs().count(),
+      pipe.stations().count(), pipe.rawTrips().count())
+    assert(after === before)
+  }
+
+  test("second wave is incremental: only new files are processed (T2/T3)") {
+    Producer.streamData(spark, sf, paths.stage, "01/09/1995", "01/14/1995")
+    clock.advance(60 * 1000)
+    pipe.runAvailableNow()
+    assert(pipe.trips().count() === window1.count() + window2.count())
+    val expProgs = window1.select("program_id").union(window2.select("program_id"))
+      .distinct().count()
+    assert(pipe.programs().count() === expProgs)
+    assert(pipe.programs().groupBy("program_id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("empty micro-batch surfaces as SKIPPED tasks (T3 stream_has_data gate)") {
+    val f = new java.io.File(s"$root/stage/snowpipe_demo_empty.json")
+    f.createNewFile()
+    val before = pipe.trips().count()
+    clock.advance(60 * 1000)
+    pipe.runAvailableNow()
+    assert(pipe.trips().count() === before)
+    val th = pipe.taskHistoryRecent()
+      .filter(col("state") === "SKIPPED").select("name").collect().map(_.getString(0))
+    assert(th.contains("push_trips"))
+  }
+}
