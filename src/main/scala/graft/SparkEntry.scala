@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries,
     VariantQueries,
     GovernanceQueries,
-    PipelineQueries)
+    PipelineQueries,
+    DedupQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

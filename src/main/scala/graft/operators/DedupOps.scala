@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-quadratic near-duplicate detection: MinHash + LSH banding and
+  * SimHash banding. Library operators (DataFrame in → DataFrame out)
+  * used by the `d*` query entries and verified against brute force in
+  * DedupSpec.
+  *
+  * Scale design: every step is a projection, a groupBy on a bounded key,
+  * or an equi-join on a hash bucket — candidate generation never
+  * enumerates all pairs. At 1000 executors the bucket join shuffles on
+  * (band, bandHash), which is uniformly distributed by construction
+  * (xxhash64), so no skew mitigation is needed.
+  */
+object DedupOps {
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ts)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"ts[i+$j]").mkString(", ")}))")))
+        .as("shingle"))
+
+  /** k-permutation MinHash signature per document. One shuffle
+    * (groupBy doc_id), k codegen'd xxhash64 expressions per row —
+    * no UDFs, fully whole-stage-codegen.
+    */
+  def minHashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * k/bands rows, hash each band, and emit pairs of documents sharing
+    * any (band, bandHash) bucket. P(candidate | jaccard j) =
+    * 1 - (1 - j^r)^b — with k=32, b=8, r=4: ≥ 0.999 at j = 0.9.
+    */
+  def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*)))
+      .toDF("doc_id", "band", "band_hash")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exactly verified: candidates from LSH
+    * buckets, then the true shingle-set Jaccard computed per candidate
+    * pair (array_intersect over the two shingle sets — bounded by
+    * document size, not corpus size) and filtered at `threshold`.
+    * Precision is exact (1.0 by construction); recall is the LSH
+    * probability above, asserted ≥ 0.9 in DedupSpec against brute force.
+    */
+  def minHashLsh(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
+    val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("sh_set"))
+    cands
+      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("s1.sh_set"), col("s2.sh_set"))).cast("double") /
+          size(array_union(col("s1.sh_set"), col("s2.sh_set")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint per document: bit b is the majority vote
+    * across the document's distinct tokens of the high bit of hex digit
+    * b of md5(token). Pure projection + one aggregation; md5 keeps the
+    * fingerprint engine-portable (oracle-checkable in DuckDB).
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col("doc_id"), col("tok"), explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(expr("substring(md5(tok), b + 1, 1)")
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+          .as("vote"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0,
+        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash"))
+
+  /** Banded SimHash near-pair search over 32-bit fingerprints
+    * (df: doc_id, simhash): docs agreeing on any of the 4 bytes are
+    * candidates (a fingerprint pair within Hamming distance 3 must agree
+    * on ≥ 1 of 4 bytes — pigeonhole), then filtered by exact Hamming
+    * distance. No all-pairs comparison.
+    */
+  def simHashNearPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .toDF("doc_id", "simhash", "band", "band_val")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

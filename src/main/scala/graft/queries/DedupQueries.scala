@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the LLM-training-
+  * pipeline surface (builder brief; testdata plants ~25 near-duplicate
+  * pairs with word-3-gram Jaccard ≥ 0.9, next pair down at 0.07, so a
+  * 0.5 threshold is unambiguous).
+  *
+  * Scale design (100 TB): nothing here is all-pairs O(n²).
+  *   - exact dedup: hash-groupBy on a content fingerprint — one shuffle
+  *     of (hash, id), partial aggregation map-side;
+  *   - near-dup: an inverted-index self-join on shingles — candidate
+  *     pairs are generated only where documents actually share a
+  *     shingle, then verified with the exact Jaccard. Work is
+  *     O(Σ df(shingle)²) not O(n²); in production a document-frequency
+  *     cap on hot shingles bounds the skew (unnecessary on this corpus:
+  *     31-word vocabulary, shingle df is tiny);
+  *   - MinHash-LSH (DedupOps.minHashLsh): signatures + banded bucketing
+  *     → candidates only within equal band-hash buckets; verified
+  *     exactly. The standard sub-quadratic path when no shingle index
+  *     fits; checked against the brute-force result in DedupSpec.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Word tokens (the corpus is space-separated). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup by content hash: one keeper (min doc_id) per distinct
+    // md5(text); n_copies counts collapsed duplicates. (This corpus has
+    // no exact dups — every group has n_copies = 1 — which the oracle
+    // equally asserts.)
+    Q("d1_exact_dedup",
+      (s, d) => Tables.load(s, d, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("keeper_doc_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+             count(*) AS n_copies FROM documents
+             GROUP BY 1 ORDER BY keeper_doc_id""")),
+
+    // Near-duplicate pairs by word-3-gram Jaccard ≥ 0.5, via inverted-
+    // index join (shingle → docs), never all-pairs. Exact-arithmetic
+    // jaccard: integer counts, one IEEE division — bit-identical in any
+    // engine.
+    Q("d2_near_dup_pairs",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 3)
+        val shingles = docs.select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(ts)-3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")))
+            .as("shingle"))
+        val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = shingles.as("a")
+          .join(shingles.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+          .select(col("d1"), col("d2"),
+            (col("shared").cast("double") /
+              (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH toksv AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+             idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toksv),
+             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
+             sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT d1, d2, CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) AS jaccard
+             FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.5
+             ORDER BY d1, d2""")),
+
+    // SimHash content fingerprint: 32 bits, bit b = high bit of hex
+    // digit b of md5(token), majority-voted across the document's
+    // distinct tokens. A per-row projection + one small aggregation —
+    // no joins, embarrassingly parallel. Near-dup search over the
+    // fingerprints is banded (DedupOps.simHashNearPairs), not all-pairs.
+    Q("d3_simhash",
+      (s, d) => graft.operators.DedupOps
+        .simHash(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tokens AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             bits AS (SELECT doc_id, tok, unnest(range(0, 32)) AS b FROM tokens),
+             votes AS (SELECT doc_id, b,
+               CASE WHEN substr(md5(tok), CAST(b AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END AS vote FROM bits),
+             per_bit AS (SELECT doc_id, b, sum(vote) v FROM votes GROUP BY 1, 2)
+             SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             FROM per_bit GROUP BY doc_id ORDER BY doc_id""")),
+
+    // MinHash-LSH near-dup pairs (banded bucketing, exactly verified).
+    // Not SQL-expressible for the DuckDB oracle (per-band min-hash
+    // signatures) → rows-only check here; DedupSpec proves precision =
+    // 1.0 and recall ≥ 0.9 against the brute-force d2 result.
+    Q("d4_minhash_lsh_pairs",
+      (s, d) => graft.operators.DedupOps
+        .minHashLsh(Tables.load(s, d, "documents"), "doc_id", "text", 0.5)
+        .orderBy("d1", "d2"),
+      None)
+  )
+}
