@@ -18,7 +18,8 @@ object SparkEntry {
     VariantQueries,
     GovernanceQueries,
     PipelineQueries,
-    DedupQueries)
+    DedupQueries,
+    SimilarityQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

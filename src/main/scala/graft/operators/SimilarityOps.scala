@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Three tiers, all deterministic:
+  *
+  *  1. `topKCosineWindow` — brute-force exact top-k: corpus ⨯ broadcast
+  *     queries, cosine as a codegen'd left-fold (`aggregate`/`zip_with`,
+  *     no UDF), rank via window. Correctness baseline; the window
+  *     shuffles |corpus|·|queries| rows on query_id, so it does NOT
+  *     scale past small query sets.
+  *  2. `topKCosinePartitioned` — the 100 TB path for exact top-k: each
+  *     corpus partition keeps a bounded per-query heap (mapPartitions,
+  *     no shuffle of the corpus), then only partitions·queries·k
+  *     candidate rows shuffle for the final merge. Output is bit-
+  *     identical to (1) — same fold order — and shares its oracle.
+  *  3. `annSignLsh` — sub-linear candidates via random-hyperplane sign
+  *     LSH (deterministic ±1 hyperplanes from MurmurHash3) with
+  *     Hamming-1 multi-probe, exact cosine re-ranking within buckets.
+  *     For when even one pass per query is too much; recall depends on
+  *     how clustered the corpus is (verified on planted clusters in
+  *     SimilaritySpec — the isotropic test embeddings admit no
+  *     meaningful ANN recall by construction).
+  *
+  * The cosine fold is written identically in Scala (`foldDot`) and SQL
+  * (`cosineSqlExpr`): left-to-right double accumulation — bit-identical
+  * in any IEEE engine, which is what makes the oracle hash-compare
+  * possible.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity as a SQL expression over two array<float> columns
+    * — strict left-fold in double precision.
+    */
+  def cosineSqlExpr(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (x, y) -> double(x) * double(y)), cast(0 as double), (acc, x) -> acc + x)"
+    expr(s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  /** Same fold, driver/executor-side. */
+  private def foldDot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def cosine(a: Array[Float], b: Array[Float]): Double =
+    foldDot(a, b) / (math.sqrt(foldDot(a, a)) * math.sqrt(foldDot(b, b)))
+
+  /** Tier 1: brute-force exact top-k (excluding self). */
+  def topKCosineWindow(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSqlExpr("qe", "ne").as("sim"))
+    sims
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** Tier 2: exact top-k with per-partition bounded heaps — no corpus
+    * shuffle; only partitions·|queries|·k candidates reach the merge.
+    */
+  def topKCosinePartitioned(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(queries)
+    // worse = lower sim, then higher id; PriorityQueue dequeues the max
+    // (= worst) so the heap keeps the best k.
+    val worstFirst: Ordering[(Double, Long)] = (x, y) => {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+    val candidates = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        it.foreach { case (nid, ne) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qe) = qs(qi)
+            if (nid != qid) {
+              val s = cosine(qe, ne)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((s, nid))
+              else if (worstFirst.compare((s, nid), h.head) < 0) { h.dequeue(); h.enqueue((s, nid)) }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          heaps(qi).iterator.map { case (s, nid) => (qid, nid, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+    candidates
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** Deterministic ±1 hyperplane component for (bit i, dim j). */
+  private def sign(i: Int, j: Int): Int =
+    if ((MurmurHash3.stringHash(s"$i:$j") & 1) == 0) 1 else -1
+
+  /** Sign-LSH bucket id (`bits`-bit code) as a SQL expression. */
+  def lshBucketExpr(embCol: String, bits: Int, dim: Int): Column = {
+    val bitExprs = (0 until bits).map { i =>
+      val proj = (0 until dim)
+        .map(j => s"(${sign(i, j)}) * double($embCol[$j])").mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << i}L ELSE 0L END)"
+    }
+    expr(bitExprs.mkString(" + "))
+  }
+
+  /** Tier 3: ANN — bucket the corpus once, probe each query's bucket and
+    * its Hamming-1 neighbors, re-rank candidates by exact cosine.
+    * Scans ~ (1+bits)/2^bits of the corpus per query in expectation.
+    */
+  def annSignLsh(
+      emb: DataFrame, queryIds: Seq[Long], k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucketExpr("embedding", bits, dim).as("bucket"))
+    val probes = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
+    val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(probes: _*)).as("bucket"))
+    val c = bucketed
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSqlExpr("qe", "ne").as("sim"))
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+}

@@ -39,6 +39,7 @@ object Producer {
       .join(broadcast(p.as("p")), Seq("program_id"))
       .select(
         col("starttime"),
+        col("bikeid").as("doc_key"),
         to_json(struct(
           col("tripduration"),
           col("starttime"),

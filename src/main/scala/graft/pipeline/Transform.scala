@@ -42,21 +42,31 @@ object Transform {
   private def v(field: String, typ: String) =
     try_variant_get(try_parse_json(col("v")), s"$$.$field", typ)
 
+  private def vv(field: String, typ: String) =
+    try_variant_get(col("_vv"), s"$$.$field", typ)
+
   /** push_trips' INSERT…SELECT shred (dp_setup.sql:192-203): ten
     * `v:field::type` casts. `try_*` totality: malformed documents shred
     * to all-null rows instead of failing the pipeline.
+    *
+    * The document is parsed to variant ONCE per row (projection barrier
+    * below — CollapseProject would otherwise inline `try_parse_json`
+    * into all ten extractions, a 10× parse cost measured at ~4× total
+    * query time at sf0.1).
     */
-  def shredTrips(raw: DataFrame): DataFrame = raw.select(
-    v("tripduration", "int").as("tripduration"),
-    v("starttime", "timestamp_ntz").as("starttime"),
-    v("stoptime", "timestamp_ntz").as("stoptime"),
-    v("start_station_id", "int").as("start_station_id"),
-    v("end_station_id", "int").as("end_station_id"),
-    v("bikeid", "bigint").as("bikeid"),
-    v("usertype", "string").as("usertype"),
-    v("birth_year", "int").as("birth_year"),
-    v("gender", "int").as("gender"),
-    v("program_id", "int").as("program_id"))
+  def shredTrips(raw: DataFrame): DataFrame = raw
+    .select(try_parse_json(col("v")).as("_vv"))
+    .select(
+      vv("tripduration", "int").as("tripduration"),
+      vv("starttime", "timestamp_ntz").as("starttime"),
+      vv("stoptime", "timestamp_ntz").as("stoptime"),
+      vv("start_station_id", "int").as("start_station_id"),
+      vv("end_station_id", "int").as("end_station_id"),
+      vv("bikeid", "bigint").as("bikeid"),
+      vv("usertype", "string").as("usertype"),
+      vv("birth_year", "int").as("birth_year"),
+      vv("gender", "int").as("gender"),
+      vv("program_id", "int").as("program_id"))
 
   /** push_programs' merge source (dp_setup.sql:211-215): distinct
     * (program_id, program_name) from the new raw rows.

@@ -21,10 +21,14 @@ object PipelineQueries extends QueryPack {
     // The oracle computes the same columns directly — proving the JSON
     // round trip is lossless for every type (int, string, double,
     // timestamp_ntz).
+    // Scale/efficiency note: the deterministic total order the oracle
+    // hash needs is applied on the cheap source key BEFORE the expensive
+    // to_json→parse→extract chain — a global sort placed after it would
+    // re-execute the whole chain for range-boundary sampling (measured
+    // 2× the query). The trailing projections preserve the row order.
     Q("pipe_shred_roundtrip",
       (s, d) => Transform.shredTrips(
-        Producer.unloadDocs(s, d).select(col("doc").as("v")))
-        .orderBy("bikeid"),
+        Producer.unloadDocs(s, d).orderBy("doc_key").select(col("doc").as("v"))),
       Some(s"""SELECT * FROM (${CitibikeSource.tripsOracleSql}) ORDER BY bikeid""")),
 
     // The demo's golden-count methodology (dp_demo.sql:150-162,196-198)

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityOps
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("partitioned exact top-k equals brute-force top-k (rank-for-rank)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = resultSet(SimilarityOps.topKCosineWindow(emb, ids, 10))
+    val part = resultSet(SimilarityOps.topKCosinePartitioned(emb, ids, 10))
+    assert(part === brute)
+  }
+
+  test("ANN recall >= 0.8 @k=5 on planted clusters (isotropic data admits none)") {
+    import spark.implicits._
+    // 10 planted clusters: deterministic center ± small noise, dim 16.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val vecs = for (c <- 0 until 10; i <- 0 until 30) yield {
+      val v = centers(c).map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      ((c * 30 + i).toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qids = (0 until 10).map(c => (c * 30).toLong)
+    val brute = resultSet(SimilarityOps.topKCosineWindow(emb, qids, 5))
+    val ann = resultSet(
+      SimilarityOps.annSignLsh(emb, qids, 5, bits = 8, dim = 16))
+    val brutePairs = brute.map(t => (t._1, t._2))
+    val annPairs = ann.map(t => (t._1, t._2))
+    val recall = (annPairs & brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}
