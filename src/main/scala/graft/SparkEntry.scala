@@ -19,7 +19,9 @@ object SparkEntry {
     GovernanceQueries,
     PipelineQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    TextQueries,
+    MultimodalQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

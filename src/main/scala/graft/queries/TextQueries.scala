@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents.text` (builder brief: token
+  * counting, language-ID heuristic, quality scoring, fingerprinting).
+  *
+  * Every query here is a narrow per-row projection + at most one
+  * small aggregation — no joins, no wide shuffles; at 100 TB these
+  * pipeline steps are embarrassingly parallel and stay entirely inside
+  * whole-stage codegen (array/lambda expressions, no UDFs).
+  *
+  * Exact-arithmetic contract: all derived ratios are single IEEE double
+  * divisions of integer counts — bit-identical in any engine, so the
+  * DuckDB oracle hash-compares cleanly.
+  */
+object TextQueries extends QueryPack {
+
+  // A small English stopword list (the heuristic's signal).
+  private val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  val queries: Seq[Q] = Seq(
+
+    // Token statistics: whitespace tokens, distinct tokens, summed/avg
+    // token length, plus a regex ("BPE-ish") token count — alpha runs
+    // as one token each, same regex semantics in both engines.
+    Q("t1_token_stats",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+          expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)")
+            .as("sum_token_len"),
+          expr("regexp_count(text, '[a-z]+')").as("n_regex_tokens"),
+          length(col("text")).as("n_chars"))
+        .withColumn("avg_token_len",
+          col("sum_token_len").cast("double") / col("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+             CAST(list_reduce(list_transform(string_split(text, ' '), t -> length(t)), (a, x) -> a + x) AS INTEGER) AS sum_token_len,
+             CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_regex_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(list_reduce(list_transform(string_split(text, ' '), t -> length(t)), (a, x) -> a + x) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+             FROM documents ORDER BY doc_id""")),
+
+    // Language-ID heuristic: stopword-hit ratio → 'en' / 'other'.
+    // (The corpus shares one vocabulary across its lang labels, so this
+    // checks the mechanism — deterministic scoring — not accuracy.)
+    Q("t2_lang_id",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"size(filter(split(text, ' '), t -> t IN ($stopSql)))").as("stop_hits"),
+          expr("size(split(text, ' '))").as("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("lang_guess",
+          when(col("stop_ratio") >= 0.05, "en").otherwise("other"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS INTEGER) AS stop_hits,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+             FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: length-band flag × lexical-diversity ratio —
+    // the standard pre-training corpus filter shape.
+    Q("t3_quality_score",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          expr("size(array_distinct(split(text, ' ')))").as("n_distinct"))
+        .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("length_ok",
+          col("n_chars").between(100, 1000) && col("n_tokens") >= 20)
+        .withColumn("quality_score",
+          when(col("length_ok"), col("diversity")).otherwise(col("diversity") * 0.5))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS diversity,
+             (length(text) BETWEEN 100 AND 1000) AND len(string_split(text, ' ')) >= 20 AS length_ok,
+             CASE WHEN (length(text) BETWEEN 100 AND 1000) AND len(string_split(text, ' ')) >= 20
+               THEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))
+               ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.5 END AS quality_score
+             FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprinting: whole-content md5 + a winnowing-style
+    // fingerprint (lexicographic min of md5 over all 8-char sliding
+    // windows) — robust to where the document is split, the building
+    // block for shift-tolerant dedup.
+    Q("t4_fingerprint",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("content_md5"))
+        .select(col("doc_id"), col("content_md5"),
+          explode(expr("sequence(1, length(text) - 7)")).as("i"), col("text"))
+        .groupBy("doc_id", "content_md5")
+        .agg(min(md5(expr("substring(text, i, 8)"))).as("winnow_fp"))
+        .select("doc_id", "content_md5", "winnow_fp")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, md5(text) content_md5, text,
+               unnest(range(1, length(text) - 6)) AS i FROM documents)
+             SELECT doc_id, content_md5,
+               min(md5(substr(text, CAST(i AS INTEGER), 8))) AS winnow_fp
+             FROM w GROUP BY doc_id, content_md5 ORDER BY doc_id"""))
+  )
+}
