@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Ddl
+
+class DdlSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("S10 CTAS materializes a snapshot readable as a table") {
+    val dir = Files.createTempDirectory("graft_ddl").toString
+    val src = Tables.load(spark, sf, "nation")
+    val made = Ddl.ctas(src.filter(col("n_regionkey") === 1), s"$dir/nations_r1")
+    assert(made.count() === src.filter(col("n_regionkey") === 1).count())
+    assert(made.schema === src.schema)
+    // errorifexists: a second CTAS to the same name must fail
+    intercept[Exception] {
+      Ddl.ctas(src, s"$dir/nations_r1")
+    }
+  }
+
+  test("S11 truncate keeps schema, drops rows, and is if-exists tolerant") {
+    val dir = Files.createTempDirectory("graft_ddl").toString
+    val src = Tables.load(spark, sf, "region")
+    Ddl.ctas(src, s"$dir/region_copy")
+    Ddl.truncate(spark, s"$dir/region_copy")
+    val after = spark.read.parquet(s"$dir/region_copy")
+    assert(after.count() === 0)
+    assert(after.schema === src.schema)
+    Ddl.truncate(spark, s"$dir/never_created") // no-op, must not throw
+  }
+
+  test("current_time/current_timestamp parity via injectable clock") {
+    val clock = new graft.pipeline.ManualClock(
+      java.sql.Timestamp.valueOf("2020-01-10 12:34:56").getTime)
+    assert(clock.currentTime() === "12:34:56")
+    assert(clock.now() === java.sql.Timestamp.valueOf("2020-01-10 12:34:56"))
+  }
+}
