@@ -23,6 +23,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: execute every query once at the smallest SF so JIT +
+    // whole-stage-codegen compilation and classloading don't get billed
+    // to whichever queries happen to run first (measured as phantom
+    // 10-30s on the first heavy plans otherwise). Steady-state numbers
+    // are what a long-running cluster delivers.
+    val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if (warmSf.nonEmpty)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
