@@ -34,14 +34,22 @@ import scala.util.hashing.MurmurHash3
   */
 object SimilarityOps {
 
-  /** Cosine similarity as a SQL expression over two array<float> columns
-    * — strict left-fold in double precision.
+  /** Cosine similarity via the builtin lambda route — strict left-fold
+    * in double precision. Kept as the reference implementation the
+    * native expression is asserted bit-equal against (FunctionsSpec).
     */
-  def cosineSqlExpr(a: String, b: String): Column = {
+  def cosineLambdaExpr(a: String, b: String): Column = {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (x, y) -> double(x) * double(y)), cast(0 as double), (acc, x) -> acc + x)"
     expr(s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
   }
+
+  /** Cosine similarity via the native codegen expression
+    * (graft.functions.CosineSimilarity) — same fold order, one fused
+    * loop, no per-row lambda allocation. `register` is idempotent.
+    */
+  def cosineSqlExpr(a: String, b: String): Column =
+    expr(s"graft_cosine($a, $b)")
 
   /** Same fold, driver/executor-side. */
   private def foldDot(a: Array[Float], b: Array[Float]): Double = {
@@ -55,6 +63,7 @@ object SimilarityOps {
 
   /** Tier 1: brute-force exact top-k (excluding self). */
   def topKCosineWindow(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
@@ -136,6 +145,7 @@ object SimilarityOps {
   def annSignLsh(
       emb: DataFrame, queryIds: Seq[Long], k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucketExpr("embedding", bits, dim).as("bucket"))
     val probes = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
