@@ -29,11 +29,22 @@ object Stage {
 
   /** S3 — `select $1 from @stage` (dp_demo.sql:122): query files in place,
     * one variant document per line as positional column `$1`. Distributed
-    * read: `spark.read.text` scans the files on executors.
+    * read: `spark.read.text` scans the files on executors. An empty (or
+    * absent) stage yields an empty result, matching `select $1 from
+    * @stage` on an empty stage rather than erroring on an unmatched glob.
     */
-  def scanDollar1(spark: SparkSession, stageDir: String): DataFrame =
-    spark.read.textFile(s"$stageDir/*.json").toDF("raw")
-      .select(try_parse_json(col("raw")).as("$1"))
+  def scanDollar1(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    val hasFiles = {
+      val f = fs(spark, stageDir)
+      f.exists(new Path(stageDir)) &&
+        f.listStatus(new Path(stageDir)).exists(s => s.isFile && s.getPath.getName.endsWith(".json"))
+    }
+    val raw =
+      if (hasFiles) spark.read.textFile(s"$stageDir/*.json").toDF("raw")
+      else Seq.empty[String].toDF("raw")
+    raw.select(try_parse_json(col("raw")).as("$1"))
+  }
 
   /** S12 — `rm @stage/<name>` (dp_setup.sql:120-122, dp_demo.sql:13,295).
     * Returns true if the file existed and was deleted.
