@@ -21,7 +21,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    EventQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

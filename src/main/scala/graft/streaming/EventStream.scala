@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-time streaming over the `events` table shape (builder brief:
+  * "watermarks + windowed aggs; mapGroupsWithState/flatMapGroupsWithState
+  * for custom state" — beyond the reference surface, which is arrival-
+  * time micro-batch CDC only, SURVEY §2.10).
+  *
+  * Both transforms are written against plain Datasets, so the SAME code
+  * runs in batch (for the DuckDB oracle) and under a streaming source
+  * (StreamingSpec runs them with readStream + AvailableNow and asserts
+  * parity with the batch result).
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // physical TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory (the pipe-shaped
+    * source for event-time processing).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-day windows per event type with a 1-day watermark:
+    * count + exact decimal sum. Works on batch DataFrames too (the
+    * watermark call is a no-op in batch), which is what the e1 oracle
+    * entry uses. At scale: one shuffle on (window, event_type), partial
+    * aggregation map-side, state bounded by the watermark.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+  // state keeps the original Timestamps — a millis round trip would
+  // truncate the micros the source carries
+  final case class OpenSession(start: Timestamp, end: Timestamp, n: Long, sum: Double)
+
+  /** Sessionization with flatMapGroupsWithState: events of one user more
+    * than `gapMinutes` apart belong to different sessions. A session is
+    * emitted when the NEXT event (or batch) proves it closed; only the
+    * latest open session per user lives in state — O(users) state, no
+    * timeout dependence, deterministic under AvailableNow.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          // per-batch arrival order is not guaranteed: order by event time
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          evs.foreach { e =>
+            open match {
+              case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += Session(user, s.start, s.end, s.n, s.sum)
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Batch-equivalent sessionization via window functions (lag → gap
+    * flag → running session index → per-session agg) — the e2 oracle
+    * shape; also used by StreamingSpec to check the stateful path.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L)
+          .cast("int"))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .drop("session_idx")
+  }
+}
