@@ -108,6 +108,33 @@ object DedupOps {
         pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicates: pairs of vectors with cosine ≥
+    * `threshold`, found via sign-LSH buckets + Hamming-1 multi-probe
+    * (SimilarityOps machinery) — never all-pairs. High-cosine pairs
+    * agree on most hyperplane signs, so recall at dedup thresholds
+    * (≥ 0.9) is near-1 (verified on planted duplicates in DedupSpec);
+    * candidates are verified with the exact fold cosine, so precision
+    * is 1.0 by construction.
+    */
+  def embeddingNearDups(
+      emb: DataFrame, threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      SimilarityOps.lshBucketExpr("embedding", bits, dim).as("bucket"))
+    val probes = (0 until bits).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
+    val probed = bucketed.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+      explode(array(probes: _*)).as("bucket"))
+    bucketed
+      .select(col("vec_id").as("d2"), col("embedding").as("e2"), col("bucket"))
+      .join(probed, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("graft_cosine(e1, e2)").as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Banded SimHash near-pair search over 32-bit fingerprints
     * (df: doc_id, simhash): docs agreeing on any of the 4 bytes are
     * candidates (a fingerprint pair within Hamming distance 3 must agree

@@ -44,6 +44,20 @@ class DedupSpec extends AnyFunSuite {
       "perturbed doc should be closer than unrelated doc")
   }
 
+  test("embedding-cosine near-dup finds planted duplicate vectors, none spurious") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(40)(Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    val planted = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      // ids 100+: near-copies of vectors 0..4 (tiny perturbation)
+      (0 until 5).map(i => ((100 + i).toLong,
+        base(i).map(x => x + (rnd.nextDouble() * 0.01 - 0.005).toFloat)))
+    val emb = planted.toSeq.toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingNearDups(emb, threshold = 0.99, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 5).map(i => (i.toLong, (100 + i).toLong)).toSet)
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     import spark.implicits._
     val docs = Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd"))

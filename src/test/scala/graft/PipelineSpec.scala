@@ -128,6 +128,20 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("continuous trigger ingests while running (T3 ProcessingTime path)") {
+    val root2 = Files.createTempDirectory("graft_pipe_cont").toString
+    val paths2 = PipelinePaths(root2)
+    val pipe2 = new Pipeline(spark, paths2, clock, taskIntervalSec = 1)
+    Producer.streamData(spark, sf, paths2.stage, "01/02/1995", "01/03/1995")
+    val q = pipe2.start() // Trigger.ProcessingTime("1 second")
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (pipe2.trips().count() === 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(pipe2.trips().count() > 0, "continuous pipe never ingested")
+    } finally q.stop()
+  }
+
   test("empty micro-batch surfaces as SKIPPED tasks (T3 stream_has_data gate)") {
     val f = new java.io.File(s"$root/stage/snowpipe_demo_empty.json")
     f.createNewFile()
