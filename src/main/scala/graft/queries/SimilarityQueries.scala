@@ -57,6 +57,15 @@ object SimilarityQueries extends QueryPack {
       (s, d) => SimilarityOps
         .annSignLsh(Tables.load(s, d, "embeddings"), QueryIds, K)
         .orderBy("query_id", "rnk"),
+      None),
+
+    // ANN: IVF (k-means coarse quantizer, nprobe cells scanned, exact
+    // re-rank). Training + banding not SQL-expressible → rows-only;
+    // recall on planted clusters in SimilaritySpec.
+    Q("n4_ann_ivf",
+      (s, d) => graft.operators.IvfIndex
+        .search(Tables.load(s, d, "embeddings"), QueryIds, K)
+        .orderBy("query_id", "rnk"),
       None)
   )
 }

@@ -20,23 +20,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(part === brute)
   }
 
-  test("ANN recall >= 0.8 @k=5 on planted clusters (isotropic data admits none)") {
+  // 10 planted clusters: deterministic center ± small noise, dim 16.
+  private lazy val planted = {
     import spark.implicits._
-    // 10 planted clusters: deterministic center ± small noise, dim 16.
     val rnd = new scala.util.Random(7)
     val centers = Array.fill(10, 16)((rnd.nextDouble() * 2 - 1).toFloat)
     val vecs = for (c <- 0 until 10; i <- 0 until 30) yield {
       val v = centers(c).map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
       ((c * 30 + i).toLong, v)
     }
-    val emb = vecs.toDF("vec_id", "embedding")
-    val qids = (0 until 10).map(c => (c * 30).toLong)
-    val brute = resultSet(SimilarityOps.topKCosineWindow(emb, qids, 5))
+    vecs.toDF("vec_id", "embedding").cache()
+  }
+  private lazy val plantedQueries = (0 until 10).map(c => (c * 30).toLong)
+  private lazy val plantedBrute =
+    resultSet(SimilarityOps.topKCosineWindow(planted, plantedQueries, 5))
+      .map(t => (t._1, t._2))
+
+  test("ANN recall >= 0.8 @k=5 on planted clusters (isotropic data admits none)") {
     val ann = resultSet(
-      SimilarityOps.annSignLsh(emb, qids, 5, bits = 8, dim = 16))
-    val brutePairs = brute.map(t => (t._1, t._2))
-    val annPairs = ann.map(t => (t._1, t._2))
-    val recall = (annPairs & brutePairs).size.toDouble / brutePairs.size
+      SimilarityOps.annSignLsh(planted, plantedQueries, 5, bits = 8, dim = 16))
+      .map(t => (t._1, t._2))
+    val recall = (ann & plantedBrute).size.toDouble / plantedBrute.size
     assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("IVF search recall >= 0.9 @k=5 on planted clusters") {
+    val ivf = resultSet(graft.operators.IvfIndex
+      .search(planted, plantedQueries, 5, nlist = 10, nprobe = 2))
+      .map(t => (t._1, t._2))
+    val recall = (ivf & plantedBrute).size.toDouble / plantedBrute.size
+    assert(recall >= 0.9, s"recall $recall")
   }
 }
