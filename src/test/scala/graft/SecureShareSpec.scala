@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+import graft.serve.SecureShare
+
+/** End-to-end step-7 parity: pipeline → modelled tables → the verbatim
+  * secure-view SQL → per-account governed consumption (dp_demo.sql
+  * 222-291, with the reference's session-variable account switching).
+  */
+class SecureShareSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val pipe: Pipeline = {
+    val root = Files.createTempDirectory("graft_share").toString
+    val paths = PipelinePaths(root)
+    Producer.streamData(spark, sf, paths.stage, "01/02/1995", "01/15/1995")
+    val p = new Pipeline(spark, paths)
+    p.runAvailableNow()
+    p
+  }
+
+  test("secure view filters rows by account and masks for non-publishers") {
+    SecureShare.registerTripsSecureView(spark, pipe)
+
+    spark.conf.set("graft.current_account", "ACCT_NYCHA")
+    val nycha = spark.table("trips_secure_vw")
+    // row filter: only programs matching NYCHA's LIKE pattern
+    assert(nycha.filter(!col("program_name").startsWith("NATION_1")).count() === 0)
+    assert(nycha.count() > 0)
+    // masking: station names are all REDACTED(md5)
+    assert(nycha.filter(
+      !col("start_station_name").rlike("^REDACTED \\([0-9a-f]{32}\\)$")).count() === 0)
+    assert(nycha.select("acct").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("ACCT_NYCHA"))
+
+    spark.conf.set("graft.current_account", "ACCT_PUB")
+    val pub = spark.table("trips_secure_vw")
+    // publisher: every program, unmasked names
+    assert(pub.count() >= nycha.count())
+    assert(pub.filter(col("start_station_name").startsWith("REDACTED")).count() === 0)
+  }
+
+  test("consumption report matches a directly-computed governed aggregate") {
+    SecureShare.registerTripsSecureView(spark, pipe)
+    spark.conf.set("graft.current_account", "ACCT_JCHA")
+    val report = SecureShare.consumptionReport(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
+    val expected = pipe.trips()
+      .join(pipe.programs(), "program_id")
+      .filter(col("program_name").startsWith("NATION_2"))
+      .groupBy("program_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => ("" + r.getString(0), "ACCT_JCHA", r.getLong(1)))
+      .sortBy(t => (-t._3, t._1)).toSeq
+    assert(report === expected)
+    assert(report.nonEmpty)
+  }
+}
