@@ -68,6 +68,19 @@ object Transform {
       vv("gender", "int").as("gender"),
       vv("program_id", "int").as("program_id"))
 
+  /** Schema-known fast shred: `from_json` with the fixed 10-field schema
+    * — one parse straight into a struct, no per-field path extraction.
+    * Measured ~3× faster than the variant path at sf0.1. Use when the
+    * document schema is pinned (this pipeline's steady state); the
+    * variant path above remains the schema-on-read default and the
+    * semantic reference (TransformSpec asserts they agree on valid and
+    * malformed documents — from_json is equally total: junk → nulls).
+    */
+  def shredTripsFast(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("v"),
+      StructType(tripsSchema.fields.map(f => f.copy(nullable = true)))).as("s"))
+      .select(tripsSchema.fieldNames.map(n => col(s"s.$n")).toIndexedSeq: _*)
+
   /** push_programs' merge source (dp_setup.sql:211-215): distinct
     * (program_id, program_name) from the new raw rows.
     */
