@@ -73,6 +73,38 @@ object MultimodalOps {
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame_payload"))
 
+  /** ======== STUB ========
+    * Resize: produce a fixed-size payload from each media blob by
+    * stride-sampling its bytes. A real implementation decodes, rescales
+    * pixels, and re-encodes in exactly this spot — the per-partition
+    * iterator shape is where a native codec/JNI library lives (one init
+    * per partition, buffer reuse per row). Output payloads are exactly
+    * `targetBytes` (zero-padded when the source is smaller).
+    */
+  def resizeBytes(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](targetBytes)
+    if (payload.nonEmpty) {
+      val stride = math.max(1, payload.length / targetBytes)
+      var i = 0
+      while (i < targetBytes && i * stride < payload.length) {
+        out(i) = payload(i * stride)
+        i += 1
+      }
+    }
+    out
+  }
+
+  def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real codecs allocate decode/encode buffers here, once
+        it.map { case (id, mt, bytes) => (id, mt, resizeBytes(bytes, targetBytes)) }
+      }
+      .toDF("doc_id", "media_type", "resized")
+  }
+
   /** Feature extraction stub: a deterministic k-dim pseudo-embedding
     * from payload bytes (seeded xxhash64 per dimension) — vectorized
     * expressions, the shape a real CLIP/encoder batch UDF would emit.

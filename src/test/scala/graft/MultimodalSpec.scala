@@ -50,6 +50,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts.filter(col("n") < 1).count() === 0)
   }
 
+  test("resize stub emits exactly-sized deterministic payloads") {
+    val media = MultimodalOps.withPayload(Tables.load(spark, sf, "documents"))
+    val resized = MultimodalOps.resize(spark, media, targetBytes = 64)
+    assert(resized.filter(octet_length(col("resized")) =!= 64).count() === 0)
+    assert(resized.count() === media.count())
+    // deterministic: same input, same bytes
+    val a = MultimodalOps.resize(spark, media, 64).orderBy("doc_id")
+      .collect().map(_.getAs[Array[Byte]]("resized").toSeq)
+    val b = MultimodalOps.resize(spark, media, 64).orderBy("doc_id")
+      .collect().map(_.getAs[Array[Byte]]("resized").toSeq)
+    assert(a.toSeq === b.toSeq)
+    // a short payload is zero-padded to size
+    assert(MultimodalOps.resizeBytes("ab".getBytes, 8).toSeq ===
+      Seq[Byte]('a', 'b', 0, 0, 0, 0, 0, 0))
+  }
+
   test("fake features are deterministic and in [0, 1)") {
     val media = MultimodalOps.withPayload(Tables.load(spark, sf, "documents"))
     val f1 = MultimodalOps.fakeFeatures(media).collect()
