@@ -42,6 +42,59 @@ object EventQueries extends QueryPack {
              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start"""))
+             FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start""")),
+
+    // As-of join (an operator Spark lacks; composed union + carry-
+    // forward window, one shuffle). Oracle: DuckDB's NATIVE ASOF JOIN —
+    // a strong independent check of the inclusive >= semantics.
+    Q("e3_asof_join",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val p = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("mark_id"))
+        graft.operators.AsofJoin(
+          e.select("event_id", "user_id", "ts"), p, "user_id", "ts", Seq("mark_id"))
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"),
+            col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+            col("asof_mark_id"),
+            (unix_millis(col("ts")) - unix_millis(col("asof_ts"))).as("ms_since"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type FROM events),
+             p AS (SELECT user_id, ts, max(event_id) AS mark_id FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             SELECT e.event_id, e.user_id, e.ts, p.ts AS asof_ts,
+               p.mark_id AS asof_mark_id,
+               epoch_ms(e.ts) - epoch_ms(p.ts) AS ms_since
+             FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+             ORDER BY event_id""")),
+
+    // Range join (points-in-intervals) via time-binning — an equi-join
+    // on the bin key instead of an O(n·m) nested-loop inequality join.
+    // Intervals: each error event opens a window of `value` minutes.
+    // Oracle: the plain inequality join, exact micros.
+    Q("e4_range_join",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val points = ev.select(col("event_id"), col("ts"))
+        val intervals = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("w_id"), col("ts").as("start_ts"),
+            expr("timestamp_micros(unix_micros(ts) + cast(floor(value * 60000) as bigint) * 1000)")
+              .as("end_ts"))
+        graft.operators.RangeJoin
+          .pointsInIntervals(points, "event_id", "ts",
+            intervals, "w_id", "start_ts", "end_ts")
+          .groupBy("w_id").agg(count(lit(1)).as("n_points"))
+          .orderBy("w_id")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts FROM events),
+             w AS (SELECT event_id AS w_id, CAST(ts AS TIMESTAMP) AS start_ts,
+               CAST(ts AS TIMESTAMP) + to_microseconds(CAST(floor(value * 60000) AS BIGINT) * 1000) AS end_ts
+               FROM events WHERE event_type = 'error')
+             SELECT w_id, count(*) AS n_points
+             FROM e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+             GROUP BY w_id ORDER BY w_id"""))
   )
 }
