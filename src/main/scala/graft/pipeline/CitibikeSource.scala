@@ -63,8 +63,15 @@ object CitibikeSource {
       col("n_nationkey").cast("int").as("program_id"),
       col("n_name").as("program_name"))
 
+  // Memoized: the count is a plan-build-time scalar, and paying a Spark
+  // action on every trips() plan construction is measurable overhead
+  // (supplier is dimension-sized at any SF, but the job launch isn't free).
+  private val supplierCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
   def supplierCount(spark: SparkSession, sfDir: String): Long =
-    Tables.load(spark, sfDir, "supplier").count()
+    supplierCounts.computeIfAbsent((spark, sfDir),
+      _ => Tables.load(spark, sfDir, "supplier").count()).longValue()
 
   /** The SQL used to derive trips, for embedding in DuckDB oracle queries
     * (supplier count via scalar subquery so the same text works at any SF).
