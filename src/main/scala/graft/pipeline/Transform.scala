@@ -112,12 +112,19 @@ object Transform {
   def mergeInsertOnly(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
     updates.join(broadcast(existing.select(key)), Seq(key), "left_anti")
 
-  /** Read a parquet table dir that may not exist yet (first batch). */
+  /** Read a parquet table dir that may not exist yet (first batch) or
+    * exist with no committed files yet (a concurrent first-batch write in
+    * flight). The schema is passed to the reader explicitly: no footer
+    * inference (a listing+read round trip per query on object stores) and
+    * an empty/in-progress dir yields an empty result instead of
+    * UNABLE_TO_INFER_SCHEMA.
+    */
   def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.parquet(path).select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      spark.read.schema(schema).parquet(path)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

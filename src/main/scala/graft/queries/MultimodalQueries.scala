@@ -53,12 +53,16 @@ object MultimodalQueries extends QueryPack {
     // Decode + feature stub: typed metadata from the (stubbed) decoder
     // and a deterministic pseudo-embedding. Not oracle-expressible
     // (xxhash64, mapPartitions) → rows-only; MultimodalSpec pins the
-    // values and the batch plumbing.
+    // values and the batch plumbing. The feature vector is serialized to
+    // a csv string so the driver's comparator can sort/hash the frame
+    // (raw array<double> is unhashable on the pandas side).
     Q("m3_decode_features",
       (s, d) => {
         val media = MultimodalOps.withPayload(Tables.load(s, d, "documents"))
         MultimodalOps.decode(s, media).toDF()
           .join(MultimodalOps.fakeFeatures(media), "doc_id")
+          .withColumn("features",
+            concat_ws(",", col("features").cast("array<string>")))
           .orderBy("doc_id")
       },
       None)

@@ -62,13 +62,18 @@ object RelationalQueries extends QueryPack {
     // ---- §2.2 projections / filters ---------------------------------
     // P1/P2: projection with aliases and computed columns
     // (dp_demo.sql:127-142). Revenue arithmetic via exact decimals.
+    // The (oracle-scaffolding) global sort runs on the cheap source keys
+    // BEFORE the decimal projection: range-boundary sampling executes the
+    // sort's child twice, and sampling the raw scan instead of the
+    // decimal arithmetic measured ~2× faster at sf0.1; projection
+    // preserves row order.
     Q("p1_projection",
       (s, d) => t(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber"),
+            .cast("double").as("revenue")),
       Some("""SELECT l_orderkey, l_linenumber,
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),

@@ -90,7 +90,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(states("push_stations") === "SUCCEEDED")
   }
 
-  test("purge deleted loaded files; pipe reports no pending files (S12/T7)") {
+  test("purge deletes loaded files; pipe reports no pending files (S12/T7)") {
+    // In-stream purge is deferred one pulse: batch 0 loaded these files,
+    // and `purge(beforeBatchId = 0)` must NOT delete them before the
+    // checkpoint commits (crash-replay would re-read them). They are
+    // still staged after the run...
+    val nDays = window1.select(to_date(col("starttime"))).distinct().count()
+    assert(Stage.list(spark, paths.stage).count() === nDays)
+    // ...but every one is loaded, so none is pending...
+    assert(pipe.pipeStatus().contains("\"pendingFileCount\":0"))
+    // ...and the operational purge (no in-flight batch) deletes them all.
+    assert(pipe.purge() === nDays)
     assert(Stage.list(spark, paths.stage).count() === 0)
     assert(pipe.pipeStatus().contains("\"pendingFileCount\":0"))
   }
@@ -143,6 +153,10 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("empty micro-batch surfaces as SKIPPED tasks (T3 stream_has_data gate)") {
+    // wave-2's files (loaded by the previous, committed batch) are still
+    // staged — deferred purge.
+    val wave2Files = Stage.list(spark, paths.stage).count()
+    assert(wave2Files > 0)
     val f = new java.io.File(s"$root/stage/snowpipe_demo_empty.json")
     f.createNewFile()
     val before = pipe.trips().count()
@@ -152,5 +166,24 @@ class PipelineSpec extends AnyFunSuite {
     val th = pipe.taskHistoryRecent()
       .filter(col("state") === "SKIPPED").select("name").collect().map(_.getString(0))
     assert(th.contains("push_trips"))
+    // this pulse's purge ran with beforeBatchId > wave-2's batch, so the
+    // committed wave-2 files are gone; only the empty file remains.
+    assert(Stage.list(spark, paths.stage).count() === 1)
+  }
+
+  test("purge scans only the 10-hour copy_history window (dp_setup.sql:111)") {
+    // wave 3: more files, loaded and committed by their own pulse.
+    val n3 = Producer.streamData(spark, sf, paths.stage, "01/15/1995", "01/21/1995")
+    assert(n3 > 0)
+    clock.advance(60 * 1000)
+    pipe.runAvailableNow()
+    // loaded ok and in window, an operational purge would delete them —
+    // but once the clock moves past the look-back, their history rows
+    // age out of the bounded metadata scan and purge removes nothing,
+    // even though the files are still staged.
+    clock.advance(11L * 3600 * 1000)
+    assert(pipe.purge() === 0)
+    // wave-3 files all survive (plus the never-loaded empty file).
+    assert(Stage.list(spark, paths.stage).count() === n3 + 1)
   }
 }
