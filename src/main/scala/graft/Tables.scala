@@ -16,8 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Loads are memoized per (session, dir, table): creating a parquet
   * DataFrame reads footers for schema inference, and re-paying that on
   * every query is waste that compounds with file count at scale
-  * (VERDICT round 1 "what's wrong" #4). The cached value is just the
-  * immutable logical plan — execution still scans fresh data.
+  * (VERDICT round 1 "what's wrong" #4). The cached value is the logical
+  * plan, whose FILE LISTING is snapshotted at first load — correct under
+  * the static-testdata contract (TESTDATA.md: the sf dirs never change
+  * within a session), but files added to a dir later would be invisible;
+  * a mutable table must not be read through this cache. Entries live for
+  * the session (bounded: sessions × dirs × 10 tables).
   */
 object Tables {
   val all: Seq[String] = Seq(

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.StringType
   */
 object GraftFunctions {
 
+  /** Session conf key carrying the current account identity. */
+  val AccountConfKey = "graft.current_account"
+
   /** Leaf that folds to the session's account at optimization time. */
   case class CurrentAccount() extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
     override def dataType: StringType.type = StringType
@@ -33,7 +36,7 @@ object GraftFunctions {
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
       org.apache.spark.unsafe.types.UTF8String.fromString(
         org.apache.spark.sql.internal.SQLConf.get
-          .getConfString("graft.current_account", "UNKNOWN"))
+          .getConfString(AccountConfKey, "UNKNOWN"))
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)

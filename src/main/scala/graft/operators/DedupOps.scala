@@ -132,11 +132,15 @@ object DedupOps {
     * is 1.0 by construction.
     */
   def embeddingNearDups(
-      emb: DataFrame, threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+      emb: DataFrame, threshold: Double, bits: Int = 0, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    // bits = 0 → derive the code width from the corpus size so buckets
+    // stay ~constant-sized (the within-bucket join is quadratic in
+    // bucket size; a fixed width degenerates as the corpus grows).
+    val b = if (bits > 0) bits else SimilarityOps.deriveBits(emb.count())
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      SimilarityOps.lshBucketExpr("embedding", bits, dim).as("bucket"))
-    val probes = (0 until bits).map(i =>
+      SimilarityOps.lshBucketExpr("embedding", b, dim).as("bucket"))
+    val probes = (0 until b).map(i =>
       col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
     val probed = bucketed.select(col("vec_id").as("d1"), col("embedding").as("e1"),
       explode(array(probes: _*)).as("bucket"))

@@ -25,12 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Assign every vector to its quantizer cell: (vec_id, embedding, cell). */
-  def assign(emb: DataFrame, nlist: Int, seed: Long = 42L): DataFrame = {
+  /** Assign every vector to its quantizer cell: (vec_id, embedding, cell).
+    *
+    * Training fits k-means on a bounded random sample (`maxTrainRows`) —
+    * the coarse quantizer needs only enough points to place `nlist`
+    * centroids, and an unbounded fit is ~20 distributed passes over the
+    * FULL corpus at 100 TB. Only the single-pass `transform` touches
+    * every row. Deterministic: fixed seed drives both the sample and the
+    * k-means init.
+    */
+  def assign(emb: DataFrame, nlist: Int, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): DataFrame = {
     val withVec = emb.withColumn("_vec", array_to_vector(col("embedding")))
+    val n = withVec.count()
+    val train =
+      if (n <= maxTrainRows) withVec
+      else withVec.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_vec").setPredictionCol("cell")
-      .fit(withVec)
+      .fit(train)
     model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell"))
   }
 

@@ -128,6 +128,21 @@ object SimilarityOps {
   private def sign(i: Int, j: Int): Int =
     if ((MurmurHash3.stringHash(s"$i:$j") & 1) == 0) 1 else -1
 
+  /** Derive the LSH code width from the corpus size: enough bits that the
+    * expected bucket holds ~`targetBucket` vectors. Within-bucket
+    * candidate generation is quadratic in bucket size, so a FIXED width
+    * degenerates as the corpus grows (2^8 = 256 buckets ⇒ millions of
+    * rows per bucket at 10^9 vectors); `log2(n / target)` keeps the
+    * bucket-join bounded at any scale. Capped at `maxBits` — beyond that,
+    * per-bucket recall needs more probes, not more bits.
+    */
+  def deriveBits(n: Long, targetBucket: Long = 4096L,
+      minBits: Int = 8, maxBits: Int = 24): Int = {
+    val needed =
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Sign-LSH bucket id (`bits`-bit code) as a SQL expression. */
   def lshBucketExpr(embCol: String, bits: Int, dim: Int): Column = {
     val bitExprs = (0 until bits).map { i =>
@@ -141,14 +156,17 @@ object SimilarityOps {
   /** Tier 3: ANN — bucket the corpus once, probe each query's bucket and
     * its Hamming-1 neighbors, re-rank candidates by exact cosine.
     * Scans ~ (1+bits)/2^bits of the corpus per query in expectation.
+    * `bits = 0` (the default) derives the code width from the corpus
+    * size (`deriveBits`), keeping buckets ~constant-sized at any scale.
     */
   def annSignLsh(
       emb: DataFrame, queryIds: Seq[Long], k: Int,
-      bits: Int = 8, dim: Int = 64): DataFrame = {
+      bits: Int = 0, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    val b = if (bits > 0) bits else deriveBits(emb.count())
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucketExpr("embedding", bits, dim).as("bucket"))
-    val probes = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
+      lshBucketExpr("embedding", b, dim).as("bucket"))
+    val probes = (0 until b).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array(probes: _*)).as("bucket"))

@@ -21,9 +21,14 @@ object Ddl {
 
   /** TRUNCATE IF EXISTS: keep the table's schema, drop every row. A
     * no-op when the table does not exist (the `if exists` branch).
-    * Implemented as an overwrite with an empty plan of the same schema —
-    * atomic from readers' perspective (parquet commit protocol), no
-    * partition-by-partition delete.
+    * Implemented as an overwrite with an empty plan of the same schema.
+    * Single-writer semantics: same-path overwrite deletes the old files
+    * before committing new ones, so a CONCURRENT reader holding the old
+    * file list can fail mid-scan — the parquet commit protocol does not
+    * make in-place overwrite reader-atomic. (Reader-atomic truncate needs
+    * write-to-new-dir + pointer swap, i.e. a table format's metadata
+    * indirection; the pipeline runs truncate only at setup,
+    * dp_demo.sql:16-19, where no readers exist.)
     */
   def truncate(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -113,6 +113,33 @@ object DedupQueries extends QueryPack {
       (s, d) => graft.operators.DedupOps
         .minHashLsh(Tables.load(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2"),
-      None)
+      None),
+
+    // Banded SimHash near-pair search, hash-matched against an oracle:
+    // the Spark side generates candidates only where a fingerprint BYTE
+    // agrees (pigeonhole: hamming ≤ 3 over 4 bytes ⇒ ≥ 1 equal byte) and
+    // verifies exact Hamming distance; the oracle states the semantics
+    // directly as the all-pairs inequality join (the oracle need not be
+    // efficient — only correct).
+    Q("d5_simhash_pairs",
+      (s, d) => graft.operators.DedupOps
+        .simHashNearPairs(graft.operators.DedupOps
+          .simHash(Tables.load(s, d, "documents"), "doc_id", "text"))
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2"),
+      Some("""WITH tokens AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             bits AS (SELECT doc_id, tok, unnest(range(0, 32)) AS b FROM tokens),
+             votes AS (SELECT doc_id, b,
+               CASE WHEN substr(md5(tok), CAST(b AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END AS vote FROM bits),
+             per_bit AS (SELECT doc_id, b, sum(vote) v FROM votes GROUP BY 1, 2),
+             fp AS (SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+               FROM per_bit GROUP BY doc_id)
+             SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             ORDER BY d1, d2"""))
   )
 }

@@ -31,6 +31,16 @@ object PipelineQueries extends QueryPack {
         Producer.unloadDocs(s, d).orderBy("doc_key").select(col("doc").as("v"))),
       Some(s"""SELECT * FROM (${CitibikeSource.tripsOracleSql}) ORDER BY bikeid""")),
 
+    // The same roundtrip through the schema-known fast shred
+    // (Transform.shredTripsFast: one from_json into the pinned 10-field
+    // struct instead of ten variant path extractions). Same oracle ⇒ the
+    // fast path is continuously proven equal, and the bench keeps the
+    // slow/fast ratio visible per round (~3× measured at sf0.1).
+    Q("pipe_shred_fast",
+      (s, d) => Transform.shredTripsFast(
+        Producer.unloadDocs(s, d).orderBy("doc_key").select(col("doc").as("v"))),
+      Some(s"""SELECT * FROM (${CitibikeSource.tripsOracleSql}) ORDER BY bikeid""")),
+
     // The demo's golden-count methodology (dp_demo.sql:150-162,196-198)
     // as an oracle-checked dashboard over a fixed ingest window: row
     // counts the pipeline must land for 1995-01. Scalar subqueries, each

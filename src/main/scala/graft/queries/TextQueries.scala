@@ -99,8 +99,13 @@ object TextQueries extends QueryPack {
     // fingerprint (lexicographic min of md5 over all 8-char sliding
     // windows) — robust to where the document is split, the building
     // block for shift-tolerant dedup.
+    // Both sides drop documents shorter than one 8-char window BEFORE the
+    // explode: without the guard Spark's sequence(1, len-7) would run
+    // DESCENDING for a short doc (emitting invalid indices) while
+    // DuckDB's range() is empty — a latent engine divergence.
     Q("t4_fingerprint",
       (s, d) => Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= 8)
         .select(col("doc_id"), col("text"), md5(col("text")).as("content_md5"))
         .select(col("doc_id"), col("content_md5"),
           explode(expr("sequence(1, length(text) - 7)")).as("i"), col("text"))
@@ -109,7 +114,8 @@ object TextQueries extends QueryPack {
         .select("doc_id", "content_md5", "winnow_fp")
         .orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, md5(text) content_md5, text,
-               unnest(range(1, length(text) - 6)) AS i FROM documents)
+               unnest(range(1, length(text) - 6)) AS i FROM documents
+               WHERE length(text) >= 8)
              SELECT doc_id, content_md5,
                min(md5(substr(text, CAST(i AS INTEGER), 8))) AS winnow_fp
              FROM w GROUP BY doc_id, content_md5 ORDER BY doc_id"""))

@@ -69,4 +69,99 @@ object SecureShare {
       GROUP BY 1, 2
       ORDER BY 3 DESC, program_name
     """)
+
+  // ---- share lifecycle (dp_demo.sql:208-259, 287-290) -----------------
+  //
+  // A share is governance METADATA: which objects are granted to it and
+  // which consumer accounts may attach. All of it is driver-side and
+  // bounded (a handful of rows), never data-scale. Enforcement happens at
+  // the consumer entry point: a query through the share succeeds only
+  // while the view is granted AND the session account is on the share's
+  // account list — so `revoke` / `alter share remove accounts` replay the
+  // reference's "show access is lost / regained" demo.
+
+  /** One outbound share: granted objects + consumer account list.
+    * Mirrors `create share` (dp_demo.sql:208), `grant select on view ...
+    * to share` (:241), `revoke ... from share` (:287), `alter share
+    * add/remove accounts` (:259).
+    */
+  final class Share(val name: String, val comment: String) {
+    private var grants = Set.empty[String]
+    private var accountList = Set.empty[String]
+
+    def grantSelect(view: String): Unit = synchronized { grants += view }
+    def revokeSelect(view: String): Unit = synchronized { grants -= view }
+    def addAccounts(accounts: String*): Unit =
+      synchronized { accountList ++= accounts }
+    def removeAccounts(accounts: String*): Unit =
+      synchronized { accountList --= accounts }
+
+    def grantedViews: Set[String] = synchronized(grants)
+    def accounts: Set[String] = synchronized(accountList)
+
+    /** `desc share` (dp_demo.sql:243): the share's grant list. */
+    def describe(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      grantedViews.toSeq.sorted.map(v => ("VIEW", v, "SELECT"))
+        .toDF("kind", "object_name", "privilege")
+    }
+  }
+
+  private val shares =
+    scala.collection.concurrent.TrieMap.empty[String, Share]
+
+  /** `create or replace share <name>` (dp_demo.sql:208). */
+  def createShare(name: String, comment: String = ""): Share = {
+    val s = new Share(name, comment)
+    shares.put(name, s)
+    s
+  }
+
+  def dropShare(name: String): Unit = shares.remove(name)
+
+  /** `show shares like '<pattern>'` (dp_demo.sql:210) — SQL LIKE
+    * pattern, case-insensitive like Snowflake's SHOW.
+    */
+  def showShares(spark: SparkSession, pattern: String): DataFrame = {
+    import spark.implicits._
+    val re = java.util.regex.Pattern.quote(pattern.toLowerCase)
+      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+    shares.values.toSeq
+      .filter(s => s.name.toLowerCase.matches(re))
+      .map(s => (s.name, s.comment, s.accounts.toSeq.sorted.mkString(",")))
+      .sortBy(_._1)
+      .toDF("name", "comment", "accounts")
+  }
+
+  /** Consumer-side access: query `view` through `share` as the session's
+    * current account. Fails — access is lost — unless the view is
+    * granted to the share and the account is on its list, and works
+    * again after a re-grant (dp_demo.sql:287-290).
+    */
+  def consumerTable(spark: SparkSession, share: Share, view: String): DataFrame = {
+    val account = spark.conf.get(GraftFunctions.AccountConfKey, "")
+    if (!share.grantedViews.contains(view))
+      throw new SecurityException(
+        s"View '$view' is not granted to share '${share.name}'")
+    if (!share.accounts.contains(account))
+      throw new SecurityException(
+        s"Account '$account' is not a consumer of share '${share.name}'")
+    spark.table(view)
+  }
+
+  /** The consumption report, routed through the share's access check. */
+  def consumptionReport(spark: SparkSession, share: Share): DataFrame = {
+    consumerTable(spark, share, "trips_secure_vw").createOrReplaceTempView(
+      "graft_shared_trips_secure_vw")
+    spark.sql("""
+      SELECT program_name, acct, count(*) AS n
+      FROM graft_shared_trips_secure_vw
+      GROUP BY 1, 2
+      ORDER BY 3 DESC, program_name
+    """)
+  }
+
+  /** Drop the secure view (the producer-side teardown analogue). */
+  def dropTripsSecureView(spark: SparkSession): Unit =
+    spark.catalog.dropTempView("trips_secure_vw")
 }

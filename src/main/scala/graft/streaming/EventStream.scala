@@ -56,8 +56,16 @@ object EventStream {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
   // state keeps the original Timestamps — a millis round trip would
-  // truncate the micros the source carries
-  final case class OpenSession(start: Timestamp, end: Timestamp, n: Long, sum: Double)
+  // truncate the micros the source carries — and accumulates the session
+  // sum as exact DECIMAL (matching sessionizeBatch's DECIMAL(18,2) sum →
+  // double cast bit-for-bit; a raw double accumulation can drift)
+  final case class OpenSession(start: Timestamp, end: Timestamp, n: Long, sum: BigDecimal)
+
+  /** value → DECIMAL(18,2), the same conversion Spark's
+    * `cast(value as decimal(18,2))` performs (HALF_UP at scale 2).
+    */
+  private def dec2(v: Double): BigDecimal =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
   /** Sessionization with flatMapGroupsWithState: events of one user more
     * than `gapMinutes` apart belong to different sessions. A session is
@@ -81,12 +89,12 @@ object EventStream {
           evs.foreach { e =>
             open match {
               case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
-                open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + e.value))
+                open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + dec2(e.value)))
               case Some(s) =>
-                closed += Session(user, s.start, s.end, s.n, s.sum)
-                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+                closed += Session(user, s.start, s.end, s.n, s.sum.toDouble)
+                open = Some(OpenSession(e.ts, e.ts, 1, dec2(e.value)))
               case None =>
-                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+                open = Some(OpenSession(e.ts, e.ts, 1, dec2(e.value)))
             }
           }
           open.foreach(state.update)

@@ -61,4 +61,52 @@ class SecureShareSpec extends AnyFunSuite {
     assert(report === expected)
     assert(report.nonEmpty)
   }
+
+  test("share lifecycle: grant/revoke + account add/remove govern access " +
+    "(dp_demo.sql:241-290)") {
+    SecureShare.registerTripsSecureView(spark, pipe)
+    val share = SecureShare.createShare(
+      "snowflake_demo", "Share trip data with housing authorities.")
+    try {
+      // `show shares like 'snowflake_demo%'` — visible, no consumers yet
+      val shown = SecureShare.showShares(spark, "snowflake_demo%").collect()
+      assert(shown.map(_.getString(0)).toSeq === Seq("snowflake_demo"))
+      assert(shown.head.getString(2) === "")
+
+      share.grantSelect("trips_secure_vw")
+      share.addAccounts("ACCT_NYCHA", "ACCT_JCHA")
+      assert(share.describe(spark).collect().map(_.getString(1)).toSeq
+        === Seq("trips_secure_vw"))
+
+      // consumer sees governed rows through the share
+      spark.conf.set("graft.current_account", "ACCT_NYCHA")
+      val n0 = SecureShare.consumptionReport(spark, share).count()
+      assert(n0 > 0)
+
+      // revoke → access is lost (dp_demo.sql:287-288)
+      share.revokeSelect("trips_secure_vw")
+      intercept[SecurityException] {
+        SecureShare.consumerTable(spark, share, "trips_secure_vw")
+      }
+
+      // re-grant → access is regained (dp_demo.sql:289-290)
+      share.grantSelect("trips_secure_vw")
+      assert(SecureShare.consumptionReport(spark, share).count() === n0)
+
+      // an account removed from the share list loses access even while
+      // the grant stands (alter share add/remove accounts, :259)
+      share.removeAccounts("ACCT_NYCHA")
+      intercept[SecurityException] {
+        SecureShare.consumerTable(spark, share, "trips_secure_vw")
+      }
+      // ...and an account never on the list was never able to attach
+      spark.conf.set("graft.current_account", "ACCT_STRANGER")
+      intercept[SecurityException] {
+        SecureShare.consumerTable(spark, share, "trips_secure_vw")
+      }
+      // JCHA remains a consumer throughout
+      spark.conf.set("graft.current_account", "ACCT_JCHA")
+      assert(SecureShare.consumptionReport(spark, share).count() > 0)
+    } finally SecureShare.dropShare("snowflake_demo")
+  }
 }

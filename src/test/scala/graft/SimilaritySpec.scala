@@ -51,4 +51,23 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (ivf & plantedBrute).size.toDouble / plantedBrute.size
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  test("LSH code width scales with corpus size (bucket-bounded joins)") {
+    import SimilarityOps.deriveBits
+    assert(deriveBits(0L) === 8)
+    assert(deriveBits(2000L) === 8)          // testdata scale: unchanged
+    assert(deriveBits(4096L * 256) === 8)    // 2^8 buckets of ~4096
+    assert(deriveBits(4096L * 512) === 9)
+    assert(deriveBits(1000000000L) === 18)   // 10^9 vecs → ~3.8k/bucket
+    assert(deriveBits(Long.MaxValue / 2) === 24) // capped
+    // derived default gives the same answers as the explicit width on
+    // the planted corpus (300 rows → 8 bits either way)
+    val derived = resultSet(
+      SimilarityOps.annSignLsh(planted, plantedQueries, 5, dim = 16))
+      .map(t => (t._1, t._2))
+    val explicit = resultSet(
+      SimilarityOps.annSignLsh(planted, plantedQueries, 5, bits = 8, dim = 16))
+      .map(t => (t._1, t._2))
+    assert(derived === explicit)
+  }
 }

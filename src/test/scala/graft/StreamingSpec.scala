@@ -47,9 +47,13 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // parity INCLUDES sum_value: the stateful path accumulates exact
+    // DECIMAL(18,2) like the batch plan, so the doubles are bit-identical
     val streamed = spark.table("sessions")
-      .select("user_id", "session_start", "session_end", "n_events").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
 
     val all = EventStream.sessionizeBatch(Tables.load(spark, sf, "events"), 60)
     // the stateful path emits sessions only once CLOSED; each user's
@@ -58,8 +62,10 @@ class StreamingSpec extends AnyFunSuite {
       .agg(max("session_start").as("session_start"))
     val expected = all.join(lastPerUser,
         Seq("user_id", "session_start"), "left_anti")
-      .select("user_id", "session_start", "session_end", "n_events").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
     assert(streamed === expected)
     assert(streamed.nonEmpty)
   }
