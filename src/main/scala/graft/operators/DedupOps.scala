@@ -44,17 +44,28 @@ object DedupOps {
     */
   def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*)))
-      .toDF("doc_id", "band", "band_hash")
+    val withBands = sigs.select(col("doc_id"),
+      array((0 until bands).map(b =>
+        xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*).as("bhs"))
+    val banded = withBands
+      .select(col("doc_id"), col("bhs"), posexplode(col("bhs")))
+      .toDF("doc_id", "bhs", "band", "band_hash")
+    // Exactly-once pair emission: a pair agreeing in several bands would
+    // otherwise surface once per band, forcing a distinct — a full extra
+    // shuffle of the (large) candidate set. Instead each side carries its
+    // band-hash array and a pair is kept only in its FIRST agreeing band
+    // (all earlier bands must differ) — a cheap bitwise filter evaluated
+    // inside the join, no dedup pass.
+    val firstAgreeingBand = (0 until bands).map(bp =>
+      when(col("a.band") > bp, col("a.bhs")(bp) =!= col("b.bhs")(bp))
+        .otherwise(lit(true))).reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(firstAgreeingBand)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
   }
 
   /** MinHash-LSH near-dup pairs, exactly verified: candidates from LSH
@@ -144,13 +155,16 @@ object DedupOps {
       col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
     val probed = bucketed.select(col("vec_id").as("d1"), col("embedding").as("e1"),
       explode(array(probes: _*)).as("bucket"))
+    // No distinct needed: the probe values {bucket, bucket^bit_i} are all
+    // distinct and the build side has ONE bucket per vector, so a pair
+    // matches at most one probe — candidates are exactly-once by
+    // construction.
     bucketed
       .select(col("vec_id").as("d2"), col("embedding").as("e2"), col("bucket"))
       .join(probed, Seq("bucket"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         expr("graft_cosine(e1, e2)").as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 
@@ -165,14 +179,24 @@ object DedupOps {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
       .toDF("doc_id", "simhash", "band", "band_val")
+    // Exactly-once pair emission (no distinct): keep a pair only in its
+    // FIRST agreeing byte — earlier bytes must differ. Both sides carry
+    // the full fingerprint, so this is a bitwise filter inside the join
+    // instead of a full dedup shuffle of the candidate set (measured 3×
+    // the query on a collision-heavy corpus).
+    def byteOf(side: String, b: Int) =
+      shiftright(col(s"$side.simhash"), b * 8).bitwiseAND(lit(255L))
+    val firstAgreeingByte = (0 until 4).map(bp =>
+      when(col("a.band") > bp, byteOf("a", bp) =!= byteOf("b", bp))
+        .otherwise(lit(true))).reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(firstAgreeingByte)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

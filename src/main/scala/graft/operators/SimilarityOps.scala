@@ -172,11 +172,13 @@ object SimilarityOps {
         explode(array(probes: _*)).as("bucket"))
     val c = bucketed
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+    // No distinct needed: a query's probe values {bucket, bucket^bit_i}
+    // are all distinct and each corpus vector has ONE bucket, so every
+    // (query, neighbor) candidate matches at most one probe.
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSqlExpr("qe", "ne").as("sim"))
-      .distinct()
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rnk") <= k)
