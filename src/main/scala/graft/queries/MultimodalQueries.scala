@@ -65,6 +65,21 @@ object MultimodalQueries extends QueryPack {
             concat_ws(",", col("features").cast("array<string>")))
           .orderBy("doc_id")
       },
+      None),
+
+    // Resize stub surfaced as a query: fixed-size payloads via the
+    // per-partition decoder shape (MultimodalOps.resize). Byte-stride
+    // sampling over BLOBs is not oracle-expressible → rows-only;
+    // MultimodalSpec pins output sizes and determinism.
+    Q("m4_resize",
+      (s, d) => MultimodalOps
+        .resize(s,
+          MultimodalOps.withPayload(Tables.load(s, d, "documents")),
+          targetBytes = 64)
+        .select(col("doc_id"), col("media_type"),
+          octet_length(col("resized")).as("resized_len"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id"),
       None)
   )
 }

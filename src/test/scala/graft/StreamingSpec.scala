@@ -69,4 +69,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup drops replayed events within the watermark") {
+    // an at-least-once upstream: the same file delivered twice
+    val dupDir = Files.createTempDirectory("graft_events_dup").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(dupDir, "events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(dupDir, "events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.dedupStream(EventStream.readEvents(spark, dupDir))
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dedup_events")
+    val source = Tables.load(spark, sf, "events")
+    // every id exactly once, none lost — same set as the batch twin
+    assert(streamed.count() === source.select("event_id").distinct().count())
+    assert(streamed.groupBy("event_id").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(streamed.select("event_id").exceptAll(
+      EventStream.dedupBatch(source).select("event_id")).count() === 0)
+  }
 }
