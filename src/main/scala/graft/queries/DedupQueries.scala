@@ -140,6 +140,28 @@ object DedupQueries extends QueryPack {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-             ORDER BY d1, d2"""))
+             ORDER BY d1, d2""")),
+
+    // Embedding-cosine near-dup pairs over the embeddings table, against
+    // the brute-force all-pairs oracle (the oracle need not be
+    // efficient). Precision is structural — every LSH candidate is
+    // verified with the exact fold cosine before emission — so this
+    // entry pins "no false positives" on real data at any SF; the
+    // testdata corpus is isotropic (max pairwise cosine 0.60 at sf0.1),
+    // so both engines agree on the empty result, and recall on planted
+    // duplicates is pinned separately by DedupSpec.
+    Q("d6_embedding_near_dups",
+      (s, d) => graft.operators.DedupOps
+        .embeddingNearDups(Tables.load(s, d, "embeddings"), threshold = 0.8)
+        .orderBy("d1", "d2"),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+               list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS cosine
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             SELECT d1, d2, cosine FROM pairs
+             WHERE cosine >= 0.8 ORDER BY d1, d2"""))
   )
 }

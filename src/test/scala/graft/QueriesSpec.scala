@@ -34,11 +34,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  // Entries whose CORRECT result on this corpus is empty (the oracle
+  // agrees on the empty set): d6 pins zero false positives — the
+  // isotropic embeddings hold no pair above the 0.8 threshold.
+  private val emptyByDesign = Set("d6_embedding_near_dups")
+
   test("all queries return rows at sf0.001 and have stable schemas") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.count()
-      assert(n > 0, s"$name returned no rows")
+      if (!emptyByDesign(name)) assert(n > 0, s"$name returned no rows")
       assert(df.schema.fieldNames.nonEmpty, s"$name")
     }
   }
