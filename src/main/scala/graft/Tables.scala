@@ -28,6 +28,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables whose every use starts a per-row-compute-heavy chain (token
+    * explodes, md5 windows, variant parsing, fingerprinting) are spread
+    * across the session's cores at load.
+    *
+    * The testdata ships each table as ONE parquet file with ONE row
+    * group, which is physically unsplittable: without this, such chains
+    * execute on a single core until their first exchange — measured
+    * 2-6× whole-query cost at sf0.1. A production layout has many
+    * splittable files, so the scan itself provides this parallelism; the
+    * round-robin repartition restores exactly that. Catalyst still pushes
+    * filters/pruning through Repartition into the scan.
+    *
+    * Deliberately NOT spread: relational facts (lineitem/orders/...) —
+    * their agg-first queries reduce map-side BEFORE any exchange, and a
+    * repartition would insert a full-data shuffle a real scan never pays
+    * (measured a4 1.2 → 4.8 s); join-first queries shuffle on their join
+    * key anyway. Dimensions broadcast. The one lineitem chain that IS
+    * serialization-heavy (the JSON unload) spreads at its own root
+    * (Producer.unloadDocs). Embeddings stay unsplit: 2 000 rows across 32
+    * partitions turns iterative k-means into scheduling overhead.
+    */
+  private val factTables = Set("events", "documents")
+
   private val dfCache =
     new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private val registered =
@@ -37,6 +60,9 @@ object Tables {
     dfCache.computeIfAbsent((spark, sfDir, name), _ => doLoad(spark, sfDir, name))
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    def spread(df: DataFrame): DataFrame =
+      if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
+      else df
     // `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
     // reader rejects (Spark timestamps are micros). Read nanos as a raw
     // long and convert — truncation to micros, matching what the DuckDB
@@ -49,10 +75,10 @@ object Tables {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       // integer `div` — a double division would lose precision on 1.7e18-
       // scale nano values (doubles carry 53 bits).
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      spread(df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      spread(spark.read.parquet(s"$sfDir/$name.parquet"))
     }
   }
 

@@ -37,6 +37,13 @@ object Producer {
     t.join(broadcast(ss.as("ss")), col("start_station_id") === col("ss.station_id"))
       .join(broadcast(es.as("es")), col("end_station_id") === col("es.station_id"))
       .join(broadcast(p.as("p")), Seq("program_id"))
+      // spread before the 17-field JSON serialization: the broadcast
+      // joins preserve the scan's partitioning, and the testdata's
+      // single-row-group file is unsplittable, so without this the
+      // to_json (and any shred stacked on top) runs on ONE core —
+      // measured ~2× both pipe_shred entries at sf0.1. A production
+      // multi-file layout gets this parallelism from the scan itself.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("starttime"),
         col("bikeid").as("doc_key"),
@@ -106,7 +113,12 @@ object Producer {
       val parts = fs.listStatus(dir.getPath)
         .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
       parts.zipWithIndex.foreach { case (st, i) =>
-        fs.rename(st.getPath, new Path(s"$stageDir/snowpipe_demo${day}_$i.json"))
+        val dst = new Path(s"$stageDir/snowpipe_demo${day}_$i.json")
+        // re-running a range overwrites that day's files (the reference's
+        // COPY INTO overwrite); a plain rename onto an existing target
+        // fails SILENTLY and would drop the fresh data.
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(st.getPath, dst)
       }
       counter += 1
       if (sleepMs > 0) Thread.sleep(sleepMs)
