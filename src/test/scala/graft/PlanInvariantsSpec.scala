@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural plan invariants over EVERY query entry — the scale
+  * properties a 100 TB deployment depends on, asserted continuously so a
+  * regression (a lost broadcast hint, a filter that stops pushing, an
+  * accidental cross join) fails fast rather than surfacing as a cluster
+  * incident. Complements the value-level oracle gate: these check the
+  * PLAN, not the answer.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // Deliberate nested-loop joins:
+  //  - the LIKE-against-a-pattern-column join (dp_demo.sql:236): a theta
+  //    join with a 1-row broadcast build side — BNLJ is the right
+  //    physical operator;
+  //  - n1: the documented brute-force correctness baseline (corpus ×
+  //    broadcast query set is the point of the query);
+  //  - n4: the query × centroid-table probe ranking (both sides are
+  //    governance/metadata-sized; the corpus itself joins on the cell id).
+  //  - pipe_golden_counts: a 1-row × 1-row cross of two scalar
+  //    aggregates (the dashboard's scalar-subquery shape).
+  private val bnljAllowed = Set(
+    "g1_secure_view_agg", "g2_secure_view_masked_rows", "j2_view_join_recovery",
+    "n1_knn_cosine", "n4_ann_ivf", "pipe_golden_counts")
+
+  test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(1500)}")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join:\n${p.take(1500)}")
+    }
+  }
+
+  test("range/equality filters reach the parquet scan (PushedFilters)") {
+    val p = plan("p4_filter_range")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "no pushed filters in:\n" + p.take(1200))
+  }
+
+  test("projection prunes the scan to the referenced columns (ReadSchema)") {
+    val p = plan("p1_projection")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, p.take(1200))
+    // p1 touches exactly 4 lineitem columns; a scan reading more is a
+    // pruning regression
+    assert(read.get.split(",").length <= 4, s"scan reads too much: ${read.get}")
+  }
+
+  test("j1 broadcasts every dimension — the fact shuffles only on its join key") {
+    val p = plan("j1_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(1200))
+  }
+}
