@@ -22,7 +22,8 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,
-    EventQueries)
+    EventQueries,
+    SamplingQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)
