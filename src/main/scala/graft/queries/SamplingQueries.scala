@@ -55,6 +55,57 @@ object SamplingQueries extends QueryPack {
       Some("""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
              FROM documents
              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
-             GROUP BY source ORDER BY source"""))
+             GROUP BY source ORDER BY source""")),
+
+    // Sequence packing: assign documents to fixed token-budget bins
+    // (context windows) by exclusive running token count, per shard. The
+    // per-shard window is the scale design — a single global running sum
+    // would serialize the corpus through one partition; sharding keeps
+    // packing embarrassingly parallel while bins stay deterministic.
+    Q("sp3_pack_context_windows",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("bin",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / lit(2048)))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(floor(COALESCE(SUM(len(string_split(text, ' ')))
+               OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+             FROM documents ORDER BY doc_id""")),
+
+    // Per-source quota (mixing weights): keep the top-20 documents of
+    // each source by a quality metric — the window top-k-per-group
+    // pattern; at scale one shuffle on the stratum key, heap-bounded by
+    // Spark's WindowGroupLimit pushdown.
+    Q("sp4_source_quota",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            (size(array_distinct(split(col("text"), " "))).cast("double") /
+              size(split(col("text"), " "))).as("quality"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .orderBy("source", "rk")
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS quality
+               FROM documents),
+             r AS (SELECT doc_id, source, quality,
+               row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+               FROM q)
+             SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk
+             FROM r WHERE rk <= 20 ORDER BY source, rk"""))
   )
 }
