@@ -29,6 +29,25 @@ object DedupQueries extends QueryPack {
   /** Word tokens (the corpus is space-separated). */
   private def toks(c: Column): Column = split(c, " ")
 
+  /** DuckDB CTE computing the 64-bit SimHash fingerprint (`fp(doc_id,
+    * simhash)`) exactly as `DedupOps.simHash`: bits 2d/2d+1 = bits 3/2
+    * of md5 hex digit d, majority-voted over distinct tokens. Bit 63 is
+    * the BIGINT sign bit — its value is Long.MinValue, summed in HUGEINT
+    * and cast back, which reproduces the two's-complement pattern.
+    */
+  private val simHash64OracleCte: String =
+    """WITH tokens AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+       bits AS (SELECT doc_id, tok, unnest(range(0, 64)) AS b FROM tokens),
+       votes AS (SELECT doc_id, b,
+         CASE WHEN (b % 2 = 0 AND substr(md5(tok), CAST(b // 2 AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f'))
+                OR (b % 2 = 1 AND substr(md5(tok), CAST(b // 2 AS INTEGER) + 1, 1) IN ('4','5','6','7','c','d','e','f'))
+           THEN 1 ELSE -1 END AS vote FROM bits),
+       per_bit AS (SELECT doc_id, b, sum(vote) v FROM votes GROUP BY 1, 2),
+       fp AS (SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CASE WHEN b = 63 THEN -9223372036854775808 ELSE CAST(power(2, b) AS BIGINT) END) ELSE 0 END) AS BIGINT) AS simhash
+         FROM per_bit GROUP BY doc_id)
+       """
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash: one keeper (min doc_id) per distinct
@@ -86,24 +105,20 @@ object DedupQueries extends QueryPack {
              WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.5
              ORDER BY d1, d2""")),
 
-    // SimHash content fingerprint: 32 bits, bit b = high bit of hex
-    // digit b of md5(token), majority-voted across the document's
-    // distinct tokens. A per-row projection + one small aggregation —
-    // no joins, embarrassingly parallel. Near-dup search over the
-    // fingerprints is banded (DedupOps.simHashNearPairs), not all-pairs.
+    // SimHash content fingerprint: 64 bits, bits 2d/2d+1 = bits 3/2 of
+    // hex digit d of md5(token), majority-voted across the document's
+    // distinct tokens. One dictionary join + ONE groupBy(doc_id) with 64
+    // parallel vote sums — no per-bit explode, no second shuffle. The
+    // oracle states the same fingerprint declaratively (it need not be
+    // efficient); bit 63 is the BIGINT sign bit, added as Long.MinValue.
+    // Near-dup search over the fingerprints is banded
+    // (DedupOps.simHashNearPairs), not all-pairs.
     Q("d3_simhash",
       (s, d) => graft.operators.DedupOps
         .simHash(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""WITH tokens AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
-             bits AS (SELECT doc_id, tok, unnest(range(0, 32)) AS b FROM tokens),
-             votes AS (SELECT doc_id, b,
-               CASE WHEN substr(md5(tok), CAST(b AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f')
-                 THEN 1 ELSE -1 END AS vote FROM bits),
-             per_bit AS (SELECT doc_id, b, sum(vote) v FROM votes GROUP BY 1, 2)
-             SELECT doc_id,
-               CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-             FROM per_bit GROUP BY doc_id ORDER BY doc_id""")),
+      Some(simHash64OracleCte +
+        """SELECT doc_id, simhash FROM fp ORDER BY doc_id""")),
 
     // MinHash-LSH near-dup pairs (banded bucketing, exactly verified).
     // Not SQL-expressible for the DuckDB oracle (per-band min-hash
@@ -116,27 +131,22 @@ object DedupQueries extends QueryPack {
       None),
 
     // Banded SimHash near-pair search, hash-matched against an oracle:
-    // the Spark side generates candidates only where a fingerprint BYTE
-    // agrees (pigeonhole: hamming ≤ 3 over 4 bytes ⇒ ≥ 1 equal byte) and
+    // the Spark side generates candidates only where a 16-bit fingerprint
+    // BAND agrees (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥ 1 equal
+    // band; 2^16 buckets per band, vs 2^8 for r3's byte banding) and
     // verifies exact Hamming distance; the oracle states the semantics
     // directly as the all-pairs inequality join (the oracle need not be
-    // efficient — only correct).
+    // efficient — only correct). xor/bit_count operate on the two's-
+    // complement bit pattern in both engines, so negative fingerprints
+    // (bit 63 set) compare identically.
     Q("d5_simhash_pairs",
       (s, d) => graft.operators.DedupOps
         .simHashNearPairs(graft.operators.DedupOps
           .simHash(Tables.load(s, d, "documents"), "doc_id", "text"))
         .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
         .orderBy("d1", "d2"),
-      Some("""WITH tokens AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
-             bits AS (SELECT doc_id, tok, unnest(range(0, 32)) AS b FROM tokens),
-             votes AS (SELECT doc_id, b,
-               CASE WHEN substr(md5(tok), CAST(b AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f')
-                 THEN 1 ELSE -1 END AS vote FROM bits),
-             per_bit AS (SELECT doc_id, b, sum(vote) v FROM votes GROUP BY 1, 2),
-             fp AS (SELECT doc_id,
-               CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-               FROM per_bit GROUP BY doc_id)
-             SELECT a.doc_id AS d1, b.doc_id AS d2,
+      Some(simHash64OracleCte +
+        """SELECT a.doc_id AS d1, b.doc_id AS d2,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3

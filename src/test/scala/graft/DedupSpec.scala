@@ -44,6 +44,33 @@ class DedupSpec extends AnyFunSuite {
       "perturbed doc should be closer than unrelated doc")
   }
 
+  test("simhash banding: bucket cardinality grows with corpus size (no fixed-width saturation)") {
+    import spark.implicits._
+    // Random docs over an open vocabulary: fingerprints are ~uniform, so
+    // the number of distinct (band, band_val) buckets must track corpus
+    // size instead of saturating at a fixed ceiling (r3's byte banding
+    // capped at 4 bands × 2^8 = 1024 buckets — quadratic at 10^6+ docs).
+    val rnd = new scala.util.Random(7)
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Seq.fill(8)(s"w${rnd.nextInt(50000)}").mkString(" "))).toDF("doc_id", "text")
+    def buckets(n: Int): Long = {
+      val fp = DedupOps.simHash(corpus(n), "doc_id", "text")
+      val width = DedupOps.bandWidth(64, 3)
+      val mask = (1L << width) - 1
+      fp.select(explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("v"))): _*)))
+        .distinct().count()
+    }
+    val small = buckets(200)
+    val large = buckets(2000)
+    assert(large > small, s"bucket count must grow with n: $small !< $large")
+    assert(large > 1024, s"must exceed the old byte-banding ceiling (4*256): $large")
+    // and the width derivation itself grows with n
+    assert(DedupOps.requiredFpBits(1000000000L) > DedupOps.requiredFpBits(1000000L))
+    assert(DedupOps.requiredFpBits(100000000L) <= 64) // 64-bit code holds to ~10^8
+  }
+
   test("embedding-cosine near-dup finds planted duplicate vectors, none spurious") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
