@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Scale design: every step is a projection, a groupBy on a bounded key,
   * or an equi-join on a hash bucket — candidate generation never
   * enumerates all pairs. At 1000 executors the bucket join shuffles on
-  * (band, bandHash), which is uniformly distributed by construction
-  * (xxhash64), so no skew mitigation is needed.
+  * (band, band values), which is uniformly distributed by construction
+  * (md5-derived minwise hashes), so no skew mitigation is needed; hot
+  * boilerplate shingles are bounded by the optional `maxDf` cap
+  * (`cappedShingles` / `minHashLsh(maxDf)`).
   */
 object DedupOps {
 
@@ -24,13 +26,46 @@ object DedupOps {
         s"transform(sequence(0, size(ts)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"ts[i+$j]").mkString(", ")}))")))
         .as("shingle"))
 
+  /** Shingle document frequencies: (shingle, df). At web scale a
+    * boilerplate shingle ("all rights reserved …") appears in a large
+    * fraction of documents, and any inverted-index or LSH-bucket join
+    * over it is quadratic in its df; candidate generation therefore
+    * drops shingles with df > `maxDf` (exact verification still runs on
+    * the FULL shingle sets, so precision is unaffected — only
+    * similarity that lives purely in boilerplate is forfeited, which is
+    * the point of the cap).
+    */
+  def shingleDf(sh: DataFrame): DataFrame =
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+
+  /** Shingles retained for CANDIDATE GENERATION under a document-
+    * frequency cap; `maxDf <= 0` disables the cap (and the df pass).
+    */
+  def cappedShingles(sh: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf <= 0L) sh
+    else sh.join(shingleDf(sh).filter(col("df") <= maxDf), "shingle")
+      .select("doc_id", "shingle")
+
+  /** Engine-portable per-shingle hash pair: two independent 32-bit
+    * values from one md5 (hex digits 1-8 and 9-16); permutation i is the
+    * Kirsch-Mitzenmacher double hash (h1 + i·h2) mod 2^32 — k minwise
+    * permutations for ONE md5 per shingle plus k adds/mults, computable
+    * identically in any SQL engine (the DuckDB oracle parses the same
+    * hex digits), never overflowing a signed 64-bit int (h1 + 31·h2 <
+    * 2^37).
+    */
+  private def permHash(i: Int): Column = {
+    val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
+    (h1 + lit(i.toLong) * h2) % lit(4294967296L)
+  }
+
   /** k-permutation MinHash signature per document. One shuffle
-    * (groupBy doc_id), k codegen'd xxhash64 expressions per row —
+    * (groupBy doc_id), one md5 + k codegen'd arithmetic mixes per row —
     * no UDFs, fully whole-stage-codegen.
     */
   def minHashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val mins = (0 until k).map(i => min(permHash(i)).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -38,15 +73,18 @@ object DedupOps {
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
-    * k/bands rows, hash each band, and emit pairs of documents sharing
-    * any (band, bandHash) bucket. P(candidate | jaccard j) =
-    * 1 - (1 - j^r)^b — with k=32, b=8, r=4: ≥ 0.999 at j = 0.9.
+    * k/bands rows and emit pairs of documents sharing any (band,
+    * band-values) bucket. The bucket key is the band's value tuple
+    * itself (a struct), not a hash of it — exact bucketing with zero
+    * collision risk and the same shuffle width, and it keeps the
+    * operator engine-portable for the oracle. P(candidate | jaccard j)
+    * = 1 - (1 - j^r)^b — with k=32, b=8, r=4: ≥ 0.999 at j = 0.9.
     */
   def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
     val withBands = sigs.select(col("doc_id"),
       array((0 until bands).map(b =>
-        xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*).as("bhs"))
+        struct((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)): _*).as("bhs"))
     val banded = withBands
       .select(col("doc_id"), col("bhs"), posexplode(col("bhs")))
       .toDF("doc_id", "bhs", "band", "band_hash")
@@ -77,8 +115,17 @@ object DedupOps {
     */
   def minHashLsh(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+      threshold: Double, n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxDf: Long = 0L): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
+    // Optional hot-shingle cap: signatures (candidate generation) see
+    // only shingles with df <= maxDf; the exact-verify sets keep EVERY
+    // shingle, so emitted jaccards are the true ones. A doc whose
+    // shingles are all boilerplate gets a null signature and simply
+    // produces no candidates (null band keys never join).
+    val withDf =
+      if (maxDf <= 0L) sh.withColumn("df", lit(0L))
+      else sh.join(shingleDf(sh), "shingle")
     // One pass over the shingles: signature mins AND the exact-verify
     // shingle set come out of a single groupBy (one shuffle), and the
     // per-doc result is materialized (localCheckpoint) because it feeds
@@ -88,8 +135,9 @@ object DedupOps {
     // real cluster swap localCheckpoint for persist(MEMORY_AND_DISK) or
     // reliable checkpoint with an explicit unpersist once consumed.
     val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    val perDoc = sh.groupBy("doc_id")
+      min(if (maxDf <= 0L) permHash(i)
+          else when(col("df") <= maxDf, permHash(i))).as(s"h$i"))
+    val perDoc = withDf.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sh_set"), mins: _*)
       .select(col("doc_id"), col("sh_set"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,9 +25,6 @@ import graft.Tables
   */
 object DedupQueries extends QueryPack {
 
-  /** Word tokens (the corpus is space-separated). */
-  private def toks(c: Column): Column = split(c, " ")
-
   /** DuckDB CTE computing the 64-bit SimHash fingerprint (`fp(doc_id,
     * simhash)`) exactly as `DedupOps.simHash`: bits 2d/2d+1 = bits 3/2
     * of md5 hex digit d, majority-voted over distinct tokens. Bit 63 is
@@ -48,6 +44,40 @@ object DedupQueries extends QueryPack {
          FROM per_bit GROUP BY doc_id)
        """
 
+  /** DuckDB replay of `DedupOps.minHashLsh`: identical md5-derived
+    * double-hash signatures (`'0x' || substr(md5, …)` parses the same
+    * hex windows Spark's `conv` does), band agreement as plain value
+    * equality over each band's r signature components, exact jaccard
+    * verified on the full shingle sets. All-pairs on the oracle side —
+    * the oracle need not be efficient, only correct.
+    */
+  private def minHashOracle(threshold: Double, k: Int = 32, bands: Int = 8): String = {
+    val r = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"min((h1 + $i*h2) % 4294967296) s$i").mkString(", ")
+    val bandConds = (0 until bands).map { b =>
+      "(" + (b * r until (b + 1) * r).map(i => s"a.s$i = b.s$i").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    s"""WITH toksv AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toksv),
+       sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
+       hashed AS (SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) h1,
+         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) h2 FROM sh),
+       sig AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+       cand AS (SELECT a.doc_id d1, b.doc_id d2 FROM sig a JOIN sig b
+         ON a.doc_id < b.doc_id AND ($bandConds)),
+       sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       shared AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT c.d1, c.d2, CAST(s.c AS DOUBLE)/(z1.n + z2.n - s.c) AS jaccard
+       FROM cand c JOIN shared s ON c.d1 = s.d1 AND c.d2 = s.d2
+       JOIN sizes z1 ON c.d1 = z1.doc_id JOIN sizes z2 ON c.d2 = z2.doc_id
+       WHERE CAST(s.c AS DOUBLE)/(z1.n + z2.n - s.c) >= $threshold
+       ORDER BY c.d1, c.d2"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash: one keeper (min doc_id) per distinct
@@ -65,30 +95,38 @@ object DedupQueries extends QueryPack {
              GROUP BY 1 ORDER BY keeper_doc_id""")),
 
     // Near-duplicate pairs by word-3-gram Jaccard ≥ 0.5, via inverted-
-    // index join (shingle → docs), never all-pairs. Exact-arithmetic
-    // jaccard: integer counts, one IEEE division — bit-identical in any
+    // index join (shingle → docs), never all-pairs. Candidate
+    // generation runs over the df-capped index (DedupOps.cappedShingles
+    // — at web scale one boilerplate shingle makes Σdf² explode; the
+    // cap here sits far above this corpus's max df, so the result is
+    // identical and the binding-cap behavior is pinned by DedupSpec's
+    // planted-boilerplate test); verification computes the exact
+    // jaccard over the FULL shingle sets. Exact-arithmetic jaccard:
+    // integer set sizes, one IEEE division — bit-identical in any
     // engine.
     Q("d2_near_dup_pairs",
       (s, d) => {
-        val docs = Tables.load(s, d, "documents")
-          .select(col("doc_id"), toks(col("text")).as("ts"))
-          .filter(size(col("ts")) >= 3)
-        val shingles = docs.select(col("doc_id"),
-          explode(array_distinct(expr(
-            "transform(sequence(0, size(ts)-3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")))
-            .as("shingle"))
-        val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = shingles.as("a")
-          .join(shingles.as("b"),
+        // The shingle index feeds four plan branches (df count, both
+        // sides of the candidate join, the verify sets) — materialize
+        // it once or the tokenize+explode re-executes per branch (same
+        // rationale as minHashLsh's localCheckpoint; swap for
+        // persist(MEMORY_AND_DISK) on a real cluster).
+        val sh = graft.operators.DedupOps
+          .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
+          .localCheckpoint()
+        val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
+        val cands = capped.as("a")
+          .join(capped.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared"))
-        pairs
-          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+          .agg(count(lit(1)).as("shared_capped"))
+        val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("sh_set"))
+        cands
+          .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
           .select(col("d1"), col("d2"),
-            (col("shared").cast("double") /
-              (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
+            (size(array_intersect(col("s1.sh_set"), col("s2.sh_set"))).cast("double") /
+              size(array_union(col("s1.sh_set"), col("s2.sh_set")))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("d1", "d2")
       },
@@ -120,15 +158,18 @@ object DedupQueries extends QueryPack {
       Some(simHash64OracleCte +
         """SELECT doc_id, simhash FROM fp ORDER BY doc_id""")),
 
-    // MinHash-LSH near-dup pairs (banded bucketing, exactly verified).
-    // Not SQL-expressible for the DuckDB oracle (per-band min-hash
-    // signatures) → rows-only check here; DedupSpec proves precision =
-    // 1.0 and recall ≥ 0.9 against the brute-force d2 result.
+    // MinHash-LSH near-dup pairs (banded bucketing, exactly verified),
+    // hash-matched: the md5-derived Kirsch-Mitzenmacher permutations
+    // ((h1 + i·h2) mod 2^32 from two md5 hex-digit windows) are
+    // computable in DuckDB too, so the oracle replays the identical
+    // signatures, band agreement (value-tuple equality, no opaque
+    // hash), and exact-jaccard verification. DedupSpec additionally
+    // proves precision = 1.0 and recall ≥ 0.9 against brute force.
     Q("d4_minhash_lsh_pairs",
       (s, d) => graft.operators.DedupOps
         .minHashLsh(Tables.load(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2"),
-      None),
+      Some(minHashOracle(0.5))),
 
     // Banded SimHash near-pair search, hash-matched against an oracle:
     // the Spark side generates candidates only where a 16-bit fingerprint

@@ -44,6 +44,33 @@ class DedupSpec extends AnyFunSuite {
       "perturbed doc should be closer than unrelated doc")
   }
 
+  test("hot-shingle df cap bounds candidates without losing non-boilerplate near-dups") {
+    import spark.implicits._
+    // 60 docs that all share one boilerplate 3-gram ("all rights reserved")
+    // but are otherwise unique, plus one true near-dup pair (90, 91)
+    // whose similarity lives in its non-boilerplate shingles.
+    val rnd = new scala.util.Random(13)
+    def tail(n: Int) = Seq.fill(n)(s"u${rnd.nextInt(1000000)}").mkString(" ")
+    val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0 until 60).map(i => (i.toLong, s"all rights reserved ${tail(8)}")) ++
+      Seq((90L, s"$base one"), (91L, s"$base two"))).toDF("doc_id", "text")
+    val sh = DedupOps.shingles(docs, "doc_id", "text")
+    // uncapped index: the boilerplate shingle alone yields 60*59/2 pairs
+    def candPairs(index: org.apache.spark.sql.DataFrame): Long =
+      index.as("a").join(index.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    val uncapped = candPairs(sh)
+    val capped = candPairs(DedupOps.cappedShingles(sh, maxDf = 10L))
+    assert(uncapped >= 60L * 59 / 2, s"boilerplate must dominate uncapped candidates: $uncapped")
+    assert(capped < 100, s"df cap must bound candidates: $capped")
+    // the capped MinHash-LSH still finds the true pair, with its TRUE
+    // (full-set) jaccard, and nothing from the boilerplate family
+    val pairs = DedupOps.minHashLsh(docs, "doc_id", "text", 0.5, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((90L, 91L)))
+  }
+
   test("simhash banding: bucket cardinality grows with corpus size (no fixed-width saturation)") {
     import spark.implicits._
     // Random docs over an open vocabulary: fingerprints are ~uniform, so
