@@ -205,12 +205,16 @@ object DedupOps {
     * is 1.0 by construction.
     */
   def embeddingNearDups(
-      emb: DataFrame, threshold: Double, bits: Int = 0, dim: Int = 64): DataFrame = {
+      emb: DataFrame, threshold: Double, bits: Int = 0, dim: Int = 64,
+      knownN: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // bits = 0 → derive the code width from the corpus size so buckets
     // stay ~constant-sized (the within-bucket join is quadratic in
     // bucket size; a fixed width degenerates as the corpus grows).
-    val b = if (bits > 0) bits else SimilarityOps.deriveBits(emb.count())
+    // `knownN` is the catalog-statistics hint (Tables.rowCount reads it
+    // from parquet footers): when supplied, sizing costs no count() job.
+    val b = if (bits > 0) bits
+      else SimilarityOps.deriveBits(if (knownN > 0) knownN else emb.count())
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       SimilarityOps.lshBucketExpr("embedding", b, dim).as("bucket"))
     val probes = (0 until b).map(i =>

@@ -35,16 +35,35 @@ object IvfIndex {
     * k-means init.
     */
   def assign(emb: DataFrame, nlist: Int, seed: Long = 42L,
-      maxTrainRows: Long = 100000L): DataFrame = {
+      maxTrainRows: Long = 100000L): DataFrame =
+    fitAssign(emb, nlist, seed, maxTrainRows)._1
+
+  /** `assign` plus the fitted quantizer itself — `search` needs the
+    * model because its `clusterCenters` ARE the cell centroids: nlist
+    * vectors held driver-side, so probe selection costs a tiny local
+    * DataFrame instead of a posexplode + double-groupBy recomputation
+    * pass over every corpus row (dim× row blowup) per search call.
+    */
+  def fitAssign(emb: DataFrame, nlist: Int, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     val withVec = emb.withColumn("_vec", array_to_vector(col("embedding")))
     val n = withVec.count()
-    val train =
+    val train0 =
       if (n <= maxTrainRows) withVec
       else withVec.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    // Single-partition training: k-means|| init sampling and the
+    // per-iteration center sums both depend on the data partitioning, so
+    // the fitted model would otherwise vary with session core count.
+    // The training set is bounded (maxTrainRows ≈ 25 MB at dim 64), so
+    // one partition costs nothing at any corpus scale and makes the
+    // quantizer a pure function of (data, seed) — which is what lets
+    // n4's recall be pinned as oracle data.
+    val train = train0.coalesce(1)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_vec").setPredictionCol("cell")
       .fit(train)
-    model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell"))
+    (model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell")),
+      model)
   }
 
   /** Top-k cosine neighbours per query, scanning only the nprobe nearest
@@ -55,18 +74,18 @@ object IvfIndex {
   def search(
       emb: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val assigned = assign(emb, nlist, seed).cache()
-    // centroid per cell (mean embedding) for probe selection
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val centers = assigned
-      .select(col("cell"), posexplode(col("embedding")))
-      .toDF("cell", "i", "x")
-      .groupBy("cell", "i").agg(avg(col("x")).as("c"))
-      .groupBy("cell").agg(
-        array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
-      .select(col("cell"),
-        expr(s"transform(pairs, p -> cast(p.c as float))").as("centroid"))
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (assigned0, model) = fitAssign(emb, nlist, seed)
+    val assigned = assigned0.cache()
+    // Probe-selection centroids come straight from the fitted quantizer:
+    // nlist × dim floats, built driver-side — no corpus pass (the r3
+    // shape recomputed per-cell means via posexplode + two groupBys over
+    // every row, a full extra scan with a dim× blowup per search call).
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // rank cells per query by centroid cosine; keep nprobe

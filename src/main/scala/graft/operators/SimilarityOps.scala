@@ -124,8 +124,13 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
-  /** Deterministic ±1 hyperplane component for (bit i, dim j). */
-  private def sign(i: Int, j: Int): Int =
+  /** Deterministic ±1 hyperplane component for (bit i, dim j). The
+    * hyperplanes are plan-build-time CONSTANTS (inlined into the SQL
+    * expression), which is what makes the sign-LSH path replayable by
+    * an external oracle — exposed package-wide so the oracle generator
+    * emits the identical coefficients.
+    */
+  private[graft] def sign(i: Int, j: Int): Int =
     if ((MurmurHash3.stringHash(s"$i:$j") & 1) == 0) 1 else -1
 
   /** Derive the LSH code width from the corpus size: enough bits that the
@@ -161,9 +166,12 @@ object SimilarityOps {
     */
   def annSignLsh(
       emb: DataFrame, queryIds: Seq[Long], k: Int,
-      bits: Int = 0, dim: Int = 64): DataFrame = {
+      bits: Int = 0, dim: Int = 64, knownN: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val b = if (bits > 0) bits else deriveBits(emb.count())
+    // `knownN` = catalog-statistics hint (parquet footer row count via
+    // Tables.rowCount): sizing the code width then costs no count() job.
+    val b = if (bits > 0) bits
+      else deriveBits(if (knownN > 0) knownN else emb.count())
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucketExpr("embedding", b, dim).as("bucket"))
     val probes = (0 until b).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")

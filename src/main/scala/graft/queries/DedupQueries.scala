@@ -203,7 +203,8 @@ object DedupQueries extends QueryPack {
     // duplicates is pinned separately by DedupSpec.
     Q("d6_embedding_near_dups",
       (s, d) => graft.operators.DedupOps
-        .embeddingNearDups(Tables.load(s, d, "embeddings"), threshold = 0.8)
+        .embeddingNearDups(Tables.load(s, d, "embeddings"), threshold = 0.8,
+          knownN = Tables.rowCount(s, d, "embeddings"))
         .orderBy("d1", "d2"),
       Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
              pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
 import graft.operators.SimilarityOps
 
@@ -14,12 +16,14 @@ object SimilarityQueries extends QueryPack {
   private val K = 10
   private val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** DuckDB left-fold dot product — bit-identical to the Spark fold. */
+  private def dot(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
   /** DuckDB cosine with the identical fold order (list_reduce is a left
     * fold; double accumulation) — bit-identical to the Spark expression.
     */
   private def oracle: String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
     s"""WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id neighbor_id, embedding ne FROM embeddings),
        sims AS (SELECT query_id, neighbor_id,
@@ -31,6 +35,56 @@ object SimilarityQueries extends QueryPack {
        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
        FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""
   }
+
+  /** deriveBits yields 8 for every testdata scale (n ≤ 2^8·4096 ≈ 1M
+    * rows), so the static oracle text fixes 8; the Spark side derives
+    * the same value from the catalog row count.
+    */
+  private val LshBits = 8
+
+  /** DuckDB replay of `SimilarityOps.annSignLsh`: the same inlined ±1
+    * hyperplane coefficients (via `SimilarityOps.sign`), the same
+    * left-to-right projection sum (IEEE-identical in any engine), the
+    * same {bucket} ∪ {bucket ^ 2^i} probe set, the same fold cosine and
+    * rank tie-break. DuckDB lists are 1-indexed, hence `[j+1]`.
+    */
+  private def annLshOracle(bits: Int, dim: Int = 64): String = {
+    val bucket = (0 until bits).map { i =>
+      val proj = (0 until dim)
+        .map(j => s"(${SimilarityOps.sign(i, j)}) * CAST(embedding[${j + 1}] AS DOUBLE)")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probes = ((0 until bits).map(i => s"xor(bucket, ${1L << i})") :+ "bucket")
+      .mkString(", ")
+    s"""WITH b AS (SELECT vec_id, embedding,
+         CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+       q AS (SELECT vec_id AS query_id, embedding AS qe,
+         unnest([$probes]) AS bucket FROM b WHERE vec_id < 5),
+       cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, c.embedding AS ne
+         FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id),
+       sims AS (SELECT query_id, neighbor_id,
+         (${dot("qe", "ne")}) / (sqrt(${dot("qe", "qe")}) * sqrt(${dot("ne", "ne")})) AS sim
+        FROM cand),
+       ranked AS (SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM sims)
+       SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+       FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""
+  }
+
+  /** Pinned IVF recall on the static testdata (see the n4 comment for
+    * why this is a constant). Values measured once from the Spark side
+    * and held as the contract; sf0.01 is the driver's correctness scale.
+    */
+  private val ivfRecallOracle: String =
+    s"""SELECT * FROM (VALUES
+       (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0.4 AS DOUBLE)),
+       (CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(0.6 AS DOUBLE)),
+       (CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(0.7 AS DOUBLE)),
+       (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(0.5 AS DOUBLE)),
+       (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(0.5 AS DOUBLE))
+       ) AS t(query_id, n_hits, recall) ORDER BY query_id"""
 
   val queries: Seq[Q] = Seq(
 
@@ -50,22 +104,43 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "rnk"),
       Some(oracle)),
 
-    // ANN: sign-LSH buckets + Hamming-1 multi-probe + exact re-rank.
-    // Not SQL-expressible (hyperplane signatures) → rows-only here;
-    // recall is verified on planted clusters in SimilaritySpec.
+    // ANN: sign-LSH buckets + Hamming-1 multi-probe + exact re-rank —
+    // hash-matched: the hyperplanes are plan-build-time ±1 CONSTANTS
+    // (MurmurHash3-derived, inlined into the expression), so the oracle
+    // replays the identical bucket codes, probe set, and fold cosine.
+    // Recall on planted clusters is additionally pinned in
+    // SimilaritySpec (the isotropic testdata admits none by design).
     Q("n3_ann_lsh",
       (s, d) => SimilarityOps
-        .annSignLsh(Tables.load(s, d, "embeddings"), QueryIds, K)
+        .annSignLsh(Tables.load(s, d, "embeddings"), QueryIds, K,
+          knownN = Tables.rowCount(s, d, "embeddings"))
         .orderBy("query_id", "rnk"),
-      None),
+      Some(annLshOracle(bits = LshBits))),
 
     // ANN: IVF (k-means coarse quantizer, nprobe cells scanned, exact
-    // re-rank). Training + banding not SQL-expressible → rows-only;
-    // recall on planted clusters in SimilaritySpec.
+    // re-rank). The quantizer is not SQL-replayable, so the entry emits
+    // recall@k against the EXACT top-k computed in the same plan (left
+    // join from the n1 shape), one row per query — and the oracle pins
+    // the expected values: the quantizer is a pure function of
+    // (data, seed) (single-partition training, fixed seed), so recall
+    // on the static testdata is a constant; an implementation
+    // regression shows up as a hash mismatch. Cluster recall is also
+    // verified on planted clusters in SimilaritySpec.
     Q("n4_ann_ivf",
-      (s, d) => graft.operators.IvfIndex
-        .search(Tables.load(s, d, "embeddings"), QueryIds, K)
-        .orderBy("query_id", "rnk"),
-      None)
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val ann = graft.operators.IvfIndex.search(emb, QueryIds, K)
+        val exact = SimilarityOps.topKCosineWindow(emb, QueryIds, K)
+        exact.as("x").join(ann.as("a"),
+            col("x.query_id") === col("a.query_id") &&
+            col("x.neighbor_id") === col("a.neighbor_id"), "left")
+          .groupBy(col("x.query_id").as("query_id"))
+          .agg(sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+            (sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L)) /
+              lit(K.toDouble)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(ivfRecallOracle))
   )
+
 }
