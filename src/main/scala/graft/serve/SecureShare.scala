@@ -80,29 +80,55 @@ object SecureShare {
   // account list — so `revoke` / `alter share remove accounts` replay the
   // reference's "show access is lost / regained" demo.
 
+  /** A grant held by a share: object kind + name + privilege. The
+    * reference grants THREE kinds (dp_demo.sql:214-215, 245): USAGE on
+    * the database, USAGE on the schema, SELECT on the view — a consumer
+    * resolves the view only when the whole chain is granted, so
+    * revoking any link (not just the view select) cuts access.
+    */
+  final case class Grant(kind: String, objectName: String, privilege: String)
+
   /** One outbound share: granted objects + consumer account list.
-    * Mirrors `create share` (dp_demo.sql:208), `grant select on view ...
-    * to share` (:241), `revoke ... from share` (:287), `alter share
+    * Mirrors `create share` (dp_demo.sql:208), `grant usage on
+    * database/schema ... to share` (:214-215), `grant select on view
+    * ... to share` (:245), `revoke ... from share` (:287), `alter share
     * add/remove accounts` (:259).
     */
   final class Share(val name: String, val comment: String) {
-    private var grants = Set.empty[String]
+    private var grantList = Set.empty[Grant]
     private var accountList = Set.empty[String]
 
-    def grantSelect(view: String): Unit = synchronized { grants += view }
-    def revokeSelect(view: String): Unit = synchronized { grants -= view }
+    def grantSelect(view: String): Unit =
+      synchronized { grantList += Grant("VIEW", view, "SELECT") }
+    def revokeSelect(view: String): Unit =
+      synchronized { grantList -= Grant("VIEW", view, "SELECT") }
+    /** `grant usage on database|schema <name> to share` — `kind` is
+      * "DATABASE" or "SCHEMA" (dp_demo.sql:214-215).
+      */
+    def grantUsage(kind: String, objectName: String): Unit =
+      synchronized { grantList += Grant(kind.toUpperCase, objectName, "USAGE") }
+    def revokeUsage(kind: String, objectName: String): Unit =
+      synchronized { grantList -= Grant(kind.toUpperCase, objectName, "USAGE") }
     def addAccounts(accounts: String*): Unit =
       synchronized { accountList ++= accounts }
     def removeAccounts(accounts: String*): Unit =
       synchronized { accountList --= accounts }
 
-    def grantedViews: Set[String] = synchronized(grants)
+    def grants: Set[Grant] = synchronized(grantList)
+    def grantedViews: Set[String] =
+      grants.collect { case Grant("VIEW", v, "SELECT") => v }
+    def hasUsage(kind: String, objectName: String): Boolean =
+      grants.contains(Grant(kind.toUpperCase, objectName, "USAGE"))
     def accounts: Set[String] = synchronized(accountList)
 
-    /** `desc share` (dp_demo.sql:243): the share's grant list. */
+    /** `desc share` (dp_demo.sql:246): every grant the share holds —
+      * database and schema usage alongside the view select, like the
+      * reference's "we granted access to database, schema and one view".
+      */
     def describe(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      grantedViews.toSeq.sorted.map(v => ("VIEW", v, "SELECT"))
+      grants.toSeq.map(g => (g.kind, g.objectName, g.privilege))
+        .sortBy(t => (t._1, t._2))
         .toDF("kind", "object_name", "privilege")
     }
   }
@@ -133,13 +159,28 @@ object SecureShare {
       .toDF("name", "comment", "accounts")
   }
 
-  /** Consumer-side access: query `view` through `share` as the session's
-    * current account. Fails — access is lost — unless the view is
-    * granted to the share and the account is on its list, and works
-    * again after a re-grant (dp_demo.sql:287-290).
+  /** The demo namespace the shared view lives in (the reference's
+    * `snowflake_demo.modelled.trips_secure_vw`, dp_demo.sql:245).
     */
-  def consumerTable(spark: SparkSession, share: Share, view: String): DataFrame = {
+  val DemoDatabase = "snowflake_demo"
+  val DemoSchema = "modelled"
+
+  /** Consumer-side access: query `view` through `share` as the session's
+    * current account. Resolution walks the reference's grant chain in
+    * order — database usage, schema usage, view select, account list —
+    * and fails at the first missing link (revoking ANY of the three
+    * grants, not just the view select, loses access; re-granting
+    * restores it, dp_demo.sql:287-290).
+    */
+  def consumerTable(spark: SparkSession, share: Share, view: String,
+      database: String = DemoDatabase, schema: String = DemoSchema): DataFrame = {
     val account = spark.conf.get(GraftFunctions.AccountConfKey, "")
+    if (!share.hasUsage("DATABASE", database))
+      throw new SecurityException(
+        s"Database '$database' is not granted usage to share '${share.name}'")
+    if (!share.hasUsage("SCHEMA", s"$database.$schema"))
+      throw new SecurityException(
+        s"Schema '$database.$schema' is not granted usage to share '${share.name}'")
     if (!share.grantedViews.contains(view))
       throw new SecurityException(
         s"View '$view' is not granted to share '${share.name}'")

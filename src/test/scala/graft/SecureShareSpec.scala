@@ -75,13 +75,41 @@ class SecureShareSpec extends AnyFunSuite {
 
       share.grantSelect("trips_secure_vw")
       share.addAccounts("ACCT_NYCHA", "ACCT_JCHA")
-      assert(share.describe(spark).collect().map(_.getString(1)).toSeq
-        === Seq("trips_secure_vw"))
+
+      // the view select alone is NOT enough: the reference grants usage
+      // on the database and schema first (dp_demo.sql:214-215) and the
+      // consumer resolves the chain db → schema → view.
+      spark.conf.set("graft.current_account", "ACCT_NYCHA")
+      intercept[SecurityException] {
+        SecureShare.consumerTable(spark, share, "trips_secure_vw")
+      }
+      share.grantUsage("database", "snowflake_demo")
+      intercept[SecurityException] { // schema usage still missing
+        SecureShare.consumerTable(spark, share, "trips_secure_vw")
+      }
+      share.grantUsage("schema", "snowflake_demo.modelled")
+
+      // `desc share`: all three grant kinds, like the reference's
+      // "we granted access to database, schema and one view" (:246)
+      assert(share.describe(spark).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+        === Seq(
+          ("DATABASE", "snowflake_demo", "USAGE"),
+          ("SCHEMA", "snowflake_demo.modelled", "USAGE"),
+          ("VIEW", "trips_secure_vw", "SELECT")))
 
       // consumer sees governed rows through the share
-      spark.conf.set("graft.current_account", "ACCT_NYCHA")
       val n0 = SecureShare.consumptionReport(spark, share).count()
       assert(n0 > 0)
+
+      // revoking the SCHEMA usage (any link in the chain) also cuts
+      // access, and re-granting restores it
+      share.revokeUsage("schema", "snowflake_demo.modelled")
+      intercept[SecurityException] {
+        SecureShare.consumerTable(spark, share, "trips_secure_vw")
+      }
+      share.grantUsage("schema", "snowflake_demo.modelled")
+      assert(SecureShare.consumptionReport(spark, share).count() === n0)
 
       // revoke → access is lost (dp_demo.sql:287-288)
       share.revokeSelect("trips_secure_vw")
