@@ -217,11 +217,24 @@ final class Pipeline(
     * by an earlier (hence checkpoint-committed) batch; the default purges
     * everything loaded-ok, for direct operational use outside a running
     * stream.
+    *
+    * The look-back window applies only to the IN-STREAM call (it runs
+    * every pulse, so bounding its metadata join is what keeps steady-
+    * state purge O(window), and a batch's files are always purged on the
+    * next pulse — far inside the window). The operational default scans
+    * the FULL history: in-stream purge is deferred one pulse, so the
+    * last committed batch's files survive a stop, and if the stream
+    * stays down past the look-back their history rows age out of the
+    * window — a windowed operational purge could then never delete them
+    * (permanent staged-file leak, flagged in round-3 advice).
     */
   def purge(beforeBatchId: Long = Long.MaxValue): Int = {
     val staged = Stage.list(spark, paths.stage)
       .select(concat(lit(s"${paths.stage}/"), col("name")).as("staged_path"))
-    val loadedOk = copyHistoryInWindow()
+    val history =
+      if (beforeBatchId == Long.MaxValue) copyHistoryWithBatch()
+      else copyHistoryInWindow()
+    val loadedOk = history
       .filter(col("error_count") === 0)
       .filter(col("_batch_id") < beforeBatchId)
       .select(concat(col("stage_location"), col("file_name")).as("loaded_path"))

@@ -98,8 +98,14 @@ object Producer {
     // (dp_setup.sql:86-90).
     val tmp = new Path(s"$stageDir/.unload_tmp")
     inRange
+      // day leads the within-partition sort: repartition can put several
+      // days in one task, and partitionBy's writer needs rows grouped by
+      // day — with day already leading, the writer inserts no re-sort,
+      // and within-file starttime order is guaranteed by THIS sort
+      // rather than by the re-sort happening to be stable (round-3
+      // advice: TimSort stability is an implementation detail).
       .repartition(col("day"), pmod(xxhash64(col("doc")), lit(filesPerDay)))
-      .sortWithinPartitions("starttime", "doc")
+      .sortWithinPartitions("day", "starttime", "doc")
       .select("day", "doc")
       .write.mode("overwrite").partitionBy("day").text(tmp.toString)
     val dayDirs =

@@ -116,11 +116,21 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Batch twin of `dedupStream` (keeps one arbitrary-but-deterministic
-    * row per id for parity checking: min by event time then payload).
+  /** Batch twin of `dedupStream`. The surviving row is DETERMINISTIC —
+    * min by every non-id column in schema order (event time first for
+    * the events table) — where `dropDuplicates` would keep a partition-
+    * order-dependent row. The stream twin keeps an arbitrary row (the
+    * first to arrive), so stream/batch parity holds at the id-set
+    * level, which is what StreamingSpec pins; batch users get
+    * reproducible VALUES as well.
     */
-  def dedupBatch(events: DataFrame, idCol: String = "event_id"): DataFrame =
-    events.dropDuplicates(idCol)
+  def dedupBatch(events: DataFrame, idCol: String = "event_id"): DataFrame = {
+    val others = events.columns.filter(_ != idCol).map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(others.toIndexedSeq: _*)
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
 
   /** Batch-equivalent sessionization via window functions (lag → gap
     * flag → running session index → per-session agg) — the e2 oracle

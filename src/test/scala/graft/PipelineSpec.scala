@@ -171,19 +171,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Stage.list(spark, paths.stage).count() === 1)
   }
 
-  test("purge scans only the 10-hour copy_history window (dp_setup.sql:111)") {
+  test("in-stream purge scans only the 10-hour window; operational purge " +
+    "recovers after downtime (dp_setup.sql:111)") {
     // wave 3: more files, loaded and committed by their own pulse.
     val n3 = Producer.streamData(spark, sf, paths.stage, "01/15/1995", "01/21/1995")
     assert(n3 > 0)
     clock.advance(60 * 1000)
     pipe.runAvailableNow()
-    // loaded ok and in window, an operational purge would delete them —
-    // but once the clock moves past the look-back, their history rows
-    // age out of the bounded metadata scan and purge removes nothing,
-    // even though the files are still staged.
+    // Once the clock moves past the look-back, the loaded-ok history
+    // rows age out of the bounded metadata window, so the IN-STREAM
+    // purge path (any concrete beforeBatchId — here one that excludes
+    // no batch) removes nothing even though the files are still staged.
     clock.advance(11L * 3600 * 1000)
-    assert(pipe.purge() === 0)
-    // wave-3 files all survive (plus the never-loaded empty file).
+    assert(pipe.purge(beforeBatchId = Long.MaxValue - 1) === 0)
     assert(Stage.list(spark, paths.stage).count() === n3 + 1)
+    // The operational default scans the FULL history: in-stream purge
+    // is deferred one pulse, so a stop strands the last batch's files,
+    // and after downtime longer than the look-back a windowed purge
+    // could never delete them (round-3 advice: permanent staged-file
+    // leak). Post-downtime cleanup must see the aged-out rows.
+    assert(pipe.purge() === n3)
+    // only the never-loaded empty file survives.
+    assert(Stage.list(spark, paths.stage).count() === 1)
   }
 }

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Scratch profiling harness for the round-3 bench outliers (p1, g1).
-  * Times plan variants to isolate the hot operator. Not part of the
-  * library surface.
+  * Times plan variants to isolate the hot operator. Lives in the TEST
+  * source tree so it never ships in the library jar — run with
+  * `sbt "Test/runMain graft.Profile"`.
   */
 object Profile {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))

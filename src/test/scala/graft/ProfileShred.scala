@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling for the pipe_shred_* bench entries: where do the
-  * ~8 s at sf0.1 go? Not part of the library surface.
+  * ~8 s at sf0.1 go? Lives in the TEST source tree so it never ships in
+  * the library jar — run with `sbt "Test/runMain graft.ProfileShred"`.
   */
 object ProfileShred {
   def main(args: Array[String]): Unit = {
