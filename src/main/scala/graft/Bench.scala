@@ -28,9 +28,15 @@ object Bench {
     // to whichever queries happen to run first (measured as phantom
     // 10-30s on the first heavy plans otherwise). Steady-state numbers
     // are what a long-running cluster delivers.
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (local spot-checks
+    // of a single entry); unset = the full driver contract.
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.isEmpty || only(name) }
     val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if (warmSf.nonEmpty)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -51,7 +57,7 @@ object Bench {
     val subSecond = 1.0
     var failed = List.empty[String]
     var erroredReps = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val reps = scala.collection.mutable.ListBuffer.empty[Double]
       def runOnce(): Unit = {
         val t0 = System.nanoTime()

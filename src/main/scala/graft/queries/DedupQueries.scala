@@ -95,38 +95,42 @@ object DedupQueries extends QueryPack {
              GROUP BY 1 ORDER BY keeper_doc_id""")),
 
     // Near-duplicate pairs by word-3-gram Jaccard ≥ 0.5, via inverted-
-    // index join (shingle → docs), never all-pairs. Candidate
-    // generation runs over the df-capped index (DedupOps.cappedShingles
-    // — at web scale one boilerplate shingle makes Σdf² explode; the
-    // cap here sits far above this corpus's max df, so the result is
-    // identical and the binding-cap behavior is pinned by DedupSpec's
-    // planted-boilerplate test); verification computes the exact
-    // jaccard over the FULL shingle sets. Exact-arithmetic jaccard:
-    // integer set sizes, one IEEE division — bit-identical in any
-    // engine.
+    // index join (shingle → docs), never all-pairs. The index is
+    // df-capped (DedupOps.cappedShingles — at web scale one boilerplate
+    // shingle makes Σdf² explode); the cap sits far above this corpus's
+    // max df so the emitted jaccard is the exact full-set value, and
+    // the binding-cap behavior is pinned by DedupSpec's planted-
+    // boilerplate test. Verification COUNTS co-occurrences and joins
+    // tiny per-doc sizes — all codegen'd longs. (Per-pair
+    // array_intersect over collected shingle sets computes the same
+    // thing but carries ~doc-length arrays through the candidate join:
+    // measured 16 s vs 2 s at sf0.1, where the 31-word test vocabulary
+    // makes nearly every doc pair a candidate.) Exact-arithmetic
+    // jaccard: integer counts, one IEEE division — bit-identical in
+    // any engine.
     Q("d2_near_dup_pairs",
       (s, d) => {
-        // The shingle index feeds four plan branches (df count, both
-        // sides of the candidate join, the verify sets) — materialize
-        // it once or the tokenize+explode re-executes per branch (same
+        // The capped index feeds three plan branches (both sides of the
+        // candidate join, the sizes agg) — materialize it once or the
+        // tokenize+explode+df-join re-executes per branch (same
         // rationale as minHashLsh's localCheckpoint; swap for
         // persist(MEMORY_AND_DISK) on a real cluster).
         val sh = graft.operators.DedupOps
           .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
-          .localCheckpoint()
         val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
-        val cands = capped.as("a")
+          .localCheckpoint()
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = capped.as("a")
           .join(capped.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared_capped"))
-        val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("sh_set"))
-        cands
-          .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
           .select(col("d1"), col("d2"),
-            (size(array_intersect(col("s1.sh_set"), col("s2.sh_set"))).cast("double") /
-              size(array_union(col("s1.sh_set"), col("s2.sh_set")))).as("jaccard"))
+            (col("shared").cast("double") /
+              (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("d1", "d2")
       },
