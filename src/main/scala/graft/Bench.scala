@@ -73,6 +73,13 @@ object Bench {
       }
       (1 to minReps).foreach(_ => runOnce())
       def ok = reps.filter(_ >= 0)
+      // Multi-second entries normally stop at minReps, but a >2×
+      // disagreement between reps is direct evidence of host contention
+      // (the identical plan cannot legitimately vary that much) — spend
+      // ONE extra rep so min-of-reps has an uncontended sample and the
+      // rep array is self-diagnosing (VERDICT r4 #6: the driver host
+      // showed j1 reps [3.19, 10.71]).
+      if (ok.size >= 2 && ok.max > 2.0 * ok.min) runOnce()
       while (reps.size < maxReps && (ok.isEmpty || ok.min < subSecond))
         runOnce()
       if (ok.isEmpty) failed ::= name

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.MultimodalOps
 
-/** Multimodal binary-column queries. The payload is the UTF-8 bytes of
-  * `documents.text` (opaque to the engine — all ops treat it as binary);
-  * the DuckDB oracle computes the same values on the string side, which
-  * is byte-identical for this ASCII corpus (DuckDB 1.0 lacks BLOB
-  * substring/sha256).
+/** Multimodal binary-column queries. m1/m2 treat media as fully opaque
+  * bytes (payload = UTF-8 of `documents.text`; the DuckDB oracle
+  * computes the same values on the string side — byte-identical for
+  * this ASCII corpus, and DuckDB 1.0 lacks BLOB substring/sha256).
+  * m3/m4 decode REAL binary PPM images with a pure-JVM parser
+  * (MultimodalOps.parsePpm); their oracles replay the deterministic
+  * payload-generator formula instead of parsing binary.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -50,36 +52,70 @@ object MultimodalQueries extends QueryPack {
              FROM f WHERE octet_length(CAST(text AS BLOB)) >= frame_idx * 8 + 8
              ORDER BY doc_id, frame_idx""")),
 
-    // Decode + feature stub: typed metadata from the (stubbed) decoder
-    // and a deterministic pseudo-embedding. Not oracle-expressible
-    // (xxhash64, mapPartitions) → rows-only; MultimodalSpec pins the
-    // values and the batch plumbing. The feature vector is serialized to
-    // a csv string so the driver's comparator can sort/hash the frame
-    // (raw array<double> is unhashable on the pandas side).
+    // REAL image decode + feature extraction: each document carries a
+    // deterministic binary P6 PPM payload (MultimodalOps.ppmBytes —
+    // raster byte i = (doc_id·31 + i·7) mod 256); the Spark side parses
+    // the actual bytes (header tokens, channel-interleaved raster) and
+    // emits geometry + per-channel mean intensity. The oracle replays
+    // the generator FORMULA in SQL (DuckDB 1.0 cannot parse BLOBs), so
+    // any decoder defect — header mis-parse, interleave bug, wrong
+    // raster offset — breaks the hash. byte_len = 9 + len(str(w)) +
+    // len(str(h)) + 3wh is the exact P6 encoding length. Means divide
+    // exact integer sums once in IEEE double — bit-identical engines.
     Q("m3_decode_features",
-      (s, d) => {
-        val media = MultimodalOps.withPayload(Tables.load(s, d, "documents"))
-        MultimodalOps.decode(s, media).toDF()
-          .join(MultimodalOps.fakeFeatures(media), "doc_id")
-          .withColumn("features",
-            concat_ws(",", col("features").cast("array<string>")))
-          .orderBy("doc_id")
-      },
-      None),
+      (s, d) => MultimodalOps
+        .decodeImages(s,
+          MultimodalOps.withImagePayload(s, Tables.load(s, d, "documents")))
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INTEGER) AS width,
+               CAST(8 + doc_id % 7 AS INTEGER) AS height FROM documents),
+             px AS (SELECT doc_id, width, height,
+               unnest(range(0, width * height)) AS p FROM dims),
+             sums AS (SELECT doc_id, width, height,
+               sum((doc_id*31 + (3*p    )*7) % 256) AS sr,
+               sum((doc_id*31 + (3*p + 1)*7) % 256) AS sg,
+               sum((doc_id*31 + (3*p + 2)*7) % 256) AS sb
+              FROM px GROUP BY 1, 2, 3)
+             SELECT doc_id, 'image/x-portable-pixmap' AS media_type,
+               CAST(9 + len(CAST(width AS VARCHAR)) + len(CAST(height AS VARCHAR))
+                 + 3 * width * height AS INTEGER) AS byte_len,
+               width, height, CAST(255 AS INTEGER) AS maxval,
+               CAST(sr AS DOUBLE) / (width * height) AS mean_r,
+               CAST(sg AS DOUBLE) / (width * height) AS mean_g,
+               CAST(sb AS DOUBLE) / (width * height) AS mean_b
+             FROM sums ORDER BY doc_id""")),
 
-    // Resize stub surfaced as a query: fixed-size payloads via the
-    // per-partition decoder shape (MultimodalOps.resize). Byte-stride
-    // sampling over BLOBs is not oracle-expressible → rows-only;
-    // MultimodalSpec pins output sizes and determinism.
+    // REAL nearest-neighbour resize to 8×8 over the decoded raster:
+    // output pixel (x,y) = source pixel (⌊x·w/8⌋, ⌊y·h/8⌋), then an
+    // order-sensitive byte checksum (Σ v·(i+1)) pins the exact output
+    // bytes — a transposed, channel-swapped, or off-by-one resample
+    // matches out_len but never byte_checksum. The oracle replays the
+    // same index arithmetic from the payload formula (floor division
+    // in both engines: `//` vs positive Int division).
     Q("m4_resize",
       (s, d) => MultimodalOps
-        .resize(s,
-          MultimodalOps.withPayload(Tables.load(s, d, "documents")),
-          targetBytes = 64)
-        .select(col("doc_id"), col("media_type"),
-          octet_length(col("resized")).as("resized_len"),
-          md5(col("resized")).as("resized_md5"))
+        .resizedStats(s, MultimodalOps.resizeImages(s,
+          MultimodalOps.withImagePayload(s, Tables.load(s, d, "documents")),
+          outW = 8, outH = 8))
         .orderBy("doc_id"),
-      None)
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h FROM documents),
+             opx AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS o FROM dims),
+             mapped AS (SELECT doc_id, o,
+               3 * (((o // 8) * h // 8) * w + ((o % 8) * w // 8)) AS src
+              FROM opx),
+             ch AS (SELECT doc_id, o, src, unnest([0, 1, 2]) AS c FROM mapped),
+             vals AS (SELECT doc_id, 3*o + c AS j,
+               (doc_id*31 + (src + c)*7) % 256 AS v FROM ch),
+             agg AS (SELECT doc_id, sum(v) AS byte_sum,
+               sum(v * (j + 1)) AS byte_checksum FROM vals GROUP BY 1)
+             SELECT doc_id, 'image/x-portable-pixmap' AS media_type,
+               CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+               CAST(192 AS INTEGER) AS out_len,
+               CAST(byte_sum AS BIGINT) AS byte_sum,
+               CAST(byte_checksum AS BIGINT) AS byte_checksum
+             FROM agg ORDER BY doc_id"""))
   )
 }

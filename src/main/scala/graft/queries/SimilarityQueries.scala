@@ -129,7 +129,8 @@ object SimilarityQueries extends QueryPack {
     Q("n4_ann_ivf",
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
-        val ann = graft.operators.IvfIndex.search(emb, QueryIds, K)
+        val ann = graft.operators.IvfIndex.search(emb, QueryIds, K,
+          knownN = Tables.rowCount(s, d, "embeddings"))
         val exact = SimilarityOps.topKCosineWindow(emb, QueryIds, K)
         exact.as("x").join(ann.as("a"),
             col("x.query_id") === col("a.query_id") &&

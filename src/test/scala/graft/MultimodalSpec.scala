@@ -27,15 +27,47 @@ class MultimodalSpec extends AnyFunSuite {
     payloads.foreach { case (n, bytes) => assert(read(n).sameElements(bytes), n) }
   }
 
-  test("decode stub emits typed metadata consistent with the payload") {
-    val media = MultimodalOps.withPayload(Tables.load(spark, sf, "documents"))
-    val meta = MultimodalOps.decode(spark, media).toDF()
-    val joined = meta.join(
-      Tables.load(spark, sf, "documents").select(col("doc_id"),
-        length(col("text")).as("n_chars")), "doc_id")
-    assert(joined.filter(col("byte_len") =!= col("n_chars")).count() === 0)
-    assert(joined.filter(col("n_frames") < 1 || col("n_frames") > 30).count() === 0)
-    assert(joined.filter(col("width") < 64 || col("height") < 64).count() === 0)
+  test("parsePpm round-trips the generated payload exactly") {
+    for (id <- Seq(0L, 1L, 7L, 63L, 499L)) {
+      val img = MultimodalOps.parsePpm(MultimodalOps.ppmBytes(id))
+      assert(img.width === MultimodalOps.imageWidth(id))
+      assert(img.height === MultimodalOps.imageHeight(id))
+      assert(img.maxval === 255)
+      assert(img.pixels.length === 3 * img.width * img.height)
+      // every raster byte is exactly the generator formula value
+      img.pixels.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xFF) === MultimodalOps.pixelByte(id, i), s"doc $id byte $i")
+      }
+    }
+  }
+
+  test("parsePpm rejects malformed payloads instead of fabricating metadata") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parsePpm("P5\n8 8\n255\nxxxx".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      MultimodalOps.parsePpm("P6\n8 8\n255\nshort".getBytes("US-ASCII"))
+    }
+  }
+
+  test("decodeImages emits real geometry and hand-computable channel means") {
+    val media = MultimodalOps.withImagePayload(
+      spark, Tables.load(spark, sf, "documents"))
+    val feats = MultimodalOps.decodeImages(spark, media).toDF()
+      .orderBy("doc_id").collect()
+    assert(feats.length === Tables.load(spark, sf, "documents").count())
+    feats.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val w = MultimodalOps.imageWidth(id); val h = MultimodalOps.imageHeight(id)
+      assert(r.getInt(3) === w); assert(r.getInt(4) === h)
+      val npx = w * h
+      val expectedMeanR =
+        (0 until npx).map(p => MultimodalOps.pixelByte(id, 3L * p).toLong)
+          .sum.toDouble / npx
+      assert(r.getDouble(6) === expectedMeanR, s"mean_r doc $id")
+      // means of bytes are within [0, 255]
+      Seq(6, 7, 8).foreach(i => assert(r.getDouble(i) >= 0 && r.getDouble(i) <= 255))
+    }
   }
 
   test("frame sampling yields ceil(n_frames/step) in-bounds slices per doc") {
@@ -50,29 +82,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts.filter(col("n") < 1).count() === 0)
   }
 
-  test("resize stub emits exactly-sized deterministic payloads") {
-    val media = MultimodalOps.withPayload(Tables.load(spark, sf, "documents"))
-    val resized = MultimodalOps.resize(spark, media, targetBytes = 64)
-    assert(resized.filter(octet_length(col("resized")) =!= 64).count() === 0)
-    assert(resized.count() === media.count())
-    // deterministic: same input, same bytes
-    val a = MultimodalOps.resize(spark, media, 64).orderBy("doc_id")
-      .collect().map(_.getAs[Array[Byte]]("resized").toSeq)
-    val b = MultimodalOps.resize(spark, media, 64).orderBy("doc_id")
-      .collect().map(_.getAs[Array[Byte]]("resized").toSeq)
-    assert(a.toSeq === b.toSeq)
-    // a short payload is zero-padded to size
-    assert(MultimodalOps.resizeBytes("ab".getBytes, 8).toSeq ===
-      Seq[Byte]('a', 'b', 0, 0, 0, 0, 0, 0))
+  test("resizeNearest maps output pixels to the floor-scaled source pixel") {
+    // 2×2 checkerboard-ish source upscaled to 4×4: each source pixel
+    // covers a 2×2 output block (nearest-neighbour floor semantics).
+    val px = Array[Byte](
+      1, 2, 3,    10, 20, 30,   // row 0: (r,g,b) of pixels (0,0) (1,0)
+      40, 50, 60, 70, 80, 90)   // row 1
+    val img = MultimodalOps.PpmImage(2, 2, 255, px)
+    val out = MultimodalOps.resizeNearest(img, 4, 4)
+    assert(out.length === 3 * 4 * 4)
+    def rgb(x: Int, y: Int) = out.slice(3 * (y * 4 + x), 3 * (y * 4 + x) + 3).toSeq
+    assert(rgb(0, 0) === Seq[Byte](1, 2, 3))
+    assert(rgb(1, 1) === Seq[Byte](1, 2, 3))
+    assert(rgb(2, 0) === Seq[Byte](10, 20, 30))
+    assert(rgb(1, 2) === Seq[Byte](40, 50, 60))
+    assert(rgb(3, 3) === Seq[Byte](70, 80, 90))
+    // identity resize returns the raster unchanged
+    assert(MultimodalOps.resizeNearest(img, 2, 2).toSeq === px.toSeq)
   }
 
-  test("fake features are deterministic and in [0, 1)") {
-    val media = MultimodalOps.withPayload(Tables.load(spark, sf, "documents"))
-    val f1 = MultimodalOps.fakeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val f2 = MultimodalOps.fakeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(f1 === f2)
-    assert(f1.values.flatten.forall(v => v >= 0.0 && v < 1.0))
+  test("resizeImages emits exactly-sized deterministic payloads") {
+    val media = MultimodalOps.withImagePayload(
+      spark, Tables.load(spark, sf, "documents"))
+    val resized = MultimodalOps.resizeImages(spark, media, 8, 8)
+    assert(resized.filter(octet_length(col("resized")) =!= 3 * 8 * 8).count() === 0)
+    assert(resized.count() === media.count())
+    // deterministic: same input, same bytes
+    val a = MultimodalOps.resizeImages(spark, media, 8, 8).orderBy("doc_id")
+      .collect().map(_.getAs[Array[Byte]]("resized").toSeq)
+    val b = MultimodalOps.resizeImages(spark, media, 8, 8).orderBy("doc_id")
+      .collect().map(_.getAs[Array[Byte]]("resized").toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("resizedStats checksum is order-sensitive (catches byte transpositions)") {
+    import spark.implicits._
+    val fwd = Seq((1L, "t", 1, 1, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media_type", "out_w", "out_h", "resized")
+    val rev = Seq((1L, "t", 1, 1, Array[Byte](3, 2, 1)))
+      .toDF("doc_id", "media_type", "out_w", "out_h", "resized")
+    val sf_ = MultimodalOps.resizedStats(spark, fwd).collect().head
+    val sr = MultimodalOps.resizedStats(spark, rev).collect().head
+    assert(sf_.getAs[Long]("byte_sum") === sr.getAs[Long]("byte_sum"))
+    assert(sf_.getAs[Long]("byte_checksum") !== sr.getAs[Long]("byte_checksum"))
+    assert(sf_.getAs[Long]("byte_checksum") === (1 * 1 + 2 * 2 + 3 * 3).toLong)
   }
 }
