@@ -270,8 +270,25 @@ object DedupOps {
     * Hamming distance. No all-pairs comparison; with the 64-bit
     * fingerprint each band has 2^16 buckets (vs 2^8 for r3's byte
     * banding, whose buckets went quadratic at ~10^6 docs).
+    *
+    * `knownN` (the parquet-footer/catalog corpus-size hint) arms the
+    * width guard: when the corpus needs more fingerprint bits than
+    * `fpBits` (`requiredFpBits` — e.g. 10⁹ docs at hamming ≤ 3 need 72),
+    * the call fails fast instead of silently degrading into over-dense
+    * band buckets — the caller must switch to the 128-bit path
+    * (`simHashWide` + `simHashNearPairsWide`). Omitting `knownN`
+    * disables the guard (documented escape for corpora whose size is
+    * genuinely unknown at plan time).
     */
-  def simHashNearPairs(fp: DataFrame, maxHamming: Int = 3, fpBits: Int = 64): DataFrame = {
+  def simHashNearPairs(fp: DataFrame, maxHamming: Int = 3, fpBits: Int = 64,
+      knownN: Long = 0L): DataFrame = {
+    if (knownN > 0L) {
+      val need = requiredFpBits(knownN, maxHamming)
+      require(need <= fpBits,
+        s"n=$knownN docs at hamming<=$maxHamming need $need fingerprint bits " +
+          s"but simhash has $fpBits: band buckets would go quadratic — use " +
+          "simHashWide + simHashNearPairsWide (128-bit) instead")
+    }
     val width = bandWidth(fpBits, maxHamming)
     val bands = maxHamming + 1
     val mask = if (width >= 64) -1L else (1L << width) - 1
@@ -297,6 +314,93 @@ object DedupOps {
       .filter(firstAgreeingBand)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Wide SimHash fingerprint (up to 128 bits) as an array of 64-bit
+    * words (word w holds bits [64w, 64w+63], bit b of the fingerprint =
+    * bit b mod 64 of word b/64). Same majority-vote construction as the
+    * 64-bit `simHash` but over sha2-256 of the token (64 hex digits ⇒
+    * 128 bits at 2 bits/digit) — the scale path `requiredFpBits`
+    * selects once a corpus outgrows 64 bits (~10⁸ docs at hamming ≤ 3).
+    * Engine-portable: sha2-256 hex is available to the SQL oracle, and
+    * word assembly adds bit values in index order (bit 63 of each word
+    * is the sign bit, added last — ANSI-safe, same as `simHash`).
+    *
+    * Same one-shuffle shape as `simHash`: a distinct-token dictionary
+    * computes the 128 per-token votes once, then ONE groupBy(doc_id)
+    * runs 128 parallel vote sums.
+    */
+  def simHashWide(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 128): DataFrame = {
+    require(bits >= 1 && bits <= 128, s"simHashWide supports 1..128 bits, got $bits")
+    val words = (bits + 63) / 64
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val dict = tokens.select("tok").distinct()
+      .select(col("tok"), expr(
+        s"""transform(sequence(0, ${bits - 1}), b -> IF(
+           |  (b % 2 = 0 AND substring(sha2(tok, 256), b div 2 + 1, 1) IN ('8','9','a','b','c','d','e','f')) OR
+           |  (b % 2 = 1 AND substring(sha2(tok, 256), b div 2 + 1, 1) IN ('4','5','6','7','c','d','e','f')),
+           |  1, -1))""".stripMargin).as("votes"))
+    val sums = (0 until bits).map(b => sum(col("votes")(b)).as(s"v$b"))
+    tokens.join(dict, "tok")
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until words).map { w =>
+          (64 * w until math.min(64 * w + 64, bits))
+            .map(b => when(col(s"v$b") > 0, lit(1L << (b % 64))).otherwise(lit(0L)))
+            .reduce(_ + _)
+        }: _*).as("simhash"))
+  }
+
+  /** Banded near-pair search over WIDE (word-array) fingerprints — the
+    * same pigeonhole layout and exactly-once pair emission as
+    * `simHashNearPairs`, with bands extracted across words and Hamming
+    * distance summed per word. With fpBits = 128, maxHamming = 3: four
+    * 32-bit bands ⇒ 2^32 buckets per band, which holds the bucket join
+    * sub-quadratic past 10¹² docs (`requiredFpBits(1e12, 3)` = 112).
+    */
+  def simHashNearPairsWide(fp: DataFrame, maxHamming: Int = 3,
+      fpBits: Int = 128, knownN: Long = 0L): DataFrame = {
+    if (knownN > 0L) {
+      val need = requiredFpBits(knownN, maxHamming)
+      require(need <= fpBits,
+        s"n=$knownN docs at hamming<=$maxHamming need $need fingerprint bits, " +
+          s"wide simhash has only $fpBits")
+    }
+    val width = bandWidth(fpBits, maxHamming)
+    val bands = maxHamming + 1
+    val words = (fpBits + 63) / 64
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    // every band must live inside one 64-bit word (holds whenever width
+    // divides 64 — true for all (fpBits ≤ 128, maxHamming ≤ 7) layouts
+    // in use; keeps extraction a single shift+mask)
+    (0 until bands).foreach { b =>
+      require(b * width / 64 == ((b + 1) * width - 1) / 64,
+        s"band $b straddles a word boundary (width=$width)")
+    }
+    def bandOf(c: Column, b: Int) =
+      shiftright(c.getItem(b * width / 64), b * width % 64).bitwiseAND(lit(mask))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b => bandOf(col("simhash"), b)): _*)))
+      .toDF("doc_id", "simhash", "band", "band_val")
+    def sideBand(side: String, b: Int) = bandOf(col(s"$side.simhash"), b)
+    val firstAgreeingBand = (0 until bands).map(bp =>
+      when(col("a.band") > bp, sideBand("a", bp) =!= sideBand("b", bp))
+        .otherwise(lit(true))).reduce(_ && _)
+    val hamming = (0 until words)
+      .map(w => expr(s"bit_count(a.simhash[$w] ^ b.simhash[$w])"))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(firstAgreeingBand)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -187,7 +187,8 @@ object DedupQueries extends QueryPack {
     Q("d5_simhash_pairs",
       (s, d) => graft.operators.DedupOps
         .simHashNearPairs(graft.operators.DedupOps
-          .simHash(Tables.load(s, d, "documents"), "doc_id", "text"))
+          .simHash(Tables.load(s, d, "documents"), "doc_id", "text"),
+          knownN = Tables.rowCount(s, d, "documents"))
         .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
         .orderBy("d1", "d2"),
       Some(simHash64OracleCte +
@@ -195,6 +196,37 @@ object DedupQueries extends QueryPack {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             ORDER BY d1, d2""")),
+
+    // The 128-bit WIDE fingerprint path — what `requiredFpBits` selects
+    // once a corpus outgrows 64 bits (~10^8 docs at hamming ≤ 3): sha2-
+    // 256-derived majority-vote fingerprint as two 64-bit words, four
+    // 32-bit bands (2^32 buckets/band — sub-quadratic past 10^12 docs),
+    // exactly-once pair emission, exact per-word Hamming verify. The
+    // oracle restates the fingerprint declaratively from the same sha2
+    // hex digits and the pair search as the all-pairs inequality join.
+    Q("d7_simhash_pairs_wide",
+      (s, d) => graft.operators.DedupOps
+        .simHashNearPairsWide(graft.operators.DedupOps
+          .simHashWide(Tables.load(s, d, "documents"), "doc_id", "text"),
+          knownN = Tables.rowCount(s, d, "documents"))
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2"),
+      Some("""WITH tokens AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             bits AS (SELECT doc_id, tok, unnest(range(0, 128)) AS b FROM tokens),
+             votes AS (SELECT doc_id, b,
+               CASE WHEN (b % 2 = 0 AND substr(sha256(tok), CAST(b // 2 AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f'))
+                      OR (b % 2 = 1 AND substr(sha256(tok), CAST(b // 2 AS INTEGER) + 1, 1) IN ('4','5','6','7','c','d','e','f'))
+                 THEN 1 ELSE -1 END AS vote FROM bits),
+             per_bit AS (SELECT doc_id, b, sum(vote) v FROM votes GROUP BY 1, 2),
+             fp AS (SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 AND b < 64 THEN (CASE WHEN b = 63 THEN -9223372036854775808 ELSE CAST(power(2, b) AS BIGINT) END) ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN v > 0 AND b >= 64 THEN (CASE WHEN b = 127 THEN -9223372036854775808 ELSE CAST(power(2, b - 64) AS BIGINT) END) ELSE 0 END) AS BIGINT) AS w1
+               FROM per_bit GROUP BY doc_id)
+             SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
+             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
              ORDER BY d1, d2""")),
 
     // Embedding-cosine near-dup pairs over the embeddings table, against

@@ -98,6 +98,42 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupOps.requiredFpBits(100000000L) <= 64) // 64-bit code holds to ~10^8
   }
 
+  test("width guard: a 10^9-doc corpus fails fast at 64 bits, widens to 128") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb ccc"), (2L, "ddd eee fff")).toDF("doc_id", "text")
+    val fp64 = DedupOps.simHash(docs, "doc_id", "text")
+    // requiredFpBits(1e9, 3) = 72 > 64: the narrow path must refuse
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.simHashNearPairs(fp64, knownN = 1000000000L)
+    }
+    assert(e.getMessage.contains("simHashWide"))
+    // the same corpus size is accepted by the 128-bit wide path
+    val fpWide = DedupOps.simHashWide(docs, "doc_id", "text")
+    DedupOps.simHashNearPairsWide(fpWide, knownN = 1000000000L).collect()
+    // and past the wide ceiling (~10^13 at hamming<=3) even 128 refuses
+    assert(DedupOps.requiredFpBits(1000000000000L, 3) <= 128)
+    intercept[IllegalArgumentException] {
+      DedupOps.simHashNearPairsWide(fpWide, knownN = Long.MaxValue)
+    }
+  }
+
+  test("wide simhash pairs match all-pairs brute force at hamming <= 3") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fp = DedupOps.simHashWide(docs, "doc_id", "text").localCheckpoint()
+    val banded = pairsOf(DedupOps.simHashNearPairsWide(fp))
+    // Seq, not Map: a for-comprehension over a Map yielding pairs
+    // builds a Map and silently collapses one pair per d1.
+    val words = fp.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val brute = (for {
+      (i, wi) <- words; (j, wj) <- words if i < j
+      h = java.lang.Long.bitCount(wi(0) ^ wj(0)) + java.lang.Long.bitCount(wi(1) ^ wj(1))
+      if h <= 3
+    } yield (i, j)).toSet
+    assert(banded === brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "collision-heavy corpus should produce wide near-pairs")
+  }
+
   test("embedding-cosine near-dup finds planted duplicate vectors, none spurious") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
