@@ -229,20 +229,46 @@ object DedupQueries extends QueryPack {
              WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
              ORDER BY d1, d2""")),
 
-    // Embedding-cosine near-dup pairs over the embeddings table, against
-    // the brute-force all-pairs oracle (the oracle need not be
-    // efficient). Precision is structural — every LSH candidate is
-    // verified with the exact fold cosine before emission — so this
-    // entry pins "no false positives" on real data at any SF; the
-    // testdata corpus is isotropic (max pairwise cosine 0.60 at sf0.1),
-    // so both engines agree on the empty result, and recall on planted
-    // duplicates is pinned separately by DedupSpec.
+    // Embedding-cosine near-dup pairs, against the brute-force all-pairs
+    // oracle (the oracle need not be efficient). The corpus is unioned
+    // with six PLANTED vectors built from the same deterministic integer
+    // formula in both engines — three base patterns (ids 9000000+i,
+    // e[j] = (i·31 + j·17) mod 13 − 6) and their duplicates (ids
+    // 9000100+i: two exact copies and one ×2-scaled copy — a positive
+    // scale preserves every hyperplane sign, so both land in their
+    // base's LSH bucket BY CONSTRUCTION, making recall structural, not
+    // statistical). So the hash-matched result is non-empty (3 pairs at
+    // cosine 1.0) and the oracle exercises the full candidate→exact-
+    // verify path; precision stays pinned on the real isotropic corpus
+    // (planted×corpus max |cosine| ≈ 0.50, cross-planted ≤ 0.44 —
+    // measured at every SF, far under the 0.8 threshold).
     Q("d6_embedding_near_dups",
-      (s, d) => graft.operators.DedupOps
-        .embeddingNearDups(Tables.load(s, d, "embeddings"), threshold = 0.8,
-          knownN = Tables.rowCount(s, d, "embeddings"))
-        .orderBy("d1", "d2"),
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      (s, d) => {
+        val ids = s.range(0, 3)
+        val base = ids.select((lit(9000000L) + col("id")).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> CAST((id*31 + j*17) % 13 - 6 AS FLOAT))")
+            .as("embedding"))
+        val dups = ids.select((lit(9000100L) + col("id")).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> CAST(((id*31 + j*17) % 13 - 6) * IF(id = 2, 2, 1) AS FLOAT))")
+            .as("embedding"))
+        val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+          .unionByName(base).unionByName(dups)
+        graft.operators.DedupOps
+          .embeddingNearDups(emb, threshold = 0.8,
+            knownN = Tables.rowCount(s, d, "embeddings") + 6L)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH ids AS (SELECT unnest(range(0, 3)) AS i),
+             planted AS (
+               SELECT CAST(9000000 + i AS BIGINT) AS vec_id,
+                 list_transform(range(0, 64), j -> CAST((i*31 + j*17) % 13 - 6 AS FLOAT)) AS embedding
+               FROM ids
+               UNION ALL
+               SELECT CAST(9000100 + i AS BIGINT),
+                 list_transform(range(0, 64), j -> CAST(((i*31 + j*17) % 13 - 6) * (CASE WHEN i = 2 THEN 2 ELSE 1 END) AS FLOAT))
+               FROM ids),
+             e AS (SELECT vec_id, embedding FROM embeddings
+                   UNION ALL SELECT vec_id, embedding FROM planted),
              pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
                list_reduce(list_transform(list_zip(a.embedding, b.embedding),
                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)

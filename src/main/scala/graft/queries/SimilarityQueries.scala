@@ -73,18 +73,34 @@ object SimilarityQueries extends QueryPack {
        FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""
   }
 
-  /** Pinned IVF recall on the static testdata (see the n4 comment for
-    * why this is a constant). Values measured once from the Spark side
-    * and held as the contract; sf0.01 is the driver's correctness scale.
+  /** Pinned IVF recall per test corpus (see the n4 comment for why the
+    * recall vector is a constant of (data, seed)). The corpus is
+    * identified by an EXACT integer fingerprint — Σ floor(e[0]·2^20),
+    * order-independent integer arithmetic — because the row count alone
+    * cannot tell sf0.001 from sf0.01 (both hold 500 vectors). Values
+    * measured once per corpus from the Spark side and held as the
+    * contract at every driver SF; an UNKNOWN corpus yields one legible
+    * sentinel row (query_id = −1 carrying the unmatched fingerprint)
+    * instead of a confusing five-row value diff.
     */
   private val ivfRecallOracle: String =
-    s"""SELECT * FROM (VALUES
-       (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0.4 AS DOUBLE)),
-       (CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(0.6 AS DOUBLE)),
-       (CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(0.7 AS DOUBLE)),
-       (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(0.5 AS DOUBLE)),
-       (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(0.5 AS DOUBLE))
-       ) AS t(query_id, n_hits, recall) ORDER BY query_id"""
+    s"""WITH disc AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS f
+         FROM embeddings),
+       pinned AS (SELECT * FROM (VALUES
+         (-1535304, 0, 3, 0.3), (-1535304, 1, 3, 0.3), (-1535304, 2, 3, 0.3),
+         (-1535304, 3, 9, 0.9), (-1535304, 4, 5, 0.5),
+         (1134678, 0, 4, 0.4), (1134678, 1, 6, 0.6), (1134678, 2, 7, 0.7),
+         (1134678, 3, 5, 0.5), (1134678, 4, 5, 0.5),
+         (1604151, 0, 4, 0.4), (1604151, 1, 5, 0.5), (1604151, 2, 8, 0.8),
+         (1604151, 3, 6, 0.6), (1604151, 4, 5, 0.5)
+         ) AS t(f, query_id, n_hits, recall))
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_hits AS BIGINT) AS n_hits,
+         CAST(recall AS DOUBLE) AS recall
+       FROM pinned JOIN disc ON pinned.f = disc.f
+       UNION ALL
+       SELECT CAST(-1 AS BIGINT), CAST((SELECT f FROM disc) AS BIGINT), CAST(-1 AS DOUBLE)
+       WHERE NOT EXISTS (SELECT 1 FROM pinned JOIN disc ON pinned.f = disc.f)
+       ORDER BY query_id"""
 
   val queries: Seq[Q] = Seq(
 

@@ -116,13 +116,52 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming dedup with DETERMINISTIC surviving VALUES — the
+    * value-level twin of `dedupBatch` (where `dedupStream` guarantees
+    * only the id set): a foreachBatch merge in which each micro-batch
+    * is first reduced to its per-id min-by row, then merged with the
+    * sink's existing rows under the SAME ordering. The final sink row
+    * per id therefore equals the batch twin's min-by row over every
+    * delivered version, regardless of replay order or micro-batch
+    * boundaries — StreamingSpec pins full-row equality across reversed
+    * delivery orders.
+    *
+    * The sink itself is the dedup state (rewritten per batch after
+    * `localCheckpoint` materializes the merge — the lineage must not
+    * read the directory being overwritten). At scale this merge is a
+    * keyed MERGE INTO on a transactional table (Delta/Iceberg): one
+    * shuffle per batch on the id, sink bounded by ids within the
+    * retention horizon (prune rows with ts older than the watermark at
+    * merge time), not by stream history.
+    */
+  def dedupStreamMinBy(events: DataFrame, sinkDir: String, checkpointDir: String,
+      idCol: String = "event_id"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", "1 day")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val newMin = dedupBatch(batch, idCol)
+        val fs = new org.apache.hadoop.fs.Path(sinkDir)
+          .getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(sinkDir)))
+            dedupBatch(sess.read.schema(batch.schema).parquet(sinkDir)
+              .unionByName(newMin), idCol)
+          else newMin
+        merged.localCheckpoint().write.mode("overwrite").parquet(sinkDir)
+        ()
+      }
+
   /** Batch twin of `dedupStream`. The surviving row is DETERMINISTIC —
     * min by every non-id column in schema order (event time first for
     * the events table) — where `dropDuplicates` would keep a partition-
     * order-dependent row. The stream twin keeps an arbitrary row (the
     * first to arrive), so stream/batch parity holds at the id-set
-    * level, which is what StreamingSpec pins; batch users get
-    * reproducible VALUES as well.
+    * level; `dedupStreamMinBy` upgrades the stream side to full
+    * value-level parity, and batch users get reproducible VALUES here.
     */
   def dedupBatch(events: DataFrame, idCol: String = "event_id"): DataFrame = {
     val others = events.columns.filter(_ != idCol).map(col)

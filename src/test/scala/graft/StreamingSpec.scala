@@ -70,6 +70,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("min-by streaming dedup: surviving VALUES independent of delivery order") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two conflicting versions of every event: the original file and a
+    // variant whose value is shifted — whichever arrives first, the
+    // surviving row must be the deterministic min-by row, i.e. exactly
+    // the batch twin's output over the union.
+    val variantDir = Files.createTempDirectory("graft_ev_variant").toString
+    // raw read (ts stays a nanos long) so the variant file has the same
+    // physical shape the streaming source expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("value", col("value") + 1000.0)
+      .write.mode("overwrite").parquet(variantDir)
+
+    def run(first: String, second: String): Set[(Long, java.sql.Timestamp, Long, String, Double, String)] = {
+      val srcDir = Files.createTempDirectory("graft_ev_src").toString
+      val sink = Files.createTempDirectory("graft_ev_sink").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft_ev_ckpt").toString
+      def deliver(from: String, name: String): Unit = {
+        val f = new java.io.File(from)
+        val files = if (f.isDirectory) f.listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(f)
+        files.zipWithIndex.foreach { case (p, i) =>
+          Files.copy(p.toPath, Paths.get(srcDir, s"$name$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        val q = EventStream
+          .dedupStreamMinBy(EventStream.readEvents(spark, srcDir), sink, ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      deliver(first, "a")   // run 1: only the first version visible
+      deliver(second, "b")  // run 2: the second version arrives later
+      spark.read.parquet(sink).collect().map(r => (
+        r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[String]("props"))).toSet
+    }
+
+    val origFirst = run(s"$sf/events.parquet", variantDir)
+    val variantFirst = run(variantDir, s"$sf/events.parquet")
+    assert(origFirst === variantFirst, "delivery order changed surviving values")
+
+    val orig = Tables.load(spark, sf, "events")
+    val union = orig.unionByName(orig.withColumn("value", col("value") + 1000.0))
+    val batchTwin = EventStream.dedupBatch(union)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(r => (
+        r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[String]("props"))).toSet
+    assert(origFirst === batchTwin, "stream sink != batch twin full rows")
+    assert(origFirst.nonEmpty)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // an at-least-once upstream: the same file delivered twice
     val dupDir = Files.createTempDirectory("graft_events_dup").toString
