@@ -126,16 +126,26 @@ object EventStream {
     * boundaries — StreamingSpec pins full-row equality across reversed
     * delivery orders.
     *
-    * The sink itself is the dedup state (rewritten per batch after
-    * `localCheckpoint` materializes the merge — the lineage must not
-    * read the directory being overwritten). At scale this merge is a
-    * keyed MERGE INTO on a transactional table (Delta/Iceberg): one
-    * shuffle per batch on the id, sink bounded by ids within the
-    * retention horizon (prune rows with ts older than the watermark at
-    * merge time), not by stream history.
+    * The sink itself is the dedup state, laid out as a parquet
+    * directory hash-partitioned on `_bucket = pmod(hash(id), nBuckets)`
+    * so the per-batch merge is FILE-PRUNED the way a keyed MERGE INTO
+    * on Delta/Iceberg prunes data files: the batch's ids determine the
+    * touched buckets, the merge reads ONLY those buckets (partition
+    * pruning on the filter), and dynamic partition overwrite rewrites
+    * ONLY those buckets — untouched bucket files are never read or
+    * replaced (StreamingSpec asserts their file lists and mtimes are
+    * unchanged across a later micro-batch). Per-batch cost is therefore
+    * O(ids in touched buckets), not O(all ids ever seen): with ids
+    * hashing uniformly over `nBuckets`, a batch touching b buckets
+    * rewrites ~b/nBuckets of the sink however large the id history
+    * grows. `localCheckpoint` materializes the merge before the
+    * overwrite — the lineage must not read the directory being
+    * replaced. At scale, swap the directory layout for a transactional
+    * table and this loop becomes MERGE INTO with the same pruning; the
+    * bucket count plays the role of the table's file granularity.
     */
   def dedupStreamMinBy(events: DataFrame, sinkDir: String, checkpointDir: String,
-      idCol: String = "event_id"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      idCol: String = "event_id", nBuckets: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .withWatermark("ts", "1 day")
       .writeStream
@@ -144,14 +154,30 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
         val newMin = dedupBatch(batch, idCol)
-        val fs = new org.apache.hadoop.fs.Path(sinkDir)
-          .getFileSystem(sess.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(sinkDir)))
-            dedupBatch(sess.read.schema(batch.schema).parquet(sinkDir)
-              .unionByName(newMin), idCol)
-          else newMin
-        merged.localCheckpoint().write.mode("overwrite").parquet(sinkDir)
+          .withColumn("_bucket", pmod(hash(col(idCol)), lit(nBuckets)))
+        // the touched-bucket set is bounded by nBuckets — a metadata-
+        // sized collect, same class as Pipeline's file listings
+        val touched = newMin.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+        val fs = sinkPath.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        if (touched.nonEmpty) {
+          val merged =
+            if (fs.exists(sinkPath)) {
+              // explicit schema (partition col included): the directory
+              // may be mid-rewrite from a prior batch's perspective, and
+              // the filter on the partition column prunes every
+              // untouched bucket at file-listing time
+              val existingTouched = sess.read.schema(newMin.schema).parquet(sinkDir)
+                .filter(col("_bucket").isin(touched: _*))
+              dedupBatch(existingTouched.unionByName(newMin), idCol)
+            } else newMin
+          merged.localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(sinkDir)
+        }
         ()
       }
 

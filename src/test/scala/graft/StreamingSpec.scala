@@ -125,6 +125,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(origFirst.nonEmpty)
   }
 
+  test("bucketed min-by sink: a later micro-batch leaves untouched buckets' files unmodified") {
+    val nBuckets = 8
+    val srcDir = Files.createTempDirectory("graft_ev_bsrc").toString
+    val sink = Files.createTempDirectory("graft_ev_bsink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_ev_bckpt").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def runOnce(): Unit = {
+      val q = EventStream.dedupStreamMinBy(
+        EventStream.readEvents(spark, srcDir), sink, ckpt, nBuckets = nBuckets)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: the full events file
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(srcDir, "a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+
+    // (file name, mtime) per bucket directory — identical sets prove the
+    // bucket's files were neither replaced nor modified in place
+    def bucketFiles(): Map[Int, Set[(String, Long)]] = {
+      val root = new java.io.File(sink)
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map { d =>
+          d.getName.stripPrefix("_bucket=").toInt ->
+            d.listFiles.filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.lastModified)).toSet
+        }.toMap
+    }
+    val before = bucketFiles()
+
+    // batch 2: conflicting (strictly smaller) versions of 3 ids only
+    val smallIds = Seq(1L, 2L, 3L)
+    import spark.implicits._
+    val touchedBuckets = smallIds.toDF("id")
+      .select(pmod(hash(col("id")), lit(nBuckets)).as("b"))
+      .collect().map(_.getInt(0)).toSet
+    assert(before.keySet.diff(touchedBuckets).nonEmpty,
+      "fixture degenerate: every bucket touched, pruning unobservable")
+    val b2 = Files.createTempDirectory("graft_ev_b2").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id").isin(smallIds: _*))
+      .withColumn("value", col("value") - 1e9)
+      .coalesce(1).write.mode("overwrite").parquet(b2)
+    new java.io.File(b2).listFiles.filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.copy(p.toPath, Paths.get(srcDir, s"b$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    runOnce()
+
+    val after = bucketFiles()
+    before.foreach { case (b, files) =>
+      if (touchedBuckets.contains(b))
+        assert(after(b) !== files, s"touched bucket $b was not rewritten")
+      else
+        assert(after(b) === files, s"untouched bucket $b was rewritten")
+    }
+    // and the merge itself is still correct: the new min survives for a
+    // touched id, the original row survives for an untouched one
+    val sinkDf = spark.read.parquet(sink)
+    val orig = Tables.load(spark, sf, "events")
+    val origRow = EventStream.dedupBatch(orig)
+      .filter(col("event_id") === 1L).select("value").head.getDouble(0)
+    assert(sinkDf.filter(col("event_id") === 1L).select("value").head.getDouble(0)
+      === origRow - 1e9)
+    val untouchedId = orig.select("event_id").distinct()
+      .withColumn("b", pmod(hash(col("event_id")), lit(nBuckets)))
+      .filter(!col("b").isin(touchedBuckets.toSeq: _*))
+      .select("event_id").head.getLong(0)
+    val origUntouched = EventStream.dedupBatch(orig)
+      .filter(col("event_id") === untouchedId).select("value").head.getDouble(0)
+    assert(sinkDf.filter(col("event_id") === untouchedId)
+      .select("value").head.getDouble(0) === origUntouched)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // an at-least-once upstream: the same file delivered twice
     val dupDir = Files.createTempDirectory("graft_events_dup").toString
