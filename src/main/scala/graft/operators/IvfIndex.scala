@@ -25,6 +25,57 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Count of quantizer fits — observable evidence that the prebuilt
+    * path never re-trains (SimilaritySpec asserts one fit across N
+    * `searchPrebuilt` calls).
+    */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A built IVF index: the cell assignment of every corpus vector plus
+    * the nlist centroids (driver-side — nlist × dim floats, bounded).
+    * Build once, serve many queries: the production shape at 100 TB,
+    * where re-training the quantizer per query batch would re-scan the
+    * corpus sample and re-broadcast the model every call.
+    */
+  final case class BuiltIvf(assigned: DataFrame, centers: Seq[(Int, Array[Float])])
+
+  /** Fit the quantizer and assign the corpus ONCE. The assignment is
+    * localCheckpoint-materialized because `searchPrebuilt` feeds it to
+    * two plan branches (query selection + candidate join); a saved-and-
+    * loaded index doesn't need this (parquet is already material).
+    */
+  def build(emb: DataFrame, nlist: Int, seed: Long = 42L,
+      maxTrainRows: Long = 100000L, knownN: Long = 0L): BuiltIvf = {
+    val (assigned0, model) = fitAssign(emb, nlist, seed, maxTrainRows, knownN)
+    BuiltIvf(assigned0.localCheckpoint(),
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) })
+  }
+
+  /** Persist a built index: `dir/assigned` (vec_id, embedding, cell —
+    * the corpus-sized part, columnar) and `dir/centroids` (nlist rows).
+    * On a cluster the assigned table would also be WRITTEN bucketed by
+    * cell, so probe joins start co-located.
+    */
+  def save(idx: BuiltIvf, dir: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.centers.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted index. Centroids (nlist rows) come driver-side;
+    * the assignment stays a lazy parquet scan — no corpus pass, no fit.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): BuiltIvf = {
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers)
+  }
+
   /** Assign every vector to its quantizer cell: (vec_id, embedding, cell).
     *
     * Training fits k-means on a bounded random sample (`maxTrainRows`) —
@@ -63,6 +114,7 @@ object IvfIndex {
     // quantizer a pure function of (data, seed) — which is what lets
     // n4's recall be pinned as oracle data.
     val train = train0.coalesce(1)
+    fitCount.incrementAndGet()
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_vec").setPredictionCol("cell")
       .fit(train)
@@ -78,26 +130,28 @@ object IvfIndex {
   def search(
       emb: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      knownN: Long = 0L): DataFrame = {
-    val spark = emb.sparkSession
+      knownN: Long = 0L): DataFrame =
+    searchPrebuilt(build(emb, nlist, seed, knownN = knownN), queryIds, k, nprobe)
+
+  /** Probe + exact re-rank over an ALREADY-BUILT index (fresh from
+    * `build` or reloaded via `load`) — no quantizer fit, no corpus
+    * re-assignment: N search calls cost N probe joins and exactly one
+    * fit, which is what a production ANN service does. Results are
+    * bit-identical to `search` on the same (data, seed): the saved
+    * assignment and float centroids round-trip parquet exactly, and the
+    * re-rank is exact cosine either way (SimilaritySpec pins this).
+    */
+  def searchPrebuilt(idx: BuiltIvf, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val assigned = idx.assigned
+    val spark = assigned.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val (assigned0, model) = fitAssign(emb, nlist, seed, knownN = knownN)
-    // The assignment feeds two plan branches (query selection and the
-    // candidate side of the probe join): materialize it per-call with
-    // localCheckpoint — cache() would let the CacheManager plan-match it
-    // across bench reps (partially measuring a cache read) and leak the
-    // cached corpus for the session (VERDICT r4 #1; same rationale as
-    // minHashLsh's perDoc). On a real cluster swap for
-    // persist(MEMORY_AND_DISK) with an explicit unpersist once consumed.
-    val assigned = assigned0.localCheckpoint()
-    // Probe-selection centroids come straight from the fitted quantizer:
+    // Probe-selection centroids come straight from the built index:
     // nlist × dim floats, built driver-side — no corpus pass (the r3
     // shape recomputed per-cell means via posexplode + two groupBys over
     // every row, a full extra scan with a dim× blowup per search call).
     import spark.implicits._
-    val centers = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
-      .toDF("cell", "centroid")
+    val centers = idx.centers.toDF("cell", "centroid")
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // rank cells per query by centroid cosine; keep nprobe

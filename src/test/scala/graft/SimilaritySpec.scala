@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF: save → load → searchPrebuilt is bit-identical to search, one fit for N calls") {
+    import graft.operators.IvfIndex
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    val direct = rows(IvfIndex.search(planted, plantedQueries, 5, nlist = 10, nprobe = 2))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val before = IvfIndex.fitCount.get()
+    IvfIndex.save(IvfIndex.build(planted, nlist = 10), dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(IvfIndex.fitCount.get() === before + 1, "build must fit exactly once")
+
+    val served = (1 to 3).map(_ =>
+      rows(IvfIndex.searchPrebuilt(loaded, plantedQueries, 5, nprobe = 2)))
+    assert(IvfIndex.fitCount.get() === before + 1,
+      "searchPrebuilt re-trained the quantizer")
+    served.foreach(r => assert(r === direct, "prebuilt result differs from search()"))
+  }
+
   test("LSH code width scales with corpus size (bucket-bounded joins)") {
     import SimilarityOps.deriveBits
     assert(deriveBits(0L) === 8)
