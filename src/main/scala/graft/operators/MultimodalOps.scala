@@ -65,25 +65,75 @@ object MultimodalOps {
 
   /** Attach an opaque binary payload + media_type to the documents table
     * (payload = UTF-8 bytes of `text` — deterministic, testdata-derived;
-    * used by the hash/frame entries that treat media as fully opaque).
+    * used by the hash entries that treat media as fully opaque).
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       col("text").cast("binary").as("payload"),
       concat(lit("media/"), col("source")).as("media_type"))
 
+  // ======== fixture: deterministic multi-frame PPM "video" ========
+
+  /** Frames per document — deterministic 2..5. */
+  def videoFrameCount(docId: Long): Int = 2 + (docId % 4).toInt
+
+  /** Raster byte i of frame f — the per-frame generator both engines
+    * replay: (id·31 + f·17 + i·7) mod 256.
+    */
+  def framePixelByte(docId: Long, frame: Int, i: Long): Int =
+    ((docId * 31L + frame * 17L + i * 7L) % 256L).toInt
+
+  /** A video-like payload: `videoFrameCount(id)` concatenated P6
+    * rasters sharing the document's (w, h) geometry — the binary shape
+    * of an uncompressed frame stream, each frame carrying its own
+    * header (as in y4m/MJPEG-style streams). Frame boundaries are NOT
+    * stored anywhere; the consumer must genuinely parse them.
+    */
+  def videoBytes(docId: Long): Array[Byte] = {
+    val w = imageWidth(docId); val h = imageHeight(docId)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = 3 * w * h
+    val frames = videoFrameCount(docId)
+    val out = new Array[Byte](frames * (header.length + n))
+    var f = 0
+    while (f < frames) {
+      val base = f * (header.length + n)
+      System.arraycopy(header, 0, out, base, header.length)
+      var i = 0
+      while (i < n) {
+        out(base + header.length + i) = framePixelByte(docId, f, i).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** One multi-frame video payload per document row (narrow, no
+    * shuffle) — the corpus the m2 frame-sampling entry decodes.
+    */
+  def withVideoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, "video/x-ppm-stream", videoBytes(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
   // ======== real decoder ========
 
   /** A decoded raster image: `pixels` is w·h·3 raw RGB bytes. */
   final case class PpmImage(width: Int, height: Int, maxval: Int, pixels: Array[Byte])
 
-  /** Parse a binary P6 PPM: magic token, whitespace-separated width /
-    * height / maxval, ONE whitespace byte, then the raw raster. Throws
-    * on malformed input (wrong magic, truncated raster) — a decode
-    * failure must surface, not fabricate metadata.
+  /** Parse one binary P6 PPM starting at `offset`: magic token,
+    * whitespace-separated width / height / maxval, ONE whitespace byte,
+    * then the raw raster. Returns the image and the offset of the first
+    * byte AFTER its raster — the next frame in a concatenated stream.
+    * Throws on malformed input (wrong magic, truncated raster) — a
+    * decode failure must surface, not fabricate metadata.
     */
-  def parsePpm(bytes: Array[Byte]): PpmImage = {
-    var pos = 0
+  def parsePpmAt(bytes: Array[Byte], offset: Int): (PpmImage, Int) = {
+    var pos = offset
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def token(): String = {
       while (pos < bytes.length && isWs(bytes(pos))) pos += 1
@@ -100,7 +150,26 @@ object MultimodalOps {
     val n = 3 * w * h
     require(bytes.length >= pos + n,
       s"truncated PPM raster: need ${pos + n} bytes, have ${bytes.length}")
-    PpmImage(w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    (PpmImage(w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + n)),
+      pos + n)
+  }
+
+  /** Parse a single-image P6 payload (trailing bytes ignored). */
+  def parsePpm(bytes: Array[Byte]): PpmImage = parsePpmAt(bytes, 0)._1
+
+  /** Decode EVERY frame of a concatenated-P6 stream, in order — frame
+    * boundaries come from each frame's own parsed header + raster
+    * length, never from out-of-band metadata.
+    */
+  def parsePpmStream(bytes: Array[Byte]): Seq[PpmImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PpmImage]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (img, next) = parsePpmAt(bytes, pos)
+      out += img
+      pos = next
+    }
+    out.toSeq
   }
 
   /** Typed decode output: geometry + per-channel mean intensity. Means
@@ -205,17 +274,33 @@ object MultimodalOps {
         "byte_sum", "byte_checksum")
   }
 
-  /** Frame sampling plumbing: every `step`-th frame of the decoded
-    * stream, frame payload = a byte slice (stand-in for the decoded
-    * frame) — pure expressions, no UDF, order-preserving explode.
+  /** Frame sampling over DECODED video: walk every frame boundary of
+    * the concatenated-P6 stream with the real parser, keep every
+    * `step`-th frame, and emit its geometry plus order-sensitive byte
+    * stats (Σv and the position-weighted Σ v·(i+1)) — a frame-boundary
+    * mis-parse, channel slip, or off-by-one frame index cannot
+    * hash-match the oracle's replay of the generator formula. Decode
+    * runs per-partition over the binary column: frames never shuffle,
+    * memory is bounded by one payload at a time.
     */
-  def frameSample(media: DataFrame, step: Int, frameBytes: Int = 8): DataFrame =
-    media
-      .withColumn("n_frames", lit(1) + octet_length(col("payload")) % 30)
-      .select(col("doc_id"), col("payload"),
-        explode(expr(s"sequence(0, n_frames - 1, $step)")).as("frame_idx"))
-      .filter(octet_length(col("payload")) >= col("frame_idx") * frameBytes + frameBytes)
-      .select(col("doc_id"), col("frame_idx"),
-        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
-          .as("frame_payload"))
+  def frameSample(spark: SparkSession, media: DataFrame, step: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parsePpmStream(bytes).iterator.zipWithIndex
+            .filter { case (_, f) => f % step == 0 }
+            .map { case (img, f) =>
+              var s = 0L; var c = 0L; var i = 0
+              while (i < img.pixels.length) {
+                val v = (img.pixels(i) & 0xFF).toLong
+                s += v; c += v * (i + 1); i += 1
+              }
+              (id, f, img.width, img.height, s, c)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "byte_sum", "byte_checksum")
+  }
 }

@@ -33,24 +33,36 @@ object MultimodalQueries extends QueryPack {
              sha256(text) AS payload_sha256
              FROM documents ORDER BY doc_id""")),
 
-    // Frame-sampling plumbing: every 4th fake frame, frame payload =
-    // 8-byte slice, fingerprinted. Exercises binary slicing + ordered
-    // explode — the exact shape of real video frame extraction.
+    // REAL video frame sampling: each document carries a multi-frame
+    // payload of videoFrameCount(id) concatenated P6 rasters (frame f
+    // raster byte i = (id·31 + f·17 + i·7) mod 256); the Spark side
+    // walks the actual frame boundaries with the PPM parser and emits
+    // every 2nd frame's geometry + order-sensitive byte stats. The
+    // oracle replays the generator formula (DuckDB cannot parse BLOBs),
+    // so a boundary mis-parse or frame-index slip breaks the hash.
     Q("m2_frame_sample",
       (s, d) => MultimodalOps
-        .frameSample(
-          MultimodalOps.withPayload(Tables.load(s, d, "documents")), step = 4)
-        .select(col("doc_id"), col("frame_idx"),
-          md5(col("frame_payload")).as("frame_md5"))
+        .frameSample(s,
+          MultimodalOps.withVideoPayload(s, Tables.load(s, d, "documents")),
+          step = 2)
         .orderBy("doc_id", "frame_idx"),
-      Some("""WITH m AS (SELECT doc_id, text,
-               1 + octet_length(CAST(text AS BLOB)) % 30 AS n_frames FROM documents),
-             f AS (SELECT doc_id, text, n_frames,
-               unnest(range(0, n_frames, 4)) AS frame_idx FROM m)
-             SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-               md5(substr(text, CAST(frame_idx AS INTEGER) * 8 + 1, 8)) AS frame_md5
-             FROM f WHERE octet_length(CAST(text AS BLOB)) >= frame_idx * 8 + 8
-             ORDER BY doc_id, frame_idx""")),
+      Some("""WITH dims AS (SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INTEGER) AS width,
+               CAST(8 + doc_id % 7 AS INTEGER) AS height,
+               2 + doc_id % 4 AS n_frames FROM documents),
+             fr AS (SELECT doc_id, width, height,
+               unnest(range(0, n_frames, 2)) AS f FROM dims),
+             px AS (SELECT doc_id, width, height, f,
+               unnest(range(0, 3 * width * height)) AS j FROM fr),
+             v AS (SELECT doc_id, width, height, f, j,
+               (doc_id*31 + f*17 + j*7) % 256 AS v FROM px),
+             agg AS (SELECT doc_id, f, width, height,
+               sum(v) AS byte_sum, sum(v * (j + 1)) AS byte_checksum
+              FROM v GROUP BY 1, 2, 3, 4)
+             SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, width, height,
+               CAST(byte_sum AS BIGINT) AS byte_sum,
+               CAST(byte_checksum AS BIGINT) AS byte_checksum
+             FROM agg ORDER BY doc_id, frame_idx""")),
 
     // REAL image decode + feature extraction: each document carries a
     // deterministic binary P6 PPM payload (MultimodalOps.ppmBytes —

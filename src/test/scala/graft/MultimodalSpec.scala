@@ -70,16 +70,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling yields ceil(n_frames/step) in-bounds slices per doc") {
-    val media = MultimodalOps.withPayload(Tables.load(spark, sf, "documents"))
-    val frames = MultimodalOps.frameSample(media, step = 4)
-    val counts = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      max("frame_idx").as("max_idx"))
+  test("frame sampling decodes real frame boundaries and per-frame stats") {
+    // parsePpmStream: frame count and every frame byte match the generator
+    val imgs = MultimodalOps.parsePpmStream(MultimodalOps.videoBytes(7L))
+    assert(imgs.length === MultimodalOps.videoFrameCount(7L))
+    imgs.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width === MultimodalOps.imageWidth(7L))
+      assert(img.height === MultimodalOps.imageHeight(7L))
+      img.pixels.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xFF) === MultimodalOps.framePixelByte(7L, f, i),
+          s"frame $f byte $i")
+      }
+    }
+
+    val media = MultimodalOps.withVideoPayload(
+      spark, Tables.load(spark, sf, "documents"))
+    val frames = MultimodalOps.frameSample(spark, media, step = 2)
     // every sampled index is a multiple of the step
-    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
-    // frame payloads are exactly 8 bytes
-    assert(frames.filter(octet_length(col("frame_payload")) =!= 8).count() === 0)
-    assert(counts.filter(col("n") < 1).count() === 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    // exactly ceil(n_frames / step) sampled frames per doc
+    val counts = frames.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (id, n) =>
+      assert(n === (MultimodalOps.videoFrameCount(id) + 1) / 2, s"doc $id")
+    }
+    assert(counts.size === Tables.load(spark, sf, "documents").count())
+    // hand-check one non-zero frame's stats against the generator formula
+    val r = frames.filter(col("doc_id") === 5L && col("frame_idx") === 2)
+      .collect().head
+    val w = MultimodalOps.imageWidth(5L); val h = MultimodalOps.imageHeight(5L)
+    assert(r.getAs[Int]("width") === w); assert(r.getAs[Int]("height") === h)
+    val vs = (0 until 3 * w * h).map(i =>
+      MultimodalOps.framePixelByte(5L, 2, i).toLong)
+    assert(r.getAs[Long]("byte_sum") === vs.sum)
+    assert(r.getAs[Long]("byte_checksum") ===
+      vs.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
   }
 
   test("resizeNearest maps output pixels to the floor-scaled source pixel") {
