@@ -30,6 +30,39 @@ object Ddl {
     * indirection; the pipeline runs truncate only at setup,
     * dp_demo.sql:16-19, where no readers exist.)
     */
+  /** Warehouse-resize analogue (`alter warehouse dp_wh set
+    * warehouse_size=large` before the heavy unload and back to `small`
+    * after it — reference dp_demo.sql:111-113,145). Spark has no
+    * warehouse object: compute sizing is the session's parallelism, so
+    * the T-shirt size maps onto `spark.sql.shuffle.partitions`, the
+    * session-scoped parallelism knob that is safe to flip at runtime
+    * (executor COUNT belongs to the cluster manager — at 100 TB that is
+    * dynamic allocation policy, not per-statement DDL). The prior value
+    * is restored when `body` completes, matching the reference's paired
+    * resize-back, and the resize intent is recorded as a task_history
+    * row when a metrics path is supplied — the same place the
+    * reference's resize shows up in monitoring views.
+    */
+  val warehouseSizes: Map[String, Int] = Map(
+    "xsmall" -> 8, "small" -> 16, "medium" -> 32, "large" -> 64, "xlarge" -> 128)
+
+  def withWarehouseSize[T](spark: SparkSession, size: String,
+      taskHistoryPath: Option[String] = None,
+      clock: Clock = SystemClock)(body: => T): T = {
+    val partitions = warehouseSizes.getOrElse(size.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown warehouse_size '$size' (one of ${warehouseSizes.keys.toSeq.sorted.mkString(", ")})"))
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    taskHistoryPath.foreach { p =>
+      Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size", "SUCCEEDED",
+          clock.now(), clock.now(), 0L)
+        .write.mode("append").parquet(p)
+    }
+    spark.conf.set(key, partitions.toString)
+    try body finally spark.conf.set(key, prior)
+  }
+
   def truncate(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)

@@ -34,6 +34,38 @@ class DdlSpec extends AnyFunSuite {
     Ddl.truncate(spark, s"$dir/never_created") // no-op, must not throw
   }
 
+  test("withWarehouseSize scopes shuffle parallelism and records the resize") {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    val hist = Files.createTempDirectory("graft_wh").toString + "/task_history"
+    val clock = new graft.pipeline.ManualClock(
+      java.sql.Timestamp.valueOf("2020-01-10 12:00:00").getTime)
+
+    val seen = Ddl.withWarehouseSize(spark, "large", Some(hist), clock) {
+      spark.conf.get(key)
+    }
+    assert(seen === Ddl.warehouseSizes("large").toString)
+    assert(spark.conf.get(key) === prior, "prior parallelism not restored")
+
+    // restored even when the body throws (the paired resize-back)
+    intercept[RuntimeException] {
+      Ddl.withWarehouseSize(spark, "xlarge") { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key) === prior)
+
+    intercept[IllegalArgumentException] {
+      Ddl.withWarehouseSize(spark, "gigantic") { () }
+    }
+
+    // the resize intent is visible where the reference's monitoring looks
+    val rows = spark.read.parquet(hist)
+      .select("name", "state", "scheduled_time").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "alter_warehouse_size_large")
+    assert(rows.head.getString(1) === "SUCCEEDED")
+    assert(rows.head.getTimestamp(2) === clock.now())
+  }
+
   test("current_time/current_timestamp parity via injectable clock") {
     val clock = new graft.pipeline.ManualClock(
       java.sql.Timestamp.valueOf("2020-01-10 12:34:56").getTime)
