@@ -53,14 +53,15 @@ object IvfIndex {
   }
 
   /** Persist a built index: `dir/assigned` (vec_id, embedding, cell —
-    * the corpus-sized part, columnar) and `dir/centroids` (nlist rows).
-    * On a cluster the assigned table would also be WRITTEN bucketed by
-    * cell, so probe joins start co-located.
+    * the corpus-sized part, columnar, PARTITIONED by cell so a probe
+    * that touches nprobe cells prunes every other cell's files at
+    * listing time) and `dir/centroids` (nlist rows).
     */
   def save(idx: BuiltIvf, dir: String): Unit = {
     val spark = idx.assigned.sparkSession
     import spark.implicits._
-    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assigned")
     idx.centers.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
