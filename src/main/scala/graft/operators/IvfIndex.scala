@@ -77,6 +77,64 @@ object IvfIndex {
     BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers)
   }
 
+  /** Driver-side replica of `graft_cosine`'s exact arithmetic (left-to-
+    * right double accumulation of dot and both squared norms, one final
+    * division) so probe selection in `searchPruned` is bit-identical to
+    * the in-plan crossJoin + row_number path.
+    */
+  private def cosineExact(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Serving-path search over a loaded cell-partitioned index: probe
+    * cells are selected DRIVER-SIDE from the (queryIds-bounded) query
+    * vectors against the nlist centroids, then pushed into the assigned
+    * scan as a partition filter — with `save`'s layout, only the probed
+    * cells' files are LISTED and read at all. This is the 100 TB query
+    * path: a k-query batch reads ≤ k·nprobe cells of the corpus rather
+    * than scanning it and discarding non-probed cells after the fact.
+    * Probe ordering (cosine desc, cell asc) and the exact re-rank match
+    * `searchPrebuilt` operation-for-operation, so results are
+    * bit-identical (SimilaritySpec pins it).
+    */
+  def searchPruned(idx: BuiltIvf, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = idx.assigned.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // query vectors: a queryIds-bounded collect (queries are few; the
+    // corpus is what must never reach the driver)
+    val qVecs = idx.assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = qVecs.flatMap { case (qid, qe) =>
+      idx.centers
+        .map { case (cell, c) => (cell, cosineExact(qe, c)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(nprobe)
+        .map { case (cell, _) => (qid, qe, cell) }
+    }.toSeq
+    val touchedCells = probes.map(_._3).distinct
+    val probed = probes.toDF("query_id", "qe", "cell")
+    val candidates = idx.assigned
+      .filter(col("cell").isin(touchedCells: _*)) // partition-pruned scan
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cell"))
+    probed.join(candidates, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_cosine(qe, ne)").as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
   /** Assign every vector to its quantizer cell: (vec_id, embedding, cell).
     *
     * Training fits k-means on a bounded random sample (`maxTrainRows`) —

@@ -73,6 +73,29 @@ class SimilaritySpec extends AnyFunSuite {
     served.foreach(r => assert(r === direct, "prebuilt result differs from search()"))
   }
 
+  test("IVF: partition-pruned serving matches searchPrebuilt and filters the scan by cell") {
+    import graft.operators.IvfIndex
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_srv").toString
+    IvfIndex.save(IvfIndex.build(planted, nlist = 10), dir)
+    val loaded = IvfIndex.load(spark, dir)
+
+    // 3 queries × nprobe 2 → at most 6 of the 10 cells are ever probed
+    val qs = plantedQueries.take(3)
+    val pruned = IvfIndex.searchPruned(loaded, qs, 5, nprobe = 2)
+    assert(rows(pruned) === rows(IvfIndex.searchPrebuilt(loaded, qs, 5, nprobe = 2)))
+
+    // the probe filter reaches the assigned scan as a PARTITION filter
+    // (the save layout is partitioned by cell), so non-probed cells'
+    // files are pruned at listing time, not post-read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition filter on cell in:\n${plan.take(1500)}")
+  }
+
   test("LSH code width scales with corpus size (bucket-bounded joins)") {
     import SimilarityOps.deriveBits
     assert(deriveBits(0L) === 8)
