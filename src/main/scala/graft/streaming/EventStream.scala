@@ -143,9 +143,21 @@ object EventStream {
     * replaced. At scale, swap the directory layout for a transactional
     * table and this loop becomes MERGE INTO with the same pruning; the
     * bucket count plays the role of the table's file granularity.
+    *
+    * `retentionMs` bounds the SINK by an event-time horizon, the merge-
+    * side analogue of `dedupStream`'s watermark-bounded state: at merge
+    * time, surviving rows whose event time falls more than the horizon
+    * before the batch's max event time are dropped from the touched
+    * buckets (a later replay of such an id would re-insert it — the
+    * same contract watermark state eviction gives). Untouched buckets
+    * keep their expired rows until next touched, exactly as file-pruned
+    * MERGE leaves cold files to a periodic compaction sweep. Horizon
+    * arithmetic is millisecond-precision (`Timestamp.getTime`); events
+    * within 1 ms of the cutoff may fall either side of it.
     */
   def dedupStreamMinBy(events: DataFrame, sinkDir: String, checkpointDir: String,
-      idCol: String = "event_id", nBuckets: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      idCol: String = "event_id", nBuckets: Int = 64,
+      retentionMs: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .withWatermark("ts", "1 day")
       .writeStream
@@ -162,7 +174,7 @@ object EventStream {
         val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
         val fs = sinkPath.getFileSystem(sess.sparkContext.hadoopConfiguration)
         if (touched.nonEmpty) {
-          val merged =
+          val merged0 =
             if (fs.exists(sinkPath)) {
               // explicit schema (partition col included): the directory
               // may be mid-rewrite from a prior batch's perspective, and
@@ -172,6 +184,14 @@ object EventStream {
                 .filter(col("_bucket").isin(touched: _*))
               dedupBatch(existingTouched.unionByName(newMin), idCol)
             } else newMin
+          val merged = retentionMs.fold(merged0) { ms =>
+            // horizon anchored at the batch's max event time — the
+            // foreachBatch stand-in for the stream's watermark
+            val maxTs = batch.agg(max(col("ts"))).head.getTimestamp(0)
+            if (maxTs == null) merged0
+            else merged0.filter(
+              col("ts") >= lit(new java.sql.Timestamp(maxTs.getTime - ms)))
+          }
           merged.localCheckpoint()
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

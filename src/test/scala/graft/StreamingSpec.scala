@@ -202,6 +202,33 @@ class StreamingSpec extends AnyFunSuite {
       .select("value").head.getDouble(0) === origUntouched)
   }
 
+  test("min-by sink retention evicts rows older than the event-time horizon") {
+    val srcDir = Files.createTempDirectory("graft_ev_rsrc").toString
+    val sink = Files.createTempDirectory("graft_ev_rsink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_ev_rckpt").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(srcDir, "a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val retentionMs = 10L * 24 * 3600 * 1000 // 10 days of a ~30-day spread
+    val q = EventStream.dedupStreamMinBy(
+      EventStream.readEvents(spark, srcDir), sink, ckpt,
+      retentionMs = Some(retentionMs))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val orig = Tables.load(spark, sf, "events")
+    val maxTs = orig.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - retentionMs)
+    val expected = EventStream.dedupBatch(orig)
+      .filter(col("ts") >= lit(cutoff))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val kept = spark.read.parquet(sink)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty, "retention evicted everything — fixture degenerate")
+    assert(kept.size < orig.select("event_id").distinct().count(),
+      "retention evicted nothing — fixture degenerate")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // an at-least-once upstream: the same file delivered twice
     val dupDir = Files.createTempDirectory("graft_events_dup").toString
