@@ -107,6 +107,33 @@ class MultimodalSpec extends AnyFunSuite {
       vs.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
   }
 
+  test("parsePpmStream round-trips arbitrary geometries and frame counts") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      // multi-digit dims exercise variable-length headers; frame sizes
+      // differ WITHIN a stream (each frame parses its own header)
+      val frames = (0 until (1 + rnd.nextInt(6))).map { _ =>
+        val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(25)
+        val px = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+        (w, h, px)
+      }
+      val payload = frames.flatMap { case (w, h, px) =>
+        s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+      }.toArray
+      val parsed = MultimodalOps.parsePpmStream(payload)
+      assert(parsed.length === frames.length)
+      parsed.zip(frames).foreach { case (img, (w, h, px)) =>
+        assert(img.width === w); assert(img.height === h)
+        assert(img.pixels.sameElements(px))
+      }
+    }
+    // truncated last frame fails loudly, never silently drops it
+    val good = MultimodalOps.videoBytes(3L)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parsePpmStream(good.dropRight(1))
+    }
+  }
+
   test("resizeNearest maps output pixels to the floor-scaled source pixel") {
     // 2×2 checkerboard-ish source upscaled to 4×4: each source pixel
     // covers a 2×2 output block (nearest-neighbour floor semantics).
