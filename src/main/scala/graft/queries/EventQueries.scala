@@ -95,6 +95,33 @@ object EventQueries extends QueryPack {
                FROM events WHERE event_type = 'error')
              SELECT w_id, count(*) AS n_points
              FROM e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
-             GROUP BY w_id ORDER BY w_id"""))
+             GROUP BY w_id ORDER BY w_id""")),
+
+    // Stream-stream interval join (view→click attribution within 4 h),
+    // run here as its batch twin — same function, watermark a no-op;
+    // StreamingSpec proves the streaming execution emits the identical
+    // row set. Equi-join on user_id with the time range as residual:
+    // one shuffle per side, state bounded by watermark+window when
+    // streamed.
+    Q("e5_interval_join",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        EventStream.intervalJoin(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "click"), windowMinutes = 240)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("view_ts").cast("timestamp_ntz").as("view_ts"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+          .orderBy("view_id", "click_id")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
+               event_type, value FROM events)
+             SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               v.ts AS view_ts, c.ts AS click_ts, c.value AS click_value
+             FROM e v JOIN e c ON v.user_id = c.user_id
+               AND v.event_type = 'view' AND c.event_type = 'click'
+               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+             ORDER BY view_id, click_id"""))
   )
 }

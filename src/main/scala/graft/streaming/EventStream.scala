@@ -201,6 +201,38 @@ object EventStream {
         ()
       }
 
+  /** Event-time stream-stream interval join (view→click attribution
+    * shape): each click joins the SAME user's views whose event time
+    * falls within the `windowMinutes` before the click. Both inputs are
+    * watermarked and the join condition bounds click_ts to
+    * [view_ts, view_ts + window] — the two facts Structured Streaming
+    * needs to EVICT join state: a buffered view can be dropped once the
+    * click watermark passes view_ts + window, a buffered click once the
+    * view watermark passes click_ts. State is bounded by events inside
+    * the lateness+window horizon, not stream history. The same code
+    * runs as a batch plan (watermark is a no-op; the join becomes an
+    * equi-join on user_id with the range as join residual — one shuffle
+    * per side, never a cartesian): the e5 oracle entry and
+    * StreamingSpec's parity test share this exact function. At 100 TB
+    * the shuffle keys on user_id; a skewed power-user key is handled
+    * the same way as any skewed join (AQE skew split / salting).
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame, windowMinutes: Int): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 day")
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"), col("click_value"))
+  }
+
   /** Batch twin of `dedupStream`. The surviving row is DETERMINISTIC —
     * min by every non-id column in schema order (event time first for
     * the events table) — where `dropDuplicates` would keep a partition-

@@ -70,6 +70,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join emits exactly the batch plan's rows") {
+    val ev = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), windowMinutes = 240)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def tup(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "view_id", "click_id", "view_ts", "click_ts", "click_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5))).toSet
+    val streamed = tup(spark.table("ivj"))
+    val batchEv = Tables.load(spark, sf, "events")
+    val batch = tup(EventStream.intervalJoin(
+      batchEv.filter(col("event_type") === "view"),
+      batchEv.filter(col("event_type") === "click"), windowMinutes = 240))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("min-by streaming dedup: surviving VALUES independent of delivery order") {
     import org.apache.spark.sql.streaming.Trigger
     // two conflicting versions of every event: the original file and a
