@@ -201,6 +201,44 @@ object EventStream {
         ()
       }
 
+  /** Maintenance sweep for a `dedupStreamMinBy` sink: drop rows whose
+    * event time (`ts`) falls more than `retentionMs` before the sink's
+    * max event time, from EVERY bucket — the merge path prunes only
+    * buckets it touches, so cold buckets keep expired rows until this
+    * sweep runs (the VACUUM/compaction analogue for the directory
+    * layout; on Delta/Iceberg this is the table's retention compaction
+    * job). Only buckets actually holding expired rows are rewritten;
+    * a bucket whose rows ALL expired is deleted outright — dynamic
+    * partition overwrite cannot remove a partition it writes no rows
+    * into, so relying on it alone would silently resurrect fully-
+    * expired buckets.
+    */
+  def compactSink(spark: SparkSession, sinkDir: String, retentionMs: Long): Unit = {
+    val df = spark.read.parquet(sinkDir)
+    val maxTs = df.agg(max(col("ts"))).head.getTimestamp(0)
+    if (maxTs != null) {
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - retentionMs)
+      val touched = df.filter(col("ts") < lit(cutoff))
+        .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val kept = df
+          .filter(col("_bucket").isin(touched: _*) && col("ts") >= lit(cutoff))
+          .localCheckpoint() // materialize before touching the directory
+        val keptBuckets = kept.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (keptBuckets.nonEmpty)
+          kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket").parquet(sinkDir)
+        val fs = new org.apache.hadoop.fs.Path(sinkDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(keptBuckets).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$sinkDir/_bucket=$b"), true)
+        }
+      }
+    }
+  }
+
   /** Event-time stream-stream interval join (view→click attribution
     * shape): each click joins the SAME user's views whose event time
     * falls within the `windowMinutes` before the click. Both inputs are

@@ -251,6 +251,44 @@ class StreamingSpec extends AnyFunSuite {
       "retention evicted nothing — fixture degenerate")
   }
 
+  test("compactSink sweeps expired rows from cold buckets, deleting fully-expired ones") {
+    val srcDir = Files.createTempDirectory("graft_ev_csrc").toString
+    val sink = Files.createTempDirectory("graft_ev_csink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_ev_cckpt").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(srcDir, "a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // ingest WITHOUT retention: the sink holds every id
+    val q = EventStream.dedupStreamMinBy(
+      EventStream.readEvents(spark, srcDir), sink, ckpt, nBuckets = 4)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // 1-hour horizon on a ~30-day spread: only the last hour's ids
+    // survive, so with 4 buckets some buckets expire COMPLETELY —
+    // exercising the delete branch dynamic overwrite cannot cover
+    val retentionMs = 3600L * 1000
+    EventStream.compactSink(spark, sink, retentionMs)
+
+    val orig = Tables.load(spark, sf, "events")
+    val maxTs = orig.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - retentionMs)
+    val expected = EventStream.dedupBatch(orig)
+      .filter(col("ts") >= lit(cutoff))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val kept = spark.read.parquet(sink)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty, "compaction swept everything — fixture degenerate")
+    // fully-expired buckets are gone from the directory
+    val liveBuckets = spark.read.parquet(sink)
+      .select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    val dirs = new java.io.File(sink).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+      .map(_.getName.stripPrefix("_bucket=").toInt).toSet
+    assert(dirs === liveBuckets, "expired bucket directories survived the sweep")
+    assert(dirs.size < 4, "no bucket fully expired — delete branch not exercised")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // an at-least-once upstream: the same file delivered twice
     val dupDir = Files.createTempDirectory("graft_events_dup").toString
