@@ -157,6 +157,33 @@ object SimilarityQueries extends QueryPack {
               lit(K.toDouble)).as("recall"))
           .orderBy("query_id")
       },
+      Some(ivfRecallOracle)),
+
+    // The SERVING path of the same IVF index: build → save (cell-
+    // partitioned) → load → searchPruned (driver-side probe selection
+    // pushed down as a partition filter). Bit-identical to n4's
+    // in-plan search (SimilaritySpec pins it), so it shares n4's
+    // pinned-recall oracle — a hash mismatch means the persisted
+    // round-trip or the pruned probe path diverged from the live one.
+    Q("n5_ann_ivf_served",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_n5").toString
+        graft.operators.IvfIndex.save(graft.operators.IvfIndex.build(
+          emb, nlist = 16, knownN = Tables.rowCount(s, d, "embeddings")), dir)
+        val ann = graft.operators.IvfIndex.searchPruned(
+          graft.operators.IvfIndex.load(s, dir), QueryIds, K, nprobe = 4)
+        val exact = SimilarityOps.topKCosineWindow(emb, QueryIds, K)
+        exact.as("x").join(ann.as("a"),
+            col("x.query_id") === col("a.query_id") &&
+            col("x.neighbor_id") === col("a.neighbor_id"), "left")
+          .groupBy(col("x.query_id").as("query_id"))
+          .agg(sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+            (sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L)) /
+              lit(K.toDouble)).as("recall"))
+          .orderBy("query_id")
+      },
       Some(ivfRecallOracle))
   )
 
