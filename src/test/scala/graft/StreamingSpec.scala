@@ -251,6 +251,50 @@ class StreamingSpec extends AnyFunSuite {
       "retention evicted nothing — fixture degenerate")
   }
 
+  test("bucketed sink converges to the batch twin across many overlapping micro-batches") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // four overlapping slices with distinct value shifts: slice i holds
+    // ids where (id + i) % 3 == 0, value += i·10⁴ — every id appears in
+    // 1-2 slices, so merges constantly revisit buckets
+    def slice(i: Int) = raw
+      .filter(pmod(col("event_id") + i, lit(3)) === 0)
+      .withColumn("value", col("value") + i * 10000.0)
+
+    def run(order: Seq[Int]): Set[(Long, Double)] = {
+      val srcDir = Files.createTempDirectory("graft_ev_msrc").toString
+      val sink = Files.createTempDirectory("graft_ev_msink").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft_ev_mckpt").toString
+      order.foreach { i =>
+        val stage = Files.createTempDirectory(s"graft_ev_m$i").toString
+        slice(i).coalesce(1).write.mode("overwrite").parquet(stage)
+        new java.io.File(stage).listFiles.filter(_.getName.endsWith(".parquet"))
+          .foreach(p => Files.copy(p.toPath, Paths.get(srcDir, s"s$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING))
+        val q = EventStream.dedupStreamMinBy(
+          EventStream.readEvents(spark, srcDir), sink, ckpt, nBuckets = 8)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(sink).select("event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    }
+
+    val fwd = run(Seq(0, 1, 2, 3))
+    val rev = run(Seq(3, 2, 1, 0))
+    assert(fwd === rev, "delivery order changed the converged sink")
+
+    val ev = Tables.load(spark, sf, "events")
+    val union = (0 until 4).map(i => ev
+        .filter(pmod(col("event_id") + i, lit(3)) === 0)
+        .withColumn("value", col("value") + i * 10000.0))
+      .reduce(_.unionByName(_))
+    val twin = EventStream.dedupBatch(union).select("event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fwd === twin, "converged sink != batch twin over the slice union")
+    assert(fwd.nonEmpty)
+  }
+
   test("compactSink sweeps expired rows from cold buckets, deleting fully-expired ones") {
     val srcDir = Files.createTempDirectory("graft_ev_csrc").toString
     val sink = Files.createTempDirectory("graft_ev_csink").toString + "/out"
