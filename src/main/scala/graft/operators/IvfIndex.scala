@@ -35,9 +35,20 @@ object IvfIndex {
     * the nlist centroids (driver-side — nlist × dim floats, bounded).
     * Build once, serve many queries: the production shape at 100 TB,
     * where re-training the quantizer per query batch would re-scan the
-    * corpus sample and re-broadcast the model every call.
+    * corpus sample and re-broadcast the model every call. `byId` is the
+    * vec_id-addressable side store a persisted index carries (see
+    * `save`) so corpus-resident query vectors are fetched by id-bucket
+    * partition pruning, never by scanning the corpus-sized assignment.
     */
-  final case class BuiltIvf(assigned: DataFrame, centers: Seq[(Int, Array[Float])])
+  final case class BuiltIvf(assigned: DataFrame, centers: Seq[(Int, Array[Float])],
+      byId: Option[DataFrame] = None)
+
+  /** Bucket count of the `by_id` side store: a k-query lookup lists at
+    * most k of these partition directories however large the corpus
+    * grows (bucket width = corpus/64; at 100 TB raise alongside the
+    * table's file granularity).
+    */
+  val IdBuckets = 64
 
   /** Fit the quantizer and assign the corpus ONCE. The assignment is
     * localCheckpoint-materialized because `searchPrebuilt` feeds it to
@@ -64,6 +75,13 @@ object IvfIndex {
       .partitionBy("cell").parquet(s"$dir/assigned")
     idx.centers.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // vec_id-addressable side store: the same vectors hash-partitioned
+    // on id so `searchPruned`'s query lookup reads ≤ |queries| buckets
+    // instead of scanning every cell of the assignment (ADVICE r7)
+    idx.assigned.select(col("vec_id"), col("embedding"))
+      .withColumn("_idb", pmod(hash(col("vec_id")), lit(IdBuckets)))
+      .write.mode("overwrite")
+      .partitionBy("_idb").parquet(s"$dir/by_id")
   }
 
   /** Load a persisted index. Centroids (nlist rows) come driver-side;
@@ -74,7 +92,11 @@ object IvfIndex {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers)
+    val byIdPath = new org.apache.hadoop.fs.Path(s"$dir/by_id")
+    val fs = byIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byId = // absent on indexes saved before the side store existed
+      if (fs.exists(byIdPath)) Some(spark.read.parquet(s"$dir/by_id")) else None
+    BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers, byId)
   }
 
   /** Driver-side replica of `graft_cosine`'s exact arithmetic (left-to-
@@ -105,20 +127,49 @@ object IvfIndex {
   def searchPruned(idx: BuiltIvf, queryIds: Seq[Long], k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = idx.assigned.sparkSession
-    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    // query vectors: a queryIds-bounded collect (queries are few; the
-    // corpus is what must never reach the driver)
-    val qVecs = idx.assigned.filter(col("vec_id").isin(queryIds: _*))
+    // query vectors: resolved through the vec_id-addressable side store
+    // when the index carries one — the id buckets of the k query ids
+    // are computed with a k-row local job (exact Murmur3 parity with
+    // what `save` wrote), pushed down as a partition filter, so only
+    // ≤ k of the store's buckets are listed or read. The corpus-sized
+    // assignment is never scanned to locate queries (ADVICE r7).
+    val store = idx.byId.getOrElse(
+      // fresh in-memory build: assigned is localCheckpoint-materialized,
+      // the bounded-collect fallback reads no files
+      idx.assigned.select(col("vec_id"), col("embedding")))
+    val pruned = idx.byId.fold(store) { s =>
+      val buckets = queryIds.toDF("vec_id")
+        .select(pmod(hash(col("vec_id")), lit(IdBuckets)))
+        .as[Int].collect().distinct.toSeq
+      s.filter(col("_idb").isin(buckets: _*))
+    }
+    val qVecs = pruned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = qVecs.flatMap { case (qid, qe) =>
+      .toSeq
+    searchPrunedVecs(idx, qVecs, k, nprobe)
+  }
+
+  /** The vector-accepting serving core: queries arrive AS vectors (the
+    * production shape — a serving tier's queries come from outside the
+    * corpus), probe cells are selected driver-side against the nlist
+    * centroids, and the probed cells reach the assigned scan as a
+    * partition filter. A k-query batch reads ≤ k·nprobe cells of the
+    * corpus however it is invoked.
+    */
+  def searchPrunedVecs(idx: BuiltIvf, queries: Seq[(Long, Array[Float])], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = idx.assigned.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, qe) =>
       idx.centers
         .map { case (cell, c) => (cell, cosineExact(qe, c)) }
         .sortBy { case (cell, sim) => (-sim, cell) }
         .take(nprobe)
         .map { case (cell, _) => (qid, qe, cell) }
-    }.toSeq
+    }
     val touchedCells = probes.map(_._3).distinct
     val probed = probes.toDF("query_id", "qe", "cell")
     val candidates = idx.assigned

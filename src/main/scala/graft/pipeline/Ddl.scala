@@ -54,13 +54,27 @@ object Ddl {
         s"unknown warehouse_size '$size' (one of ${warehouseSizes.keys.toSeq.sorted.mkString(", ")})"))
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
-    taskHistoryPath.foreach { p =>
-      Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size", "SUCCEEDED",
-          clock.now(), clock.now(), 0L)
-        .write.mode("append").parquet(p)
-    }
+    val scheduled = clock.now()
     spark.conf.set(key, partitions.toString)
-    try body finally spark.conf.set(key, prior)
+    // monitoring rows are written AFTER the fact with the actual outcome
+    // (a body that throws records FAILED, not a pre-declared SUCCEEDED),
+    // and the resize-back gets its own row — the reference issues two
+    // explicit ALTERs (dp_demo.sql:111-113,145) and both show up in
+    // task_history
+    var state = "SUCCEEDED"
+    try body
+    catch { case e: Throwable => state = "FAILED"; throw e }
+    finally {
+      spark.conf.set(key, prior)
+      taskHistoryPath.foreach { p =>
+        val done = clock.now()
+        Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size", state,
+            scheduled, done, 0L)
+          .unionByName(Metrics.taskHistoryRow(spark,
+            "alter_warehouse_size_restore", "SUCCEEDED", done, done, 0L))
+          .write.mode("append").parquet(p)
+      }
+    }
   }
 
   def truncate(spark: SparkSession, path: String): Unit = {

@@ -192,11 +192,22 @@ object EventStream {
             else merged0.filter(
               col("ts") >= lit(new java.sql.Timestamp(maxTs.getTime - ms)))
           }
-          merged.localCheckpoint()
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(sinkDir)
+          // dynamic partition overwrite only rewrites buckets PRESENT in
+          // `merged` — a touched bucket whose rows ALL expired under the
+          // retention horizon would keep its stale pre-merge files (the
+          // dropped ids would resurrect with their old values). Delete
+          // those bucket directories explicitly, as compactSink does.
+          val mergedC = merged.localCheckpoint()
+          val keptBuckets = mergedC.select("_bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (keptBuckets.nonEmpty)
+            mergedC.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_bucket")
+              .parquet(sinkDir)
+          touched.filterNot(keptBuckets).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$sinkDir/_bucket=$b"), true)
+          }
         }
         ()
       }

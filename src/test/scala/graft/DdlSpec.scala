@@ -57,13 +57,32 @@ class DdlSpec extends AnyFunSuite {
       Ddl.withWarehouseSize(spark, "gigantic") { () }
     }
 
-    // the resize intent is visible where the reference's monitoring looks
+    // the resize AND the paired resize-back are visible where the
+    // reference's monitoring looks (two ALTERs, dp_demo.sql:111-113,145)
     val rows = spark.read.parquet(hist)
       .select("name", "state", "scheduled_time").collect()
-    assert(rows.length === 1)
-    assert(rows.head.getString(0) === "alter_warehouse_size_large")
-    assert(rows.head.getString(1) === "SUCCEEDED")
-    assert(rows.head.getTimestamp(2) === clock.now())
+      .sortBy(_.getString(0))
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "alter_warehouse_size_large")
+    assert(rows(0).getString(1) === "SUCCEEDED")
+    assert(rows(0).getTimestamp(2) === clock.now())
+    assert(rows(1).getString(0) === "alter_warehouse_size_restore")
+    assert(rows(1).getString(1) === "SUCCEEDED")
+
+    // a throwing body records FAILED — not a pre-declared SUCCEEDED
+    val hist2 = Files.createTempDirectory("graft_wh").toString + "/task_history"
+    intercept[RuntimeException] {
+      Ddl.withWarehouseSize(spark, "xlarge", Some(hist2), clock) {
+        throw new RuntimeException("boom")
+      }
+    }
+    val rows2 = spark.read.parquet(hist2)
+      .select("name", "state").collect().sortBy(_.getString(0))
+    assert(rows2.length === 2)
+    assert(rows2(0).getString(0) === "alter_warehouse_size_restore")
+    assert(rows2(0).getString(1) === "SUCCEEDED")
+    assert(rows2(1).getString(0) === "alter_warehouse_size_xlarge")
+    assert(rows2(1).getString(1) === "FAILED")
   }
 
   test("current_time/current_timestamp parity via injectable clock") {

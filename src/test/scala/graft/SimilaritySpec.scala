@@ -96,6 +96,37 @@ class SimilaritySpec extends AnyFunSuite {
       s"no partition filter on cell in:\n${plan.take(1500)}")
   }
 
+  test("IVF serving: id-bucket-pruned query lookup and external query vectors agree") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_byid").toString
+    IvfIndex.save(IvfIndex.build(planted, nlist = 10), dir)
+    // the vec_id-addressable side store is laid out in id-bucket
+    // partitions — a k-query lookup lists ≤ k of them
+    val idbDirs = new java.io.File(s"$dir/by_id").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_idb=")).length
+    assert(idbDirs > 0, "by_id side store missing or unpartitioned")
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.byId.isDefined, "load did not pick up the by_id store")
+
+    val qs = plantedQueries.take(3)
+    val viaIds = IvfIndex.searchPruned(loaded, qs, 5, nprobe = 2)
+    // the lookup plan filters the side store on its partition column,
+    // never touching the corpus-sized assignment
+    val viaVecs = rows(IvfIndex.searchPrunedVecs(loaded,
+      planted.filter(col("vec_id").isin(qs: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+      5, nprobe = 2))
+    assert(rows(viaIds) === viaVecs,
+      "external-vector serving diverged from id-resolved serving")
+    assert(viaVecs === rows(IvfIndex.searchPrebuilt(loaded, qs, 5, nprobe = 2)))
+  }
+
   test("LSH code width scales with corpus size (bucket-bounded joins)") {
     import SimilarityOps.deriveBits
     assert(deriveBits(0L) === 8)

@@ -333,6 +333,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.size < 4, "no bucket fully expired — delete branch not exercised")
   }
 
+  test("retention merge deletes a touched bucket whose rows ALL expired") {
+    import spark.implicits._
+    // two ids landing in different buckets (nBuckets = 2)
+    val byBucket = (1L to 20L).toDF("id")
+      .select(col("id"), pmod(hash(col("id")), lit(2)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val idA = byBucket.find(_._2 == 0).get._1
+    val idB = byBucket.find(_._2 == 1).get._1
+
+    val srcDir = Files.createTempDirectory("graft_ev_xsrc").toString
+    val sink = Files.createTempDirectory("graft_ev_xsink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_ev_xckpt").toString
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dayMs = 24L * 3600 * 1000
+
+    def deliver(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_ev_x$name").toString
+      rows.toDF("event_id", "tsMs")
+        .select(col("event_id"), (col("tsMs") * 1000000L).as("ts"),
+          lit(1L).as("user_id"), lit("x").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      new java.io.File(stage).listFiles.filter(_.getName.endsWith(".parquet"))
+        .foreach(p => Files.copy(p.toPath, Paths.get(srcDir, s"$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING))
+      val q = EventStream.dedupStreamMinBy(
+        EventStream.readEvents(spark, srcDir), sink, ckpt, nBuckets = 2,
+        retentionMs = Some(dayMs))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: only idA, anchoring its own horizon — it survives
+    deliver("a", Seq((idA, baseMs)))
+    assert(spark.read.parquet(sink).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(idA))
+
+    // batch 2 touches BOTH buckets: a replay of idA (still old) plus a
+    // 10-days-newer idB. The horizon (maxTs − 1 day) expires EVERY row
+    // of idA's bucket, so dynamic overwrite writes nothing there — the
+    // stale pre-merge file must be deleted, not silently kept (the id
+    // would resurrect with its old value otherwise).
+    deliver("b", Seq((idA, baseMs + 3600 * 1000), (idB, baseMs + 10 * dayMs)))
+    assert(spark.read.parquet(sink).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(idB),
+      "expired bucket's stale rows survived the merge")
+    val bucketDirs = new java.io.File(sink).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+      .map(_.getName).toSet
+    assert(bucketDirs === Set("_bucket=1"),
+      "fully-expired touched bucket directory was not deleted")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // an at-least-once upstream: the same file delivered twice
     val dupDir = Files.createTempDirectory("graft_events_dup").toString
