@@ -36,9 +36,11 @@ object IvfIndex {
     * Build once, serve many queries: the production shape at 100 TB,
     * where re-training the quantizer per query batch would re-scan the
     * corpus sample and re-broadcast the model every call. `byId` is the
-    * vec_id-addressable side store a persisted index carries (see
-    * `save`) so corpus-resident query vectors are fetched by id-bucket
-    * partition pruning, never by scanning the corpus-sized assignment.
+    * vec_id-addressable POINTER store a persisted index carries (see
+    * `save`): (vec_id, cell) rows only — no embedding column — so the
+    * index costs ~1× corpus, and a corpus-resident query vector is
+    * resolved by two partition-pruned reads (id-bucket → cell), never
+    * by scanning the corpus-sized assignment.
     */
   final case class BuiltIvf(assigned: DataFrame, centers: Seq[(Int, Array[Float])],
       byId: Option[DataFrame] = None)
@@ -75,13 +77,54 @@ object IvfIndex {
       .partitionBy("cell").parquet(s"$dir/assigned")
     idx.centers.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    // vec_id-addressable side store: the same vectors hash-partitioned
-    // on id so `searchPruned`'s query lookup reads ≤ |queries| buckets
-    // instead of scanning every cell of the assignment (ADVICE r7)
-    idx.assigned.select(col("vec_id"), col("embedding"))
+    // vec_id-addressable POINTER store: (vec_id, cell) only — the
+    // embedding lives once, in `assigned` — hash-partitioned on id so
+    // `searchPruned` resolves a query id with ≤ 1 bucket read, then
+    // fetches its vector from the pointed-at cell partition (ADVICE r8:
+    // storing vectors here doubled index footprint for no pruning gain).
+    // vec_id is cast to LongType so the written `_idb` agrees with the
+    // driver-side `idBucket` (Murmur3 of Int and Long differ) whatever
+    // integral type the corpus carries.
+    idx.assigned.select(col("vec_id").cast("long").as("vec_id"), col("cell"))
       .withColumn("_idb", pmod(hash(col("vec_id")), lit(IdBuckets)))
       .write.mode("overwrite")
       .partitionBy("_idb").parquet(s"$dir/by_id")
+  }
+
+  /** Driver-side replica of the `_idb` computation `save` writes:
+    * Spark's `hash()` is Murmur3 with seed 42, and LongType hashes via
+    * `hashLong` — so bucket resolution for a query batch is pure JVM
+    * arithmetic, no Spark job (ADVICE r8: the previous k-row local
+    * DataFrame collect was a per-search driver round-trip).
+    */
+  private[graft] def idBucket(id: Long): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+    ((h % IdBuckets) + IdBuckets) % IdBuckets
+  }
+
+  /** The bucket-pruned pointer lookup: ≤ |queryIds| of the store's 64
+    * id-bucket partitions are listed, yielding (vec_id, cell) rows.
+    * Exposed for the spec to assert the `_idb` partition filter.
+    */
+  private[graft] def pointerLookup(byId: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val buckets = queryIds.map(idBucket).distinct
+    byId.filter(col("_idb").isin(buckets: _*))
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** The cell-pruned vector fetch: reads only the cell partitions the
+    * pointers name (≤ |pointers| of them) from the cell-partitioned
+    * assignment. Exposed for the spec to assert the `cell` partition
+    * filter.
+    */
+  private[graft] def vectorFetch(assigned: DataFrame,
+      pointers: Seq[(Long, Int)]): DataFrame = {
+    val cells = pointers.map(_._2).distinct
+    val ids = pointers.map(_._1)
+    assigned.filter(col("cell").isin(cells: _*))
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
   }
 
   /** Load a persisted index. Centroids (nlist rows) come driver-side;
@@ -94,8 +137,14 @@ object IvfIndex {
       .sortBy(_._1).toSeq
     val byIdPath = new org.apache.hadoop.fs.Path(s"$dir/by_id")
     val fs = byIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val byId = // absent on indexes saved before the side store existed
-      if (fs.exists(byIdPath)) Some(spark.read.parquet(s"$dir/by_id")) else None
+    val byId = // absent on indexes saved before the pointer store existed;
+      // a pre-r9 store carried embeddings instead of cell pointers —
+      // treat it as absent too (searchPruned then falls back to the
+      // in-memory path rather than failing on the missing column)
+      if (fs.exists(byIdPath)) {
+        val df = spark.read.parquet(s"$dir/by_id")
+        if (df.columns.contains("cell")) Some(df) else None
+      } else None
     BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers, byId)
   }
 
@@ -126,29 +175,28 @@ object IvfIndex {
     */
   def searchPruned(idx: BuiltIvf, queryIds: Seq[Long], k: Int,
       nprobe: Int = 4): DataFrame = {
-    val spark = idx.assigned.sparkSession
-    import spark.implicits._
-    // query vectors: resolved through the vec_id-addressable side store
-    // when the index carries one — the id buckets of the k query ids
-    // are computed with a k-row local job (exact Murmur3 parity with
-    // what `save` wrote), pushed down as a partition filter, so only
-    // ≤ k of the store's buckets are listed or read. The corpus-sized
-    // assignment is never scanned to locate queries (ADVICE r7).
-    val store = idx.byId.getOrElse(
-      // fresh in-memory build: assigned is localCheckpoint-materialized,
-      // the bounded-collect fallback reads no files
-      idx.assigned.select(col("vec_id"), col("embedding")))
-    val pruned = idx.byId.fold(store) { s =>
-      val buckets = queryIds.toDF("vec_id")
-        .select(pmod(hash(col("vec_id")), lit(IdBuckets)))
-        .as[Int].collect().distinct.toSeq
-      s.filter(col("_idb").isin(buckets: _*))
+    // query vectors: resolved through the (vec_id, cell) pointer store
+    // when the index carries one — id buckets are computed driver-side
+    // (zero Spark jobs, `idBucket`), ≤ k of the store's 64 bucket
+    // partitions are listed for the pointers, then the vectors are
+    // fetched from ≤ k cell partitions of the assignment. Two pruned
+    // reads, each bounded by the query count; the corpus is never
+    // scanned to locate queries, and the index stores each embedding
+    // exactly once (ADVICE r7/r8).
+    val qVecs = idx.byId match {
+      case Some(store) =>
+        val pointers = pointerLookup(store, queryIds).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSeq
+        vectorFetch(idx.assigned, pointers).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      case None =>
+        // fresh in-memory build: assigned is localCheckpoint-
+        // materialized, the bounded-collect fallback reads no files
+        idx.assigned.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     }
-    val qVecs = pruned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq
-    searchPrunedVecs(idx, qVecs, k, nprobe)
+    searchPrunedVecs(idx, qVecs, k, nprobe, excludeSelf = true)
   }
 
   /** The vector-accepting serving core: queries arrive AS vectors (the
@@ -157,9 +205,16 @@ object IvfIndex {
     * centroids, and the probed cells reach the assigned scan as a
     * partition filter. A k-query batch reads ≤ k·nprobe cells of the
     * corpus however it is invoked.
+    *
+    * `excludeSelf` drops candidates whose corpus vec_id equals the
+    * caller-assigned query id — correct for corpus-resident queries
+    * (`searchPruned` passes true). For EXTERNAL query vectors either
+    * pass false, or use query ids disjoint from corpus vec_ids: with
+    * the default exclusion, an id collision would silently drop a
+    * legitimate nearest neighbour (ADVICE r8).
     */
   def searchPrunedVecs(idx: BuiltIvf, queries: Seq[(Long, Array[Float])], k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val spark = idx.assigned.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -177,7 +232,7 @@ object IvfIndex {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
         col("cell"))
     probed.join(candidates, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         expr("graft_cosine(qe, ne)").as("sim"))
       .withColumn("rnk", row_number().over(

@@ -107,6 +107,14 @@ object SimilarityQueries extends QueryPack {
     * plan audits). Build-once-serve-many IS the n5 contract; rebuilding
     * a fresh temp copy of the corpus per call was an unbounded disk leak
     * (ADVICE r7). The temp dir is deleted on JVM exit.
+    *
+    * ASSUMES THE DATASET DIR IS IMMUTABLE for the application's
+    * lifetime — the same contract as Tables' static-testdata
+    * memoization: the driver's testdata is generated once and read-only.
+    * If files under `d` were regenerated mid-application, n5 would
+    * serve the stale index while `exact` reads fresh data (ADVICE r8);
+    * a mutable-corpus deployment must key this cache by a content
+    * fingerprint (footer row count + max file mtime) or drop it.
     */
   private val ivfDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()

@@ -105,18 +105,58 @@ class SimilaritySpec extends AnyFunSuite {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_byid").toString
     IvfIndex.save(IvfIndex.build(planted, nlist = 10), dir)
-    // the vec_id-addressable side store is laid out in id-bucket
-    // partitions — a k-query lookup lists ≤ k of them
+    // the vec_id-addressable store is laid out in id-bucket partitions —
+    // a k-query lookup lists ≤ k of them
     val idbDirs = new java.io.File(s"$dir/by_id").listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("_idb=")).length
     assert(idbDirs > 0, "by_id side store missing or unpartitioned")
+
+    // r9 contract: by_id holds POINTERS (vec_id, cell) only — embedding
+    // lives once in assigned, so the persisted index is ~1× corpus
+    val byIdRaw = spark.read.parquet(s"$dir/by_id")
+    assert(!byIdRaw.columns.contains("embedding"),
+      "by_id duplicates the embedding column (2x index footprint)")
+    assert(byIdRaw.columns.toSet === Set("vec_id", "cell", "_idb"))
+    // the written `_idb` agrees row-for-row with the driver-side
+    // zero-job bucket computation (Murmur3-seed/type parity)
+    byIdRaw.select("vec_id", "_idb").collect().foreach { r =>
+      assert(r.getInt(1) === IvfIndex.idBucket(r.getLong(0)),
+        s"bucket mismatch for vec_id ${r.getLong(0)}")
+    }
+
     val loaded = IvfIndex.load(spark, dir)
     assert(loaded.byId.isDefined, "load did not pick up the by_id store")
 
     val qs = plantedQueries.take(3)
+    // bucket resolution is pure driver arithmetic: zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val resolvedBuckets =
+      try { val b = qs.map(IvfIndex.idBucket); Thread.sleep(300); b }
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0, "bucket resolution launched a Spark job")
+    assert(resolvedBuckets.nonEmpty)
+
+    // both resolution reads are partition-pruned: the pointer lookup by
+    // `_idb`, the vector fetch by `cell` — neither scans the corpus
+    val ptrPlan = IvfIndex.pointerLookup(loaded.byId.get, qs)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_idb".r.findFirstIn(ptrPlan).isDefined,
+      s"no _idb partition filter in:\n${ptrPlan.take(1500)}")
+    val pointers = IvfIndex.pointerLookup(loaded.byId.get, qs).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(pointers.map(_._1).toSet === qs.toSet)
+    val fetchPlan = IvfIndex.vectorFetch(loaded.assigned, pointers)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(fetchPlan).isDefined,
+      s"no cell partition filter in:\n${fetchPlan.take(1500)}")
+
     val viaIds = IvfIndex.searchPruned(loaded, qs, 5, nprobe = 2)
-    // the lookup plan filters the side store on its partition column,
-    // never touching the corpus-sized assignment
     val viaVecs = rows(IvfIndex.searchPrunedVecs(loaded,
       planted.filter(col("vec_id").isin(qs: _*))
         .select("vec_id", "embedding").collect()
@@ -125,6 +165,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(viaIds) === viaVecs,
       "external-vector serving diverged from id-resolved serving")
     assert(viaVecs === rows(IvfIndex.searchPrebuilt(loaded, qs, 5, nprobe = 2)))
+  }
+
+  test("IVF serving: excludeSelf=false keeps a colliding external query id's neighbour") {
+    import graft.operators.IvfIndex
+    val idx = IvfIndex.build(planted, nlist = 10)
+    // external query vector given an id that COLLIDES with corpus vec_id
+    // 0: with self-exclusion the true nearest (vec 0 itself, sim 1.0)
+    // would be silently dropped; the flag keeps it
+    val qe = planted.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val kept = IvfIndex.searchPrunedVecs(idx, Seq((0L, qe)), 1, nprobe = 2,
+      excludeSelf = false).collect().head
+    assert(kept.getLong(1) === 0L && kept.getDouble(3) > 0.999999)
+    val dropped = IvfIndex.searchPrunedVecs(idx, Seq((0L, qe)), 1, nprobe = 2)
+      .collect().head
+    assert(dropped.getLong(1) !== 0L, "default excludeSelf kept the collision")
   }
 
   test("LSH code width scales with corpus size (bucket-bounded joins)") {
