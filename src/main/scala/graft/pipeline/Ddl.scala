@@ -61,18 +61,29 @@ object Ddl {
     // and the resize-back gets its own row — the reference issues two
     // explicit ALTERs (dp_demo.sql:111-113,145) and both show up in
     // task_history
-    var state = "SUCCEEDED"
+    var bodyError: Throwable = null
     try body
-    catch { case e: Throwable => state = "FAILED"; throw e }
+    catch { case e: Throwable => bodyError = e; throw e }
     finally {
       spark.conf.set(key, prior)
       taskHistoryPath.foreach { p =>
-        val done = clock.now()
-        Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size", state,
-            scheduled, done, 0L)
-          .unionByName(Metrics.taskHistoryRow(spark,
-            "alter_warehouse_size_restore", "SUCCEEDED", done, done, 0L))
-          .write.mode("append").parquet(p)
+        // the monitoring write must never out-rank the failure it
+        // records: an exception here (unwritable path, disk full) is
+        // suppressed onto the body's original error rather than
+        // replacing it (ADVICE r8). When the body succeeded, a
+        // monitoring failure still surfaces — nothing is being masked.
+        try {
+          val state = if (bodyError == null) "SUCCEEDED" else "FAILED"
+          val done = clock.now()
+          Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size", state,
+              scheduled, done, 0L)
+            .unionByName(Metrics.taskHistoryRow(spark,
+              "alter_warehouse_size_restore", "SUCCEEDED", done, done, 0L))
+            .write.mode("append").parquet(p)
+        } catch {
+          case we: Throwable =>
+            if (bodyError != null) bodyError.addSuppressed(we) else throw we
+        }
       }
     }
   }

@@ -85,6 +85,31 @@ class DdlSpec extends AnyFunSuite {
     assert(rows2(1).getString(1) === "FAILED")
   }
 
+  test("withWarehouseSize: unwritable history path cannot mask the body's exception") {
+    // a regular FILE where the history dir should go → the parquet
+    // append throws; the body's original error must still surface, with
+    // the monitoring failure attached as suppressed, not replacing it
+    val blocker = Files.createTempFile("graft_wh_block", ".dat")
+    val badHist = blocker.toString + "/task_history"
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    val surfaced = intercept[RuntimeException] {
+      Ddl.withWarehouseSize(spark, "large", Some(badHist)) {
+        throw new RuntimeException("the real failure")
+      }
+    }
+    assert(surfaced.getMessage === "the real failure")
+    assert(surfaced.getSuppressed.nonEmpty,
+      "monitoring-write failure was lost entirely")
+
+    // a SUCCEEDED body with a failing monitoring write still surfaces
+    // the write error — nothing is being masked in that direction
+    intercept[Throwable] {
+      Ddl.withWarehouseSize(spark, "large", Some(badHist)) { 42 }
+    }
+    assert(spark.conf.get(key) === prior, "prior parallelism not restored")
+  }
+
   test("current_time/current_timestamp parity via injectable clock") {
     val clock = new graft.pipeline.ManualClock(
       java.sql.Timestamp.valueOf("2020-01-10 12:34:56").getTime)
