@@ -31,4 +31,26 @@ object Salting {
       .withColumn("_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Salted inner join on an arbitrary condition — the residual-
+    * preserving form for joins that are MORE than an equi-join (e.g. an
+    * interval join's range predicate). The salt equality joins the
+    * condition's equi keys in the shuffle key, so Catalyst plans a
+    * SortMergeJoin on (equiKeys..., salt) with the non-equi part as the
+    * join residual — each hot key spreads over `salts` reducers and the
+    * residual filters inside each, never after a cartesian. Result is
+    * identical to `left.join(right, condition)` (SaltingSpec asserts
+    * it). The two sides must not share column names (rename first —
+    * the condition would be ambiguous anyway).
+    */
+  def saltedJoinOn(left: DataFrame, right: DataFrame,
+      condition: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    require(salts > 0)
+    val l = left.withColumn("_lsalt",
+      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val r = right
+      .withColumn("_rsalt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    l.join(r, condition && col("_lsalt") === col("_rsalt"))
+      .drop("_lsalt", "_rsalt")
+  }
 }

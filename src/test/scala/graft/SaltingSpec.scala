@@ -25,6 +25,65 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted.filter(col("k") === 1).count() === 9000)
   }
 
+  test("salted interval join: residual survives salting on 90%-skewed users " +
+    "and the hot key no longer lands on one reducer") {
+    import graft.streaming.EventStream
+    // 90% of views and clicks belong to power-user 1; the rest spread
+    // over users 2..21. Timestamps stride the window so the interval
+    // predicate both keeps and drops pairs.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val views = (0 until 600).map { i =>
+      val u = if (i < 540) 1L else (i % 20 + 2).toLong
+      (i.toLong, u, ts(i * 12), 0.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val clicks = (0 until 200).map { i =>
+      val u = if (i < 180) 1L else (i % 20 + 2).toLong
+      ((10000 + i).toLong, u, ts(i * 36 + 30), i.toDouble)
+    }.toDF("event_id", "user_id", "ts", "value")
+
+    val plain = EventStream.intervalJoin(views, clicks, windowMinutes = 10)
+    val salted = EventStream.intervalJoinSalted(views, clicks,
+      windowMinutes = 10, salts = 8)
+
+    // row-identical to the unsalted join — the interval predicate
+    // filtered inside each salt bucket, not lost and not doubled
+    assert(salted.count() === plain.count())
+    assert(plain.count() > 0, "window produced no pairs — test is vacuous")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // some pairs must have been REJECTED by the residual (same user,
+    // outside the window) or the predicate check proves nothing
+    val allPairsSameUser = views.select(col("user_id"), col("ts").as("vts"))
+      .join(clicks.select(col("user_id").as("cu"), col("ts").as("cts")),
+        col("user_id") === col("cu")).count()
+    assert(plain.count() < allPairsSameUser,
+      "every same-user pair fell inside the window — widen the stride")
+
+    // the salted plan is an equi-join on (user, salt): SMJ/SHJ with the
+    // range as residual, never a cartesian product
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"salted interval join planned a cartesian:\n${plan.take(1200)}")
+
+    // no single-partition straggler: hash the UNSALTED shuffle key and
+    // 90% of rows share one reducer; hash the salted key and the hot
+    // user's rows spread across buckets
+    val parts = 32
+    val unsaltedMax = views
+      .groupBy(pmod(hash(col("user_id")), lit(parts)).as("p")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(unsaltedMax >= 540, "skew fixture is not actually skewed")
+    val saltedMax = views
+      .withColumn("_salt", pmod(xxhash64(struct(
+        col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))),
+        lit(8)))
+      .groupBy(pmod(hash(col("user_id"), col("_salt")), lit(parts)).as("p"))
+      .count().agg(max("count")).head.getLong(0)
+    assert(saltedMax < 540 * 0.4,
+      s"hot user still concentrated: max partition $saltedMax of 600 rows")
+  }
+
   test("salt values actually spread the hot key") {
     val left = (1 to 5000).map(i => (1L, i)).toDF("k", "payload")
     val spread = left.withColumn("_salt",
