@@ -122,6 +122,33 @@ object EventQueries extends QueryPack {
              FROM e v JOIN e c ON v.user_id = c.user_id
                AND v.event_type = 'view' AND c.event_type = 'click'
                AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+             ORDER BY view_id, click_id""")),
+
+    // Skew-hardened twin of e5: shuffle keys on (user_id, salt) so a
+    // power-user hot key spreads over 8 reducers; the interval predicate
+    // rides as the salted equi-join's residual. Row-identical to e5 —
+    // SAME oracle SQL — which is the point: salting changes only the
+    // physical distribution.
+    Q("e6_interval_join_salted",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        EventStream.intervalJoinSalted(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "click"), windowMinutes = 240,
+          salts = 8)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("view_ts").cast("timestamp_ntz").as("view_ts"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+          .orderBy("view_id", "click_id")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
+               event_type, value FROM events)
+             SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               v.ts AS view_ts, c.ts AS click_ts, c.value AS click_value
+             FROM e v JOIN e c ON v.user_id = c.user_id
+               AND v.event_type = 'view' AND c.event_type = 'click'
+               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
              ORDER BY view_id, click_id"""))
   )
 }
