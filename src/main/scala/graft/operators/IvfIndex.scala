@@ -122,9 +122,13 @@ object IvfIndex {
       pointers: Seq[(Long, Int)]): DataFrame = {
     val cells = pointers.map(_._2).distinct
     val ids = pointers.map(_._1)
+    // vec_id cast to long: `save` normalizes the by_id store to
+    // LongType but `assigned` keeps the corpus's own integral type —
+    // without the cast an Int-vec_id corpus resolves pointers fine and
+    // then throws ClassCastException on getLong at fetch time
     assigned.filter(col("cell").isin(cells: _*))
       .filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
   }
 
   /** Load a persisted index. Centroids (nlist rows) come driver-side;
@@ -143,7 +147,16 @@ object IvfIndex {
       // in-memory path rather than failing on the missing column)
       if (fs.exists(byIdPath)) {
         val df = spark.read.parquet(s"$dir/by_id")
-        if (df.columns.contains("cell")) Some(df) else None
+        if (df.columns.contains("cell")) Some(df)
+        else {
+          // surfaced so operators know query-id resolution on this index
+          // falls back to an unpruned corpus scan until it is re-saved
+          System.err.println(s"[graft] IvfIndex.load: $dir/by_id is a " +
+            "pre-pointer-store layout (embeddings, no cell column); " +
+            "discarding it — searchPruned will scan the assignment to " +
+            "resolve query ids. Re-save the index to restore pruning.")
+          None
+        }
       } else None
     BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers, byId)
   }
@@ -190,10 +203,16 @@ object IvfIndex {
         vectorFetch(idx.assigned, pointers).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       case None =>
-        // fresh in-memory build: assigned is localCheckpoint-
-        // materialized, the bounded-collect fallback reads no files
+        // byId is absent in two cases with very different cost: (a) a
+        // fresh in-memory build — assigned is localCheckpoint-
+        // materialized, this bounded collect reads no files; (b) an
+        // index LOADED from a pre-r9 store whose by_id carried
+        // embeddings instead of cell pointers (`load` discards it and
+        // logs) — there this filter is a full corpus-sized scan with no
+        // cell pruning. Re-save such an index to restore the pruned path.
         idx.assigned.filter(col("vec_id").isin(queryIds: _*))
-          .select(col("vec_id"), col("embedding")).collect()
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     }
     searchPrunedVecs(idx, qVecs, k, nprobe, excludeSelf = true)

@@ -17,16 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** The salt derivation every salted form (and SaltingSpec's
+    * distribution assertions) shares: deterministic spread from the
+    * WHOLE row of the salted side, so identical keys still scatter
+    * across all salt values. Single definition — a change here changes
+    * the operator and the spec's expectation together.
+    */
+  private[graft] def saltExpr(rowCols: Seq[org.apache.spark.sql.Column],
+      salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(struct(rowCols.toIndexedSeq: _*)), lit(salts))
+
   /** Inner equi-join with a salted key. Result is identical to
     * `left.join(right, key)` (asserted in SaltingSpec); only the
     * physical distribution changes.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // deterministic spread: salt derived from the whole left row, so
-    // identical keys still scatter across all salt values
-    val l = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val l = left.withColumn("_salt", saltExpr(left.columns.map(col), salts))
     val r = right
       .withColumn("_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
     l.join(r, Seq(key, "_salt")).drop("_salt")
@@ -46,8 +53,7 @@ object Salting {
   def saltedJoinOn(left: DataFrame, right: DataFrame,
       condition: org.apache.spark.sql.Column, salts: Int): DataFrame = {
     require(salts > 0)
-    val l = left.withColumn("_lsalt",
-      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val l = left.withColumn("_lsalt", saltExpr(left.columns.map(col), salts))
     val r = right
       .withColumn("_rsalt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
     l.join(r, condition && col("_lsalt") === col("_rsalt"))

@@ -11,6 +11,22 @@ import graft.streaming.EventStream
   */
 object EventQueries extends QueryPack {
 
+  /** ONE oracle for both e5 (unsalted) and e6 (salted) interval joins:
+    * row-identity between the two is the stated contract — salting
+    * changes only the physical distribution — so sharing the SQL value
+    * enforces "SAME oracle" by construction (ADVICE r9: two copies of
+    * the string could drift apart silently).
+    */
+  private val intervalJoinOracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
+        event_type, value FROM events)
+       SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+         v.ts AS view_ts, c.ts AS click_ts, c.value AS click_value
+       FROM e v JOIN e c ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+       ORDER BY view_id, click_id"""
+
   val queries: Seq[Q] = Seq(
 
     // Tumbling 1-day window per event type (window() epoch-aligned in
@@ -115,20 +131,13 @@ object EventQueries extends QueryPack {
             col("click_value"))
           .orderBy("view_id", "click_id")
       },
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
-               event_type, value FROM events)
-             SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-               v.ts AS view_ts, c.ts AS click_ts, c.value AS click_value
-             FROM e v JOIN e c ON v.user_id = c.user_id
-               AND v.event_type = 'view' AND c.event_type = 'click'
-               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
-             ORDER BY view_id, click_id""")),
+      Some(intervalJoinOracle)),
 
     // Skew-hardened twin of e5: shuffle keys on (user_id, salt) so a
     // power-user hot key spreads over 8 reducers; the interval predicate
     // rides as the salted equi-join's residual. Row-identical to e5 —
-    // SAME oracle SQL — which is the point: salting changes only the
-    // physical distribution.
+    // SAME oracle SQL (shared val, enforced by construction) — which is
+    // the point: salting changes only the physical distribution.
     Q("e6_interval_join_salted",
       (s, d) => {
         val e = Tables.load(s, d, "events")
@@ -142,13 +151,6 @@ object EventQueries extends QueryPack {
             col("click_value"))
           .orderBy("view_id", "click_id")
       },
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
-               event_type, value FROM events)
-             SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-               v.ts AS view_ts, c.ts AS click_ts, c.value AS click_value
-             FROM e v JOIN e c ON v.user_id = c.user_id
-               AND v.event_type = 'view' AND c.event_type = 'click'
-               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
-             ORDER BY view_id, click_id"""))
+      Some(intervalJoinOracle))
   )
 }

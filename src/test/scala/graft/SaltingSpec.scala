@@ -74,10 +74,14 @@ class SaltingSpec extends AnyFunSuite {
       .groupBy(pmod(hash(col("user_id")), lit(parts)).as("p")).count()
       .agg(max("count")).head.getLong(0)
     assert(unsaltedMax >= 540, "skew fixture is not actually skewed")
+    // salt computed via the SAME helper saltedJoinOn uses (ADVICE r9:
+    // an inline re-implementation of the formula made this assertion a
+    // tautology about the test's own arithmetic) — the column list
+    // mirrors intervalJoinSalted's left-side select order
     val saltedMax = views
-      .withColumn("_salt", pmod(xxhash64(struct(
-        col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))),
-        lit(8)))
+      .withColumn("_salt", Salting.saltExpr(Seq(
+        col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+        salts = 8))
       .groupBy(pmod(hash(col("user_id"), col("_salt")), lit(parts)).as("p"))
       .count().agg(max("count")).head.getLong(0)
     assert(saltedMax < 540 * 0.4,
@@ -87,7 +91,7 @@ class SaltingSpec extends AnyFunSuite {
   test("salt values actually spread the hot key") {
     val left = (1 to 5000).map(i => (1L, i)).toDF("k", "payload")
     val spread = left.withColumn("_salt",
-      pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
+      Salting.saltExpr(Seq(col("k"), col("payload")), salts = 8))
       .groupBy("_salt").count().collect()
     assert(spread.length === 8, "all 8 salt buckets used")
     assert(spread.map(_.getLong(1)).max < 5000 * 0.3, "no bucket dominates")

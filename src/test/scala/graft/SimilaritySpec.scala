@@ -167,6 +167,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaVecs === rows(IvfIndex.searchPrebuilt(loaded, qs, 5, nprobe = 2)))
   }
 
+  test("IVF serving: an Int-typed vec_id corpus round-trips save → load → searchPruned") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // same planted vectors, but the corpus carries vec_id as INT — save
+    // normalizes the by_id store to long, and the fetch path must honor
+    // that contract too (ADVICE r9: vectorFetch read the uncast assigned
+    // and getLong threw ClassCastException on an Int corpus)
+    val intCorpus = planted.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_int").toString
+    IvfIndex.save(IvfIndex.build(intCorpus, nlist = 10), dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.byId.isDefined)
+    val qs = plantedQueries.take(3)
+    val viaPointers = IvfIndex.searchPruned(loaded, qs, 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getInt(2))).toSet
+    // the Long-corpus path is the reference answer
+    val longRef = resultSet(IvfIndex.searchPruned(
+      IvfIndex.load(spark, {
+        val d2 = java.nio.file.Files.createTempDirectory("graft_ivf_lng").toString
+        IvfIndex.save(IvfIndex.build(planted, nlist = 10), d2); d2
+      }), qs, 5, nprobe = 2))
+    assert(viaPointers === longRef)
+    // the byId=None fallback (fresh build, no store) must survive an
+    // Int corpus too — it shares the same cast contract
+    val fresh = IvfIndex.build(intCorpus, nlist = 10)
+    val viaFallback = IvfIndex.searchPruned(fresh, qs, 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getInt(2))).toSet
+    assert(viaFallback === longRef)
+  }
+
   test("IVF serving: excludeSelf=false keeps a colliding external query id's neighbour") {
     import graft.operators.IvfIndex
     val idx = IvfIndex.build(planted, nlist = 10)
