@@ -55,9 +55,31 @@ object Bench {
     val maxReps = math.max(minReps,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt)
     val subSecond = 1.0
+    // Calibration canary: a FIXED, data-independent, pure-CPU aggregate
+    // (range → hash → sum, whole-stage codegen, zero input files) timed
+    // at run start, middle, and end. Rep policies compare reps WITHIN a
+    // run, so a host tax applied to the WHOLE run is invisible to them —
+    // BENCH_r09 recorded 17-36× "regressions" on unchanged code because
+    // every rep was equally contended. The canary's true cost is a
+    // constant of the host, so its recorded values expose run-wide
+    // contention directly: divide query times by canary drift (vs a
+    // known-good run's canary) before calling anything a regression
+    // (normalization rule in PERF.md). Warmed once untimed so codegen
+    // compilation is not billed to the first sample.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("bit_xor(xxhash64(id)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm the canary plan's codegen
+    val canary = scala.collection.mutable.ListBuffer[Double](canaryOnce())
     var failed = List.empty[String]
     var erroredReps = 0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = selected.toSeq.sortBy(_._1)
+    val midIdx = ordered.size / 2
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == midIdx && idx > 0) canary += canaryOnce()
       val reps = scala.collection.mutable.ListBuffer.empty[Double]
       def runOnce(): Unit = {
         val t0 = System.nanoTime()
@@ -92,13 +114,19 @@ object Bench {
       if (ok.isEmpty) failed ::= name
       (name, if (ok.isEmpty) -1.0 else ok.min, reps.toList)
     }
+    canary += canaryOnce()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val repTimes = results.map { case (k, _, rs) =>
       "\"" + k + "\":" + rs.map(t => f"$t%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"errored_reps":$erroredReps,"failed":${failed.size}}""")
+    // contention self-diagnosis: the canary's cost is a host constant,
+    // so samples disagreeing with each other (tax arrived mid-run) or a
+    // heavily elevated overall level both mark the record suspect
+    val canaryStr = canary.map(t => f"$t%.4f").mkString("[", ",", "]")
+    val canaryWarn = canary.max > 2.0 * canary.min
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"errored_reps":$erroredReps,"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
