@@ -59,4 +59,72 @@ object Salting {
     l.join(r, condition && col("_lsalt") === col("_rsalt"))
       .drop("_lsalt", "_rsalt")
   }
+
+  /** The left-side keys whose row count reaches `hotThreshold` — one
+    * aggregation whose shuffle volume is DISTINCT KEYS (map-side partial
+    * count), not rows. Bounded by construction: at most
+    * n_left / hotThreshold keys qualify, so with a sane threshold the
+    * result is a handful of rows, broadcastable.
+    */
+  private[graft] def hotKeys(df: DataFrame, key: String,
+      hotThreshold: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= hotThreshold)
+      .select(col(key).as("_hotk"))
+
+  /** Left side of the hot-only salted join: hot keys get the full salt
+    * spread, cold keys a constant salt 0 — a broadcast hash join against
+    * the bounded hot set, no shuffle.
+    */
+  private[graft] def saltLeftHot(left: DataFrame, leftKey: String,
+      hot: DataFrame, salts: Int): DataFrame =
+    left.join(broadcast(hot), col(leftKey) === col("_hotk"), "left")
+      .withColumn("_lsalt",
+        when(col("_hotk").isNotNull, saltExpr(left.columns.map(col), salts))
+          .otherwise(lit(0L)))
+      .drop("_hotk")
+
+  /** Right side of the hot-only salted join: ONLY rows whose key is hot
+    * are replicated `salts`×; cold rows pass through once with salt 0.
+    * This is the whole point of the two-phase form — SaltingSpec counts
+    * these rows to pin the no-cold-replication contract.
+    */
+  private[graft] def replicateRightHot(right: DataFrame, rightKey: String,
+      hot: DataFrame, salts: Int): DataFrame =
+    right.join(broadcast(hot), col(rightKey) === col("_hotk"), "left")
+      .withColumn("_rsalt", explode(
+        when(col("_hotk").isNotNull, expr(s"sequence(0L, ${salts - 1}L)"))
+          .otherwise(expr("array(0L)"))))
+      .drop("_hotk")
+
+  /** Hot-key-only salted join — the 100 TB refinement of `saltedJoinOn`,
+    * which replicates the ENTIRE right side `salts`× to spread what is
+    * usually a handful of hot keys (VERDICT r9 #2: e6 paid 8×
+    * replication of every cold user to fix one). Two phases: (1) count
+    * rows per `leftKey` — one aggregation whose shuffle is distinct keys
+    * — and keep keys at or above `hotThreshold`; (2) salt ONLY those:
+    * hot left rows scatter over `salts` reducers, hot right rows
+    * replicate `salts`×, and the cold majority of BOTH sides flows
+    * through exactly once with a constant salt. The hot set rides a
+    * broadcast join into both sides (never an `isin` literal — the set's
+    * size must not shape the plan). Result is row-identical to
+    * `left.join(right, condition)`: hot pairs meet on their scattered
+    * salt, cold pairs on salt 0, and the residual filters inside each
+    * bucket (SaltingSpec asserts equality on 90 %-skewed data and counts
+    * the replicated side). Same contract as `saltedJoinOn`: the sides
+    * must not share column names, and `condition` must imply
+    * leftKey = rightKey (the salt derivation assumes matching rows agree
+    * on the key).
+    */
+  def saltedJoinOnHot(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      condition: org.apache.spark.sql.Column, salts: Int,
+      hotThreshold: Long): DataFrame = {
+    require(salts > 0 && hotThreshold > 0)
+    val hot = hotKeys(left, leftKey, hotThreshold)
+    saltLeftHot(left, leftKey, hot, salts)
+      .join(replicateRightHot(right, rightKey, hot, salts),
+        condition && col("_lsalt") === col("_rsalt"))
+      .drop("_lsalt", "_rsalt")
+  }
 }

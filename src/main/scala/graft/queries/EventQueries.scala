@@ -151,6 +151,27 @@ object EventQueries extends QueryPack {
             col("click_value"))
           .orderBy("view_id", "click_id")
       },
+      Some(intervalJoinOracle)),
+
+    // Hot-key-ONLY salted twin (VERDICT r9 #2): per-user view counts
+    // pick the hot set (>= 18 views — a genuine hot/cold mix at every
+    // SF); only hot users' rows scatter/replicate, the cold majority of
+    // both sides flows through once. Row-identical to e5/e6 — the THIRD
+    // entry on the same shared oracle — because which keys are salted
+    // changes only the physical distribution.
+    Q("e7_interval_join_salted_hot",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        EventStream.intervalJoinSaltedHot(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "click"), windowMinutes = 240,
+          salts = 8, hotThreshold = 18L)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("view_ts").cast("timestamp_ntz").as("view_ts"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+          .orderBy("view_id", "click_id")
+      },
       Some(intervalJoinOracle))
   )
 }

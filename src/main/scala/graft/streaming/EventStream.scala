@@ -282,30 +282,70 @@ object EventStream {
         col("view_ts"), col("click_ts"), col("click_value"))
   }
 
-  /** Skew-hardened batch twin of `intervalJoin`: the shuffle keys on
+  /** Skew-hardened twin of `intervalJoin`: the shuffle keys on
     * (user_id, salt) instead of user_id alone, so a power-user hot key
     * spreads over `salts` reducers — the explicit answer to the skew
     * note in `intervalJoin`'s doc when AQE's runtime skew split is not
     * enough (or not available). The interval predicate rides along as
     * the join residual of the salted equi-join
     * (`Salting.saltedJoinOn`), so the result is row-identical to the
-    * unsalted join (SaltingSpec asserts it on 90 %-skewed data). Batch
-    * shape: streaming state eviction is keyed per (user, salt) bucket
-    * and remains watermark-bounded, but the stream path's own e5 entry
-    * keeps the unsalted form — salting there is an operational choice.
+    * unsalted join (SaltingSpec asserts it on 90 %-skewed data).
+    *
+    * Runs in BOTH modes, like `intervalJoin`: both inputs are
+    * watermarked (a no-op in batch — the e6 oracle entry uses this same
+    * function), and under a streaming source the join state is keyed per
+    * (user, salt) bucket: a hot user's buffered rows spread over `salts`
+    * state partitions, and eviction stays watermark-bounded exactly as
+    * in the unsalted form — the salt equality rides the join key while
+    * the time-range condition still gives the planner both eviction
+    * facts (StreamingSpec proves streaming-vs-batch row equality on the
+    * 90 %-skew fixture under Trigger.AvailableNow).
     */
   def intervalJoinSalted(views: DataFrame, clicks: DataFrame,
       windowMinutes: Int, salts: Int): DataFrame = {
     val v = views
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
     val c = clicks
       .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 day")
     graft.operators.Salting.saltedJoinOn(v, c,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
       salts)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"), col("click_value"))
+  }
+
+  /** Hot-key-only salted interval join — the scale refinement of
+    * `intervalJoinSalted`, which replicates EVERY click `salts`× to
+    * spread what is usually a handful of power users (VERDICT r9 #2: at
+    * 100 TB with both sides large, 8× replication of the cold majority
+    * is real shuffle volume). Per-user view counts pick the hot set
+    * (`hotThreshold` rows or more); only hot users' views scatter and
+    * only hot users' clicks replicate — the cold majority of both sides
+    * flows through once, salt 0. Row-identical to `intervalJoin` (e7
+    * shares e5/e6's oracle; SaltingSpec counts the replicated side to
+    * pin the no-cold-replication contract). Batch-shaped: the hot-set
+    * count is a batch aggregation over the view side — a streaming
+    * deployment computes the hot set out-of-band (yesterday's counts, a
+    * control table) and feeds it forward, since key skew moves far
+    * slower than events.
+    */
+  def intervalJoinSaltedHot(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int, salts: Int, hotThreshold: Long): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    graft.operators.Salting.saltedJoinOnHot(v, "user_id", c, "click_user",
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      salts, hotThreshold)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"), col("click_value"))
   }

@@ -88,6 +88,58 @@ class SaltingSpec extends AnyFunSuite {
       s"hot user still concentrated: max partition $saltedMax of 600 rows")
   }
 
+  test("hot-key-only salted join: equal to plain join, cold keys NOT replicated") {
+    import graft.streaming.EventStream
+    // same 90%-skew fixture as the full-salting test: user 1 hot (540
+    // views / 180 clicks), users 2..21 cold (3 views / 1 click each)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val views = (0 until 600).map { i =>
+      val u = if (i < 540) 1L else (i % 20 + 2).toLong
+      (i.toLong, u, ts(i * 12), 0.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val clicks = (0 until 200).map { i =>
+      val u = if (i < 180) 1L else (i % 20 + 2).toLong
+      ((10000 + i).toLong, u, ts(i * 36 + 30), i.toDouble)
+    }.toDF("event_id", "user_id", "ts", "value")
+
+    val salts = 8
+    val hotThreshold = 100L // only user 1 (540 views) qualifies
+    val plain = EventStream.intervalJoin(views, clicks, windowMinutes = 10)
+    val hot = EventStream.intervalJoinSaltedHot(views, clicks,
+      windowMinutes = 10, salts = salts, hotThreshold = hotThreshold)
+
+    // row-identical to the unsalted join — the residual filtered inside
+    // each salt bucket on the hot slice and on the single cold bucket
+    assert(hot.count() === plain.count())
+    assert(plain.count() > 0, "window produced no pairs — test is vacuous")
+    assert(hot.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(hot).count() === 0)
+    assert(!hot.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+
+    // THE two-phase contract (VERDICT r9 #2): only the hot key's right
+    // rows replicate — full salting would blow the right side up to
+    // 200 × 8 = 1600 rows; the hot-only form pays 180 × 8 + 20 × 1
+    val vSide = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts"))
+    val cSide = clicks.select(col("user_id").as("click_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"),
+      col("value").as("click_value"))
+    val hotSet = Salting.hotKeys(vSide, "user_id", hotThreshold)
+    assert(hotSet.collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "hot set should be exactly the power user")
+    val replicated = Salting.replicateRightHot(cSide, "click_user", hotSet, salts)
+    assert(replicated.count() === 180L * salts + 20L * 1,
+      "cold clicks were replicated — the two-phase form lost its point")
+    // and the left side's cold rows keep a constant salt (one bucket),
+    // while the hot rows scatter across all salt values
+    val salted = Salting.saltLeftHot(vSide, "user_id", hotSet, salts)
+    assert(salted.filter(col("user_id") =!= 1L)
+      .select("_lsalt").distinct().count() === 1)
+    assert(salted.filter(col("user_id") === 1L)
+      .select("_lsalt").distinct().count() === salts.toLong)
+  }
+
   test("salt values actually spread the hot key") {
     val left = (1 to 5000).map(i => (1L, i)).toDF("k", "payload")
     val spread = left.withColumn("_salt",

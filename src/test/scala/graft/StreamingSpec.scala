@@ -92,6 +92,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("SALTED stream-stream interval join: streaming equals batch on 90%-skewed users") {
+    import org.apache.spark.sql.types._
+    // the SaltingSpec skew fixture, streamed: user 1 owns 90% of both
+    // sides, so the join state for the hot user is keyed over (user,
+    // salt) buckets — parity proves salting changed only the physical
+    // distribution, in STREAMING execution too (VERDICT r9 #4)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def mkTs(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    import spark.implicits._
+    val views = (0 until 600).map { i =>
+      val u = if (i < 540) 1L else (i % 20 + 2).toLong
+      (i.toLong, u, mkTs(i * 12), 0.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val clicks = (0 until 200).map { i =>
+      val u = if (i < 180) 1L else (i % 20 + 2).toLong
+      ((10000 + i).toLong, u, mkTs(i * 36 + 30), i.toDouble)
+    }.toDF("event_id", "user_id", "ts", "value")
+
+    val viewsDir = Files.createTempDirectory("graft_skew_v").toString
+    val clicksDir = Files.createTempDirectory("graft_skew_c").toString
+    views.write.mode("overwrite").parquet(viewsDir)
+    clicks.write.mode("overwrite").parquet(clicksDir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+
+    val q = EventStream.intervalJoinSalted(
+        spark.readStream.schema(schema).parquet(viewsDir),
+        spark.readStream.schema(schema).parquet(clicksDir),
+        windowMinutes = 10, salts = 8)
+      .writeStream.format("memory").queryName("ivj_salted")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def tup(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "view_id", "click_id", "view_ts", "click_ts", "click_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5))).toSet
+    val streamed = tup(spark.table("ivj_salted"))
+    // parity against BOTH batch forms: the salted twin (same function,
+    // batch execution) and the unsalted original
+    val batchSalted = tup(EventStream.intervalJoinSalted(
+      views, clicks, windowMinutes = 10, salts = 8))
+    val batchPlain = tup(EventStream.intervalJoin(
+      views, clicks, windowMinutes = 10))
+    assert(streamed === batchSalted)
+    assert(streamed === batchPlain)
+    assert(streamed.nonEmpty)
+    // the hot user genuinely dominates the joined output (skew is real)
+    assert(streamed.count(_._1 == 1L) > streamed.size / 2)
+  }
+
   test("min-by streaming dedup: surviving VALUES independent of delivery order") {
     import org.apache.spark.sql.streaming.Trigger
     // two conflicting versions of every event: the original file and a
