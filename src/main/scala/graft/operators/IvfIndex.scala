@@ -185,6 +185,14 @@ object IvfIndex {
     * Probe ordering (cosine desc, cell asc) and the exact re-rank match
     * `searchPrebuilt` operation-for-operation, so results are
     * bit-identical (SimilaritySpec pins it).
+    *
+    * Latency shape, by design: the pointer path is TWO sequential
+    * bounded driver round-trips (bucket-pruned pointer read, then
+    * cell-pruned vector fetch — the cell set is only known after the
+    * pointers resolve), each reading ≤ |queryIds| partitions. Right for
+    * interactive k ≤ ~10³ lookups; a LARGE batch (the `isin` literal
+    * list would also bloat the plan) belongs on `searchPrunedDf`, which
+    * resolves everything executor-side in one plan.
     */
   def searchPruned(idx: BuiltIvf, queryIds: Seq[Long], k: Int,
       nprobe: Int = 4): DataFrame = {
@@ -216,6 +224,72 @@ object IvfIndex {
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     }
     searchPrunedVecs(idx, qVecs, k, nprobe, excludeSelf = true)
+  }
+
+  /** DataFrame-native batch serving — the 10⁶-query shape `searchPruned`
+    * is wrong for (VERDICT r9 #3): `Seq` queries resolve pointers via
+    * two sequential driver `collect()`s and push ids through `isin`
+    * literal lists, which caps the practical batch size (plan-size
+    * blowup, driver round-trips). Here the batch stays a DataFrame end
+    * to end: query ids JOIN the pointer store on (_idb, vec_id) — the
+    * bucket key computed executor-side with the same hash `save` wrote —
+    * then the pointed-at (cell, vec_id) pairs JOIN the cell-partitioned
+    * assignment to fetch vectors; probe cells are selected against the
+    * BROADCAST nlist centroids (row_number per query, same ordering as
+    * every other search path); candidates join on cell and re-rank by
+    * exact cosine. Zero driver round-trips, zero literal id lists — the
+    * plan's size is independent of the batch size (the spec asserts no
+    * id IN-list and the centroid broadcast), and for a selective batch
+    * the (_idb, cell) join keys line up with the store's partition
+    * columns so dynamic partition pruning can skip cold files. Results
+    * are bit-identical to `searchPruned` on the same ids (spec-pinned
+    * at sf0.1). This path also subsumes VERDICT r9 #5: the two
+    * sequential pointer/vector jobs collapse into one plan.
+    *
+    * `queries`: one `query_id` column (any integral type; cast to long,
+    * the by_id store's key type). Ids must be corpus-resident — exactly
+    * `searchPruned`'s contract.
+    */
+  def searchPrunedDf(idx: BuiltIvf, queries: DataFrame, k: Int,
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val spark = idx.assigned.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val q = queries.select(col("query_id").cast("long").as("query_id"))
+    val qVecs = idx.byId match {
+      case Some(store) =>
+        // (_idb, vec_id) equi-join: _idb is the store's partition column,
+        // recomputed on the query side with the identical hash expression
+        // `save` used — never a collected literal list
+        val ptrs = store.join(
+            q.withColumn("_qidb", pmod(hash(col("query_id")), lit(IdBuckets))),
+            col("vec_id") === col("query_id") && col("_idb") === col("_qidb"))
+          .select(col("query_id"), col("cell").as("_qcell"))
+        idx.assigned.join(ptrs,
+            col("vec_id").cast("long") === col("query_id") &&
+              col("cell") === col("_qcell"))
+          .select(col("query_id"), col("embedding").as("qe"))
+      case None =>
+        idx.assigned.join(q, col("vec_id").cast("long") === col("query_id"))
+          .select(col("query_id"), col("embedding").as("qe"))
+    }
+    val centers = idx.centers.toDF("cell", "centroid")
+    val probed = qVecs.crossJoin(broadcast(centers))
+      .withColumn("cdist", expr("graft_cosine(qe, centroid)"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val candidates = idx.assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("cell"))
+    probed.join(candidates, Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_cosine(qe, ne)").as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
   /** The vector-accepting serving core: queries arrive AS vectors (the

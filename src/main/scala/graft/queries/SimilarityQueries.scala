@@ -213,6 +213,32 @@ object SimilarityQueries extends QueryPack {
               lit(K.toDouble)).as("recall"))
           .orderBy("query_id")
       },
+      Some(ivfRecallOracle)),
+
+    // BATCH serving over the same persisted index: the query ids arrive
+    // as a DataFrame and stay one — pointer store and assignment are
+    // JOINED (no isin literals, no driver round-trips), centroids are
+    // broadcast. Bit-identical to n5's searchPruned (SimilaritySpec
+    // pins it at sf0.1), so it shares the same pinned-recall oracle; a
+    // hash mismatch means the executor-side resolution diverged from
+    // the driver-side one.
+    Q("n6_ann_ivf_batch_served",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.load(s, d, "embeddings")
+        val ann = graft.operators.IvfIndex.searchPrunedDf(
+          graft.operators.IvfIndex.load(s, servedIvfDir(s, d)),
+          QueryIds.toDF("query_id"), K, nprobe = 4)
+        val exact = SimilarityOps.topKCosineWindow(emb, QueryIds, K)
+        exact.as("x").join(ann.as("a"),
+            col("x.query_id") === col("a.query_id") &&
+            col("x.neighbor_id") === col("a.neighbor_id"), "left")
+          .groupBy(col("x.query_id").as("query_id"))
+          .agg(sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+            (sum(when(col("a.neighbor_id").isNotNull, 1L).otherwise(0L)) /
+              lit(K.toDouble)).as("recall"))
+          .orderBy("query_id")
+      },
       Some(ivfRecallOracle))
   )
 

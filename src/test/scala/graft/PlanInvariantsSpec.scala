@@ -27,11 +27,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
   //  - n5: shares n4's exact-top-k recall scaffolding (the brute
   //    corpus × broadcast-queries baseline); the served ANN side itself
   //    joins on the cell id like n4.
+  //  - n6: same recall scaffolding as n5; its probe selection is the
+  //    query batch × BROADCAST nlist-row centroid table (the documented
+  //    searchPrunedDf shape — the corpus side still joins on cell).
   //  - pipe_golden_counts: a 1-row × 1-row cross of two scalar
   //    aggregates (the dashboard's scalar-subquery shape).
   private val bnljAllowed = Set(
     "g1_secure_view_agg", "g2_secure_view_masked_rows", "j2_view_join_recovery",
-    "n1_knn_cosine", "n4_ann_ivf", "n5_ann_ivf_served", "pipe_golden_counts")
+    "n1_knn_cosine", "n4_ann_ivf", "n5_ann_ivf_served", "n6_ann_ivf_batch_served",
+    "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

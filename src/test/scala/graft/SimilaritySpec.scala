@@ -167,6 +167,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaVecs === rows(IvfIndex.searchPrebuilt(loaded, qs, 5, nprobe = 2)))
   }
 
+  test("IVF: DataFrame-native batch serving matches searchPruned at sf0.1 — " +
+    "broadcast centroids, no literal id lists") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.select("query_id", "neighbor_id", "rnk", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    // sf0.1 — the largest local corpus (VERDICT r9 #3's done-condition)
+    val sf01 = "/root/testdata/sf0.1"
+    val emb = Tables.load(spark, sf01, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_df").toString
+    IvfIndex.save(IvfIndex.build(emb, nlist = 16,
+      knownN = Tables.rowCount(spark, sf01, "embeddings")), dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.byId.isDefined)
+
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val viaDf = IvfIndex.searchPrunedDf(loaded, qs.toDF("query_id"), 10, nprobe = 4)
+    assert(rows(viaDf) === rows(IvfIndex.searchPruned(loaded, qs, 10, nprobe = 4)),
+      "DataFrame-native serving diverged from the Seq path")
+
+    val plan = viaDf.queryExecution.executedPlan.toString
+    // centroids reach the probe selection as a BROADCAST (nlist rows)
+    assert(plan.contains("BroadcastExchange"),
+      s"no centroid broadcast in:\n${plan.take(1500)}")
+    // and NO id reaches the plan as a literal list — the plan's size is
+    // independent of the batch size (isin renders as `vec_id# IN (...)`
+    // or INSET; the pointer store is joined, not filtered)
+    assert("(vec_id|query_id)#\\d+L? (IN \\(|INSET)".r.findFirstIn(plan).isEmpty,
+      s"literal id list leaked into the plan:\n${plan.take(1500)}")
+
+    // the byId=None fallback resolves by JOIN too (fresh in-memory build)
+    val fresh = IvfIndex.build(Tables.load(spark, sf, "embeddings"), nlist = 16)
+    val fbDf = rows(IvfIndex.searchPrunedDf(fresh, qs.toDF("query_id"), 10, nprobe = 4))
+    assert(fbDf === rows(IvfIndex.searchPruned(fresh, qs, 10, nprobe = 4)))
+  }
+
   test("IVF serving: an Int-typed vec_id corpus round-trips save → load → searchPruned") {
     import graft.operators.IvfIndex
     import org.apache.spark.sql.functions.col
