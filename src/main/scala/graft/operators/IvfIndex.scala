@@ -252,9 +252,6 @@ object IvfIndex {
     */
   def searchPrunedDf(idx: BuiltIvf, queries: DataFrame, k: Int,
       nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val spark = idx.assigned.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
     val q = queries.select(col("query_id").cast("long").as("query_id"))
     val qVecs = idx.byId match {
       case Some(store) =>
@@ -273,6 +270,38 @@ object IvfIndex {
         idx.assigned.join(q, col("vec_id").cast("long") === col("query_id"))
           .select(col("query_id"), col("embedding").as("qe"))
     }
+    probeAndRank(idx, qVecs, k, nprobe, excludeSelf)
+  }
+
+  /** External-vector twin of `searchPrunedDf`: the query batch arrives
+    * as a DataFrame of (query_id, qe) VECTORS — the production serving
+    * shape for batch scoring, where queries come from outside the
+    * corpus — and stays executor-side end to end: probe cells selected
+    * against the broadcast centroids, candidates joined on cell, exact
+    * re-rank. Same plan tail as `searchPrunedDf`, so the same
+    * guarantees: no driver round-trips, no literal id lists, plan size
+    * independent of batch size. `excludeSelf` carries
+    * `searchPrunedVecs`'s collision caveat verbatim: for external ids
+    * that may collide with corpus vec_ids, pass false.
+    */
+  def searchPrunedVecsDf(idx: BuiltIvf, queries: DataFrame, k: Int,
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    probeAndRank(idx,
+      queries.select(col("query_id").cast("long").as("query_id"),
+        col("qe")),
+      k, nprobe, excludeSelf)
+
+  /** Shared executor-side tail of the DataFrame serving paths: rank the
+    * broadcast centroids per query (cosine desc, cell asc — the same
+    * ordering as every other search path, so results stay
+    * bit-identical), keep nprobe cells, join candidates on cell, exact
+    * re-rank to top-k.
+    */
+  private def probeAndRank(idx: BuiltIvf, qVecs: DataFrame, k: Int,
+      nprobe: Int, excludeSelf: Boolean): DataFrame = {
+    val spark = idx.assigned.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
     val centers = idx.centers.toDF("cell", "centroid")
     val probed = qVecs.crossJoin(broadcast(centers))
       .withColumn("cdist", expr("graft_cosine(qe, centroid)"))

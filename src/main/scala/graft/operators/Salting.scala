@@ -120,10 +120,31 @@ object Salting {
       right: DataFrame, rightKey: String,
       condition: org.apache.spark.sql.Column, salts: Int,
       hotThreshold: Long): DataFrame = {
-    require(salts > 0 && hotThreshold > 0)
-    val hot = hotKeys(left, leftKey, hotThreshold)
-    saltLeftHot(left, leftKey, hot, salts)
-      .join(replicateRightHot(right, rightKey, hot, salts),
+    require(hotThreshold > 0)
+    saltedJoinOnHotSet(left, leftKey, right, rightKey,
+      hotKeys(left, leftKey, hotThreshold), condition, salts)
+  }
+
+  /** `saltedJoinOnHot` with the hot set supplied by the CALLER — the
+    * out-of-band shape: key skew moves far slower than data, so a
+    * production deployment derives the hot set from yesterday's counts,
+    * a control table, or AQE skew stats, and feeds it forward instead of
+    * re-counting per query. This is also what makes hot-only salting
+    * STREAMABLE: `hot` is a static (or slowly-refreshed) relation, so
+    * both sides' salt assignment is a stream-static broadcast join and
+    * the salted equi-join runs under the engine's stream-stream rules
+    * (StreamingSpec proves parity on the skew fixture). `hot` must be a
+    * single-column relation of key values, small enough to broadcast —
+    * which a REAL hot set is by definition.
+    */
+  def saltedJoinOnHotSet(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, hot: DataFrame,
+      condition: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    require(salts > 0)
+    require(hot.columns.length == 1, "hot set must be a single key column")
+    val h = hot.select(col(hot.columns.head).as("_hotk"))
+    saltLeftHot(left, leftKey, h, salts)
+      .join(replicateRightHot(right, rightKey, h, salts),
         condition && col("_lsalt") === col("_rsalt"))
       .drop("_lsalt", "_rsalt")
   }

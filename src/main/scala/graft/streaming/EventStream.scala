@@ -330,10 +330,40 @@ object EventStream {
     * shares e5/e6's oracle; SaltingSpec counts the replicated side to
     * pin the no-cold-replication contract). Batch-shaped: the hot-set
     * count is a batch aggregation over the view side — a streaming
-    * deployment computes the hot set out-of-band (yesterday's counts, a
-    * control table) and feeds it forward, since key skew moves far
+    * deployment feeds a precomputed hot set into
+    * `intervalJoinSaltedHotSet` instead, since key skew moves far
     * slower than events.
     */
+  /** `intervalJoinSaltedHot` with the hot-user set supplied by the
+    * caller — the STREAMING shape of hot-only salting: the hot set is a
+    * static (or slowly-refreshed) relation derived out-of-band
+    * (yesterday's counts, a control table — key skew moves far slower
+    * than events), so salt assignment on both sides is a stream-static
+    * broadcast join and the salted stream-stream join keeps its
+    * watermark-bounded (user, salt) state. Row-identical to
+    * `intervalJoin` whatever set is passed — salting any subset of keys
+    * changes only the physical distribution (StreamingSpec proves
+    * streaming-vs-batch parity on the 90 %-skew fixture).
+    */
+  def intervalJoinSaltedHotSet(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int, salts: Int, hotUsers: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 day")
+    graft.operators.Salting.saltedJoinOnHotSet(v, "user_id", c, "click_user",
+      hotUsers,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      salts)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"), col("click_value"))
+  }
+
   def intervalJoinSaltedHot(views: DataFrame, clicks: DataFrame,
       windowMinutes: Int, salts: Int, hotThreshold: Long): DataFrame = {
     val v = views

@@ -203,6 +203,19 @@ class SimilaritySpec extends AnyFunSuite {
     val fresh = IvfIndex.build(Tables.load(spark, sf, "embeddings"), nlist = 16)
     val fbDf = rows(IvfIndex.searchPrunedDf(fresh, qs.toDF("query_id"), 10, nprobe = 4))
     assert(fbDf === rows(IvfIndex.searchPruned(fresh, qs, 10, nprobe = 4)))
+
+    // external-vector batch serving: a (query_id, qe) DataFrame through
+    // the same executor-side tail is bit-identical to the Seq-of-vectors
+    // path on the same queries
+    val qVecRows = emb.filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(qs: _*))
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val viaVecsDf = rows(IvfIndex.searchPrunedVecsDf(loaded, qVecRows, 10, nprobe = 4))
+    val qVecSeq = qVecRows.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(viaVecsDf === rows(IvfIndex.searchPrunedVecs(loaded, qVecSeq, 10, nprobe = 4)),
+      "external-vector DataFrame serving diverged from the Seq path")
   }
 
   test("IVF serving: an Int-typed vec_id corpus round-trips save → load → searchPruned") {

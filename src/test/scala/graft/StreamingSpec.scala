@@ -143,6 +143,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     // the hot user genuinely dominates the joined output (skew is real)
     assert(streamed.count(_._1 == 1L) > streamed.size / 2)
+
+    // HOT-SET form, streamed: the hot set is a static relation fed from
+    // outside (the out-of-band deployment shape), salt assignment is a
+    // stream-static broadcast join, and only the hot user's state
+    // spreads over (user, salt) buckets — same rows out
+    val qh = EventStream.intervalJoinSaltedHotSet(
+        spark.readStream.schema(schema).parquet(viewsDir),
+        spark.readStream.schema(schema).parquet(clicksDir),
+        windowMinutes = 10, salts = 8, hotUsers = Seq(1L).toDF("user_id"))
+      .writeStream.format("memory").queryName("ivj_salted_hot")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qh.awaitTermination()
+    assert(tup(spark.table("ivj_salted_hot")) === batchPlain)
   }
 
   test("min-by streaming dedup: surviving VALUES independent of delivery order") {
