@@ -140,6 +140,36 @@ class SaltingSpec extends AnyFunSuite {
       .select("_lsalt").distinct().count() === salts.toLong)
   }
 
+  test("hot-SET salted join: empty, all-keys, and stale hot sets are all row-identical") {
+    import graft.streaming.EventStream
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+    val views = (0 until 300).map { i =>
+      val u = if (i < 200) 1L else (i % 20 + 2).toLong
+      (i.toLong, u, ts(i * 12), 0.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val clicks = (0 until 100).map { i =>
+      val u = if (i < 80) 1L else (i % 20 + 2).toLong
+      ((10000 + i).toLong, u, ts(i * 36 + 30), i.toDouble)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val plain = EventStream.intervalJoin(views, clicks, windowMinutes = 10)
+      .collect().toSet
+
+    // whichever subset of keys the caller salts — none, every key, or a
+    // STALE set naming keys that aren't in the data at all — only the
+    // physical distribution may change
+    val hotSets = Seq(
+      Seq.empty[Long],          // empty: everything rides the cold path
+      (1L to 21L).toSeq,        // all keys hot: degenerates to full salting
+      Seq(9999L, -5L))          // stale/foreign keys: no row matches them
+    hotSets.foreach { hs =>
+      val got = EventStream.intervalJoinSaltedHotSet(views, clicks,
+        windowMinutes = 10, salts = 8, hotUsers = hs.toDF("user_id"))
+        .collect().toSet
+      assert(got === plain, s"hot set $hs changed the result")
+    }
+  }
+
   test("salt values actually spread the hot key") {
     val left = (1 to 5000).map(i => (1L, i)).toDF("k", "payload")
     val spread = left.withColumn("_salt",
