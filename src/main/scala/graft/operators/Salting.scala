@@ -121,8 +121,14 @@ object Salting {
       condition: org.apache.spark.sql.Column, salts: Int,
       hotThreshold: Long): DataFrame = {
     require(hotThreshold > 0)
+    // localCheckpoint: the hot set feeds BOTH sides' salt-assignment
+    // broadcasts, and exchange reuse is not guaranteed across the two
+    // subtrees (observed: two independent BroadcastExchanges, i.e. the
+    // per-key count aggregation — a full pass over the fact side —
+    // planned twice). Materializing the bounded result (≤ n/threshold
+    // rows) runs that aggregation exactly once.
     saltedJoinOnHotSet(left, leftKey, right, rightKey,
-      hotKeys(left, leftKey, hotThreshold), condition, salts)
+      hotKeys(left, leftKey, hotThreshold).localCheckpoint(true), condition, salts)
   }
 
   /** `saltedJoinOnHot` with the hot set supplied by the CALLER — the
