@@ -23,10 +23,24 @@ object RangeJoin {
   /** (interval_id, point_id) pairs where start ≤ point ts < end.
     * All comparisons in microseconds — the full precision the sources
     * carry — so results match an exact inequality-join oracle.
+    *
+    * `binHintUs` (0 = derive) overrides the bin width: correctness never
+    * depends on it (intervals explode to every bin they cover; the exact
+    * recheck filters), only the candidate volume does. The derived
+    * default — the max interval length — caps replication at 2 bins per
+    * interval, the safe choice when lengths are unknown. When point
+    * density per bin is high (many points share a max-length bin), a
+    * SMALLER bin trades bounded extra interval replicas (len/bin + 1)
+    * for a proportionally smaller per-bin point×interval cross product —
+    * the same knob engines expose as a range-join bin-size hint. Measured
+    * at the 10× sf1-equivalent (PERF.md r10): max-len/8 saved ~18 % wall;
+    * gains are bounded because enumerating the true matches (which grows
+    * ~100× there) dominates whatever the candidate overhead is.
     */
   def pointsInIntervals(
       points: DataFrame, pointId: String, pointTs: String,
-      intervals: DataFrame, intervalId: String, startTs: String, endTs: String): DataFrame = {
+      intervals: DataFrame, intervalId: String, startTs: String, endTs: String,
+      binHintUs: Long = 0L): DataFrame = {
     val nonEmpty = intervals.filter(col(endTs) > col(startTs))
     // bin = max interval length in µs; driver-side scalar from a one-row
     // aggregate over interval metadata, not data volume.
@@ -36,7 +50,8 @@ object RangeJoin {
       return points.sparkSession.emptyDataFrame
         .withColumn(intervalId, lit(null)).withColumn(pointId, lit(null))
         .limit(0)
-    val binUs = math.max(1L, maxLen.getLong(0))
+    val binUs =
+      if (binHintUs > 0L) binHintUs else math.max(1L, maxLen.getLong(0))
     val p = points.select(col(pointId).as("_pid"),
       (unix_micros(col(pointTs)) / binUs).cast("long").as("_bin"),
       unix_micros(col(pointTs)).as("_pus"))

@@ -45,4 +45,29 @@ class JoinOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((100L, 1L), (100L, 2L)))
   }
+
+  test("range join: the bin-width hint never changes the result") {
+    // random-ish points and variable-length intervals; every bin width —
+    // far smaller and far larger than any interval — must produce the
+    // same pair set (bins shape candidates only; the exact recheck is
+    // the semantics)
+    val points = (0 until 500)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        ts("2024-01-01 00:00:00").toLocalDateTime.plusSeconds(i * 97L))))
+      .toDF("pid", "pts")
+    val intervals = (0 until 60).map { i =>
+      val s = ts("2024-01-01 00:00:00").toLocalDateTime.plusSeconds(i * 700L)
+      (1000L + i, java.sql.Timestamp.valueOf(s),
+        java.sql.Timestamp.valueOf(s.plusSeconds(60L + (i % 7) * 400L)))
+    }.toDF("iid", "s", "e")
+    def pairs(hint: Long) = RangeJoin
+      .pointsInIntervals(points, "pid", "pts", intervals, "iid", "s", "e",
+        binHintUs = hint)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = pairs(0L)
+    assert(ref.nonEmpty)
+    Seq(1000000L, 60000000L, 3600000000L, Long.MaxValue / 4).foreach { h =>
+      assert(pairs(h) === ref, s"bin hint $h changed the result")
+    }
+  }
 }
