@@ -252,7 +252,12 @@ object IvfIndex {
     */
   def searchPrunedDf(idx: BuiltIvf, queries: DataFrame, k: Int,
       nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col("query_id").cast("long").as("query_id"))
+    // distinct: `searchPruned`'s isin has SET semantics, so a duplicated
+    // query id is harmless there — but a join replicates the duplicate's
+    // candidate rows, and row_number over the doubled set would fill the
+    // top-k with repeated neighbours. One bounded shuffle of the id
+    // batch keeps the two paths' contracts identical.
+    val q = queries.select(col("query_id").cast("long").as("query_id")).distinct()
     val qVecs = idx.byId match {
       case Some(store) =>
         // (_idb, vec_id) equi-join: _idb is the store's partition column,

@@ -204,6 +204,12 @@ class SimilaritySpec extends AnyFunSuite {
     val fbDf = rows(IvfIndex.searchPrunedDf(fresh, qs.toDF("query_id"), 10, nprobe = 4))
     assert(fbDf === rows(IvfIndex.searchPruned(fresh, qs, 10, nprobe = 4)))
 
+    // duplicate query ids in the batch must not pollute the top-k (the
+    // Seq path's isin has set semantics; the join path dedups to match)
+    val dupDf = (qs ++ qs ++ qs.take(2)).toDF("query_id")
+    assert(rows(IvfIndex.searchPrunedDf(loaded, dupDf, 10, nprobe = 4)) === rows(viaDf),
+      "duplicated query ids changed the batch-serving result")
+
     // external-vector batch serving: a (query_id, qe) DataFrame through
     // the same executor-side tail is bit-identical to the Seq-of-vectors
     // path on the same queries
