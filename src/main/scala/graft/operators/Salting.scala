@@ -148,7 +148,10 @@ object Salting {
       condition: org.apache.spark.sql.Column, salts: Int): DataFrame = {
     require(salts > 0)
     require(hot.columns.length == 1, "hot set must be a single key column")
-    val h = hot.select(col(hot.columns.head).as("_hotk"))
+    // distinct: a duplicated key in a caller-fed hot set would REPLICATE
+    // every matching row through the left joins — a correctness break,
+    // not a perf wart. The set is broadcast-sized, so dedup is free.
+    val h = hot.select(col(hot.columns.head).as("_hotk")).distinct()
     saltLeftHot(left, leftKey, h, salts)
       .join(replicateRightHot(right, rightKey, h, salts),
         condition && col("_lsalt") === col("_rsalt"))

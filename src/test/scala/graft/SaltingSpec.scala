@@ -161,7 +161,8 @@ class SaltingSpec extends AnyFunSuite {
     val hotSets = Seq(
       Seq.empty[Long],          // empty: everything rides the cold path
       (1L to 21L).toSeq,        // all keys hot: degenerates to full salting
-      Seq(9999L, -5L))          // stale/foreign keys: no row matches them
+      Seq(9999L, -5L),          // stale/foreign keys: no row matches them
+      Seq(1L, 1L, 1L, 2L, 2L))  // DUPLICATED keys: must not replicate rows
     hotSets.foreach { hs =>
       val got = EventStream.intervalJoinSaltedHotSet(views, clicks,
         windowMinutes = 10, salts = 8, hotUsers = hs.toDF("user_id"))
