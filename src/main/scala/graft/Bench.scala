@@ -67,6 +67,12 @@ object Bench {
     // (normalization rule in PERF.md). Warmed once untimed so codegen
     // compilation is not billed to the first sample.
     def canaryOnce(): Double = {
+      // GC first: the canary should measure the HOST, but mid-run
+      // samples otherwise absorb the benchmark's own accumulated heap
+      // state (observed: clean-host end samples 4-5× the start sample
+      // purely from GC pressure) — which would make within-run drift
+      // chronically warn and mask real external taxes
+      System.gc()
       val t0 = System.nanoTime()
       spark.range(50000000L).selectExpr("bit_xor(xxhash64(id)) AS s")
         .write.format("noop").mode("overwrite").save()
@@ -121,11 +127,16 @@ object Bench {
       "\"" + k + "\":" + rs.map(t => f"$t%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // contention self-diagnosis: the canary's cost is a host constant,
-    // so samples disagreeing with each other (tax arrived mid-run) or a
-    // heavily elevated overall level both mark the record suspect
+    // contention self-diagnosis: samples disagreeing >3× within the run
+    // (tax arrived mid-run) or an elevated START sample vs a known-good
+    // run's (whole-run tax) both mark the record suspect. The threshold
+    // is 3×, not 2×: even on an idle host, the later samples of a full
+    // sf0.1 run sit ~2× above the start purely from the benchmark's own
+    // JVM heap state (measured, with a pre-sample GC already applied) —
+    // the cross-run same-position comparison in PERF.md is the primary
+    // signal, the within-run flag catches only gross mid-run arrivals.
     val canaryStr = canary.map(t => f"$t%.4f").mkString("[", ",", "]")
-    val canaryWarn = canary.max > 2.0 * canary.min
+    val canaryWarn = canary.max > 3.0 * canary.min
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"errored_reps":$erroredReps,"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
