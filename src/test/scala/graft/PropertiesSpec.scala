@@ -58,4 +58,69 @@ class PropertiesSpec extends AnyFunSuite {
       shredded.collect() // no exception on materialization
     }
   }
+
+  /** Multiset of the selected columns — join equality must hold with
+    * duplicate-row multiplicities, not just as a set.
+    */
+  private def multiset(df: org.apache.spark.sql.DataFrame,
+      cols: String*): Map[Seq[Any], Int] =
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq.map(_.toSeq).groupBy(identity)
+      .view.mapValues(_.size).toMap
+
+  test("salted joins (equi, residual, hot, hot-set) equal the plain join on random data") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Salting
+    // small key domain so collisions and duplicates actually occur
+    val kvGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 100)))
+    for (trial <- 1 to 5) {
+      val salts = trial % 7 + 1
+      val l = sample(kvGen, trial.toLong).toDF("k", "lv")
+      val rRows = sample(kvGen, trial.toLong + 300)
+
+      val rEqui = rRows.toDF("k", "rv")
+      assert(multiset(Salting.saltedJoin(l, rEqui, "k", salts), "k", "lv", "rv")
+        === multiset(l.join(rEqui, "k"), "k", "lv", "rv"), s"equi trial $trial")
+
+      // residual-preserving forms: equality key + an inequality residual
+      val rOn = rRows.toDF("k2", "rv")
+      val cond = col("k") === col("k2") && col("lv") <= col("rv")
+      val plainOn = multiset(l.join(rOn, cond), "k", "lv", "k2", "rv")
+      assert(multiset(Salting.saltedJoinOn(l, rOn, cond, salts),
+        "k", "lv", "k2", "rv") === plainOn, s"on trial $trial")
+      val threshold = (trial * 3 + 1).toLong
+      assert(multiset(Salting.saltedJoinOnHot(l, "k", rOn, "k2", cond, salts,
+        threshold), "k", "lv", "k2", "rv") === plainOn, s"hot trial $trial")
+      assert(multiset(Salting.saltedJoinOnHotSet(l, "k", rOn, "k2",
+        Seq(0L, 3L, 5L).toDF("k"), cond, salts),
+        "k", "lv", "k2", "rv") === plainOn, s"hot-set trial $trial")
+    }
+  }
+
+  test("range join equals a driver-side inequality oracle on random data, any bin hint") {
+    import org.apache.spark.sql.functions.expr
+    val ptGen = Gen.listOfN(60, Gen.choose(0L, 100000000L))
+    val ivGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 100000000L), Gen.choose(0L, 30000000L)))
+    for (trial <- 1 to 5) {
+      val pts = sample(ptGen, trial.toLong).zipWithIndex
+        .map { case (us, i) => (i.toLong, us) }
+      val ivs = sample(ivGen, trial.toLong + 700).zipWithIndex
+        .map { case ((s, len), i) => (1000L + i, s, s + len) }
+      // independent oracle: plain Scala over the same tuples
+      val expected = pts.flatMap { case (pid, pus) =>
+        ivs.collect { case (iid, s, e) if pus >= s && pus < e => (iid, pid) }
+      }.toSet
+      val p = pts.toDF("pid", "pus").withColumn("pts", expr("timestamp_micros(pus)"))
+      val iv = ivs.toDF("iid", "sus", "eus")
+        .withColumn("s", expr("timestamp_micros(sus)"))
+        .withColumn("e", expr("timestamp_micros(eus)"))
+      val hint = Seq(0L, 1000L, 1000000L, 50000000L)(trial % 4)
+      val got = graft.operators.RangeJoin.pointsInIntervals(
+          p.select("pid", "pts"), "pid", "pts",
+          iv.select("iid", "s", "e"), "iid", "s", "e", binHintUs = hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"trial $trial hint $hint")
+    }
+  }
 }
