@@ -156,6 +156,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(fetchPlan).isDefined,
       s"no cell partition filter in:\n${fetchPlan.take(1500)}")
 
+    // the documented latency shape is EXACTLY two driver round-trips
+    // (bucket-pruned pointer read, then cell-pruned vector fetch) — the
+    // plan-construction part of searchPruned launches no other jobs
+    // (VERDICT r9 #5: accepted and pinned for the interactive path; a
+    // large batch takes searchPrunedDf's single-plan route instead)
+    val resolveJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val resolveListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        resolveJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(resolveListener)
+    try { IvfIndex.searchPruned(loaded, qs, 5, nprobe = 2); Thread.sleep(300) }
+    finally spark.sparkContext.removeSparkListener(resolveListener)
+    assert(resolveJobs.get() === 2,
+      s"searchPruned resolution cost ${resolveJobs.get()} jobs, expected 2")
+
     val viaIds = IvfIndex.searchPruned(loaded, qs, 5, nprobe = 2)
     val viaVecs = rows(IvfIndex.searchPrunedVecs(loaded,
       planted.filter(col("vec_id").isin(qs: _*))
