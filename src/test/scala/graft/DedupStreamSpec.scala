@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DocStream
+
+/** Streaming near-dup dedup: greedy semantics, batching invariance, and
+  * the bucketed index's kept-only content. The batch twin
+  * `greedyKeepNearDups` is the oracle; the SAME docs streamed as one
+  * micro-batch and as three must produce its exact decisions (the
+  * semantics are invariant to how an id-ordered stream is chopped).
+  */
+class DedupStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic corpus: 6 near-dup groups (a base doc + 1-2 variants
+  // differing in 2 of ~40 words — word-3-gram Jaccard stays high), 10
+  // unique docs, and one too-short doc (no shingles, trivially kept)
+  private lazy val docs: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "nov",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    def freshText() = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    (0 until 6).foreach { g =>
+      val base = freshText()
+      out += ((id, base.mkString(" "))); id += 1
+      (0 until (g % 2) + 1).foreach { _ =>
+        val v = base.clone()
+        v(rnd.nextInt(40)) = vocab(rnd.nextInt(vocab.length))
+        v(rnd.nextInt(40)) = vocab(rnd.nextInt(vocab.length))
+        out += ((id, v.mkString(" "))); id += 1
+      }
+    }
+    (0 until 10).foreach { _ => out += ((id, freshText().mkString(" "))); id += 1 }
+    out += ((id, "too short")); id += 1
+    out.toSeq
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def runStream(files: Seq[Seq[(Long, String)]],
+      onePerTrigger: Boolean): Set[(Long, Boolean, Option[Long])] = {
+    val srcDir = Files.createTempDirectory("graft_nd_src").toString
+    val indexDir = Files.createTempDirectory("graft_nd_idx").toString + "/idx"
+    val outDir = Files.createTempDirectory("graft_nd_out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft_nd_ck").toString
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      // distinct mtimes so the file source's batch order is the id order
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src0 = spark.readStream.schema(docSchema)
+    val src = (if (onePerTrigger) src0.option("maxFilesPerTrigger", "1") else src0)
+      .option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = DocStream.nearDupFilter(src, indexDir, outDir, ckDir,
+        threshold = 0.5)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // index holds ONLY kept docs' entries
+    val keptIds = spark.read.parquet(outDir).filter(col("kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed.subsetOf(keptIds), "index contains dropped docs")
+    assert((keptIds -- indexed).forall(id =>
+      docs.toMap.apply(id).split(" ").length < 3),
+      "a shingled kept doc is missing from the index")
+    spark.read.parquet(outDir)
+      .select("doc_id", "kept", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+  }
+
+  test("streaming greedy near-dup dedup equals the batch twin under any chopping") {
+    val expected = DocStream
+      .greedyKeepNearDups(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // the fixture must exercise both outcomes
+    assert(expected.exists(!_._2), "no near-dups found — fixture is vacuous")
+    assert(expected.count(_._2) >= 10, "almost everything deduped — fixture broken")
+    // every match names an earlier KEPT doc
+    val keptSet = expected.filter(_._2).map(_._1)
+    expected.foreach { case (id, kept, m) =>
+      if (!kept) assert(m.exists(e => e < id && keptSet(e)), s"doc $id match $m")
+      else assert(m.isEmpty)
+    }
+
+    // one micro-batch
+    val oneShot = runStream(Seq(docs), onePerTrigger = false)
+    assert(oneShot === expected, "single-batch stream diverged from batch twin")
+    // three id-ordered micro-batches splitting dup groups across batches
+    val chopped = runStream(
+      Seq(docs.take(7), docs.slice(7, 15), docs.drop(15)), onePerTrigger = true)
+    assert(chopped === expected, "chopped stream diverged from batch twin")
+  }
+}
