@@ -105,8 +105,10 @@ object DocStream {
     * `pairs` are within-batch (earlier, later) collisions. Returns
     * (id, kept, match) for every id involved in either — docs involved
     * in neither are kept by construction and never reach the driver.
+    * Shared with `EmbedStream` (same semantics, different candidate
+    * generator).
     */
-  private def greedyFold(crossMatch: Map[Long, Long],
+  private[streaming] def greedyFold(crossMatch: Map[Long, Long],
       pairs: Seq[(Long, Long)]): Seq[(Long, Boolean, Long)] = {
     val byLater = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val involved = (crossMatch.keys ++ pairs.flatMap(p => Seq(p._1, p._2)))
@@ -126,7 +128,7 @@ object DocStream {
     * every uninvolved doc is kept with no match; the folded relation is
     * collider-sized, so the join broadcasts.
     */
-  private def decisions(sigs: DataFrame,
+  private[streaming] def decisions(sigs: DataFrame,
       folded: Seq[(Long, Boolean, Long)]): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._

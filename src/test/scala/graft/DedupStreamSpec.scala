@@ -108,4 +108,54 @@ class DedupStreamSpec extends AnyFunSuite {
       Seq(docs.take(7), docs.slice(7, 15), docs.drop(15)), onePerTrigger = true)
     assert(chopped === expected, "chopped stream diverged from batch twin")
   }
+
+  // planted vector clusters: members of one cluster are near-dups of
+  // each other (center ± small noise at dim 16), cluster centers are not
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 16)((rnd.nextDouble() * 2 - 1).toFloat)
+    for (c <- 0 until 8; i <- 0 until 5) yield {
+      val v = centers(c).map(x => x + (rnd.nextDouble() * 0.05 - 0.025).toFloat)
+      ((c * 5 + i).toLong, v)
+    }
+  }
+
+  test("streaming embedding near-dup dedup equals its batch twin under any chopping") {
+    import graft.streaming.EmbedStream
+    def decide(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "kept", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val vecDf = vecs.toDF("vec_id", "embedding")
+    val expected = decide(EmbedStream.greedyKeepNearDups(vecDf,
+      threshold = 0.98, bits = 8, dim = 16))
+    assert(expected.exists(!_._2), "no vector near-dups — fixture vacuous")
+    assert(expected.count(_._2) >= 8, "every cluster must keep its first member")
+
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(files: Seq[Seq[(Long, Array[Float])]], onePer: Boolean) = {
+      val srcDir = Files.createTempDirectory("graft_ev_src").toString
+      val base = Files.createTempDirectory("graft_ev_nd").toString
+      files.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$srcDir/f$i")
+        new java.io.File(s"$srcDir/f$i").listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+      val src0 = spark.readStream.schema(vecSchema)
+      val src = (if (onePer) src0.option("maxFilesPerTrigger", "1") else src0)
+        .parquet(s"$srcDir/*")
+      val q = EmbedStream.nearDupFilter(src, s"$base/idx", s"$base/out",
+          s"$base/ck", threshold = 0.98, bits = 8, dim = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      decide(spark.read.parquet(s"$base/out"))
+    }
+    assert(run(Seq(vecs), onePer = false) === expected,
+      "single-batch vector stream diverged from batch twin")
+    assert(run(Seq(vecs.take(13), vecs.slice(13, 27), vecs.drop(27)),
+      onePer = true) === expected,
+      "chopped vector stream diverged from batch twin")
+  }
 }
