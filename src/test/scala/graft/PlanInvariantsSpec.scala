@@ -67,4 +67,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val p = plan("j1_join_multiway")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(1200))
   }
+
+  test("e7's hot-set salt assignment rides BROADCAST joins, never a shuffle") {
+    // the two-phase salted join's whole premise is that the hot set is
+    // broadcast-sized; if either side's salt assignment ever plans as a
+    // shuffled join, the operator's cost model is broken
+    val p = plan("e7_interval_join_salted_hot")
+    assert("BroadcastHashJoin.*LeftOuter".r.findAllIn(p).size >= 2,
+      s"hot-set assignment not broadcast on both sides:\n${p.take(1500)}")
+  }
 }
