@@ -118,6 +118,52 @@ object TextQueries extends QueryPack {
                WHERE length(text) >= 8)
              SELECT doc_id, content_md5,
                min(md5(substr(text, CAST(i AS INTEGER), 8))) AS winnow_fp
-             FROM w GROUP BY doc_id, content_md5 ORDER BY doc_id"""))
+             FROM w GROUP BY doc_id, content_md5 ORDER BY doc_id""")),
+
+    // PII redaction (graft.operators.Redaction): the synthetic corpus
+    // carries no digits or '@' at all, so a bare scrub would trivially
+    // match nothing — instead each row CONSTRUCTS its PII
+    // deterministically from its own fields (same construction in both
+    // engines), then the full default rule chain runs over it. Every row
+    // redacts one email and one 7-8 digit number; the md5 of the
+    // redacted text hash-pins the entire staged composition (rule order
+    // included) cross-engine. Counts are staged exactly as
+    // Redaction.counts stages them: each rule counts on the previous
+    // rules' output.
+    Q("t5_redact_pii", { (s, d) =>
+      import graft.operators.Redaction
+      val emailPat = Redaction.defaultRules.head.pattern
+      val numberPat = Redaction.defaultRules.last.pattern
+      val raw = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("from "), col("source"), lit("_"),
+            col("doc_id").cast("string"), lit("@mail.example (tel "),
+            (col("doc_id") * 7919L + 1000000L).cast("string"),
+            lit(") "), col("text")).as("raw"))
+      val s3 = Redaction.scrub(col("raw"), Redaction.defaultRules.take(3))
+      val full = Redaction.scrub(col("raw"))
+      raw.select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailPat)).as("n_emails"),
+          regexp_count(s3, lit(numberPat)).as("n_numbers"),
+          md5(full).as("redacted_md5"),
+          length(full).as("n_chars_redacted"))
+        .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+               'from ' || source || '_' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example (tel '
+                 || CAST(1000000 + doc_id * 7919 AS VARCHAR)
+                 || ') ' || text AS raw FROM documents),
+             s AS (SELECT doc_id, raw,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                 '[a-f0-9]{32,}', '<SECRET>', 'g') AS s3 FROM r)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(s3, '[0-9]{7,}')) AS INTEGER) AS n_numbers,
+               md5(regexp_replace(s3, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5,
+               CAST(length(regexp_replace(s3, '[0-9]{7,}', '<NUMBER>', 'g')) AS INTEGER) AS n_chars_redacted
+             FROM s ORDER BY doc_id"""))
   )
 }
