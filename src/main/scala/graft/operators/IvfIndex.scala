@@ -131,6 +131,86 @@ object IvfIndex {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
   }
 
+  /** Incrementally grow a persisted index — the missing piece between
+    * `save` and a corpus that keeps arriving: at 100 TB, re-fitting and
+    * re-assigning the whole corpus per data drop is a full-corpus pass
+    * nobody schedules, while appending is delta-sized. New vectors are
+    * assigned against the index's OWN persisted centroids (the quantizer
+    * is frozen at build time — standard IVF practice; recall drifts only
+    * if the data distribution does, at which point a rebuild is a
+    * deliberate operation), and their rows/pointers are APPENDED to the
+    * existing `cell=` / `_idb=` partition directories, so every search
+    * path — prebuilt, pruned, DataFrame-native — sees them with no other
+    * change.
+    *
+    * Assignment semantics: `save` stores centroids as float arrays, so
+    * appended vectors are assigned via the same nearest-center rule the
+    * fit used (mllib `KMeansModel.predict` — lowest index wins ties)
+    * over those persisted centers. A vector lying EXACTLY between two
+    * centers could in principle land differently than the in-fit double-
+    * precision assignment would have placed it — that moves which cell
+    * probes find it, not whether the exact re-rank scores it correctly
+    * (IvfAppendSpec pins half-corpus-append vs full-save bit-identity
+    * on clustered data).
+    *
+    * Idempotent: the delta is anti-joined against the pointer store
+    * (pointer-sized read, never the corpus), so re-running the same
+    * append — including a crash-replayed one — adds nothing. Write
+    * order is vectors THEN pointers: a crash between the two leaves
+    * orphan vectors the anti-join cannot see, so after a mid-append
+    * crash run `repairPointers` BEFORE re-running the append — it
+    * heals the orphans and the re-run's anti-join then skips them.
+    *
+    * The delta's `vec_id`/`embedding` are cast to the stored assignment
+    * schema (mixed int/long vec_id across parquet files would poison
+    * every later scan). Returns the number of vectors actually appended.
+    */
+  def appendToSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newEmb: DataFrame): Long = {
+    val idx = load(spark, dir)
+    val byId = idx.byId.getOrElse(throw new IllegalStateException(
+      s"$dir has no (vec_id, cell) pointer store — append's idempotence " +
+        "anti-join needs it; re-save the index first"))
+    val assignedSchema = idx.assigned.schema
+    val model = new org.apache.spark.mllib.clustering.KMeansModel(
+      idx.centers.sortBy(_._1).map { case (_, c) =>
+        org.apache.spark.mllib.linalg.Vectors.dense(c.map(_.toDouble))
+      }.toArray)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val predict = udf((e: Seq[Float]) => bcModel.value.predict(
+      org.apache.spark.mllib.linalg.Vectors.dense(e.map(_.toDouble).toArray)))
+    // one delta-sized materialization: the assigned delta feeds the
+    // vector write, the pointer write, and the returned count — without
+    // it the predict + anti-join plan would run three times
+    val delta = newEmb
+      .select(col("vec_id").cast(assignedSchema("vec_id").dataType).as("vec_id"),
+        col("embedding").cast(assignedSchema("embedding").dataType).as("embedding"))
+      .join(byId.select(col("vec_id").as("_seen")),
+        col("vec_id").cast("long") === col("_seen"), "left_anti")
+      .withColumn("cell", predict(col("embedding")))
+      .localCheckpoint()
+    val appended = delta.count()
+    if (appended > 0) {
+      delta.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+      delta.select(col("vec_id").cast("long").as("vec_id"), col("cell"))
+        .withColumn("_idb", pmod(hash(col("vec_id")), lit(IdBuckets)))
+        .write.mode("append").partitionBy("_idb").parquet(s"$dir/by_id")
+    }
+    appended
+  }
+
+  /** Rebuild the pointer store from the assignment — crash recovery for
+    * `appendToSaved` (orphan vectors whose pointer write never landed)
+    * and the upgrade path for a pre-pointer-store index. Cost: one
+    * column-pruned pass over the assignment's (vec_id, cell) — the ids,
+    * not the embeddings — and a pointer-sized overwrite.
+    */
+  def repairPointers(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/assigned")
+      .select(col("vec_id").cast("long").as("vec_id"), col("cell"))
+      .withColumn("_idb", pmod(hash(col("vec_id")), lit(IdBuckets)))
+      .write.mode("overwrite").partitionBy("_idb").parquet(s"$dir/by_id")
+
   /** Load a persisted index. Centroids (nlist rows) come driver-side;
     * the assignment stays a lazy parquet scan — no corpus pass, no fit.
     */
