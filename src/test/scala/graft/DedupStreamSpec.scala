@@ -158,4 +158,54 @@ class DedupStreamSpec extends AnyFunSuite {
       onePer = true) === expected,
       "chopped vector stream diverged from batch twin")
   }
+
+  test("compacting the index between stream runs changes decisions not at all") {
+    // the maintenance pass DocStream's scaladoc promises: between two
+    // AvailableNow runs of the SAME checkpointed stream, compact the
+    // band-bucketed index (merging per-batch files, dropping any exact
+    // duplicates) — the continued stream must still produce the batch
+    // twin's exact decisions
+    import graft.operators.Compaction
+    val expected = DocStream
+      .greedyKeepNearDups(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+    val srcDir = Files.createTempDirectory("graft_ndc_src").toString
+    val base = Files.createTempDirectory("graft_ndc").toString
+    val (indexDir, outDir, ckDir) = (s"$base/idx", s"$base/out", s"$base/ck")
+    def writeFile(rows: Seq[(Long, String)], i: Int): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    def drain(): Unit = {
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(s"$srcDir/*")
+      val q = DocStream.nearDupFilter(src, indexDir, outDir, ckDir,
+          threshold = 0.5)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(docs.take(7), 0); writeFile(docs.slice(7, 15), 1)
+    drain()
+    val before = spark.read.parquet(indexDir)
+      .collect().map(_.toString).toSet
+    val rewritten = Compaction.compact(spark, indexDir, "_bucket",
+      maxFiles = 1, dropExactDuplicates = true)
+    assert(rewritten.nonEmpty, "two batches left no bucket with 2 files")
+    assert(spark.read.parquet(indexDir).collect().map(_.toString).toSet
+      === before, "compaction changed index content")
+    writeFile(docs.drop(15), 2)
+    drain()
+    val decisions = spark.read.parquet(outDir)
+      .select("doc_id", "kept", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(decisions === expected,
+      "stream continued over a compacted index diverged from batch twin")
+  }
 }
