@@ -403,4 +403,38 @@ object DedupOps {
         hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Train/test DECONTAMINATION: every (train doc, test doc) pair
+    * sharing at least one word-`n`-gram, with the shared-gram count and
+    * the fraction of the test doc's grams found in that train doc — the
+    * benchmark-leakage report every training pipeline runs before
+    * publishing eval numbers (a test doc whose n-grams appear verbatim
+    * in training data is a contaminated measurement, not a held-out
+    * one).
+    *
+    * Shape: d2's inverted-index join, never all-pairs — candidates come
+    * from the shingle equi-join, bounded per shingle by document
+    * frequency, with the train side df-capped (`maxDf`) for the same
+    * boilerplate-blowup reason as d2 (a gram in half the corpus is
+    * boilerplate, not leakage — and at n=8 real leakage never lives
+    * only in such grams). The test side is never capped: a test gram's
+    * df IS the leakage signal. Exact arithmetic: integer counts, one
+    * IEEE division — hash-matched cross-engine (d8).
+    */
+  def crossSplitOverlap(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      maxDf: Long = 100000L): DataFrame = {
+    val tr = cappedShingles(shingles(train, idCol, textCol, n), maxDf)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val te = shingles(test, idCol, textCol, n)
+    val sizes = te.groupBy("doc_id").agg(count(lit(1)).as("n_test_grams"))
+    tr.join(te.select(col("doc_id").as("test_doc"), col("shingle")), "shingle")
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes, col("test_doc") === sizes("doc_id"))
+      .select(col("train_doc"), col("test_doc"), col("shared_grams"),
+        col("n_test_grams"),
+        (col("shared_grams").cast("double") / col("n_test_grams"))
+          .as("overlap_frac"))
+  }
 }

@@ -276,6 +276,43 @@ object DedupQueries extends QueryPack {
                 * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS cosine
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
              SELECT d1, d2, cosine FROM pairs
-             WHERE cosine >= 0.8 ORDER BY d1, d2"""))
+             WHERE cosine >= 0.8 ORDER BY d1, d2""")),
+
+    // Train/test decontamination (DedupOps.crossSplitOverlap): word-8-
+    // gram leakage across sp1's deterministic 80/10/10 split — every
+    // (train doc, test doc) pair sharing a gram, with the shared count
+    // and the contaminated fraction of the test doc. The corpus's shared
+    // vocabulary plants organic leakage (4 pairs at sf0.01, 40 at
+    // sf0.1), so the report is non-vacuous at every gated SF.
+    Q("d8_decontamination",
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("bigint") % 100
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.DedupOps.crossSplitOverlap(
+            docs.filter(bucket < 80), docs.filter(bucket >= 90),
+            "doc_id", "text", n = 8)
+          .orderBy("train_doc", "test_doc")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+               FROM documents),
+             toks AS (SELECT doc_id, b, string_split(text, ' ') ts FROM d
+               WHERE len(string_split(text, ' ')) >= 8),
+             idx AS (SELECT doc_id, b, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks),
+             sh AS (SELECT DISTINCT doc_id, b,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM idx),
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh WHERE b >= 90 GROUP BY doc_id),
+             pairs AS (SELECT a.doc_id AS train_doc, t.doc_id AS test_doc,
+               count(*) AS shared_grams
+               FROM sh a JOIN sh t ON a.shingle = t.shingle AND a.b < 80 AND t.b >= 90
+               GROUP BY 1, 2)
+             SELECT p.train_doc, p.test_doc, p.shared_grams,
+               s.n AS n_test_grams,
+               CAST(p.shared_grams AS DOUBLE) / s.n AS overlap_frac
+             FROM pairs p JOIN sizes s ON p.test_doc = s.doc_id
+             ORDER BY train_doc, test_doc"""))
   )
 }

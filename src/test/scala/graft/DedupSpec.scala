@@ -157,4 +157,21 @@ class DedupSpec extends AnyFunSuite {
     val rows = deduped.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(rows === Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("decontamination reports planted 8-gram leakage exactly, nothing spurious") {
+    import spark.implicits._
+    // test doc 100: 9 words => 2 distinct 8-grams; train doc 1 contains
+    // the first verbatim (leak), train doc 2 shares no 8-gram
+    val leak = "one two three four five six seven eight"
+    val train = Seq(
+      (1L, s"prefix words then $leak and a tail"),
+      (2L, "totally different text with no long overlap at all here"))
+      .toDF("doc_id", "text")
+    val test_ = Seq((100L, s"$leak nine")).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps
+      .crossSplitOverlap(train, test_, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 100L, 1L, 2L, 0.5)))
+  }
 }
