@@ -72,6 +72,27 @@ object Salting {
       .filter(col("_cnt") >= hotThreshold)
       .select(col(key).as("_hotk"))
 
+  /** Sampled estimate of `hotKeys` — at 100 TB even the map-side-partial
+    * count pass touches every row; a Bernoulli sample cuts it by 1/frac
+    * while a REAL hot key (by definition a large constant fraction of
+    * rows) still lands thousands of sampled rows. The threshold is
+    * scaled by `frac`, with a binomial safety margin of 3σ so a key
+    * sitting AT the true threshold is still found with near-certainty;
+    * keys far below it stay excluded. Seeded, so the estimate is
+    * reproducible. Use for feeding `saltedJoinOnHotSet`; when the
+    * decision boundary must be exact, pay for `hotKeys`.
+    */
+  private[graft] def hotKeysApprox(df: DataFrame, key: String,
+      hotThreshold: Long, frac: Double, seed: Long = 42L): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0)
+    val sampledThreshold = hotThreshold * frac
+    val margin = 3.0 * math.sqrt(sampledThreshold)
+    df.sample(withReplacement = false, frac, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= math.max(1.0, sampledThreshold - margin))
+      .select(col(key).as("_hotk"))
+  }
+
   /** Left side of the hot-only salted join: hot keys get the full salt
     * spread, cold keys a constant salt 0 — a broadcast hash join against
     * the bounded hot set, no shuffle.

@@ -23,6 +23,17 @@ class SaltingSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
     // hot key fully preserved
     assert(salted.filter(col("k") === 1).count() === 9000)
+
+    // the sampled hot-set estimate agrees with the exact pass on this
+    // fixture: key 1 (9000 rows) found at a 900-row threshold from a
+    // 10% sample; no cold key (≤ 20 rows each) sneaks in past the 3σ
+    // margin
+    val exact = Salting.hotKeys(left, "k", hotThreshold = 900L)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Salting.hotKeysApprox(left, "k", hotThreshold = 900L,
+        frac = 0.1).collect().map(_.getLong(0)).toSet
+    assert(exact === Set(1L))
+    assert(approx === exact, s"sampled hot set $approx != exact $exact")
   }
 
   test("salted interval join: residual survives salting on 90%-skewed users " +
