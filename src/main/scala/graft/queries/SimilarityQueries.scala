@@ -143,6 +143,37 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "rnk"),
       Some(oracle)),
 
+    // Int8-quantized top-k (Quantization.quantize → dequantize →
+    // exact cosine): the storage-lever path — the oracle replays the
+    // IDENTICAL scale/floor/cast arithmetic in DuckDB, so the hash
+    // match pins the whole quantization contract cross-engine, not an
+    // epsilon. Neighborhood fidelity vs the float path is spec-pinned
+    // (QuantizationSpec); the storage ratio too.
+    Q("n7_knn_quantized",
+      (s, d) => {
+        import graft.operators.Quantization
+        SimilarityOps.topKCosineWindow(
+            Quantization.dequantize(Quantization.quantize(
+              Tables.load(s, d, "embeddings"))), QueryIds, K)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH sc AS (SELECT vec_id,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale,
+             embedding FROM embeddings),
+           dq AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) * scale AS FLOAT)) AS embedding
+             FROM sc),
+           q AS (SELECT vec_id query_id, embedding qe FROM dq WHERE vec_id < 5),
+           c AS (SELECT vec_id neighbor_id, embedding ne FROM dq),
+           sims AS (SELECT query_id, neighbor_id,
+             (${dot("qe", "ne")}) / (sqrt(${dot("qe", "qe")}) * sqrt(${dot("ne", "ne")})) AS sim
+            FROM q, c WHERE neighbor_id <> query_id),
+           ranked AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+           SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+           FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""")),
+
     // Exact top-k cosine via per-partition bounded heaps — the 100 TB
     // plan (no corpus shuffle). Same oracle: exactness of the scale
     // path is part of the contract.
