@@ -131,6 +131,31 @@ object IvfIndex {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
   }
 
+  /** `save` with int8-quantized vectors (`Quantization`): the assigned
+    * store — the corpus-sized part of the index — shrinks ~4× by
+    * carrying (scale, qvec) instead of the float embedding. `load`
+    * detects the quantized layout and rebuilds the `embedding` column
+    * lazily (a codegen'd transform riding the scan), so EVERY search
+    * path works unchanged against a quantized store. Lossy by design:
+    * results re-rank on dequantized vectors (component error ≤ scale/2,
+    * QuantizationSpec), so this trades exact-float bit-identity for the
+    * footprint — SimilaritySpec pins the recall against the float index.
+    * Pointer store and centroids are unchanged (already small).
+    */
+  def saveQuantized(idx: BuiltIvf, dir: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    Quantization.quantize(idx.assigned.select(col("vec_id"), col("embedding")))
+      .join(idx.assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    idx.centers.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.assigned.select(col("vec_id").cast("long").as("vec_id"), col("cell"))
+      .withColumn("_idb", pmod(hash(col("vec_id")), lit(IdBuckets)))
+      .write.mode("overwrite")
+      .partitionBy("_idb").parquet(s"$dir/by_id")
+  }
+
   /** Incrementally grow a persisted index — the missing piece between
     * `save` and a corpus that keeps arriving: at 100 TB, re-fitting and
     * re-assigning the whole corpus per data drop is a full-corpus pass
@@ -191,7 +216,18 @@ object IvfIndex {
       .localCheckpoint()
     val appended = delta.count()
     if (appended > 0) {
-      delta.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+      // a quantized store must stay quantized: appending float rows
+      // into a (scale, qvec) directory would fork the file schema and
+      // poison every later scan
+      val quantizedStore = spark.read.parquet(s"$dir/assigned")
+        .columns.contains("qvec")
+      val assignedDelta =
+        if (quantizedStore)
+          Quantization.quantize(delta.select(col("vec_id"), col("embedding")))
+            .join(delta.select(col("vec_id"), col("cell")), "vec_id")
+        else delta
+      assignedDelta.write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/assigned")
       delta.select(col("vec_id").cast("long").as("vec_id"), col("cell"))
         .withColumn("_idb", pmod(hash(col("vec_id")), lit(IdBuckets)))
         .write.mode("append").partitionBy("_idb").parquet(s"$dir/by_id")
@@ -238,7 +274,16 @@ object IvfIndex {
           None
         }
       } else None
-    BuiltIvf(spark.read.parquet(s"$dir/assigned"), centers, byId)
+    val raw = spark.read.parquet(s"$dir/assigned")
+    // a quantized store (saveQuantized) carries (scale, qvec) instead of
+    // the float embedding — rebuild it lazily so every search path
+    // consumes the same shape; the transform rides the scan, codegen'd
+    val assigned =
+      if (raw.columns.contains("qvec"))
+        raw.withColumn("embedding", Quantization.dequantizeExpr)
+          .drop("scale", "qvec")
+      else raw
+    BuiltIvf(assigned, centers, byId)
   }
 
   /** Driver-side replica of `graft_cosine`'s exact arithmetic (left-to-

@@ -38,11 +38,16 @@ object Quantization {
         expr("transform(_e, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS TINYINT))")
           .as("qvec"))
 
+  /** The dequantized float vector as an expression over `scale`/`qvec`
+    * columns — for callers (IvfIndex.load) that rebuild `embedding` in
+    * place while keeping their other columns.
+    */
+  def dequantizeExpr: Column =
+    expr("transform(qvec, v -> CAST(CAST(v AS DOUBLE) * scale AS FLOAT))")
+
   /** Back to a float32 `embedding` column (the shape every similarity
     * operator here consumes).
     */
   def dequantize(q: DataFrame): DataFrame =
-    q.select(col("vec_id"),
-      expr("transform(qvec, v -> CAST(CAST(v AS DOUBLE) * scale AS FLOAT))")
-        .as("embedding"))
+    q.select(col("vec_id"), dequantizeExpr.as("embedding"))
 }
