@@ -35,6 +35,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "g1_secure_view_agg", "g2_secure_view_masked_rows", "j2_view_join_recovery",
     "n1_knn_cosine", "n4_ann_ivf", "n5_ann_ivf_served", "n6_ann_ivf_batch_served",
+    // n7 is n1's deliberate broadcast-tiny-query-side cross join over
+    // the dequantized corpus — same bounded shape, same justification
+    "n7_knn_quantized",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
