@@ -123,4 +123,36 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got === expected, s"trial $trial hint $hint")
     }
   }
+
+  test("int8 quantization: error <= scale/2 and int8 range hold on arbitrary vectors") {
+    import graft.operators.Quantization
+    import org.apache.spark.sql.functions.expr
+    // adversarial magnitudes: tiny, huge, mixed-sign, near-zero scale
+    val compGen: Gen[Float] = Gen.oneOf(
+      Gen.choose(-1.0, 1.0).map(_.toFloat),
+      Gen.choose(-1e6, 1e6).map(_.toFloat),
+      Gen.choose(-1e-6, 1e-6).map(_.toFloat),
+      Gen.const(0.0f))
+    val vecGen: Gen[List[List[Float]]] =
+      Gen.listOfN(20, Gen.listOfN(8, compGen))
+    for (trial <- 1 to 10) {
+      val vecs = sample(vecGen, trial.toLong).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val q = Quantization.quantize(df)
+      // every quantized component fits int8 (the write contract)
+      val outOfRange = q.select(
+          expr("size(filter(qvec, v -> v > 127 OR v < -127)) AS o"))
+        .agg(org.apache.spark.sql.functions.sum("o")).first().getLong(0)
+      assert(outOfRange === 0L, s"trial $trial")
+      val bad = Quantization.dequantize(q)
+        .withColumnRenamed("embedding", "deq")
+        .join(df, "vec_id").join(q.select("vec_id", "scale"), "vec_id")
+        .select(expr("""size(filter(zip_with(embedding, deq,
+            (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+            e -> e > scale / 2 + 1e-9)) AS v"""))
+        .agg(org.apache.spark.sql.functions.sum("v")).first().getLong(0)
+      assert(bad === 0L, s"trial $trial")
+    }
+  }
 }
