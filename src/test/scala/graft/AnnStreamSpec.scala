@@ -75,4 +75,29 @@ class AnnStreamSpec extends AnyFunSuite {
       onePer = true) === expected,
       "chopped stream diverged from batch serving")
   }
+
+  test("streamed serving over an int8-quantized store matches its own batch path") {
+    // load() rebuilds the embedding column lazily for a quantized store,
+    // so the stream serves against it unchanged; parity is against the
+    // SAME store's batch path (quantization is lossy vs the float store
+    // by design — recall vs float is QuantizationSpec's contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_qidx").toString
+    IvfIndex.saveQuantized(IvfIndex.build(planted, nlist = 10), dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val expected = results(IvfIndex.searchPrunedVecsDf(loaded,
+      queryVecs.toDF("query_id", "qe"), 5, nprobe = 2, excludeSelf = false))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_annq_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_annq").toString
+    queryVecs.toDF("query_id", "qe").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/f0")
+    val qSchema = StructType(Seq(StructField("query_id", LongType),
+      StructField("qe", ArrayType(FloatType))))
+    val src = spark.readStream.schema(qSchema).parquet(s"$srcDir/*")
+    val q = AnnStream.serve(src, dir, s"$base/out", s"$base/ck", 5, nprobe = 2)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(results(spark.read.parquet(s"$base/out")) === expected,
+      "quantized-store stream diverged from its batch path")
+  }
 }
