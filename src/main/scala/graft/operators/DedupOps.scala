@@ -404,6 +404,53 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup PAIR relation —
+    * the step that turns any pair finder's output (d2/d4/d5/d6/d7) into
+    * the actual dedup decision: one cluster id (the component's minimum
+    * doc id, i.e. the keeper) per transitively-connected group. A is a
+    * near-dup of B and B of C ⇒ one cluster {A, B, C} even when (A, C)
+    * themselves are below threshold.
+    *
+    * Min-label propagation: each round, every vertex takes the min of
+    * its own and its neighbors' labels — one equi-join + one partial
+    * aggregation per round, converging in component-DIAMETER rounds.
+    * Near-dup clusters are shallow (duplicates of one origin), so the
+    * loop is short; each round's labels are localCheckpoint-materialized
+    * (delta-sized: vertices appearing in pairs, never the corpus) so
+    * lineage doesn't stack. For adversarial billion-vertex chain graphs
+    * the alternating star contractions (Kiveris et al., "Connected
+    * Components in MapReduce") give O(log n) rounds — swap the loop
+    * body, same contract. `maxIter` exhaustion THROWS: a partially
+    * propagated labeling silently merges fewer docs than asked.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select("u").distinct()
+      .withColumn("l", col("u")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("l").as("vl")), "v")
+        .groupBy("u").agg(min("vl").as("nl"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("u"), col("l").as("ol")), "u")
+        .filter(col("l") < col("ol")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter or use a " +
+        "star-contraction variant")
+    labels.select(col("u").as("doc_id"), col("l").as("cluster_id"))
+  }
+
   /** Train/test DECONTAMINATION: every (train doc, test doc) pair
     * sharing at least one word-`n`-gram, with the shared-gram count and
     * the fraction of the test doc's grams found in that train doc — the

@@ -78,6 +78,52 @@ object DedupQueries extends QueryPack {
        ORDER BY c.d1, c.d2"""
   }
 
+  /** The d2 pair derivation, shared with d9 (clusters) so the two
+    * entries can never drift: word-3-gram inverted-index join (df-capped
+    * — DedupOps.cappedShingles; the cap sits far above this corpus's max
+    * df), count-based exact Jaccard, threshold 0.5. The capped index
+    * feeds three plan branches (both join sides + the sizes agg) —
+    * materialize it once or the tokenize+explode+df-join re-executes per
+    * branch (swap localCheckpoint for persist(MEMORY_AND_DISK) on a real
+    * cluster).
+    */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sh = graft.operators.DedupOps
+      .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
+    val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
+      .localCheckpoint()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") /
+          (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The DuckDB twin of `nearDupPairs`, ending in `jp(d1, d2, jaccard)`
+    * — the single source both d2's and d9's oracle SQL build on.
+    */
+  private val pairsCte: String =
+    """toksv AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+             idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toksv),
+             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
+             sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             jp AS (SELECT d1, d2, CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) AS jaccard
+               FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+               WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.5)"""
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash: one keeper (min doc_id) per distinct
@@ -109,43 +155,34 @@ object DedupQueries extends QueryPack {
     // jaccard: integer counts, one IEEE division — bit-identical in
     // any engine.
     Q("d2_near_dup_pairs",
+      (s, d) => nearDupPairs(s, d).orderBy("d1", "d2"),
+      Some(s"""WITH $pairsCte
+             SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""")),
+
+    // Dup CLUSTERS: d2's pairs folded into transitive components
+    // (DedupOps.connectedComponents) — one cluster id (= min member =
+    // the keeper) per connected group, with the cluster size. The
+    // oracle computes the same components via a recursive transitive
+    // closure; ONE shared pair derivation (nearDupPairs / pairsCte)
+    // feeds both d2 and d9 on each side, so the two entries cannot
+    // drift apart.
+    Q("d9_dup_clusters",
       (s, d) => {
-        // The capped index feeds three plan branches (both sides of the
-        // candidate join, the sizes agg) — materialize it once or the
-        // tokenize+explode+df-join re-executes per branch (same
-        // rationale as minHashLsh's localCheckpoint; swap for
-        // persist(MEMORY_AND_DISK) on a real cluster).
-        val sh = graft.operators.DedupOps
-          .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
-        val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
-          .localCheckpoint()
-        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = capped.as("a")
-          .join(capped.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared"))
-        pairs
-          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-          .select(col("d1"), col("d2"),
-            (col("shared").cast("double") /
-              (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("d1", "d2")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+        graft.operators.DedupOps.connectedComponents(nearDupPairs(s, d))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("doc_id")
       },
-      Some("""WITH toksv AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
-               WHERE len(string_split(text, ' ')) >= 3),
-             idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toksv),
-             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
-             sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-             pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) shared
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-             SELECT d1, d2, CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) AS jaccard
-             FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-             WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.5
-             ORDER BY d1, d2""")),
+      Some(s"""WITH RECURSIVE $pairsCte,
+             e AS (SELECT d1 u, d2 v FROM jp UNION SELECT d2, d1 FROM jp),
+             reach AS (SELECT u, v FROM e
+               UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+             lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+               FROM reach GROUP BY u)
+             SELECT l.doc_id, l.cluster_id, s.csize AS cluster_size
+             FROM lab l JOIN (SELECT cluster_id, count(*) csize FROM lab
+               GROUP BY 1) s USING (cluster_id)
+             ORDER BY doc_id""")),
 
     // SimHash content fingerprint: 64 bits, bits 2d/2d+1 = bits 3/2 of
     // hex digit d of md5(token), majority-voted across the document's

@@ -158,6 +158,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("connected components merge transitive chains; min id is the cluster id") {
+    import spark.implicits._
+    // chain 1-2-3 (1,3 never directly paired), pair 10-11, pair 20-21
+    // sharing 21 with 22 through a separate edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    val got = graft.operators.DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a diameter beyond maxIter must THROW, never return partial labels
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      graft.operators.DedupOps.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   test("decontamination reports planted 8-gram leakage exactly, nothing spurious") {
     import spark.implicits._
     // test doc 100: 9 words => 2 distinct 8-grams; train doc 1 contains
