@@ -120,6 +120,36 @@ object TextQueries extends QueryPack {
                min(md5(substr(text, CAST(i AS INTEGER), 8))) AS winnow_fp
              FROM w GROUP BY doc_id, content_md5 ORDER BY doc_id""")),
 
+    // Token rarity — the unigram-LM quality-filter proxy: corpus-wide
+    // token frequencies (one vocab-sized aggregation), joined back per
+    // occurrence; a document of vanishingly rare tokens (gibberish, OCR
+    // noise) scores low avg_tf / min_tf, boilerplate scores high. All
+    // integer counts + one IEEE division, so it hash-matches — the
+    // log-prob refinement is a per-token monotone transform away but
+    // stays OUT of the oracle contract: libm log is not bit-portable
+    // across engines. The tf relation broadcasts (vocabulary ≪ corpus
+    // at any scale).
+    Q("t6_token_rarity",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+        toks.join(broadcast(tf), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("tf").as("sum_tf"),
+            min("tf").as("min_tf"))
+          .withColumn("avg_tf", col("sum_tf").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+             SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(t.tf) AS BIGINT) AS sum_tf,
+               min(t.tf) AS min_tf,
+               CAST(sum(t.tf) AS DOUBLE) / count(*) AS avg_tf
+             FROM toks JOIN tf t USING (tok)
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // PII redaction (graft.operators.Redaction): the synthetic corpus
     // carries no digits or '@' at all, so a bare scrub would trivially
     // match nothing — instead each row CONSTRUCTS its PII
