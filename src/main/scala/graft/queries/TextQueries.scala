@@ -120,6 +120,38 @@ object TextQueries extends QueryPack {
                min(md5(substr(text, CAST(i AS INTEGER), 8))) AS winnow_fp
              FROM w GROUP BY doc_id, content_md5 ORDER BY doc_id""")),
 
+    // Sliding-window chunking — the embedding-prep step that splits long
+    // documents into overlapping token windows (window 30, stride 25):
+    // chunk count = 1 + max(0, ceil((n-30)/25)) via INTEGER arithmetic
+    // (`div` / `//` — never a float ceil), the tail window truncates,
+    // and each chunk is pinned by its md5. One narrow explode, no
+    // shuffle except the final sort — embarrassingly parallel at any
+    // corpus size.
+    Q("t7_chunk_windows",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), col("ts"),
+          // greatest() wraps the SUBTRACTION, not the quotient: a short
+          // doc's negative numerator truncates toward zero in Spark's
+          // `div` but floors in DuckDB's `//` — keeping the numerator
+          // non-negative makes the two identical
+          explode(expr(
+            "sequence(0, (greatest(size(ts) - 30, 0) + 24) div 25)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("size(slice(ts, chunk_idx * 25 + 1, 30))").as("n_chunk_tokens"),
+          expr("md5(concat_ws(' ', slice(ts, chunk_idx * 25 + 1, 30)))")
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+             c AS (SELECT doc_id, ts,
+               unnest(range(0, 1 + (greatest(len(ts) - 30, 0) + 24) // 25)) AS chunk_idx
+               FROM t)
+             SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(len(ts[chunk_idx * 25 + 1 : chunk_idx * 25 + 30]) AS INTEGER) AS n_chunk_tokens,
+               md5(array_to_string(ts[chunk_idx * 25 + 1 : chunk_idx * 25 + 30], ' ')) AS chunk_md5
+             FROM c ORDER BY doc_id, chunk_idx""")),
+
     // Token rarity — the unigram-LM quality-filter proxy: corpus-wide
     // token frequencies (one vocab-sized aggregation), joined back per
     // occurrence; a document of vanishingly rare tokens (gibberish, OCR
