@@ -250,6 +250,45 @@ object MultimodalOps {
       .toDF("doc_id", "media_type", "out_w", "out_h", "resized")
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image — the perceptual
+    * fingerprint for IMAGE near-dup dedup: nearest-resample to 8×8
+    * (`resizeNearest`), per-pixel gray = r+g+b (integer, no /3
+    * rounding), bit p set iff gray(p)·64 > Σgray (strict integer
+    * cross-multiplication — no division anywhere, so the hash is
+    * engine-exact and the m5 oracle replays it in SQL). Two images with
+    * small pixel-level differences land within a few Hamming bits, so
+    * the SAME banded pair search that serves SimHash text dedup
+    * (`DedupOps.simHashNearPairs`) finds near-dup images — no new join
+    * machinery (MultimodalSpec plants a perturbed copy and finds it).
+    */
+  def aHash64(img: PpmImage): Long = {
+    val small = resizeNearest(img, 8, 8)
+    val gray = new Array[Int](64)
+    var s = 0L
+    var p = 0
+    while (p < 64) {
+      val g = (small(3 * p) & 0xFF) + (small(3 * p + 1) & 0xFF) +
+        (small(3 * p + 2) & 0xFF)
+      gray(p) = g; s += g; p += 1
+    }
+    var h = 0L; p = 0
+    while (p < 64) { if (gray(p).toLong * 64L > s) h |= (1L << p); p += 1 }
+    h
+  }
+
+  /** Per-image aHash over a binary media column — one per-partition
+    * decode pass, (doc_id, image_hash).
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, aHash64(parsePpm(bytes)))
+      })
+      .toDF("doc_id", "image_hash")
+  }
+
   /** Order-sensitive byte statistics of a resized payload: plain sum
     * plus a position-weighted checksum (Σ v·(i+1)) — a transposed or
     * channel-swapped resize matches the sum but never the checksum.

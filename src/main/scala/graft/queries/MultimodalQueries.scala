@@ -128,6 +128,38 @@ object MultimodalQueries extends QueryPack {
                CAST(192 AS INTEGER) AS out_len,
                CAST(byte_sum AS BIGINT) AS byte_sum,
                CAST(byte_checksum AS BIGINT) AS byte_checksum
-             FROM agg ORDER BY doc_id"""))
+             FROM agg ORDER BY doc_id""")),
+
+    // Perceptual image hash (MultimodalOps.aHash64): decode → 8×8
+    // nearest resample → gray bits vs mean, all integer arithmetic —
+    // the oracle replays the resize index mapping (m4's CTE) and the
+    // strict g·64 > Σg comparison, packing bits with the d3 trick
+    // (power(2, b) is exact for powers of two; bit 63 is the BIGINT
+    // sign bit). Near-dup IMAGE pair search over these hashes reuses
+    // DedupOps.simHashNearPairs unchanged (MultimodalSpec).
+    Q("m5_image_hash",
+      (s, d) => MultimodalOps
+        .imageHashes(s,
+          MultimodalOps.withImagePayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h FROM documents),
+             opx AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS o FROM dims),
+             mapped AS (SELECT doc_id, o,
+               3 * (((o // 8) * h // 8) * w + ((o % 8) * w // 8)) AS src
+              FROM opx),
+             gray AS (SELECT doc_id, o,
+                 (doc_id*31 + (src    )*7) % 256
+               + (doc_id*31 + (src + 1)*7) % 256
+               + (doc_id*31 + (src + 2)*7) % 256 AS g FROM mapped),
+             tot AS (SELECT doc_id, sum(g) AS sg FROM gray GROUP BY 1),
+             h AS (SELECT gray.doc_id,
+               CAST(sum(CASE WHEN g * 64 > sg THEN
+                 (CASE WHEN o = 63 THEN -9223372036854775808
+                       ELSE CAST(power(2, o) AS BIGINT) END)
+                 ELSE 0 END) AS BIGINT) AS image_hash
+              FROM gray JOIN tot ON gray.doc_id = tot.doc_id
+              GROUP BY gray.doc_id)
+             SELECT doc_id, image_hash FROM h ORDER BY doc_id"""))
   )
 }

@@ -179,4 +179,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sf_.getAs[Long]("byte_checksum") !== sr.getAs[Long]("byte_checksum"))
     assert(sf_.getAs[Long]("byte_checksum") === (1 * 1 + 2 * 2 + 3 * 3).toLong)
   }
+
+  test("image near-dup: perturbed copy found by the banded SimHash search; inverse is far") {
+    import spark.implicits._
+    // 8×8 bimodal image (resize is identity): left half bright, right
+    // half dark — every gray sits far from the mean, so a single-pixel
+    // perturbation flips exactly that pixel's bit
+    def ppm(pix: Int => Int): Array[Byte] = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 192)
+      System.arraycopy(header, 0, out, 0, header.length)
+      (0 until 192).foreach(i => out(header.length + i) = pix(i / 3).toByte)
+      out
+    }
+    val base = ppm(p => if (p % 8 < 4) 200 else 10)
+    val noised = ppm(p => if (p == 44) 200 else if (p % 8 < 4) 200 else 10)
+    val inverse = ppm(p => if (p % 8 < 4) 10 else 200)
+    val media = Seq((1L, base), (2L, noised), (3L, inverse))
+      .toDF("doc_id", "payload")
+    val hashes = MultimodalOps.imageHashes(spark, media)
+    val h = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) === 1, "one flipped pixel, one bit")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) >= 32, "inverse must be far")
+    // the TEXT dedup pair search works unchanged on image hashes
+    val pairs = graft.operators.DedupOps
+      .simHashNearPairs(hashes.withColumnRenamed("image_hash", "simhash"),
+        maxHamming = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }
