@@ -289,6 +289,45 @@ object MultimodalOps {
       .toDF("doc_id", "image_hash")
   }
 
+  /** Per-frame aHash over a multi-frame video payload — the video
+    * modality's dedup fingerprint: one decode pass parses every frame
+    * (`parsePpmStream`, boundaries genuinely discovered) and emits
+    * (doc_id, frame_idx, frame_hash). Same integer-exact hash as
+    * `aHash64`, so the m6 oracle replays it from the frame formula.
+    */
+  def frameHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        parsePpmStream(bytes).zipWithIndex.map { case (img, f) =>
+          (id, f, aHash64(img))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_hash")
+  }
+
+  /** Video near-dup pairs: two videos sharing at least `minSharedFrames`
+    * per-frame hashes — the d2 inverted-index shape on frame hashes
+    * (join on the hash, count per pair, threshold), never all-pairs. A
+    * re-encoded or re-cut copy keeps most frame hashes; counting shared
+    * DISTINCT hashes makes the detector robust to frame reordering and
+    * duplicated frames (MultimodalSpec plants a one-frame-perturbed
+    * copy and a disjoint video).
+    */
+  def videoNearDups(spark: SparkSession, media: DataFrame,
+      minSharedFrames: Long = 2L): DataFrame = {
+    val fh = frameHashes(spark, media)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+    fh.as("a")
+      .join(fh.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   /** Order-sensitive byte statistics of a resized payload: plain sum
     * plus a position-weighted checksum (Σ v·(i+1)) — a transposed or
     * channel-swapped resize matches the sum but never the checksum.

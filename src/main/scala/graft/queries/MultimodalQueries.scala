@@ -160,6 +160,37 @@ object MultimodalQueries extends QueryPack {
                  ELSE 0 END) AS BIGINT) AS image_hash
               FROM gray JOIN tot ON gray.doc_id = tot.doc_id
               GROUP BY gray.doc_id)
-             SELECT doc_id, image_hash FROM h ORDER BY doc_id"""))
+             SELECT doc_id, image_hash FROM h ORDER BY doc_id""")),
+
+    // Per-frame perceptual hashes over the multi-frame video corpus —
+    // the video-dedup fingerprint (m5's aHash per genuinely-parsed
+    // frame; near-dup pairing over these reuses the d2 inverted-index
+    // shape, MultimodalOps.videoNearDups + MultimodalSpec).
+    Q("m6_video_frame_hashes",
+      (s, d) => MultimodalOps
+        .frameHashes(s,
+          MultimodalOps.withVideoPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h, 2 + doc_id % 4 AS n_frames FROM documents),
+             fr AS (SELECT doc_id, w, h, unnest(range(0, n_frames)) AS f FROM dims),
+             opx AS (SELECT doc_id, w, h, f, unnest(range(0, 64)) AS o FROM fr),
+             mapped AS (SELECT doc_id, f, o,
+               3 * (((o // 8) * h // 8) * w + ((o % 8) * w // 8)) AS src
+              FROM opx),
+             gray AS (SELECT doc_id, f, o,
+                 (doc_id*31 + f*17 + (src    )*7) % 256
+               + (doc_id*31 + f*17 + (src + 1)*7) % 256
+               + (doc_id*31 + f*17 + (src + 2)*7) % 256 AS g FROM mapped),
+             tot AS (SELECT doc_id, f, sum(g) AS sg FROM gray GROUP BY 1, 2),
+             h AS (SELECT gray.doc_id, gray.f,
+               CAST(sum(CASE WHEN g * 64 > sg THEN
+                 (CASE WHEN o = 63 THEN -9223372036854775808
+                       ELSE CAST(power(2, o) AS BIGINT) END)
+                 ELSE 0 END) AS BIGINT) AS frame_hash
+              FROM gray JOIN tot ON gray.doc_id = tot.doc_id AND gray.f = tot.f
+              GROUP BY 1, 2)
+             SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, frame_hash
+             FROM h ORDER BY doc_id, frame_idx"""))
   )
 }

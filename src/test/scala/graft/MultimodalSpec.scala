@@ -208,4 +208,33 @@ class MultimodalSpec extends AnyFunSuite {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("video near-dup: re-cut copy found by shared frame hashes, disjoint video not") {
+    import spark.implicits._
+    // three distinct bimodal frames; a frame stream = concatenated PPMs
+    def frame(bright: Int => Boolean): Array[Byte] = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 192)
+      System.arraycopy(header, 0, out, 0, header.length)
+      (0 until 192).foreach(i =>
+        out(header.length + i) = (if (bright(i / 3)) 200 else 10).toByte)
+      out
+    }
+    val f1 = frame(p => p % 8 < 4)
+    val f2 = frame(p => p / 8 < 4)
+    val f3 = frame(p => (p / 8 + p % 8) % 2 == 0)
+    val f2noised = frame(p => p == 60 || p / 8 < 4) // one flipped pixel
+    val disjoint1 = frame(p => p % 8 < 2)
+    val disjoint2 = frame(p => p / 8 < 2)
+    def video(frames: Array[Byte]*): Array[Byte] = frames.reduce(_ ++ _)
+    val media = Seq(
+      (1L, video(f1, f2, f3)),
+      (2L, video(f3, f1, f2noised)), // re-cut copy: 2 of 3 frames exact
+      (3L, video(disjoint1, disjoint2)))
+      .toDF("doc_id", "payload")
+    val pairs = MultimodalOps.videoNearDups(spark, media, minSharedFrames = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 2L)),
+      s"expected exactly the planted re-cut pair, got $pairs")
+  }
 }
