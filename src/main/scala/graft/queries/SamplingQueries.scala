@@ -106,6 +106,38 @@ object SamplingQueries extends QueryPack {
                row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
                FROM q)
              SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk
-             FROM r WHERE rk <= 20 ORDER BY source, rk"""))
+             FROM r WHERE rk <= 20 ORDER BY source, rk""")),
+
+    // Deterministic weighted interleave — domain MIXING: given
+    // per-source weights (here src0/src1 upweighted 3×), emit the
+    // global training order by stride scheduling: source s's i-th doc
+    // (md5-ranked, the sp1 mechanism) sits at position (2i+1)/(2w_s),
+    // so a weight-3 source surfaces three docs for every one of a
+    // weight-1 source until it exhausts. Pure function of the data —
+    // no RNG, reproducible on any engine/cluster — and exact: integer
+    // rank arithmetic, ONE IEEE division. The shuffle is one window
+    // per source partition + the final range sort.
+    Q("sp5_mix_interleave",
+      (s, d) => {
+        val w = when(col("source").isin("src0", "src1"), 3L).otherwise(1L)
+        val rk = (org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          - 1).cast("long")
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("src_rank", rk)
+          .withColumn("mix_pos",
+            (col("src_rank") * 2L + 1L).cast("double") / (w * 2L))
+          .orderBy("mix_pos", "doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS src_rank,
+               CASE WHEN source IN ('src0', 'src1') THEN 3 ELSE 1 END AS w
+               FROM documents)
+             SELECT doc_id, source, src_rank,
+               CAST(2 * src_rank + 1 AS DOUBLE) / (2 * w) AS mix_pos
+             FROM r ORDER BY mix_pos, doc_id"""))
   )
 }
