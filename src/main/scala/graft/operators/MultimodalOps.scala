@@ -120,6 +120,92 @@ object MultimodalOps {
       .toDF("doc_id", "media_type", "payload")
   }
 
+  // ======== fixture: deterministic 8-bit PCM "audio" ========
+
+  /** Samples per clip — deterministic 64..95. */
+  def audioSampleCount(docId: Long): Int = 64 + (docId % 32).toInt
+
+  /** 8-bit unsigned PCM sample i — the generator both engines replay:
+    * (id·13 + i·11) mod 256.
+    */
+  def audioSampleByte(docId: Long, i: Long): Int =
+    ((docId * 13L + i * 11L) % 256L).toInt
+
+  /** An audio-like payload in a PPM-style container: magic `A1`, ASCII
+    * sample-count and sample-rate tokens, one whitespace byte, then the
+    * raw 8-bit PCM. The header must genuinely be parsed — sample count
+    * is not derivable from the byte length alone once other metadata
+    * grows.
+    */
+  def audioBytes(docId: Long): Array[Byte] = {
+    val n = audioSampleCount(docId)
+    val header = s"A1\n$n 8000\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) { out(header.length + i) = audioSampleByte(docId, i).toByte; i += 1 }
+    out
+  }
+
+  /** One audio payload per document row (narrow, no shuffle). */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, "audio/x-pcm8", audioBytes(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** A decoded clip: 8-bit unsigned samples + rate. */
+  final case class PcmClip(rate: Int, samples: Array[Byte])
+
+  /** Parse an `A1` audio payload: magic, sample count, rate, ONE
+    * whitespace byte, raw samples. Throws on malformed input — decode
+    * failures surface, they don't fabricate features.
+    */
+  def parseAudio(bytes: Array[Byte]): PcmClip = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    require(token() == "A1", "not an A1 audio payload")
+    val n = token().toInt
+    val rate = token().toInt
+    pos += 1 // the single whitespace byte before the raster
+    require(pos + n <= bytes.length, s"truncated audio: need $n samples")
+    val samples = new Array[Byte](n)
+    System.arraycopy(bytes, pos, samples, 0, n)
+    PcmClip(rate, samples)
+  }
+
+  /** Windowed energy features — the audio-modality analogue of m3's
+    * image features: per 16-sample window, the sample-square sum
+    * (integer-exact) and its RMS. The mean-square division (/window
+    * length) is exact for the full 16-sample windows and a single IEEE
+    * division for the ragged tail; sqrt is correctly rounded per
+    * IEEE 754 in every engine, so the m7 oracle hash-matches the
+    * whole composition.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+      window: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        val clip = parseAudio(bytes)
+        clip.samples.grouped(window).zipWithIndex.map { case (w, wi) =>
+          var ss = 0L
+          w.foreach { b => val v = (b & 0xFF).toLong; ss += v * v }
+          (id, wi, w.length, ss, math.sqrt(ss.toDouble / w.length))
+        }
+      })
+      .toDF("doc_id", "win_idx", "win_len", "sum_sq", "rms")
+  }
+
   // ======== real decoder ========
 
   /** A decoded raster image: `pixels` is w·h·3 raw RGB bytes. */

@@ -191,6 +191,28 @@ object MultimodalQueries extends QueryPack {
               FROM gray JOIN tot ON gray.doc_id = tot.doc_id AND gray.f = tot.f
               GROUP BY 1, 2)
              SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, frame_hash
-             FROM h ORDER BY doc_id, frame_idx"""))
+             FROM h ORDER BY doc_id, frame_idx""")),
+
+    // Audio modality (MultimodalOps.audioFeatures): REAL byte-level
+    // parse of the A1 PCM container, then 16-sample windowed energy —
+    // integer sample-square sums, one exact division per window, and an
+    // IEEE-correctly-rounded sqrt, so the full composition hash-matches
+    // the oracle's replay of the sample formula.
+    Q("m7_audio_features",
+      (s, d) => MultimodalOps
+        .audioFeatures(s,
+          MultimodalOps.withAudioPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "win_idx"),
+      Some("""WITH dims AS (SELECT doc_id,
+               64 + doc_id % 32 AS n FROM documents),
+             sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+             v AS (SELECT doc_id, n, i, CAST(i // 16 AS INTEGER) AS win_idx,
+               (doc_id*13 + i*11) % 256 AS v FROM sm),
+             agg AS (SELECT doc_id, win_idx,
+               CAST(count(*) AS INTEGER) AS win_len,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq FROM v GROUP BY 1, 2)
+             SELECT doc_id, win_idx, win_len, sum_sq,
+               sqrt(CAST(sum_sq AS DOUBLE) / win_len) AS rms
+             FROM agg ORDER BY doc_id, win_idx"""))
   )
 }

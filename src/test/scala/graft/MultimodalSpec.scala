@@ -209,6 +209,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("audio: parser rejects malformed payloads; window energy exact on a known clip") {
+    import spark.implicits._
+    // 20 samples: one full window of 16 (values 0..15) + ragged tail of 4
+    val header = "A1\n20 8000\n".getBytes("US-ASCII")
+    val clip = header ++ (0 until 20).map(_.toByte).toArray
+    val rows = MultimodalOps.audioFeatures(spark,
+        Seq((1L, clip)).toDF("doc_id", "payload"))
+      .orderBy("win_idx").collect()
+    assert(rows.length === 2)
+    val full = rows(0); val tail = rows(1)
+    val expFull = (0 until 16).map(v => v * v).sum.toLong
+    val expTail = (16 until 20).map(v => v * v).sum.toLong
+    assert(full.getInt(2) === 16 && full.getLong(3) === expFull)
+    assert(full.getDouble(4) === math.sqrt(expFull.toDouble / 16))
+    assert(tail.getInt(2) === 4 && tail.getLong(3) === expTail)
+    // malformed: wrong magic and truncated raster both throw
+    intercept[Exception] {
+      MultimodalOps.parseAudio("XX\n4 8000\nabcd".getBytes("US-ASCII"))
+    }
+    intercept[Exception] {
+      MultimodalOps.parseAudio("A1\n99 8000\nab".getBytes("US-ASCII"))
+    }
+  }
+
   test("video near-dup: re-cut copy found by shared frame hashes, disjoint video not") {
     import spark.implicits._
     // three distinct bimodal frames; a frame stream = concatenated PPMs
