@@ -487,9 +487,15 @@ object DedupOps {
   def crossSplitOverlap(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       maxDf: Long = 100000L): DataFrame = {
-    val tr = cappedShingles(shingles(train, idCol, textCol, n), maxDf)
+    // materialize both shingle relations once: the train side feeds
+    // cappedShingles' two branches (index + df filter) and the test
+    // side feeds the pair join AND the sizes agg — without this the
+    // corpus-dominant tokenize+explode re-executes per branch (the
+    // same rationale as d2's localCheckpoint; review r10)
+    val tr = cappedShingles(
+        shingles(train, idCol, textCol, n).localCheckpoint(), maxDf)
       .select(col("doc_id").as("train_doc"), col("shingle"))
-    val te = shingles(test, idCol, textCol, n)
+    val te = shingles(test, idCol, textCol, n).localCheckpoint()
     val sizes = te.groupBy("doc_id").agg(count(lit(1)).as("n_test_grams"))
     tr.join(te.select(col("doc_id").as("test_doc"), col("shingle")), "shingle")
       .groupBy("train_doc", "test_doc")

@@ -192,7 +192,7 @@ object IvfIndex {
     */
   def appendToSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
       newEmb: DataFrame): Long = {
-    val idx = load(spark, dir)
+    val (idx, quantizedStore) = loadWithLayout(spark, dir)
     val byId = idx.byId.getOrElse(throw new IllegalStateException(
       s"$dir has no (vec_id, cell) pointer store — append's idempotence " +
         "anti-join needs it; re-save the index first"))
@@ -218,9 +218,9 @@ object IvfIndex {
     if (appended > 0) {
       // a quantized store must stay quantized: appending float rows
       // into a (scale, qvec) directory would fork the file schema and
-      // poison every later scan
-      val quantizedStore = spark.read.parquet(s"$dir/assigned")
-        .columns.contains("qvec")
+      // poison every later scan. The layout flag came from the SAME
+      // read load performed — no second listing of the corpus-sized
+      // directory per append (review r10)
       val assignedDelta =
         if (quantizedStore)
           Quantization.quantize(delta.select(col("vec_id"), col("embedding")))
@@ -250,7 +250,15 @@ object IvfIndex {
   /** Load a persisted index. Centroids (nlist rows) come driver-side;
     * the assignment stays a lazy parquet scan — no corpus pass, no fit.
     */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): BuiltIvf = {
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): BuiltIvf =
+    loadWithLayout(spark, dir)._1
+
+  /** `load` plus whether the assigned store is int8-quantized — the
+    * one-read form `appendToSaved` needs (the public BuiltIvf always
+    * presents a float `embedding` view regardless of layout).
+    */
+  private[graft] def loadWithLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (BuiltIvf, Boolean) = {
     val centers = spark.read.parquet(s"$dir/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
@@ -283,7 +291,7 @@ object IvfIndex {
         raw.withColumn("embedding", Quantization.dequantizeExpr)
           .drop("scale", "qvec")
       else raw
-    BuiltIvf(assigned, centers, byId)
+    (BuiltIvf(assigned, centers, byId), raw.columns.contains("qvec"))
   }
 
   /** Driver-side replica of `graft_cosine`'s exact arithmetic (left-to-

@@ -99,6 +99,13 @@ object Layout {
     val prefixBits = 31 - Integer.numberOfLeadingZeros(numFiles)
     require(prefixBits <= 2 * bits, "more files than Z cells")
     val (b1, b2) = knownBreaks.getOrElse(zBreaks(df, col1, col2, bits, relErr))
+    // breaks computed for a different bits width would let breakBucket
+    // exceed 2^bits; mortonCode reads only bits 0..bits-1, so the top
+    // buckets would silently ALIAS onto the bottom and each file's
+    // stats envelope would span disjoint value ranges — the exact
+    // pruning collapse this layout exists to avoid (review r10)
+    Seq(b1, b2).foreach(b => require(b.length == (1 << bits) - 1,
+      s"knownBreaks carries ${b.length} breaks but bits=$bits needs ${(1 << bits) - 1}"))
     val code = mortonCode(breakBucket(col(col1), b1),
       breakBucket(col(col2), b2), bits)
     df.withColumn("_z", code)

@@ -175,7 +175,12 @@ object MultimodalOps {
     require(token() == "A1", "not an A1 audio payload")
     val n = token().toInt
     val rate = token().toInt
-    pos += 1 // the single whitespace byte before the raster
+    // the contract demands ONE whitespace byte before the raster; a
+    // missing separator would silently shift every sample one byte and
+    // fabricate plausible-but-wrong features (review r10)
+    require(pos < bytes.length && isWs(bytes(pos)),
+      "malformed A1 header: no whitespace before the raster")
+    pos += 1
     require(pos + n <= bytes.length, s"truncated audio: need $n samples")
     val samples = new Array[Byte](n)
     System.arraycopy(bytes, pos, samples, 0, n)

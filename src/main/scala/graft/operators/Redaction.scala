@@ -33,11 +33,16 @@ object Redaction {
     */
   final case class Rule(pattern: String, token: String)
 
-  /** Default rule set, in application order. */
+  /** Default rule set, in application order. The letter-bearing rules
+    * are case-insensitive via inline `(?i)` — RE2 and Java agree on it —
+    * because real PII is not lowercase-normalized: without it
+    * `John.Doe@Corp.com` or an uppercase hex token sails through the
+    * scrub (RedactionSpec pins the mixed-case shapes).
+    */
   val defaultRules: Seq[Rule] = Seq(
-    Rule("[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+    Rule("(?i)[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
     Rule("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
-    Rule("[a-f0-9]{32,}", "<SECRET>"),
+    Rule("(?i)[a-f0-9]{32,}", "<SECRET>"),
     Rule("[0-9]{7,}", "<NUMBER>"))
 
   /** The redacted text: `rules` folded into nested `regexp_replace`

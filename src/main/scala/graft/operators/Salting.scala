@@ -87,6 +87,13 @@ object Salting {
     require(frac > 0.0 && frac <= 1.0)
     val sampledThreshold = hotThreshold * frac
     val margin = 3.0 * math.sqrt(sampledThreshold)
+    // a fraction too small for the margin silently degrades the filter
+    // to "every sampled key is hot" — an unbounded set that would blow
+    // up the broadcast it feeds; fail fast instead (review r10)
+    require(sampledThreshold - margin >= 1.0,
+      s"sample fraction $frac is too small for threshold $hotThreshold: " +
+        s"need hotThreshold*frac - 3*sqrt(hotThreshold*frac) >= 1 " +
+        s"(frac >= ~${16.0 / hotThreshold})")
     df.sample(withReplacement = false, frac, seed)
       .groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= math.max(1.0, sampledThreshold - margin))

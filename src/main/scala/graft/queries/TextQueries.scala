@@ -159,14 +159,17 @@ object TextQueries extends QueryPack {
     // integer counts + one IEEE division, so it hash-matches — the
     // log-prob refinement is a per-token monotone transform away but
     // stays OUT of the oracle contract: libm log is not bit-portable
-    // across engines. The tf relation broadcasts (vocabulary ≪ corpus
-    // at any scale).
+    // across engines. No broadcast HINT on the tf join: a web-scale
+    // vocabulary (URLs, typos, numbers) is billions of rows and a
+    // forced broadcast would OOM the driver — AQE broadcasts exactly
+    // when tf is actually small (as it is here) and falls back to a
+    // shuffle join when it is not (review r10).
     Q("t6_token_rarity",
       (s, d) => {
         val toks = Tables.load(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-        toks.join(broadcast(tf), "tok")
+        toks.join(tf, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("tf").as("sum_tf"),
             min("tf").as("min_tf"))
@@ -218,11 +221,11 @@ object TextQueries extends QueryPack {
                  || ') ' || text AS raw FROM documents),
              s AS (SELECT doc_id, raw,
                regexp_replace(regexp_replace(regexp_replace(raw,
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
                  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-                 '[a-f0-9]{32,}', '<SECRET>', 'g') AS s3 FROM r)
+                 '(?i)[a-f0-9]{32,}', '<SECRET>', 'g') AS s3 FROM r)
              SELECT doc_id,
-               CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INTEGER) AS n_emails,
                CAST(len(regexp_extract_all(s3, '[0-9]{7,}')) AS INTEGER) AS n_numbers,
                md5(regexp_replace(s3, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5,
                CAST(length(regexp_replace(s3, '[0-9]{7,}', '<NUMBER>', 'g')) AS INTEGER) AS n_chars_redacted

@@ -43,7 +43,14 @@ object AnnStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        IvfIndex.searchPrunedVecsDf(idx, batch, k, nprobe, excludeSelf = false)
+        // one row per query_id: an at-least-once source can deliver a
+        // query twice in one batch, and a duplicated query row DOUBLES
+        // that query's candidate set — row_number then ranks each true
+        // neighbour twice and the top-k holds only ⌈k/2⌉ distinct
+        // results (the same set-semantics contract searchPrunedDf
+        // enforces on id batches)
+        IvfIndex.searchPrunedVecsDf(idx, batch.dropDuplicates("query_id"),
+            k, nprobe, excludeSelf = false)
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -74,6 +74,12 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(run(Seq(queryVecs.take(5), queryVecs.slice(5, 9), queryVecs.drop(9)),
       onePer = true) === expected,
       "chopped stream diverged from batch serving")
+    // at-least-once delivery: a query duplicated WITHIN a batch must not
+    // double its candidate set (review r10 — without the per-batch
+    // dedup, row_number ranked every true neighbour twice and the top-k
+    // held only ⌈k/2⌉ distinct results)
+    assert(run(Seq(queryVecs ++ queryVecs.take(3)), onePer = false) === expected,
+      "duplicated query rows corrupted the top-k")
   }
 
   test("streamed serving over an int8-quantized store matches its own batch path") {

@@ -31,7 +31,6 @@ object DecontStreamProbe {
     // the micro-batch count (a partitionBy write here produced ~32
     // files per chunk and 160 one-file batches — 180 s of pure
     // per-batch overhead masquerading as operator cost)
-    val chunk = n / 5 + 1
     val maxId = train.agg(max("doc_id")).first().getLong(0)
     (0 until 5).foreach { i =>
       train.filter(col("doc_id") >= i * (maxId / 5 + 1) &&

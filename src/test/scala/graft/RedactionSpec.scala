@@ -21,7 +21,10 @@ class RedactionSpec extends AnyFunSuite {
     (4L, "call 14155550123 after hours"),
     (5L, "id 123.45.67.89 and ticket 99999999 filed"),
     (6L, "digits 12345678@example.org belong to the email"),
-    (7L, "nothing sensitive here at all"))
+    (7L, "nothing sensitive here at all"),
+    // real PII is not lowercase-normalized (review r10): mixed case
+    (8L, "mail John.Doe+x@Corp-Mail.Example.COM today"),
+    (9L, "token DEADBEEFdeadbeefDEADBEEFdeadbeef leaked"))
 
   private def scrubbed = planted.toDF("id", "text")
     .select(col("id"), Redaction.scrub(col("text")).as("red"),
@@ -39,6 +42,8 @@ class RedactionSpec extends AnyFunSuite {
     // rule ever sees them — rule order is part of the contract
     assert(red(5) == "digits <EMAIL> belong to the email")
     assert(red(6) == "nothing sensitive here at all")
+    assert(red(7) == "mail <EMAIL> today")
+    assert(red(8) == "token <SECRET> leaked")
     // no pattern matches anything post-scrub (full-scrub property)
     Redaction.defaultRules.foreach { r =>
       val residual = scrubbed
@@ -66,5 +71,7 @@ class RedactionSpec extends AnyFunSuite {
     assert(c(4) == ((0, 1, 0, 1)))
     assert(c(5) == ((1, 0, 0, 0))) // the 8-digit run rode the email out
     assert(c(6) == ((0, 0, 0, 0)))
+    assert(c(7) == ((1, 0, 0, 0)))
+    assert(c(8) == ((0, 0, 1, 0)))
   }
 }
