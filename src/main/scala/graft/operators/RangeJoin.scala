@@ -36,6 +36,13 @@ object RangeJoin {
     * at the 10× sf1-equivalent (PERF.md r10): max-len/8 saved ~18 % wall;
     * gains are bounded because enumerating the true matches (which grows
     * ~100× there) dominates whatever the candidate overhead is.
+    *
+    * The hint is CLAMPED to ≥ maxLen/4096: a hint far below the longest
+    * interval would make that interval's `sequence()` enumerate
+    * len/hint bins — millions of replicas per row, and past 2³¹
+    * elements a hard SparkRuntimeException — which would break the
+    * "correctness never depends on it" contract (review r10). 4096
+    * bins per interval is far past the useful range of the trade.
     */
   def pointsInIntervals(
       points: DataFrame, pointId: String, pointTs: String,
@@ -51,7 +58,9 @@ object RangeJoin {
         .withColumn(intervalId, lit(null)).withColumn(pointId, lit(null))
         .limit(0)
     val binUs =
-      if (binHintUs > 0L) binHintUs else math.max(1L, maxLen.getLong(0))
+      if (binHintUs > 0L)
+        math.max(binHintUs, math.max(1L, maxLen.getLong(0) / 4096L))
+      else math.max(1L, maxLen.getLong(0))
     val p = points.select(col(pointId).as("_pid"),
       (unix_micros(col(pointTs)) / binUs).cast("long").as("_bin"),
       unix_micros(col(pointTs)).as("_pus"))

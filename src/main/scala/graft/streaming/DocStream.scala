@@ -44,8 +44,11 @@ import graft.operators.DedupOps
   * collection. Crash replay: decisions land in `_batch_id` partitions
   * with dynamic overwrite (idempotent, `Pipeline.applyBatch`'s scheme);
   * a replayed index append can duplicate entries, which is harmless —
-  * candidates are de-duplicated per (new, old) pair — and a periodic
-  * compaction can drop exact-duplicate rows.
+  * candidates are de-duplicated per (new, old) pair, and the
+  * cross-batch match EXCLUDES self-pairs, so a replayed batch that
+  * finds its own already-indexed entries reproduces its original
+  * decisions rather than matching kept docs against themselves — and a
+  * periodic compaction can drop exact-duplicate rows.
   */
 object DocStream {
 
@@ -176,6 +179,13 @@ object DocStream {
                 col("band_key"))
               .join(entries.select(col("doc_id").as("new_id"), col("sig"),
                 col("band_key")), Seq("band_key"))
+              // a doc never matches ITSELF: on crash-replay (index append
+              // landed, checkpoint commit did not) the re-executed batch
+              // finds its own kept docs' entries in the index at estimate
+              // 1.0 — without this guard every previously-kept doc would
+              // be rewritten as dropped-matching-itself, permanently
+              // corrupting the replayed decisions (review r10)
+              .filter(col("old_id") =!= col("new_id"))
               .groupBy("new_id", "old_id")
               .agg(first(estimate(col("sig"), col("old_sig"), k)).as("est"))
               .filter(col("est") >= threshold)
@@ -192,9 +202,18 @@ object DocStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch_id").parquet(outDir)
         val dropped = folded.collect { case (id, false, _) => id }
+        // anti-join, not an isin literal list: a duplicate-heavy batch
+        // can drop most of its docs, and embedding that many literals
+        // in the plan is the same plan-size cap searchPrunedDf's doc
+        // warns about; the dropped relation is collider-bounded, so it
+        // broadcasts (review r10)
         val keptEntries =
           if (dropped.isEmpty) entries
-          else entries.filter(!col("doc_id").isin(dropped: _*))
+          else {
+            import spark.implicits._
+            entries.join(broadcast(dropped.toDF("doc_id")),
+              Seq("doc_id"), "left_anti")
+          }
         if (!keptEntries.isEmpty)
           keptEntries.write.mode("append").partitionBy("_bucket").parquet(indexDir)
         ()

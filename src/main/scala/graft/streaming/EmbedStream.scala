@@ -80,6 +80,10 @@ object EmbedStream {
                 col("bucket").as("probe"))
               .join(p.select(col("doc_id").as("new_id"),
                 col("embedding").as("new_emb"), col("probe")), Seq("probe"))
+              // self-match guard: on crash-replay the batch's own kept
+              // vectors are already indexed at cosine 1.0 — same
+              // corruption as DocStream without it (review r10)
+              .filter(col("old_id") =!= col("new_id"))
               .filter(expr("graft_cosine(new_emb, old_emb)") >= threshold)
               .groupBy("new_id").agg(min("old_id").as("matched"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -100,9 +104,14 @@ object EmbedStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch_id").parquet(outDir)
         val dropped = folded.collect { case (id, false, _) => id }
+        // anti-join, not an isin literal list — same plan-size rationale
+        // as DocStream (review r10)
         val keptEntries =
           if (dropped.isEmpty) b
-          else b.filter(!col("doc_id").isin(dropped: _*))
+          else {
+            import spark.implicits._
+            b.join(broadcast(dropped.toDF("doc_id")), Seq("doc_id"), "left_anti")
+          }
         if (!keptEntries.isEmpty)
           keptEntries.write.mode("append").partitionBy("bucket").parquet(indexDir)
         ()

@@ -319,21 +319,6 @@ object EventStream {
         col("view_ts"), col("click_ts"), col("click_value"))
   }
 
-  /** Hot-key-only salted interval join — the scale refinement of
-    * `intervalJoinSalted`, which replicates EVERY click `salts`× to
-    * spread what is usually a handful of power users (VERDICT r9 #2: at
-    * 100 TB with both sides large, 8× replication of the cold majority
-    * is real shuffle volume). Per-user view counts pick the hot set
-    * (`hotThreshold` rows or more); only hot users' views scatter and
-    * only hot users' clicks replicate — the cold majority of both sides
-    * flows through once, salt 0. Row-identical to `intervalJoin` (e7
-    * shares e5/e6's oracle; SaltingSpec counts the replicated side to
-    * pin the no-cold-replication contract). Batch-shaped: the hot-set
-    * count is a batch aggregation over the view side — a streaming
-    * deployment feeds a precomputed hot set into
-    * `intervalJoinSaltedHotSet` instead, since key skew moves far
-    * slower than events.
-    */
   /** `intervalJoinSaltedHot` with the hot-user set supplied by the
     * caller — the STREAMING shape of hot-only salting: the hot set is a
     * static (or slowly-refreshed) relation derived out-of-band
@@ -364,6 +349,21 @@ object EventStream {
         col("view_ts"), col("click_ts"), col("click_value"))
   }
 
+  /** Hot-key-only salted interval join — the scale refinement of
+    * `intervalJoinSalted`, which replicates EVERY click `salts`× to
+    * spread what is usually a handful of power users (VERDICT r9 #2: at
+    * 100 TB with both sides large, 8× replication of the cold majority
+    * is real shuffle volume). Per-user view counts pick the hot set
+    * (`hotThreshold` rows or more); only hot users' views scatter and
+    * only hot users' clicks replicate — the cold majority of both sides
+    * flows through once, salt 0. Row-identical to `intervalJoin` (e7
+    * shares e5/e6's oracle; SaltingSpec counts the replicated side to
+    * pin the no-cold-replication contract). Batch-shaped: the hot-set
+    * count is a batch aggregation over the view side — a streaming
+    * deployment feeds a precomputed hot set into
+    * `intervalJoinSaltedHotSet` instead, since key skew moves far
+    * slower than events.
+    */
   def intervalJoinSaltedHot(views: DataFrame, clicks: DataFrame,
       windowMinutes: Int, salts: Int, hotThreshold: Long): DataFrame = {
     val v = views

@@ -159,6 +159,37 @@ class DedupStreamSpec extends AnyFunSuite {
       "chopped vector stream diverged from batch twin")
   }
 
+  test("crash-replay of a batch over its own indexed entries reproduces the original decisions") {
+    // the crash window: index append landed, checkpoint commit did not —
+    // the batch re-executes and finds its OWN kept docs in the index at
+    // estimate 1.0. Simulated by re-running the same file through a
+    // FRESH checkpoint against the same index/out dirs (same batchId 0,
+    // same dynamic-overwrite target). Without the self-match guard every
+    // previously-kept shingled doc was rewritten as dropped-matching-
+    // itself (review r10).
+    val srcDir = Files.createTempDirectory("graft_ndr_src").toString
+    val base = Files.createTempDirectory("graft_ndr").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/f0")
+    def drain(ck: String): Unit = {
+      val src = spark.readStream.schema(docSchema).parquet(s"$srcDir/*")
+      val q = DocStream.nearDupFilter(src, s"$base/idx", s"$base/out",
+          s"$base/$ck", threshold = 0.5)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def decisions() = spark.read.parquet(s"$base/out")
+      .select("doc_id", "kept", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    drain("ck1")
+    val original = decisions()
+    assert(original.exists(_._2), "fixture kept nothing")
+    drain("ck2") // the replay
+    assert(decisions() === original,
+      "replayed batch diverged from its original decisions")
+  }
+
   test("compacting the index between stream runs changes decisions not at all") {
     // the maintenance pass DocStream's scaladoc promises: between two
     // AvailableNow runs of the SAME checkpointed stream, compact the
