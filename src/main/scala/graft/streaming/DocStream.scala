@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
@@ -30,6 +31,15 @@ import graft.operators.DedupOps
   * kept doc (~2 KB at k=32, b=8), invariant to document length. The
   * batch pair-finder (d4) verifies EXACT Jaccard; use it for offline
   * audits of the streaming decisions.
+  *
+  * DUPLICATE-STORM safety (review r10): a crawl micro-batch re-emitting
+  * one page 10⁵ times would make every pair search O(B²) and the driver
+  * fold collect B²/2 rows. Two defenses: (1) exact-dup PRE-COLLAPSE —
+  * only one representative per distinct signature enters banding, the
+  * index join, and the fold, and member verdicts are synthesized exactly
+  * (see `collapse`); (2) a per-later-doc candidate CAP bounding driver
+  * rows for near-identical (distinct-signature) storms (see
+  * `collidingPairs`; fail-open, default 64).
   *
   * Scale design, mirroring `EventStream.dedupStreamMinBy`'s bucketed
   * sink: the index is a parquet directory hash-partitioned on
@@ -89,11 +99,75 @@ object DocStream {
   private def estimate(a: Column, b: Column, k: Int): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), v => v)).cast("double") / k
 
-  /** Distinct (later, earlier) colliding pairs at estimate ≥ threshold
-    * within one entries set.
+  /** DUPLICATE-STORM pre-collapse: split signed docs into one
+    * REPRESENTATIVE per distinct signature (the smallest doc_id) plus the
+    * remaining (doc_id, rep_id) members. Only representatives enter
+    * banding, candidate joins, and the driver fold — a crawl micro-batch
+    * re-emitting one page 10⁵ times contributes ONE rep, not O(B²)
+    * colliding pairs.
+    *
+    * This is EXACTLY semantics-preserving, not an approximation: a doc's
+    * collision set and every estimate it participates in are pure
+    * functions of its signature, so group members g2..gm (ids above rep
+    * g1) see precisely g1's colliders plus g1 itself at estimate 1.0
+    * (identical sigs share all band keys, and 1.0 ≥ any threshold ≤ 1).
+    * Hence under the uncollapsed greedy each member is ALWAYS dropped,
+    * matching g1 when g1 is kept, else g1's own match m — m is the
+    * smallest earlier-kept collider of the shared signature, and no kept
+    * collider between m and the member can be smaller than m.
+    * `expandMembers` synthesizes exactly those verdicts. Null-sig
+    * (too-short) docs are never collapsed: they have no collisions, and
+    * collapsing them would wrongly drop identical short docs.
     */
-  private def collidingPairs(entries: DataFrame, k: Int,
-      threshold: Double): DataFrame =
+  private[graft] def collapse(sigs: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = sigs.withColumn("_sig_key",
+      when(col("sig").isNotNull,
+        concat_ws(",", col("sig").cast("array<string>"))))
+    val reps = keyed.filter(col("_sig_key").isNotNull)
+      .groupBy("_sig_key").agg(min("doc_id").as("rep_id"))
+    val withRep = keyed.join(reps, Seq("_sig_key"), "left")
+    val repSigs = withRep
+      .filter(col("rep_id").isNull || col("doc_id") === col("rep_id"))
+      .select(sigs.columns.map(col): _*)
+    val members = withRep
+      .filter(col("rep_id").isNotNull && col("doc_id") =!= col("rep_id"))
+      .select("doc_id", "rep_id")
+    (repSigs, members)
+  }
+
+  /** Rejoin collapsed members to their representative's verdict: every
+    * member is dropped, matching the rep when the rep was kept, else the
+    * rep's own match (see `collapse` for why this equals the uncollapsed
+    * greedy).
+    */
+  private[graft] def expandMembers(repDecisions: DataFrame,
+      members: DataFrame): DataFrame =
+    repDecisions.unionByName(
+      members.join(repDecisions.select(col("doc_id").as("rep_id"),
+          col("kept").as("_rk"), col("matched_id").as("_rm")),
+        Seq("rep_id"))
+        .select(col("doc_id"), lit(false).as("kept"),
+          when(col("_rk"), col("rep_id")).otherwise(col("_rm"))
+            .as("matched_id")))
+
+  /** Distinct (earlier, later) colliding pairs at estimate ≥ threshold
+    * within one entries set, keeping at most `maxCandidates` SMALLEST
+    * earlier colliders per later doc — the bound on driver rows for a
+    * near-identical storm that pre-collapse (exact dups only) cannot
+    * shrink. The cap FAILS OPEN: if all of a doc's `maxCandidates`
+    * smallest earlier colliders were themselves dropped while some
+    * larger-id collider beyond the cap was kept, the doc is kept rather
+    * than dropped — over-keeping is recoverable by the batch auditor
+    * (d4) where over-dropping is not. With the default cap the window
+    * only binds when one doc has >maxCandidates DISTINCT-signature
+    * colliders in a single micro-batch. Caveat: a fail-open keep is not
+    * replay-stable (on crash-replay the same colliders surface through
+    * the uncapped cross-batch path), so size maxCandidates above the
+    * worst expected per-doc distinct-collider count; the default only
+    * binds under adversarial near-identical storms.
+    */
+  private[graft] def collidingPairs(entries: DataFrame, k: Int,
+      threshold: Double, maxCandidates: Int): DataFrame =
     entries.as("a")
       .join(entries.as("b"),
         col("a.band_key") === col("b.band_key") &&
@@ -101,6 +175,9 @@ object DocStream {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(first(estimate(col("a.sig"), col("b.sig"), k)).as("est"))
       .filter(col("est") >= threshold)
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("d2").orderBy("d1")))
+      .filter(col("_rn") <= maxCandidates)
       .select("d1", "d2")
 
   /** The greedy fold, driver-side over the COLLIDING ids only:
@@ -153,16 +230,22 @@ object DocStream {
   def nearDupFilter(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 32, bands: Int = 8,
-      nBuckets: Int = 64): DataStreamWriter[Row] =
+      nBuckets: Int = 64, maxCandidates: Int = 64): DataStreamWriter[Row] = {
+    require(threshold <= 1.0,
+      "threshold > 1 matches nothing and would break exact-dup collapse")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // one signature pass per batch; localCheckpoint because it feeds
-        // the index join, the self-join (both sides), and the append
+        // the collapse, the decisions join, and (via reps) everything else
         val sigs = signatures(batch, idCol, textCol, n, k).localCheckpoint()
-        val entries = bandEntries(sigs, k, bands, nBuckets).localCheckpoint()
+        // duplicate-storm safety: only one rep per distinct signature
+        // reaches banding, the index join, and the driver fold
+        val (repSigs0, members) = collapse(sigs)
+        val repSigs = repSigs0.localCheckpoint()
+        val entries = bandEntries(repSigs, k, bands, nBuckets).localCheckpoint()
 
         // cross-batch matches: smallest INDEXED (= earlier kept) doc
         // sharing a band bucket at estimate >= threshold — the read is
@@ -192,11 +275,11 @@ object DocStream {
               .groupBy("new_id").agg(min("old_id").as("matched"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           } else Map.empty
-        val pairs = collidingPairs(entries, k, threshold)
+        val pairs = collidingPairs(entries, k, threshold, maxCandidates)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val folded = greedyFold(crossMatch, pairs)
 
-        decisions(sigs, folded)
+        expandMembers(decisions(repSigs, folded), members)
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -218,21 +301,29 @@ object DocStream {
           keptEntries.write.mode("append").partitionBy("_bucket").parquet(indexDir)
         ()
       }
+  }
 
   /** BATCH twin of `nearDupFilter` with identical greedy semantics over
-    * one DataFrame: the same band keys, the same estimator, the same
-    * fold. A single-batch stream reproduces this exactly, and so does
-    * any other batching (the semantics are batching-invariant) —
-    * DedupStreamSpec's oracle. Driver work is O(colliding pairs), the
-    * d4-class bound; uninvolved docs never leave the executors.
+    * one DataFrame: the same collapse, the same band keys, the same
+    * estimator, the same capped fold. A single-batch stream reproduces
+    * this exactly, and so does any other batching (the semantics are
+    * batching-invariant) — DedupStreamSpec's oracle. Driver work is
+    * O(capped colliding DISTINCT-signature pairs), the d4-class bound;
+    * uninvolved docs and exact-dup group members never leave the
+    * executors.
     */
   def greedyKeepNearDups(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxCandidates: Int = 64): DataFrame = {
+    require(threshold <= 1.0,
+      "threshold > 1 matches nothing and would break exact-dup collapse")
     val sigs = signatures(docs, idCol, textCol, n, k).localCheckpoint()
-    val entries = bandEntries(sigs, k, bands, nBuckets = 64)
-    val pairs = collidingPairs(entries, k, threshold)
+    val (repSigs0, members) = collapse(sigs)
+    val repSigs = repSigs0.localCheckpoint()
+    val entries = bandEntries(repSigs, k, bands, nBuckets = 64)
+    val pairs = collidingPairs(entries, k, threshold, maxCandidates)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    decisions(sigs, greedyFold(Map.empty, pairs))
+    expandMembers(decisions(repSigs, greedyFold(Map.empty, pairs)), members)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
@@ -48,22 +48,45 @@ object EmbedStream {
       explode(array(probes: _*)).as("probe"))
   }
 
+  /** Exact-dup collapse eligibility (see `DocStream.collapse`): a vector
+    * may stand in for its byte-identical twins only when its
+    * cosine-to-self is provably ≥ threshold — excludes null/NaN elements
+    * (cosine null/NaN) and all-zero vectors (cosine 0/0). Double
+    * accumulation bounds self-cosine error at ~1e-15, so the filters
+    * require threshold ≤ 1 - 1e-8.
+    */
+  private def collapsible: Column =
+    not(exists(col("embedding"), x => x.isNull || isnan(x))) &&
+      exists(col("embedding"), x => x =!= 0f)
+
+  private val MaxThreshold = 1.0 - 1e-8
+
   /** The streaming filter; layout and contracts mirror
     * `DocStream.nearDupFilter` — decisions in `_batch_id` partitions
     * (replay-idempotent), kept vectors appended to the bucket-partitioned
-    * index, driver work bounded by the batch's own colliding ids.
+    * index, driver work bounded by the batch's own colliding ids, with
+    * the same duplicate-storm defenses (exact-dup collapse on the vector
+    * bytes + fail-open per-later-doc candidate cap).
     */
   def nearDupFilter(emb: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double, bits: Int = 8,
       dim: Int = 64, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataStreamWriter[Row] =
+      embCol: String = "embedding",
+      maxCandidates: Int = 64): DataStreamWriter[Row] = {
+    require(threshold <= MaxThreshold,
+      s"threshold must be <= $MaxThreshold so identical vectors always match")
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
-        val b = bucketed(batch, idCol, embCol, bits, dim).localCheckpoint()
+        val b0 = bucketed(batch, idCol, embCol, bits, dim)
+        // duplicate-storm pre-collapse (DocStream.collapse on the vector
+        // itself as the signature): one rep per distinct eligible vector
+        val (repB0, members) = DocStream.collapse(
+          b0.withColumn("sig", when(collapsible, col("embedding"))))
+        val b = repB0.drop("sig").localCheckpoint()
         val p = probed(b, bits)
 
         // the probe set bounds the index read: ≤ batch × (bits+1) codes,
@@ -88,17 +111,24 @@ object EmbedStream {
               .groupBy("new_id").agg(min("old_id").as("matched"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           } else Map.empty
+        // within-batch pairs over reps only, capped per later doc — the
+        // same fail-open driver-row bound as DocStream.collidingPairs
         val pairs = p.select(col("doc_id").as("d1"),
             col("embedding").as("e1"), col("probe"))
           .join(b.select(col("doc_id").as("d2"), col("embedding").as("e2"),
             col("bucket").as("probe")), Seq("probe"))
           .filter(col("d1") < col("d2"))
           .filter(expr("graft_cosine(e1, e2)") >= threshold)
+          .select("d1", "d2").distinct()
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("d2").orderBy("d1")))
+          .filter(col("_rn") <= maxCandidates)
           .select("d1", "d2")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val folded = DocStream.greedyFold(crossMatch, pairs)
 
-        DocStream.decisions(b, folded)
+        DocStream.expandMembers(DocStream.decisions(b, folded), members)
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -116,20 +146,32 @@ object EmbedStream {
           keptEntries.write.mode("append").partitionBy("bucket").parquet(indexDir)
         ()
       }
+  }
 
-  /** BATCH twin with identical semantics, the spec's oracle: d6's exact
-    * candidate pairs (`DedupOps.embeddingNearDups`), then the shared
-    * greedy fold.
+  /** BATCH twin with identical semantics, the spec's oracle: the same
+    * collapse, d6's exact candidate pairs (`DedupOps.embeddingNearDups`)
+    * over the reps, the same capped shared greedy fold.
     */
   def greedyKeepNearDups(emb: DataFrame, threshold: Double, bits: Int = 8,
       dim: Int = 64, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val b = bucketed(emb, idCol, embCol, bits, dim).localCheckpoint()
+      embCol: String = "embedding", maxCandidates: Int = 64): DataFrame = {
+    require(threshold <= MaxThreshold,
+      s"threshold must be <= $MaxThreshold so identical vectors always match")
+    val (repB0, members) = DocStream.collapse(
+      bucketed(emb, idCol, embCol, bits, dim)
+        .withColumn("sig", when(collapsible, col("embedding"))))
+    val b = repB0.drop("sig").localCheckpoint()
     val pairs = graft.operators.DedupOps.embeddingNearDups(
         b.select(col("doc_id").as("vec_id"), col("embedding")),
         threshold, bits = bits, dim = dim)
       .select("d1", "d2")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("d2").orderBy("d1")))
+      .filter(col("_rn") <= maxCandidates)
+      .select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    DocStream.decisions(b, DocStream.greedyFold(Map.empty, pairs))
+    DocStream.expandMembers(
+      DocStream.decisions(b, DocStream.greedyFold(Map.empty, pairs)), members)
   }
 }

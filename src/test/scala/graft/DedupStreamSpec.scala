@@ -190,6 +190,120 @@ class DedupStreamSpec extends AnyFunSuite {
       "replayed batch diverged from its original decisions")
   }
 
+  test("duplicate-storm batch: N identical docs collapse to one rep, bounded driver rows, twin-exact decisions") {
+    // the r10-verdict adversarial case: a crawl micro-batch re-emitting
+    // one page many times. Pre-collapse must reduce the storm to ONE
+    // representative (so the pair join and driver fold never see O(N²))
+    // while the decisions still equal the uncollapsed greedy: storm min
+    // kept, every other storm doc dropped matching it.
+    val stormText = Array.fill(40)("storm").zipWithIndex
+      .map { case (w, i) => s"$w${i % 7}" }.mkString(" ")
+    val stormIds = (100L until 400L)
+    val storm = stormIds.map(id => (id, stormText))
+    val all = docs ++ storm
+
+    // collapse-level assertion: the 300 storm docs yield exactly one rep
+    val sigs = graft.operators.DedupOps.minHashSignatures(
+      graft.operators.DedupOps.shingles(
+        all.toDF("doc_id", "text"), "doc_id", "text", 3), 32)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig"))
+    val (reps, members) = DocStream.collapse(sigs)
+    val repIds = reps.select("doc_id").collect().map(_.getLong(0)).toSet
+    val memberRows = members.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repIds.intersect(stormIds.toSet) === Set(100L),
+      "storm must collapse to its smallest id")
+    assert(memberRows === stormIds.drop(1).map(id => (id, 100L)).toSet,
+      "every other storm doc must be a member of rep 100")
+
+    // decision-level: batch twin and a single-batch stream both produce
+    // the exact greedy outcome for the storm
+    val expectedStorm: Set[(Long, Boolean, Option[Long])] =
+      Set((100L, true, None)) ++
+        stormIds.drop(1).map(id => (id, false, Some(100L)))
+    val twin = DocStream
+      .greedyKeepNearDups(all.toDF("doc_id", "text"), threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(twin.filter(t => stormIds.contains(t._1)) === expectedStorm,
+      "batch twin storm decisions wrong")
+    // non-storm docs keep their original (storm-free) decisions: the
+    // storm text shares no shingles with the fixture corpus
+    val baseline = DocStream
+      .greedyKeepNearDups(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(twin.filter(t => !stormIds.contains(t._1)) === baseline,
+      "storm perturbed unrelated docs")
+
+    val streamed = runStream(Seq(all), onePerTrigger = false)
+    assert(streamed === twin, "storm stream diverged from batch twin")
+    // chopped so the storm spans batches: later chunks must cross-match
+    // the indexed rep from the first
+    val chopped = runStream(
+      Seq(all.take(30), all.slice(30, 200), all.drop(200)),
+      onePerTrigger = true)
+    assert(chopped === twin, "chopped storm stream diverged from batch twin")
+  }
+
+  test("collidingPairs cap keeps the smallest earlier colliders per later doc") {
+    // 70 docs sharing one band key with identical signatures (calling the
+    // pair finder directly, below the collapse) — uncapped this is 2415
+    // driver rows; capped at 8 each later doc keeps only its 8 smallest
+    // earlier colliders, the fail-open bound
+    val k = 4
+    val entries = (0L until 70L).toSeq
+      .map(id => (id, Seq(1L, 2L, 3L, 4L), "b0"))
+      .toDF("doc_id", "sig", "band_key")
+    val pairs = DocStream.collidingPairs(entries, k, threshold = 0.5,
+        maxCandidates = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byLater = pairs.groupBy(_._2)
+    assert(byLater.values.forall(_.length <= 8), "cap exceeded")
+    assert(byLater(69L).map(_._1).toSet === (0L until 8L).toSet,
+      "cap must keep the SMALLEST earlier ids")
+    assert(pairs.length === (1 until 70).map(i => math.min(i, 8)).sum)
+  }
+
+  test("duplicate-storm vectors: identical embeddings collapse and match the twin") {
+    import graft.streaming.EmbedStream
+    val stormVec = Array.tabulate(16)(i => (0.1f * (i + 1)))
+    val stormIds = (1000L until 1100L)
+    val all = vecs ++ stormIds.map(id => (id, stormVec))
+    def decide(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "kept", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val twin = decide(EmbedStream.greedyKeepNearDups(
+      all.toDF("vec_id", "embedding"), threshold = 0.98, bits = 8, dim = 16))
+    val expectedStorm: Set[(Long, Boolean, Option[Long])] =
+      Set((1000L, true, None)) ++
+        stormIds.drop(1).map(id => (id, false, Some(1000L)))
+    assert(twin.filter(t => stormIds.contains(t._1)) === expectedStorm,
+      "vector storm decisions wrong")
+
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val srcDir = Files.createTempDirectory("graft_evs_src").toString
+    val base = Files.createTempDirectory("graft_evs_nd").toString
+    all.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/f0")
+    val src = spark.readStream.schema(vecSchema).parquet(s"$srcDir/*")
+    val q = EmbedStream.nearDupFilter(src, s"$base/idx", s"$base/out",
+        s"$base/ck", threshold = 0.98, bits = 8, dim = 16)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(decide(spark.read.parquet(s"$base/out")) === twin,
+      "vector storm stream diverged from batch twin")
+    // the index holds the storm rep once, never the members
+    val indexed = spark.read.parquet(s"$base/idx")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed.intersect(stormIds.toSet) === Set(1000L),
+      "storm members leaked into the index")
+  }
+
   test("compacting the index between stream runs changes decisions not at all") {
     // the maintenance pass DocStream's scaladoc promises: between two
     // AvailableNow runs of the SAME checkpointed stream, compact the
