@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one JSON line on stdout per the driver contract.
+/** Benchmark main — one JSON line on stdout per the driver contract,
+  * duplicated to `BENCH_LOCAL.json` (override: SPARK_GRAFT_BENCH_OUT)
+  * so a bounded stdout tail can never lose the per-query record again.
   *
   * Each query executes against a `noop` sink so the FULL physical plan
   * runs (projection, masking exprs, final sort included): a bare
@@ -80,26 +82,27 @@ object Bench {
     }
     canaryOnce() // warm the canary plan's codegen
     val canary = scala.collection.mutable.ListBuffer[Double](canaryOnce())
-    var failed = List.empty[String]
     var erroredReps = 0
     val ordered = selected.toSeq.sortBy(_._1)
     val midIdx = ordered.size / 2
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        reps: scala.collection.mutable.ListBuffer[Double]): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        reps += (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          reps += -1.0
+          erroredReps += 1
+      }
+    }
+    val measured = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == midIdx && idx > 0) canary += canaryOnce()
       val reps = scala.collection.mutable.ListBuffer.empty[Double]
-      def runOnce(): Unit = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          reps += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            reps += -1.0
-            erroredReps += 1
-        }
-      }
-      (1 to minReps).foreach(_ => runOnce())
+      (1 to minReps).foreach(_ => runOnce(name, fn, reps))
       def ok = reps.filter(_ >= 0)
       // Multi-second entries normally stop at minReps, but rep
       // disagreement is direct evidence of host contention (the
@@ -114,13 +117,37 @@ object Bench {
       def minUncorroborated = ok.size >= 2 && {
         val s = ok.sorted; s(1) > 2.0 * s(0)
       }
-      while (reps.size < maxReps && minUncorroborated) runOnce()
+      while (reps.size < maxReps && minUncorroborated) runOnce(name, fn, reps)
       while (reps.size < maxReps && (ok.isEmpty || ok.min < subSecond))
-        runOnce()
+        runOnce(name, fn, reps)
+      (name, fn, reps, idx)
+    }
+    canary += canaryOnce()
+    // Canary-gated retry (r10 verdict: sp1/v3 drifts left "unratified"
+    // because the canary warned but the taxed entries were never
+    // re-sampled): when the two canary samples BOUNDING an entry's run
+    // segment disagree >2× — contention arrived or left while that
+    // segment ran — every entry in the segment gets ONE extra rep here,
+    // after the tax was observed, so its reported min carries at least
+    // one sample from outside the drift window. A real regression
+    // survives the retry (all reps shift); a contention phantom does not.
+    def segmentBounds(idx: Int): (Double, Double) =
+      if (canary.size < 3 || idx < midIdx) (canary(0), canary(1))
+      else (canary(1), canary(2))
+    var retried = 0
+    measured.foreach { case (name, fn, reps, idx) =>
+      val (c0, c1) = segmentBounds(idx)
+      if (math.max(c0, c1) > 2.0 * math.min(c0, c1)) {
+        runOnce(name, fn, reps); retried += 1
+      }
+    }
+    if (retried > 0) canary += canaryOnce()
+    var failed = List.empty[String]
+    val results = measured.map { case (name, _, reps, _) =>
+      val ok = reps.filter(_ >= 0)
       if (ok.isEmpty) failed ::= name
       (name, if (ok.isEmpty) -1.0 else ok.min, reps.toList)
     }
-    canary += canaryOnce()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val repTimes = results.map { case (k, _, rs) =>
@@ -137,7 +164,19 @@ object Bench {
     // signal, the within-run flag catches only gross mid-run arrivals.
     val canaryStr = canary.map(t => f"$t%.4f").mkString("[", ",", "]")
     val canaryWarn = canary.max > 3.0 * canary.min
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"errored_reps":$erroredReps,"failed":${failed.size}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"retried":$retried,"errored_reps":$erroredReps,"failed":${failed.size}}"""
+    println(json)
+    // Durable copy: BENCH_r10.json lost the first ~31 queries' timings
+    // because the driver keeps only a bounded stdout TAIL of this
+    // process — the one JSON line must also land in a file the repo
+    // keeps (r10 verdict "bench record integrity"). Failure to write is
+    // non-fatal: stdout remains the contract.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    if (outPath.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
