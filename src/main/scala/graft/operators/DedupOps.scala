@@ -417,11 +417,12 @@ object DedupOps {
     * Near-dup clusters are shallow (duplicates of one origin), so the
     * loop is short; each round's labels are localCheckpoint-materialized
     * (delta-sized: vertices appearing in pairs, never the corpus) so
-    * lineage doesn't stack. For adversarial billion-vertex chain graphs
-    * the alternating star contractions (Kiveris et al., "Connected
-    * Components in MapReduce") give O(log n) rounds — swap the loop
-    * body, same contract. `maxIter` exhaustion THROWS: a partially
-    * propagated labeling silently merges fewer docs than asked.
+    * lineage doesn't stack. `maxIter` exhaustion FALLS BACK to
+    * `connectedComponentsStar` — the alternating star contractions run
+    * in O(log n) rounds regardless of diameter, so an adversarial
+    * billion-vertex chain graph degrades to the slower-per-round but
+    * always-terminating algorithm instead of throwing (r10 verdict #4);
+    * a partially propagated labeling is never returned either way.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
@@ -460,11 +461,85 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the bound; raise maxIter or use a " +
-        "star-contraction variant")
+    if (!converged) return connectedComponentsStar(pairs)
     labels.select(col("u").as("doc_id"), col("l").as("cluster_id"))
+  }
+
+  /** Connected components via ALTERNATING STAR CONTRACTIONS (the
+    * two-phase algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewires every vertex's
+    * larger neighbors to its neighborhood minimum (large-star) and then
+    * its smaller-or-equal neighbors to theirs (small-star). Both
+    * operations preserve connectivity and only ever decrease the
+    * (vertex, neighbor-min) potential, and the edge set provably reaches
+    * a fixpoint — a forest of depth-1 stars centered on each component's
+    * minimum — in O(log² n) rounds (O(log n) in practice) REGARDLESS of
+    * component diameter. That makes this the escape hatch
+    * `connectedComponents` falls back to when min-label propagation
+    * exceeds its iteration bound on an adversarial long-chain graph: a
+    * 10⁹-vertex path needs ~30 alternations here versus ~2·log₂(10⁹)
+    * pointer-jumping rounds whose joins carry the WHOLE label relation;
+    * star rounds carry only the shrinking edge set.
+    *
+    * Per round: two groupBy-min aggregations and two equi-joins over the
+    * current edge relation, all on the same key — AQE handles the
+    * rapidly-shrinking sizes; every round's edges are
+    * localCheckpoint-materialized so lineage never stacks. Same contract
+    * as `connectedComponents`: (doc_id, cluster_id = component minimum)
+    * for every vertex of `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+    // canonical undirected edge set, min-first, no self-loops
+    var edges = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    val vertices = edges.select(col("u").as("doc_id"))
+      .unionByName(edges.select(col("v").as("doc_id")))
+      .distinct().localCheckpoint()
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor LARGER than u points at u's
+      // neighborhood minimum (min over Γ(u) ∪ {u})
+      val s = sym(edges)
+      val mins = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = s.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("u"), col("v")) // m < u < v: already canonical
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: every neighbor SMALLER than u (and u itself) points
+      // at the minimum of u's smaller neighborhood
+      val s2 = sym(large).filter(col("v") < col("u"))
+      val mins2 = s2.groupBy("u").agg(min("v").as("m"))
+      val small = s2.join(mins2, "u")
+        .select(col("m").as("u"), col("v")) // m ≤ v < u
+        .unionByName(mins2.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "this exceeds the O(log^2 n) bound and indicates a bug, not data")
+    // fixpoint edges are depth-1 stars (u = component min, v = member);
+    // vertices absent from the star relation are their own center. The
+    // groupBy-min is a no-op on a true star (each member has exactly one
+    // center) kept as cheap insurance that one label per vertex is
+    // emitted even if the fixpoint argument were ever violated
+    val labels = edges
+      .select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    vertices.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Train/test DECONTAMINATION: every (train doc, test doc) pair
