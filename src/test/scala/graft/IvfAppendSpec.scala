@@ -70,6 +70,40 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(storeRows(halfDir) === storeRows(fullDir))
   }
 
+  test("centroid drift: an in-distribution append does not flag, a shifted one does") {
+    // r10 verdict #5: appendToSaved assigns against frozen centroids
+    // forever; the drift metric must expose when the incoming
+    // distribution has left them behind. Baseline = build corpus's mean
+    // assigned distance (written by save); each append logs its delta's
+    // ratio against it.
+    val full = IvfIndex.build(planted, nlist = 10)
+    val dir = tmp("graft_ivf_drift")
+    IvfIndex.save(IvfIndex.BuiltIvf(
+      full.assigned.filter(col("vec_id") < 150L), full.centers), dir)
+    assert(IvfIndex.driftStatus(spark, dir).isEmpty,
+      "no append yet — no drift record")
+
+    // unshifted: the other half of the SAME planted clusters
+    IvfIndex.appendToSaved(spark, dir, planted.filter(col("vec_id") >= 150L))
+    val inDist = IvfIndex.driftStatus(spark, dir).get
+    assert(!inDist.flagged,
+      s"in-distribution append flagged drift (ratio ${inDist.ratio})")
+    assert(inDist.ratio < IvfIndex.DriftRetrainRatio)
+    assert(inDist.seq === 1L && inDist.n === 150L)
+
+    // shifted: vectors far outside every planted cluster (scaled up 5×
+    // plus an offset) — mean assigned distance must blow past the bar
+    val shifted = planted.filter(col("vec_id") >= 150L)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * 5.0f + 3.0f).as("embedding"))
+    IvfIndex.appendToSaved(spark, dir, shifted)
+    val outDist = IvfIndex.driftStatus(spark, dir).get
+    assert(outDist.flagged,
+      s"shifted append did not flag drift (ratio ${outDist.ratio})")
+    assert(outDist.seq === 2L,
+      "drift log must order appends")
+  }
+
   test("crash mid-append: repairPointers heals orphan vectors, then the re-run is a no-op") {
     val full = IvfIndex.build(planted, nlist = 10)
     val fullDir = tmp("graft_ivf_ref")
