@@ -48,13 +48,49 @@ object GraftFunctions {
     }
   }
 
+  /** Conf-key prefix `system$pipe_status` reads through (one key per
+    * pipe name; the pipeline publishes its JSON there).
+    */
+  val PipeStatusConfPrefix = "graft.pipe_status."
+
+  /** `system$pipe_status('<pipe>')` (dp_demo.sql:52,132) as a foldable
+    * leaf over session conf, mirroring `CurrentAccount`: the pipeline
+    * publishes its status JSON to conf `graft.pipe_status.<pipe>` and
+    * the SQL surface reads it as a per-session constant. The dialect
+    * rewriter maps the `system$...` spelling to this name (a `$` inside
+    * a function identifier doesn't survive parsing).
+    */
+  case class PipeStatus(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: StringType.type = StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = child.foldable
+    override def prettyName: String = "graft_pipe_status"
+    override protected def nullSafeEval(pipe: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          PipeStatusConfPrefix + pipe.toString,
+          """{"executionState":"STOPPED","pendingFileCount":0}"""))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val lit = Literal(nullSafeEval(child.eval(null)), StringType)
+      lit.genCode(ctx)
+    }
+    override protected def withNewChildInternal(newChild: Expression): PipeStatus =
+      copy(child = newChild)
+  }
+
   private[functions] val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", "cosine similarity of two float vectors",
       es => CosineSimilarity(es(0), es(1))),
     ("iff", "Snowflake IFF(cond, a, b)",
       es => If(es(0), es(1), es(2))),
     ("current_account", "session account from conf graft.current_account",
-      _ => CurrentAccount()))
+      _ => CurrentAccount()),
+    ("graft_pipe_status", "system$pipe_status from conf graft.pipe_status.<pipe>",
+      es => PipeStatus(es(0))))
 
   /** Idempotently register all functions in the given session. */
   def register(spark: SparkSession): Unit = {

@@ -46,6 +46,32 @@ object Stage {
     raw.select(try_parse_json(col("raw")).as("$1"))
   }
 
+  /** The stage as ONE relation for verbatim-statement replay
+    * (SnowflakeDialect): Snowflake's `@stage` exposes the positional
+    * document column AND file metadata on the same table reference
+    * (`select $1 ...`, `select ... metadata$filename from @stage`,
+    * dp_demo.sql:118-131), so the dialect layer maps a stage reference
+    * to a view over this scan. Columns are named literally `$1` and
+    * `metadata$filename` (back-quoted in rewritten SQL). Same
+    * distributed text scan as `scanDollar1`; the filename rides the
+    * file-source `_metadata` column, not a per-row UDF.
+    */
+  def scanRelation(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    val hasFiles = {
+      val f = fs(spark, stageDir)
+      f.exists(new Path(stageDir)) &&
+        f.listStatus(new Path(stageDir)).exists(s => s.isFile && s.getPath.getName.endsWith(".json"))
+    }
+    if (hasFiles)
+      spark.read.textFile(s"$stageDir/*.json")
+        .select(try_parse_json(col("value")).as("$1"),
+          col("_metadata.file_name").as("metadata$filename"))
+    else Seq.empty[String].toDF("raw")
+      .select(try_parse_json(col("raw")).as("$1"),
+        col("raw").as("metadata$filename"))
+  }
+
   /** S12 — `rm @stage/<name>` (dp_setup.sql:120-122, dp_demo.sql:13,295).
     * Returns true if the file existed and was deleted.
     */
