@@ -17,6 +17,22 @@ object EventQueries extends QueryPack {
     * enforces "SAME oracle" by construction (ADVICE r9: two copies of
     * the string could drift apart silently).
     */
+  /** ONE oracle for e2 (window-function form) and e2b (native
+    * `session_window` form): row-identity between the faces is the
+    * contract (gap boundary aligned to `diff <= gap`, see
+    * `EventStream.sessionizeNative`), so they share the SQL value for
+    * the same anti-drift reason as the interval joins.
+    */
+  private val sessionOracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, value FROM events),
+       l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM e),
+       f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 3600000 THEN 1 ELSE 0 END AS new_session FROM l),
+       s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) session_idx FROM f)
+       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start"""
+
   private val intervalJoinOracle =
     """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
         event_type, value FROM events)
@@ -51,14 +67,21 @@ object EventQueries extends QueryPack {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start"),
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, value FROM events),
-             l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM e),
-             f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 3600000 THEN 1 ELSE 0 END AS new_session FROM l),
-             s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) session_idx FROM f)
-             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start""")),
+      Some(sessionOracle)),
+
+    // The engine-native face of e2: `session_window` aggregation —
+    // codegen'd in batch, session-aware state store when streamed, zero
+    // custom state code. Row-identical to e2 (boundary aligned, see
+    // sessionizeNative) — the SECOND entry on the shared session oracle.
+    Q("e2b_event_sessions_native",
+      (s, d) => EventStream
+        .sessionizeNative(Tables.load(s, d, "events"), gapMinutes = 60)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some(sessionOracle)),
 
     // As-of join (an operator Spark lacks; composed union + carry-
     // forward window, one shuffle). Oracle: DuckDB's NATIVE ASOF JOIN —

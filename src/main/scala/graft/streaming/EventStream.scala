@@ -418,4 +418,37 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .drop("session_idx")
   }
+
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the third face of e2 (r10 verdict #8), sharing its oracle:
+    * `sessionizeBatch` is the window-function form, `sessionize` the
+    * custom-state exemplar (flatMapGroupsWithState, O(users) state),
+    * and this one the engine-native form — codegen'd aggregation in
+    * batch, session-window-aware state store when streamed, no
+    * user-level state code at all. Prefer it when the builtin
+    * semantics fit; keep FMGS for session logic the builtin can't
+    * express (mid-session emission, custom merge rules).
+    *
+    * Boundary alignment: the twins compare MILLISECOND-truncated
+    * timestamps (`unix_millis` / `getTime`), so an event up to
+    * gap+999µs late still merges — the session key here is therefore
+    * `session_window` over a ms-truncated copy of `ts` (aggregates
+    * still read the original micro-precision `ts`, so session_start/end
+    * stay bit-identical). Spark extends a session when the next event
+    * lands AT or before the window end (`<=`, verified empirically —
+    * an event exactly gap late merges), which is precisely the twins'
+    * `diff <= gap`, so the gap maps 1:1. Both edges pinned in
+    * StreamingSpec (merge at gap and gap+999µs, split at gap+1ms).
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(unix_millis(col("ts"))),
+          s"${gapMinutes * 60000L} milliseconds")
+          .as("sw"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
 }

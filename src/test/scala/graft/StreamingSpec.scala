@@ -70,6 +70,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("native session_window sessionization equals the window-function sessions, boundaries included") {
+    import spark.implicits._
+    // full-table parity: the engine-native face must reproduce
+    // sessionizeBatch (e2's oracle shape) row for row
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val events = Tables.load(spark, sf, "events")
+    val native = rows(EventStream.sessionizeNative(events, gapMinutes = 60))
+    val batch = rows(EventStream.sessionizeBatch(events, gapMinutes = 60))
+    assert(native === batch)
+    assert(native.nonEmpty)
+
+    // boundary pin: the twins compare MILLISECOND-truncated timestamps,
+    // so the true edges are: merge at exactly gap AND at gap+999µs
+    // (sub-ms truncated away), split at gap+1ms — the edges the
+    // ms-truncated window key and 1ms gap widening exist for
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plusMicros(us: Long) = {
+      // setNanos replaces the WHOLE sub-second fraction, so compute it
+      // from the absolute instant (t0 sits on a whole second)
+      val totalUs = t0.getTime * 1000L + us
+      val t = new java.sql.Timestamp(totalUs / 1000L)
+      t.setNanos(((totalUs % 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = 60L * 60000000L
+    val edge = Seq(
+      (1L, t0, 1L, 1.0),                                // u1: s1
+      (2L, plusMicros(gapUs), 1L, 1.0),                 // u1: exactly gap → s1
+      (3L, plusMicros(2 * gapUs + 999L), 1L, 1.0),      // u1: gap+999µs later → s1
+      (4L, t0, 2L, 1.0),                                // u2: s1
+      (5L, plusMicros(gapUs + 1000L), 2L, 1.0))         // u2: gap+1ms → s2
+      .toDF("event_id", "ts", "user_id", "value")
+    val nativeEdge = rows(EventStream.sessionizeNative(edge, gapMinutes = 60))
+    val batchEdge = rows(EventStream.sessionizeBatch(edge, gapMinutes = 60))
+    assert(batchEdge.count(_._1 == 1L) === 1, "u1 must be one merged session")
+    assert(batchEdge.count(_._1 == 2L) === 2, "u2 must split at gap+1ms")
+    assert(nativeEdge === batchEdge,
+      "native boundary semantics diverged from the window-function twin")
+
+    // streaming execution of the native form (complete mode recomputes
+    // per trigger — no watermark dependence; the state-store-native
+    // session merge is what runs)
+    val q = EventStream
+      .sessionizeNative(EventStream.readEvents(spark, eventsDir), gapMinutes = 60)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(rows(spark.table("native_sessions")) === batch,
+      "streamed native session_window diverged from batch")
+  }
+
   test("stream-stream interval join emits exactly the batch plan's rows") {
     val ev = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.intervalJoin(
