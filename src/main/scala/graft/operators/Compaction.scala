@@ -16,13 +16,32 @@ import org.apache.spark.sql.functions._
   *
   * `compact` rewrites ONLY the partitions whose data-file count exceeds
   * `maxFiles` — a threshold-gated, incremental maintenance pass, not a
-  * table rewrite: cold partitions are never read, never listed beyond a
-  * directory status call, and never touched (the spec pins their file
-  * mtimes). Hot partitions are rewritten through dynamic partition
-  * overwrite — Spark stages the rewrite and swaps at commit, so a
-  * reader never sees a partially-compacted partition — into one file
-  * per partition (`repartition` on the partition column: each value
-  * hashes to exactly one task).
+  * table rewrite: the reader is handed the hot partition paths directly
+  * (with `basePath` preserving the partition column), so cold
+  * partitions are never read, never rewritten, and never even
+  * file-listed — discovery walks only the hot directories plus the one
+  * top-level status listing the threshold check itself performs (the
+  * spec pins cold files' mtimes). Hot partitions are rewritten through
+  * dynamic partition overwrite into one file per partition
+  * (`repartition` on the partition column: each value hashes to exactly
+  * one task).
+  *
+  * CRASH WINDOW (r10 advice): dynamic partition overwrite stages the
+  * new files, then commits by DELETING each target partition and
+  * RENAMING the staged one in — concurrent, not atomic. A crash inside
+  * that commit window can leave a hot partition's only copy under the
+  * job's hidden staging directory (`.spark-staging-<jobId>/` beneath
+  * `dir`) — and unlike the streaming sinks, compaction CANNOT
+  * regenerate the data by replay; the staged files are then the data.
+  * Recovery after a mid-commit crash: inspect `dir` for
+  * `.spark-staging-*` remnants and move the staged partition
+  * directories into place (or restore the partition from the source
+  * that fed the sink) BEFORE trusting reads or re-running compaction.
+  * Readers during a normal run are safe (they see old files until the
+  * swap); the exposure is a writer crash mid-commit, the same window a
+  * Hive dynamic-overwrite carries. A transactional table format closes
+  * it at 100 TB; this layout trades that for plain-parquet operability
+  * and documents the step instead.
   *
   * `dropExactDuplicates` additionally collapses byte-identical rows —
   * the documented healing pass for a crash-REPLAYED streaming index
@@ -63,12 +82,12 @@ object Compaction {
       maxFiles: Int = 4, dropExactDuplicates: Boolean = false): Seq[String] = {
     val hot = hotPartitions(spark, dir, partitionCol, maxFiles).map(_._1)
     if (hot.isEmpty) return Seq.empty
-    // partition values arrive as directory-name strings; comparing
-    // against the column CAST TO STRING works for the numeric partition
-    // keys every sink here uses, without this code needing to know the
-    // concrete type
-    val rows = spark.read.parquet(dir)
-      .filter(col(partitionCol).cast("string").isin(hot: _*))
+    // read ONLY the hot partition directories — basePath keeps the
+    // partition column in the schema; cold partitions are not even
+    // file-listed (r10 advice: a whole-directory read would run full
+    // partition discovery over every cold partition before pruning)
+    val rows = spark.read.option("basePath", dir)
+      .parquet(hot.map(v => s"$dir/$partitionCol=$v"): _*)
     val deduped = if (dropExactDuplicates) rows.distinct() else rows
     deduped
       .repartition(col(partitionCol))

@@ -77,10 +77,18 @@ object Salting {
     * while a REAL hot key (by definition a large constant fraction of
     * rows) still lands thousands of sampled rows. The threshold is
     * scaled by `frac`, with a binomial safety margin of 3σ so a key
-    * sitting AT the true threshold is still found with near-certainty;
-    * keys far below it stay excluded. Seeded, so the estimate is
-    * reproducible. Use for feeding `saltedJoinOnHotSet`; when the
-    * decision boundary must be exact, pay for `hotKeys`.
+    * sitting AT the true threshold is still found with near-certainty.
+    * The margin deliberately trades FALSE POSITIVES for that recall
+    * (r10 advice): when `hotThreshold*frac` is small — near the
+    * `require` bound — the 3σ band is wide relative to the cutoff and
+    * keys at a fraction of the true threshold pass with real
+    * probability, inflating the broadcast hot set (each false positive
+    * costs only some needless salting of a coldish key, never a wrong
+    * row). Keep `hotThreshold*frac` comfortably large — ≥ ~100, i.e.
+    * cutoff ≈ threshold·(1 − 0.3) — so the band stays tight and the
+    * hot set stays a handful of genuinely hot keys. Seeded, so the
+    * estimate is reproducible. Use for feeding `saltedJoinOnHotSet`;
+    * when the decision boundary must be exact, pay for `hotKeys`.
     */
   private[graft] def hotKeysApprox(df: DataFrame, key: String,
       hotThreshold: Long, frac: Double, seed: Long = 42L): DataFrame = {

@@ -267,7 +267,14 @@ object DocStream {
               // finds its own kept docs' entries in the index at estimate
               // 1.0 — without this guard every previously-kept doc would
               // be rewritten as dropped-matching-itself, permanently
-              // corrupting the replayed decisions (review r10)
+              // corrupting the replayed decisions (review r10). The cost
+              // (r10 advice): a LEGITIMATE cross-batch redelivery of the
+              // same doc_id is indistinguishable from replay, so it is
+              // also suppressed — the redelivered doc reports kept again
+              // and re-appends duplicate index entries (harmless to
+              // decisions; healed by `Compaction` with
+              // dropExactDuplicates). Upstreams that re-emit ids across
+              // batches get at-least-once kept records, not a dup report
               .filter(col("old_id") =!= col("new_id"))
               .groupBy("new_id", "old_id")
               .agg(first(estimate(col("sig"), col("old_sig"), k)).as("est"))

@@ -105,7 +105,10 @@ object EmbedStream {
                 col("embedding").as("new_emb"), col("probe")), Seq("probe"))
               // self-match guard: on crash-replay the batch's own kept
               // vectors are already indexed at cosine 1.0 — same
-              // corruption as DocStream without it (review r10)
+              // corruption as DocStream without it, and the same
+              // documented cost: same-id cross-batch redelivery is
+              // indistinguishable from replay, so it re-reports kept and
+              // duplicates index entries (healed by compaction)
               .filter(col("old_id") =!= col("new_id"))
               .filter(expr("graft_cosine(new_emb, old_emb)") >= threshold)
               .groupBy("new_id").agg(min("old_id").as("matched"))
