@@ -50,11 +50,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `DialectSession` adds the statement KINDS around the queries: `set
   * var = (select …)`, `alter session set/unset`, `grant/revoke select
-  * on view … to/from share`, `alter share add/remove accounts` —
-  * dispatched onto the session variable map, session conf
+  * on view … to/from share`, `alter share add/remove accounts`,
+  * `list @stage`, `show shares like '…'`, `desc share` — dispatched
+  * onto the session variable map, session conf
   * (`simulated_data_sharing_consumer` maps to the same conf key
   * `current_account()` folds from, exactly the reference's simulation
-  * trick), and the `SecureShare.Share` governance object.
+  * trick), the `SecureShare.Share` governance object, and the stage /
+  * share catalogs.
   */
 object SnowflakeDialect {
 
@@ -275,7 +277,8 @@ object SnowflakeDialect {
 final class DialectSession(spark: SparkSession,
     tableMap: Map[String, String] = Map.empty,
     now: Option[java.sql.Timestamp] = None,
-    share: Option[graft.serve.SecureShare.Share] = None) {
+    share: Option[graft.serve.SecureShare.Share] = None,
+    stageDirs: Map[String, String] = Map.empty) {
 
   GraftFunctions.register(spark)
   private val vars = scala.collection.mutable.Map.empty[String, String]
@@ -308,8 +311,24 @@ final class DialectSession(spark: SparkSession,
     val grantView = "(?is)^grant\\s+select\\s+on\\s+view\\s+([\\w.]+)\\s+to\\s+share\\s+[\\w.]+$".r
     val revokeView = "(?is)^revoke\\s+select\\s+on\\s+view\\s+([\\w.]+)\\s+from\\s+share\\s+[\\w.]+$".r
     val shareAccounts = "(?is)^alter\\s+share\\s+[\\w.]+\\s+(add|remove)\\s+accounts\\s*=\\s*(.+)$".r
+    val listStage = "(?is)^(?:list|ls)\\s+(@[\\w.]+)/?$".r
+    val showShares = "(?is)^show\\s+shares\\s+like\\s+'([^']*)'$".r
+    val descShare = "(?is)^desc(?:ribe)?\\s+share\\s+[\\w.]+$".r
     def simpleName(qualified: String) = qualified.split('.').last
     s match {
+      case listStage(ref) =>
+        // `list @stage` (dp_demo.sql:36,118): the stage listing relation
+        val dir = stageDirs.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(ref) => v
+        }.getOrElse(throw new IllegalArgumentException(
+          s"no stageDirs entry for $ref"))
+        Some(graft.pipeline.Stage.list(spark, dir))
+      case showShares(pattern) =>
+        Some(graft.serve.SecureShare.showShares(spark, pattern))
+      case descShare() =>
+        Some(share.getOrElse(throw new IllegalArgumentException(
+          "desc share requires a share-attached DialectSession"))
+          .describe(spark))
       case setVar(name, query) =>
         vars(name.toLowerCase) = String.valueOf(sql(query).collect()(0).get(0))
         None

@@ -152,6 +152,42 @@ order by last_load_time desc;
       .contains("TakeOrderedAndProject"))
   }
 
+  test("list / show shares / desc share replay verbatim (dp_demo.sql:36,210,244)") {
+    val (_, paths, _) = fixture
+    val share = SecureShare.createShare("snowflake_demo")
+    share.grantUsage("DATABASE", "snowflake_demo")
+    share.grantUsage("SCHEMA", "snowflake_demo.modelled")
+    share.grantSelect("trips_secure_vw")
+    val s = new DialectSession(spark,
+      share = Some(share),
+      stageDirs = Map(
+        "@snowflake_demo.public.snowflake_demo_stage" -> paths.stage))
+
+    // dp_demo.sql:36 — same relation as the repo's S4 stage listing
+    val listed = s.execute(
+      "list @snowflake_demo.public.snowflake_demo_stage;").get
+    val direct = Stage.list(spark, paths.stage)
+    assert(listed.columns.toSeq === direct.columns.toSeq)
+    assert(listed.select("name").collect().map(_.getString(0)).toSet
+      === direct.select("name").collect().map(_.getString(0)).toSet)
+    assert(listed.count() > 0)
+
+    // dp_demo.sql:210 — LIKE-pattern share catalog
+    val shown = s.execute("show shares like 'snowflake_demo%';").get
+    assert(shown.select("name").collect().map(_.getString(0))
+      .contains("snowflake_demo"))
+    assert(s.execute("show shares like 'no_such_share%';").get.count() === 0)
+
+    // dp_demo.sql:244 — every grant the share holds
+    val desc = s.execute("desc share snowflake_demo;").get
+    assert(desc.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      === Set(
+        ("DATABASE", "snowflake_demo", "USAGE"),
+        ("SCHEMA", "snowflake_demo.modelled", "USAGE"),
+        ("VIEW", "trips_secure_vw", "SELECT")))
+  }
+
   test("secure-view consumption and share governance replay verbatim (dp_demo.sql:255-290)") {
     val s0 = fixture // force pipeline before registering views
     val pipe = s0._1
