@@ -29,6 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `dateadd(unit, n, ts)` → `timestampadd(...)` (Spark's `dateadd`
   *     is the 2-argument day-adder; the 3-argument Snowflake form maps
   *     exactly onto `timestampadd`).
+  *   - `date_trunc(hour, ts)` → `date_trunc('hour', ts)` — Snowflake
+  *     takes the unit as a bare keyword (`dp_demo.sql:225`), Spark as a
+  *     string literal.
+  *   - `current_time()` → `current_timestamp` — Snowflake's TIME-typed
+  *     now, used only inside `dateadd(minute, -15, current_time())`
+  *     (`dp_demo.sql:167`) where the 15-minutes-ago intent maps onto
+  *     the timestamp form (and then onto the pinned literal below).
   *   - `select top N …` → `select … LIMIT N` (appended after the final
   *     ORDER BY, preserving top-k semantics — plans as
   *     TakeOrderedAndProject like the repo's o4 entry).
@@ -64,7 +71,7 @@ object SnowflakeDialect {
     * statements carry no `--` inside string literals; a full tokenizer
     * would be scope beyond a replay shim.
     */
-  private[functions] def clean(stmt: String): String =
+  private[graft] def clean(stmt: String): String =
     stmt.replaceAll("(?m)--.*$", "").trim.stripSuffix(";").trim
 
   /** Index of the `(` matching the one at `open`. */
@@ -213,6 +220,11 @@ object SnowflakeDialect {
     s = s.replaceAll("(?i)system\\$pipe_status", "graft_pipe_status")
     s = rewriteVariantPaths(s)
     s = s.replaceAll("(?i)\\bdateadd\\s*\\(", "timestampadd(")
+    // bare-keyword unit → string literal; a quoted unit never matches
+    // ([A-Za-z_] excludes the quote)
+    s = s.replaceAll("(?i)\\bdate_trunc\\s*\\(\\s*([A-Za-z_]+)\\s*,", "date_trunc('$1',")
+    // \b stops current_timestamp from matching (its 's' is a word char)
+    s = s.replaceAll("(?i)\\bcurrent_time\\b\\s*\\(\\s*\\)", "current_timestamp")
     s = s.replaceAll("(?i)::\\s*number\\b", "::bigint")
     s = rewriteTopN(s)
     // stage references before table names and $-rules: their names can
@@ -283,6 +295,21 @@ final class DialectSession(spark: SparkSession,
   GraftFunctions.register(spark)
   private val vars = scala.collection.mutable.Map.empty[String, String]
 
+  // both mutable so a whole-script replay (DemoScriptSession) can bind
+  // them mid-sequence: the share is CREATED by a script statement, and
+  // the pinned `current_timestamp` advances with the script's clock
+  // across pulses
+  private var shareOpt: Option[graft.serve.SecureShare.Share] = share
+  private var nowOpt: Option[java.sql.Timestamp] = now
+
+  /** Bind the share a later `grant/revoke/alter share/desc share`
+    * statement governs (`create or replace share`, dp_demo.sql:208).
+    */
+  def attachShare(s: graft.serve.SecureShare.Share): Unit = shareOpt = Some(s)
+
+  /** Re-pin `current_timestamp` to the (advanced) script clock. */
+  def pinNow(ts: java.sql.Timestamp): Unit = nowOpt = Some(ts)
+
   /** `alter session set simulated_data_sharing_consumer = …` lands on
     * the SAME conf key `current_account()` folds from — the reference's
     * own trick for previewing a consumer's view of the data
@@ -300,8 +327,14 @@ final class DialectSession(spark: SparkSession,
     else v.stripPrefix("'").stripSuffix("'")
   }
 
-  def sql(stmt: String): DataFrame =
-    spark.sql(SnowflakeDialect.rewrite(stmt, tableMap, vars.toMap, now))
+  /** The rewritten Spark SQL for `stmt` under the session's current
+    * variable/now state — for callers that embed it in larger DDL (the
+    * script replay's `create secure view … as <body>`).
+    */
+  def rewriteOnly(stmt: String): String =
+    SnowflakeDialect.rewrite(stmt, tableMap, vars.toMap, nowOpt)
+
+  def sql(stmt: String): DataFrame = spark.sql(rewriteOnly(stmt))
 
   def execute(stmt: String): Option[DataFrame] = {
     val s = SnowflakeDialect.clean(stmt)
@@ -326,7 +359,7 @@ final class DialectSession(spark: SparkSession,
       case showShares(pattern) =>
         Some(graft.serve.SecureShare.showShares(spark, pattern))
       case descShare() =>
-        Some(share.getOrElse(throw new IllegalArgumentException(
+        Some(shareOpt.getOrElse(throw new IllegalArgumentException(
           "desc share requires a share-attached DialectSession"))
           .describe(spark))
       case setVar(name, query) =>
@@ -337,12 +370,12 @@ final class DialectSession(spark: SparkSession,
       case alterUnset(key) =>
         spark.conf.unset(confKey(key)); None
       case grantView(view) =>
-        share.foreach(_.grantSelect(simpleName(view))); None
+        shareOpt.foreach(_.grantSelect(simpleName(view))); None
       case revokeView(view) =>
-        share.foreach(_.revokeSelect(simpleName(view))); None
+        shareOpt.foreach(_.revokeSelect(simpleName(view))); None
       case shareAccounts(op, accts) =>
         val resolved = accts.split(',').map(resolve).toSeq
-        share.foreach { sh =>
+        shareOpt.foreach { sh =>
           if (op.equalsIgnoreCase("add")) sh.addAccounts(resolved: _*)
           else sh.removeAccounts(resolved: _*)
         }

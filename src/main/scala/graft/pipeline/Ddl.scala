@@ -88,6 +88,32 @@ object Ddl {
     }
   }
 
+  /** Statement-scoped `alter warehouse … set warehouse_size=<size>`
+    * (dp_demo.sql:111,145) for whole-script replay: unlike the
+    * bracket-scoped `withWarehouseSize`, each resize is its own
+    * statement and the paired resize-back arrives as a later statement,
+    * so this form sets the parallelism mapping immediately and leaves
+    * restoration to that later statement. Monitoring parity: one
+    * SUCCEEDED task_history-shaped row per resize when a path is given
+    * (kept in its own directory — the pipeline's task_history is
+    * `_batch_id`-partitioned and must not be mixed with unpartitioned
+    * appends).
+    */
+  def setWarehouseSize(spark: SparkSession, size: String,
+      taskHistoryPath: Option[String] = None,
+      clock: Clock = SystemClock): Unit = {
+    val partitions = warehouseSizes.getOrElse(size.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown warehouse_size '$size' (one of ${warehouseSizes.keys.toSeq.sorted.mkString(", ")})"))
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    taskHistoryPath.foreach { p =>
+      val now = clock.now()
+      Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size",
+          "SUCCEEDED", now, now, 0L)
+        .write.mode("append").parquet(p)
+    }
+  }
+
   def truncate(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
