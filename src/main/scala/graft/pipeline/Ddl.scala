@@ -46,12 +46,15 @@ object Ddl {
   val warehouseSizes: Map[String, Int] = Map(
     "xsmall" -> 8, "small" -> 16, "medium" -> 32, "large" -> 64, "xlarge" -> 128)
 
+  private def partitionsFor(size: String): Int =
+    warehouseSizes.getOrElse(size.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown warehouse_size '$size' (one of ${warehouseSizes.keys.toSeq.sorted.mkString(", ")})"))
+
   def withWarehouseSize[T](spark: SparkSession, size: String,
       taskHistoryPath: Option[String] = None,
       clock: Clock = SystemClock)(body: => T): T = {
-    val partitions = warehouseSizes.getOrElse(size.toLowerCase,
-      throw new IllegalArgumentException(
-        s"unknown warehouse_size '$size' (one of ${warehouseSizes.keys.toSeq.sorted.mkString(", ")})"))
+    val partitions = partitionsFor(size)
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     val scheduled = clock.now()
@@ -102,10 +105,7 @@ object Ddl {
   def setWarehouseSize(spark: SparkSession, size: String,
       taskHistoryPath: Option[String] = None,
       clock: Clock = SystemClock): Unit = {
-    val partitions = warehouseSizes.getOrElse(size.toLowerCase,
-      throw new IllegalArgumentException(
-        s"unknown warehouse_size '$size' (one of ${warehouseSizes.keys.toSeq.sorted.mkString(", ")})"))
-    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", partitionsFor(size).toString)
     taskHistoryPath.foreach { p =>
       val now = clock.now()
       Metrics.taskHistoryRow(spark, s"alter_warehouse_size_$size",

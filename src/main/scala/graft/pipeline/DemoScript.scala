@@ -73,42 +73,36 @@ import graft.serve.SecureShare
   */
 object DemoScript {
 
-  /** Strip slash-star block comments, quote-aware (an opener inside a
-    * string literal survives). The demo's banners are non-nested.
-    */
-  def stripBlockComments(s: String): String = {
-    val out = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s.startsWith("/*", i)) {
-        val end = s.indexOf("*/", i + 2)
-        require(end >= 0, "unterminated block comment")
-        i = end + 2
-      } else if (s.charAt(i) == '\'') {
-        val end = s.indexOf('\'', i + 1)
-        val stop = if (end < 0) s.length else end + 1
-        out.append(s.substring(i, stop))
-        i = stop
-      } else { out.append(s.charAt(i)); i += 1 }
-    }
-    out.toString
-  }
-
-  /** Split a script into statements on top-level `;` (outside string
-    * literals), with block and `--` line comments removed and empty
-    * fragments dropped.
+  /** Split a script into statements on top-level `;`, with `--` line
+    * comments, slash-star block comments (non-nested) and empty
+    * fragments dropped. ONE scanner handles comments, `'…'` literals
+    * and `$$…$$` bodies together so precedence is right in both
+    * directions: an apostrophe inside a comment (`-- DON'T`,
+    * dp_setup.sql:27) does not open a pseudo-string, and a `--` or `;`
+    * inside a string or dollar-quoted procedure body does not end the
+    * line / statement.
     */
   def splitStatements(script: String): Seq[String] = {
-    val text = stripBlockComments(script).replaceAll("(?m)--.*$", "")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (c == '\'') {
-        val end = text.indexOf('\'', i + 1)
-        val stop = if (end < 0) text.length else end + 1
-        cur.append(text.substring(i, stop))
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (c == '-' && script.startsWith("--", i)) {
+        while (i < script.length && script.charAt(i) != '\n') i += 1
+      } else if (c == '/' && script.startsWith("/*", i)) {
+        val end = script.indexOf("*/", i + 2)
+        require(end >= 0, "unterminated block comment")
+        i = end + 2
+      } else if (c == '$' && script.startsWith("$$", i)) {
+        val end = script.indexOf("$$", i + 2)
+        val stop = if (end < 0) script.length else end + 2
+        cur.append(script.substring(i, stop))
+        i = stop
+      } else if (c == '\'') {
+        val end = script.indexOf('\'', i + 1)
+        val stop = if (end < 0) script.length else end + 1
+        cur.append(script.substring(i, stop))
         i = stop
       } else if (c == ';') { out += cur.toString; cur.clear(); i += 1 }
       else { cur.append(c); i += 1 }
@@ -162,6 +156,14 @@ final class DemoScriptSession(
   // `modelled.security` before the script's own CTAS (dp_demo.sql:250)
   // re-creates it: the setup-script analogue of the pre-existing table
   private var securityPath: Option[String] = None
+  // the secure view's (simple name, verbatim body): re-created on every
+  // state refresh so the view never serves a stale captured file
+  // listing after later ingest (a temp view freezes its base plans)
+  private var secureView: Option[(String, String)] = None
+  // skip the refresh's Spark actions (two counts + the pipe-status
+  // anti-join) when no statement changed stage/table state since the
+  // last refresh
+  private var stateDirty: Boolean = true
 
   /** The live pipeline (created by the script's `create pipe`). */
   def pipe: Pipeline = pipeline.getOrElse(
@@ -192,11 +194,15 @@ final class DemoScriptSession(
 
   /** (Re-)register every view a delegated statement can read, against
     * the CURRENT pipeline/stage/clock state. Cheap at control-plane
-    * scale: view registration stores plans, not data; the only driver
-    * work is the stage listing and two footer counts for the CDC views.
+    * scale: view registration stores plans, not data; the driver work
+    * (stage listing, the CDC views' two counts, the pipe-status
+    * anti-join) runs only when a mutating statement made the state
+    * dirty.
     */
   private def refreshViews(): Unit = {
     dialect.pinNow(clock.now())
+    if (!stateDirty) return
+    stateDirty = false
     Stage.scanRelation(spark, paths.stage)
       .createOrReplaceTempView("graft_stage_scan")
     CitibikeSource.trips(spark, sourceDir)
@@ -213,7 +219,11 @@ final class DemoScriptSession(
       // the three streams all sit on trips_raw (dp_demo.sql:56-58) and
       // drain together in the fused batch, so each pending-count is the
       // dashboard's recs_in_stream difference
-      val pending = math.max(0L, p.rawTrips().count() - p.trips().count())
+      // Int.MaxValue clamp: a >2³¹-row backlog would overflow toInt;
+      // the CDC count view saturates rather than throwing (the demo's
+      // observability reads are demo-scale)
+      val pending = math.min(Int.MaxValue.toLong,
+        math.max(0L, p.rawTrips().count() - p.trips().count()))
       Seq("graft_dlg_new_trips", "graft_dlg_new_programs",
           "graft_dlg_new_stations")
         .foreach(v => p.rawTrips().limit(pending.toInt)
@@ -230,6 +240,12 @@ final class DemoScriptSession(
       Seq("trips_pipe", "snowflake_demo.raw.trips_pipe").foreach(n =>
         spark.conf.set(GraftFunctions.PipeStatusConfPrefix + n, status))
     }
+    // rebuild the governed view over the just-refreshed base views (its
+    // body carries no $vars, so re-rewriting is stable)
+    secureView.foreach { case (name, body) =>
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+        dialect.rewriteOnly(body))
+    }
   }
 
   /** One scheduler pulse — the script narration's "wait for the pipe
@@ -244,6 +260,7 @@ final class DemoScriptSession(
       "pulse() with all tasks suspended — the script resumes tasks first")
     clock.advance(taskIntervalSec * 1000L)
     pipe.runAvailableNow()
+    stateDirty = true
   }
 
   private def simple(qualified: String): String = qualified.split('.').last
@@ -329,10 +346,11 @@ final class DemoScriptSession(
         val names = Stage.list(spark, paths.stage)
           .select("name").collect().map(_.getString(0)).toSeq
         names.foreach(n => Stage.rm(spark, paths.stage, n))
+        stateDirty = true
         Some(names.toDF("name"))
 
       case truncateRe(name) =>
-        Ddl.truncate(spark, tablePath(name)); None
+        Ddl.truncate(spark, tablePath(name)); stateDirty = true; None
 
       case createPipeRe(name, target, stage0) =>
         require(target.equalsIgnoreCase("snowflake_demo.raw.trips_raw") &&
@@ -353,6 +371,7 @@ final class DemoScriptSession(
         pipeline = Some(new Pipeline(spark, paths, clock, taskIntervalSec))
         pipes((schemaOf(name), simple(name))) =
           s"copy into $target from $stage0"
+        stateDirty = true
         None
 
       case createStreamRe(name, base) =>
@@ -380,6 +399,7 @@ final class DemoScriptSession(
       case callRe(proc, args) =>
         require(simple(proc).equalsIgnoreCase("stream_data"),
           s"unknown procedure $proc")
+        stateDirty = true
         Some(callStreamData(args))
 
       case createShareRe(name, comment) =>
@@ -397,7 +417,8 @@ final class DemoScriptSession(
         None
 
       case secureViewRe(name, body) =>
-        refreshViews()
+        secureView = Some((simple(name), body))
+        refreshViews() // no-op when clean; creates the view either way
         spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${simple(name)} AS " +
           dialect.rewriteOnly(body))
         None
@@ -411,6 +432,7 @@ final class DemoScriptSession(
         df.write.mode("overwrite").parquet(path)
         securityPath = Some(path)
         tables += ((schemaOf(name), simple(name)))
+        stateDirty = true
         None
 
       case _ =>

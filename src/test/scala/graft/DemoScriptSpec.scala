@@ -41,6 +41,28 @@ class DemoScriptSpec extends AnyFunSuite {
     }
   }
 
+  test("the statement splitter handles comment/quote/dollar precedence") {
+    // an apostrophe inside a line comment must not open a string
+    // (dp_setup.sql:27 `-- DON'T DO IT AGAIN`), so the banner after it
+    // is still stripped
+    assert(DemoScript.splitStatements(
+      "select 1; -- DON'T do it\n/* banner; with ; semis */\nselect 2;")
+      === Seq("select 1", "select 2"))
+    // `--` and `;` inside a string literal are content, not comment/end
+    assert(DemoScript.splitStatements("select 'a--b;c' x;")
+      === Seq("select 'a--b;c' x"))
+    // a dollar-quoted procedure body keeps its semicolons, quotes and
+    // comment-lookalikes intact (dp_setup.sql's JavaScript body)
+    val proc = "create procedure p() as $$ var s = \"x\"; // not'sql\n" +
+      "snowflake.execute({sqlText: 'select 1;'}); $$"
+    assert(DemoScript.splitStatements(proc + ";\nselect 3;")
+      === Seq(proc, "select 3"))
+    // unterminated block comment is an error, not silent data loss
+    intercept[IllegalArgumentException] {
+      DemoScript.splitStatements("select 1; /* oops")
+    }
+  }
+
   test("dp_demo.sql replays verbatim, all statements, with golden counts") {
     val text = new String(Files.readAllBytes(Paths.get(scriptPath)), "UTF-8")
     val stmts = DemoScript.splitStatements(text)
