@@ -66,12 +66,31 @@ import graft.serve.SecureShare
   * selects, `set var`, `alter session`, share consumption — falls
   * through to `DialectSession.execute` unchanged.
   *
+  * The SETUP script (`dp_setup.sql`) replays through the same session:
+  * storage integration / stage / warehouse / database / schema DDL and
+  * role grants land in catalogs (`desc integration`, `show stages`
+  * read them back); `create table if not exists` validates the
+  * reference's declared column lists against the schemas this engine
+  * actually produces (names and order exactly, types by class — see
+  * `validateDeclaredSchema`); `create procedure` catalogs the
+  * JavaScript procs whose executable analogues are `Producer` and
+  * `Pipeline.purge`; `create task` records the schedule / stream-gate /
+  * DAG metadata (`purge_files after push_trips`) that the pipeline's
+  * fused batch implements. The reference's own typo (`create database
+  * it not exists`, dp_setup.sql:12) is accepted verbatim.
+  *
   * Scale note: the replay layer is control-plane only — every data
   * motion it triggers (ingest, shred, merge, secure-view queries) runs
   * through the same Pipeline/Transform/GovernedView plans graded
   * elsewhere; nothing here adds a driver-side data path.
   */
 object DemoScript {
+
+  /** One task's metadata (dp_setup.sql:188-254): interval schedule XOR
+    * a DAG-predecessor edge, the stream gate, and the body.
+    */
+  final case class TaskDef(schedule: Option[String], when: Option[String],
+      after: Option[String], definition: String)
 
   /** Split a script into statements on top-level `;`, with `--` line
     * comments, slash-star block comments (non-nested) and empty
@@ -134,22 +153,51 @@ final class DemoScriptSession(
   private val stageRef = "@snowflake_demo.public.snowflake_demo_stage"
 
   // ---- catalogs the show/describe statements read --------------------
+  // Pre-seeded with the objects dp_setup.sql creates, so a demo-only
+  // replay finds them; replaying the setup script re-creates the same
+  // entries (and validates them — see the setup-statement handlers).
   private var currentSchema: Option[String] = None
   private val pipes =
     scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
   private val streams =
     scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
-  // dp_setup.sql creates the three push tasks suspended; the script
-  // resumes them (dp_demo.sql:95-97)
+
+  import DemoScript.TaskDef
+
   private val taskState = scala.collection.mutable.LinkedHashMap(
     "push_trips" -> "suspended",
     "push_programs" -> "suspended",
-    "push_stations" -> "suspended")
+    "push_stations" -> "suspended",
+    "purge_files" -> "suspended")
+  private val taskMeta = scala.collection.mutable.LinkedHashMap(
+    "push_trips" -> TaskDef(Some("1 minute"),
+      Some("system$stream_has_data('snowflake_demo.raw.new_trips')"), None,
+      "INSERT shredded trips from stream new_trips"),
+    "push_programs" -> TaskDef(Some("1 minute"),
+      Some("system$stream_has_data('snowflake_demo.raw.new_programs')"), None,
+      "MERGE programs from stream new_programs"),
+    "push_stations" -> TaskDef(Some("1 minute"),
+      Some("system$stream_has_data('snowflake_demo.raw.new_stations')"), None,
+      "MERGE stations from stream new_stations"),
+    "purge_files" -> TaskDef(None, None, Some("push_trips"),
+      "call purge_files on loaded stage files"))
+  private val procedures = scala.collection.mutable.LinkedHashMap(
+    "stream_data" -> ("(string, string)", "float"),
+    "purge_files" -> ("(string, string, string, string)", "real"))
   private val tables = scala.collection.mutable.LinkedHashSet(
     ("snowflake_demo.raw", "trips_raw"),
     ("snowflake_demo.modelled", "trips"),
     ("snowflake_demo.modelled", "stations"),
     ("snowflake_demo.modelled", "programs"))
+  private val stages =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private val integrations =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private val warehouses =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private val schemas = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val roleGrants =
+    scala.collection.mutable.ArrayBuffer.empty[String]
 
   private var pipeline: Option[Pipeline] = None
   private var share: Option[SecureShare.Share] = None
@@ -310,7 +358,7 @@ final class DemoScriptSession(
   private val createStreamRe =
     "(?is)^create\\s+or\\s+replace\\s+stream\\s+([\\w.]+)\\s+on\\s+table\\s+([\\w.]+)$".r
   private val showRe =
-    "(?is)^show\\s+(pipes|streams|tables|tasks|procedures)$".r
+    "(?is)^show\\s+(pipes|streams|tables|tasks|procedures|stages)$".r
   private val descTableRe = "(?is)^desc(?:ribe)?\\s+table\\s+([\\w.]+)$".r
   private val descTaskRe = "(?is)^desc(?:ribe)?\\s+task\\s+([\\w.]+)$".r
   private val descProcRe =
@@ -329,6 +377,34 @@ final class DemoScriptSession(
     "(?is)^create\\s+or\\s+replace\\s+secure\\s+view\\s+([\\w.]+)\\s+as\\s+(.+)$".r
   private val ctasRe =
     "(?is)^create\\s+or\\s+replace\\s+table\\s+([\\w.]+)\\s+as\\s+(select.+)$".r
+
+  // ---- setup-script statement classes (dp_setup.sql) -----------------
+  private val storageIntRe =
+    "(?is)^create\\s+or\\s+replace\\s+storage\\s+integration\\s+(\\w+)\\s+(.+)$".r
+  private val descIntRe = "(?is)^desc(?:ribe)?\\s+integration\\s+(\\w+)$".r
+  // `i[ft]`: the reference types `create database it not exists`
+  // (dp_setup.sql:12) — the replay accepts the file verbatim, typo and
+  // all, alongside the correct spelling
+  private val createDbRe =
+    "(?is)^create\\s+database\\s+(?:i[ft]\\s+not\\s+exists\\s+)?([\\w.]+)$".r
+  private val roleGrantRe =
+    "(?is)^grant\\s+(.+?)\\s+on\\s+(schema|integration)\\s+([\\w.]+)\\s+to\\s+role\\s+[\\w.]+$".r
+  private val createStageRe =
+    ("(?is)^create\\s+or\\s+replace\\s+stage\\s+([\\w.]+)" +
+      "(?:\\s+storage_integration\\s*=\\s*\\w+)?(?:\\s+url\\s*=\\s*'([^']*)')?$").r
+  private val createProcRe =
+    ("(?is)^create\\s+or\\s+replace\\s+procedure\\s+([\\w.]+)\\s*\\(([^)]*)\\)\\s+" +
+      "returns\\s+(\\w+)\\s+language\\s+(\\w+).*$").r
+  private val createWhRe =
+    "(?is)^create\\s+warehouse\\s+if\\s+not\\s+exists\\s+(\\w+)\\s+with\\s+.*warehouse_size\\s*=\\s*'(\\w+)'.*$".r
+  private val createSchemaRe =
+    "(?is)^create\\s+schema\\s+if\\s+not\\s+exists\\s+([\\w.]+)$".r
+  private val createTableRe =
+    "(?is)^create\\s+table\\s+if\\s+not\\s+exists\\s+([\\w.]+)\\s*\\((.+)\\)$".r
+  private val createTaskRe =
+    ("(?is)^create\\s+or\\s+replace\\s+task\\s+([\\w.]+)\\s+warehouse\\s*=\\s*\\w+\\s+" +
+      "(?:schedule\\s*=\\s*'([^']*)'\\s+)?(?:when\\s+(.+?)\\s+)?" +
+      "(?:after\\s+([\\w.]+)\\s+)?as\\s+(.+)$").r
 
   /** Execute one script statement verbatim. Control statements return
     * None (or a result relation where Snowflake returns one, e.g. `rm`);
@@ -380,11 +456,11 @@ final class DemoScriptSession(
       case showRe(what) => Some(show(what))
       case descTableRe(name) => Some(describeTable(name))
       case descTaskRe(name) => Some(describeTask(name))
-      case descProcRe(name, args) =>
-        require(simple(name).equalsIgnoreCase("stream_data"),
-          s"unknown procedure $name")
-        Some(Seq((simple(name), s"(${args.trim})", "string"))
-          .toDF("name", "signature", "returns"))
+      case descProcRe(name, _) =>
+        val p = simple(name).toLowerCase
+        val (sig, returns) = procedures.getOrElse(p,
+          throw new IllegalArgumentException(s"unknown procedure $name"))
+        Some(Seq((p, sig, returns)).toDF("name", "signature", "returns"))
 
       case alterTaskRe(name, action) =>
         val t = simple(name)
@@ -435,10 +511,106 @@ final class DemoScriptSession(
         stateDirty = true
         None
 
+      // ---- setup-script statements (dp_setup.sql) ---------------------
+      case storageIntRe(name, props) =>
+        integrations(name.toLowerCase) = props; None
+
+      case descIntRe(name) =>
+        val props = integrations.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"unknown integration $name"))
+        val kv = "(\\w+)\\s*=\\s*('[^']*'|\\([^)]*\\)|\\S+)".r
+        Some(kv.findAllMatchIn(props).map(m =>
+            (m.group(1).toLowerCase, m.group(2).stripPrefix("'").stripSuffix("'")))
+          .toSeq.toDF("property", "property_value"))
+
+      case createDbRe(_) => None // catalog root; schemas carry names
+
+      case roleGrantRe(_, _, _) =>
+        roleGrants += s; None
+
+      case createStageRe(name, url) =>
+        stages(simple(name)) = Option(url).getOrElse(""); None
+
+      case createProcRe(name, args, returns, language) =>
+        // the JavaScript bodies are cataloged, not executed: their
+        // executable analogues are Producer.streamData
+        // (dp_setup.sql:34-98) and Pipeline.purge (dp_setup.sql:100-130),
+        // each parity-tested in PipelineSpec
+        require(language.equalsIgnoreCase("javascript"),
+          s"unexpected procedure language $language")
+        procedures(simple(name)) =
+          (s"(${args.trim.toLowerCase})", returns.toLowerCase)
+        None
+
+      case createWhRe(name, size) =>
+        warehouses(name.toLowerCase) = size.toLowerCase; None
+
+      case createSchemaRe(name) =>
+        schemas += name.toLowerCase; None
+
+      case createTableRe(name, cols) =>
+        validateDeclaredSchema(simple(name), cols)
+        tables += ((schemaOf(name), simple(name)))
+        None
+
+      case createTaskRe(name, schedule, when, after, body) =>
+        val t = simple(name)
+        taskState(t) = "suspended" // create-or-replace resets the task
+        taskMeta(t) = TaskDef(Option(schedule), Option(when),
+          Option(after).map(simple), body)
+        None
+
       case _ =>
         refreshViews()
         dialect.execute(s)
     }
+  }
+
+  /** `create table if not exists` (dp_setup.sql:143-178): the declared
+    * column list is validated against the schema this engine actually
+    * produces (Transform's shred/merge outputs; the raw table's variant
+    * column) — names and order exactly, types by class. Class-wise
+    * because Snowflake INTEGER is NUMBER(38,0): any integral width is a
+    * faithful narrowing (bikeid is Long here — the synthetic key
+    * exceeds Int at high scale), and FLOAT is double-precision.
+    */
+  private def validateDeclaredSchema(table: String, cols: String): Unit = {
+    import org.apache.spark.sql.types._
+    def declClass(t: String): String = t.toLowerCase match {
+      case "integer" | "int" | "bigint" | "smallint" | "number" => "integral"
+      case "float" | "double" | "real" => "floating"
+      case "timestamp_ntz" | "timestamp" => "timestamp"
+      case "string" | "varchar" | "text" => "string"
+      case "variant" => "variant"
+      case other => other
+    }
+    def sparkClass(dt: DataType): String = dt match {
+      case IntegerType | LongType | ShortType => "integral"
+      case DoubleType | FloatType => "floating"
+      case TimestampNTZType | TimestampType => "timestamp"
+      case StringType => "string"
+      case VariantType => "variant"
+      case other => other.simpleString
+    }
+    val declared = cols.split(',').map(_.trim).filter(_.nonEmpty).map { c =>
+      val parts = c.split("\\s+")
+      require(parts.length == 2, s"unparsed column definition '$c'")
+      (parts(0).toLowerCase, declClass(parts(1)))
+    }.toSeq
+    val expected: Seq[(String, String)] = table match {
+      case "trips_raw" => Seq(("v", "variant"))
+      case "trips" => Transform.tripsSchema.fields.toSeq
+        .map(f => (f.name, sparkClass(f.dataType)))
+      case "stations" => Transform.stationsSchema.fields.toSeq
+        .map(f => (f.name, sparkClass(f.dataType)))
+      case "programs" => Transform.programsSchema.fields.toSeq
+        .map(f => (f.name, sparkClass(f.dataType)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown table $other")
+    }
+    require(declared == expected,
+      s"declared schema for $table diverges from the engine's: " +
+        s"declared=$declared expected=$expected")
   }
 
   /** Replay a whole script text in order; returns (statement, result). */
@@ -470,14 +642,19 @@ final class DemoScriptSession(
     case "tasks" =>
       taskState.toSeq
         .map { case (n, st) =>
-          (n, "snowflake_demo.modelled", s"$taskIntervalSec seconds", st)
+          val m = taskMeta(n)
+          (n, "snowflake_demo.modelled",
+            m.schedule.orElse(m.after.map("after " + _)).getOrElse(""), st)
         }
         .filter(t => keepSchema(t._2))
         .toDF("name", "schema_name", "schedule", "state")
     case "procedures" =>
-      Seq(("stream_data", "snowflake_demo.raw", "(string, string)"))
+      procedures.toSeq
+        .map { case (n, (sig, _)) => (n, "snowflake_demo.raw", sig) }
         .filter(p => keepSchema(p._2))
         .toDF("name", "schema_name", "arguments")
+    case "stages" =>
+      stages.toSeq.toDF("name", "url")
   }
 
   private def describeTable(name: String): DataFrame = {
@@ -489,15 +666,13 @@ final class DemoScriptSession(
 
   private def describeTask(name: String): DataFrame = {
     val t = simple(name)
-    require(taskState.contains(t), s"unknown task $t")
-    // the task bodies' shapes, per the setup script the reference
-    // describes here (dp_demo.sql:81-83): trips INSERT, dims MERGE
-    val definition = t match {
-      case "push_trips" => "INSERT shredded trips from stream new_trips"
-      case "push_programs" => "MERGE programs from stream new_programs"
-      case _ => "MERGE stations from stream new_stations"
-    }
-    Seq((t, s"$taskIntervalSec seconds", taskState(t), definition))
+    val m = taskMeta.getOrElse(t,
+      throw new IllegalArgumentException(s"unknown task $t"))
+    Seq((t, m.schedule.orElse(m.after.map("after " + _)).getOrElse(""),
+        taskState(t), m.definition))
       .toDF("name", "schedule", "state", "definition")
   }
+
+  /** Task metadata, for asserting the replayed DAG (spec use). */
+  def taskDef(name: String): Option[TaskDef] = taskMeta.get(name)
 }

@@ -81,6 +81,41 @@ class DemoScriptSpec extends AnyFunSuite {
 
     val session = new DemoScriptSession(spark, paths, sf, clock,
       streamDataWindow = Some(("01/02/1995", "01/08/1995")))
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+
+    // ---- dp_setup.sql first: the environment DDL replays verbatim on
+    // the same session (all 25 statements, including the reference's
+    // own `create database it not exists` typo and the $$-quoted
+    // JavaScript procedure bodies)
+    val setupText = new String(
+      Files.readAllBytes(Paths.get("/root/reference/dp_setup.sql")), "UTF-8")
+    val setupStmts = DemoScript.splitStatements(setupText)
+    assert(setupStmts.length === 25,
+      s"setup splitter found ${setupStmts.length} statements")
+    val setupResults = setupStmts.map(s => (s, session.execute(s)))
+    // desc integration reads back the integration's recorded properties
+    val integ = setupResults.collect {
+      case (s, Some(df)) if norm(s).startsWith("desc integration") => df
+    }.head.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(integ("type") === "external_stage")
+    assert(integ("storage_aws_role_arn").contains("YOURAWSROLE"))
+    // show stages lists the script's stage
+    assert(setupResults.collect {
+      case (s, Some(df)) if norm(s) == "show stages" => df
+    }.head.select("name").collect().map(_.getString(0)).toSeq
+      === Seq("snowflake_demo_stage"))
+    // the replayed task DAG: scheduled stream-gated pushes, purge AFTER
+    // push_trips — the ordering the pipeline's fused batch implements
+    assert(session.taskDef("push_trips").get.schedule === Some("1 minute"))
+    assert(session.taskDef("push_trips").get.when.get.contains("new_trips"))
+    assert(session.taskDef("purge_files").get.after === Some("push_trips"))
+    // the reference's push_trips shred field list IS the engine's trips
+    // schema, name for name in order (create-table validation has
+    // already checked the declared DDL — this pins the task body too)
+    val shredFields = "v:(\\w+)::".r
+      .findAllMatchIn(session.taskDef("push_trips").get.definition)
+      .map(_.group(1)).toSeq
+    assert(shredFields === Transform.tripsSchema.fieldNames.toSeq)
 
     // golden expectations, rescaled to the fixture window (FIXTURES.md §A)
     val src = CitibikeSource.trips(spark, sf)
@@ -102,7 +137,6 @@ class DemoScriptSpec extends AnyFunSuite {
     var nDays = -1L               // from the call statement's return
     val seen = scala.collection.mutable.Map.empty[String, Int]
     var checkpoints = 0
-    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
 
     val priorParallelism = spark.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -135,8 +169,8 @@ class DemoScriptSpec extends AnyFunSuite {
               === Set("new_trips", "new_stations", "new_programs"))
             checkpoints += 1
           case "show procedures" =>
-            assert(df.select("name").collect().map(_.getString(0)).toSeq
-              === Seq("stream_data")); checkpoints += 1
+            assert(df.select("name").collect().map(_.getString(0)).toSet
+              === Set("stream_data", "purge_files")); checkpoints += 1
           case s if s.startsWith("describe procedure") =>
             assert(df.count() === 1); checkpoints += 1
           case "show tables" =>
@@ -147,8 +181,8 @@ class DemoScriptSpec extends AnyFunSuite {
           case "show tasks" =>
             val states = df.select("name", "state").collect()
               .map(r => (r.getString(0), r.getString(1))).toMap
-            assert(states.keySet ===
-              Set("push_trips", "push_programs", "push_stations"))
+            assert(states.keySet === Set("push_trips", "push_programs",
+              "push_stations", "purge_files"))
             assert(states.values.forall(_ == "suspended")) // pre-resume
             checkpoints += 1
           case s if s.startsWith("describe table") =>
