@@ -46,6 +46,94 @@ object DedupOps {
     else sh.join(shingleDf(sh).filter(col("df") <= maxDf), "shingle")
       .select("doc_id", "shingle")
 
+  /** Exact inverted-index Jaccard pair search (the d2 shape,
+    * `dp`-independent core): candidate pairs are generated only where
+    * documents share a shingle, co-occurrences are COUNTED (longs
+    * through the whole join, no arrays), and the exact Jaccard is one
+    * IEEE division per surviving pair. Work is O(Σ df²), never O(n²).
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    joinJaccard(shared, sh, threshold)
+  }
+
+  private def joinJaccard(shared: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shared
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") /
+          (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** LOSSLESS prefix-filtered candidate pairs for Jaccard ≥ `threshold`
+    * (the AllPairs prefix principle, Bayardo/Ma/Srikant WWW'07;
+    * MapReduce shape per Vernica/Carey/Li SIGMOD'10): order each
+    * document's shingles by a global rarest-first total order
+    * (ascending df, shingle tie-break) and join only each document's
+    * first `|d| - ceil(t·|d|) + 1` shingles, plus the size filter
+    * `t·|A| ≤ |B| ≤ |A|/t`.
+    *
+    * Losslessness: J(A,B) ≥ t forces overlap o ≥ t/(1+t)·(|A|+|B|) =: α
+    * and |B| ≥ t·|A| (so α ≥ ceil(t·|A|), symmetrically for B); by the
+    * prefix lemma, prefixes of length ≥ |X| − α + 1 under one total
+    * order must intersect, and each indexed prefix is at least that
+    * long. Every true pair therefore collides on some indexed shingle —
+    * the exact verification (`jaccardPairsPrefix`) then computes the
+    * same Jaccard the unfiltered finder does.
+    *
+    * When it pays: power-law df (real corpora) — the prefix keeps the
+    * RARE shingles, so Σ df_prefix² collapses versus Σ df² and hot
+    * boilerplate never generates candidates (complementing, not
+    * needing, the df cap). On this repo's synthetic fixture the
+    * vocabulary is 31 uniform words, df is flat, and nearly every doc
+    * pair is a chance candidate — the measured regime where the extra
+    * verify join makes the unfiltered finder the right default
+    * (PERF.md r11); d2 ships unfiltered for that reason.
+    */
+  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val rarestFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(shingleDf(sh), "shingle")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("pos", row_number().over(rarestFirst))
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "shingle", "n")
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= lit(threshold) * col("a.n") &&
+          col("b.n") * lit(threshold) <= col("a.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Prefix-filtered exact Jaccard pairs: `prefixCandidates` then exact
+    * verification over the FULL shingle sets — per-candidate work, so
+    * total cost is Σ df_prefix² + |candidates|·avg-doc-len. Output is
+    * identical to `jaccardPairs` (spec-pinned).
+    */
+  def jaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    val shared = prefixCandidates(sh, threshold)
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("d2") === col("y.doc_id") &&
+          col("x.shingle") === col("y.shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    joinJaccard(shared, sh, threshold)
+  }
+
   /** Engine-portable per-shingle hash pair: two independent 32-bit
     * values from one md5 (hex digits 1-8 and 9-16); permutation i is the
     * Kirsch-Mitzenmacher double hash (h1 + i·h2) mod 2^32 — k minwise

@@ -93,19 +93,7 @@ object DedupQueries extends QueryPack {
       .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
     val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
       .localCheckpoint()
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("shared").cast("double") /
-          (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    graft.operators.DedupOps.jaccardPairs(capped, threshold = 0.5)
   }
 
   /** The DuckDB twin of `nearDupPairs`, ending in `jp(d1, d2, jaccard)`

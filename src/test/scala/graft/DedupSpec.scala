@@ -71,6 +71,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((90L, 91L)))
   }
 
+  test("prefix-filtered jaccard pairs equal the unfiltered finder, with fewer candidates on power-law shingles") {
+    import spark.implicits._
+    // the real corpus: identical output on both finders
+    val sh = DedupOps.shingles(
+      Tables.load(spark, sf, "documents"), "doc_id", "text")
+      .localCheckpoint()
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).toSet
+    assert(full(DedupOps.jaccardPairsPrefix(sh, 0.5))
+      === full(DedupOps.jaccardPairs(sh, 0.5)))
+    assert(DedupOps.jaccardPairs(sh, 0.5).count() > 0)
+
+    // power-law corpus — the prefix filter's win condition: a
+    // boilerplate shingle in every doc makes every pair collide in the
+    // unfiltered index, while the rarest-first prefix never indexes it
+    val boiler = "all rights reserved worldwide"
+    val docs = (0L until 40L).map { i =>
+      val distinct = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      (i, s"$boiler $distinct")
+    } :+ (99L, s"$boiler " + (0 until 8).map(j => s"w7_$j").mkString(" "))
+    val psh = DedupOps.shingles(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    assert(full(DedupOps.jaccardPairsPrefix(psh, 0.5))
+      === full(DedupOps.jaccardPairs(psh, 0.5)))
+    // the one true near-dup pair (7, 99) survives...
+    assert(pairsOf(DedupOps.jaccardPairsPrefix(psh, 0.5)).contains((7L, 99L)))
+    // ...and the candidate set is a small fraction of the unfiltered
+    // collision set (every one of the 41·40/2 pairs shares boilerplate)
+    val unfilteredCollisions = psh.as("a").join(psh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefixCand = DedupOps.prefixCandidates(psh, 0.5).count()
+    assert(unfilteredCollisions === 41L * 40L / 2L)
+    assert(prefixCand < unfilteredCollisions / 10,
+      s"prefix kept $prefixCand of $unfilteredCollisions candidates")
+  }
+
   test("simhash banding: bucket cardinality grows with corpus size (no fixed-width saturation)") {
     import spark.implicits._
     // Random docs over an open vocabulary: fingerprints are ~uniform, so
