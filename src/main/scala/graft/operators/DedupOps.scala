@@ -104,35 +104,45 @@ object DedupOps {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val rarestFirst = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // materialized before the self-join: the df join + both window
+    // passes would otherwise execute once per side (minHashLsh's
+    // unmaterialized-multi-branch precedent — review r11)
     val prefix = sh.join(shingleDf(sh), "shingle")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("pos", row_number().over(rarestFirst))
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("doc_id", "shingle", "n")
+      .localCheckpoint()
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= lit(threshold) * col("a.n") &&
           col("b.n") * lit(threshold) <= col("a.n"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
   }
 
   /** Prefix-filtered exact Jaccard pairs: `prefixCandidates` then exact
     * verification over the FULL shingle sets — per-candidate work, so
-    * total cost is Σ df_prefix² + |candidates|·avg-doc-len. Output is
+    * total cost is Σ df_prefix² + |candidates|·avg-doc-len. The
+    * candidates already carry both set sizes (n is functionally
+    * determined by doc_id), so no corpus-wide sizes aggregation or
+    * size joins are paid here — only the shared-count join. Output is
     * identical to `jaccardPairs` (spec-pinned).
     */
-  def jaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
-    val shared = prefixCandidates(sh, threshold)
+  def jaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame =
+    prefixCandidates(sh, threshold)
       .join(sh.as("x"), col("d1") === col("x.doc_id"))
       .join(sh.as("y"),
         col("d2") === col("y.doc_id") &&
           col("x.shingle") === col("y.shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-    joinJaccard(shared, sh, threshold)
-  }
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("shared"))
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Engine-portable per-shingle hash pair: two independent 32-bit
     * values from one md5 (hex digits 1-8 and 9-16); permutation i is the

@@ -110,6 +110,31 @@ class DedupSpec extends AnyFunSuite {
       s"prefix kept $prefixCand of $unfilteredCollisions candidates")
   }
 
+  test("prefix filter boundaries: subset pair exactly at threshold + size bound; non-0.5 ceil path") {
+    import spark.implicits._
+    // |A|=10, |B|=5, B ⊂ A at t=0.5: J = 5/10 = t exactly AND
+    // |B| = t·|A| exactly — sits on both the size-filter and the
+    // prefix-length boundary (prefix lemma tight: A's 6-prefix under
+    // rarest-first is {s6..s10, s1}, B's 3-prefix {s1,s2,s3}, meeting
+    // only at s1). An off-by-one in either filter loses the pair.
+    val sh = ((1 to 10).map(i => (1L, f"s$i%02d")) ++
+      (1 to 5).map(i => (2L, f"s$i%02d"))).toDF("doc_id", "shingle")
+    val out = DedupOps.jaccardPairsPrefix(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 2L, 0.5)))
+
+    // t=0.8 (non-0.5 ceil arithmetic): |A|=|B|=9, overlap 8 → J=0.8
+    // exactly; prefix length 9-ceil(7.2)+1 = 2, and the two 2-prefixes
+    // meet only at their second element (s02).
+    val sh2 = ((1 to 9).map(i => (1L, f"s$i%02d")) ++
+      (2 to 10).map(i => (2L, f"s$i%02d"))).toDF("doc_id", "shingle")
+    val out2 = DedupOps.jaccardPairsPrefix(sh2, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out2 === Set((1L, 2L, 0.8)))
+    // same corpus one shingle apart fails the threshold → empty
+    assert(DedupOps.jaccardPairsPrefix(sh2, 0.81).count() === 0L)
+  }
+
   test("simhash banding: bucket cardinality grows with corpus size (no fixed-width saturation)") {
     import spark.implicits._
     // Random docs over an open vocabulary: fingerprints are ~uniform, so

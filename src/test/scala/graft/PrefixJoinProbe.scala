@@ -56,8 +56,12 @@ object PrefixJoinProbe {
       val sh = DedupOps.shingles(corpus(n), "doc_id", "text").localCheckpoint()
       val truePairs = n / 1000 + 1 // body dups + the pure-boiler pair
       val (tp, cp) = time(DedupOps.jaccardPairsPrefix(sh, 0.5))
+      // the capped baseline is the SHIPPED d2 shape: the capped index is
+      // materialized before feeding the three plan branches (review r11
+      // — without it the df pass re-executes per branch, inflating the
+      // baseline). The checkpoint runs inside the timer, as d2 pays it.
       val (tc, cc) = time(DedupOps.jaccardPairs(
-        DedupOps.cappedShingles(sh, maxDf = 1000L), 0.5))
+        DedupOps.cappedShingles(sh, maxDf = 1000L).localCheckpoint(), 0.5))
       println(f"PREFIX n=$n prefix=$tp%.2fs/$cp capped=$tc%.2fs/$cc expected=$truePairs")
       if (n <= 2000L) {
         val (tu, cu) = time(DedupOps.jaccardPairs(sh, 0.5))
