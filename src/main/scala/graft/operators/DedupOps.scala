@@ -669,6 +669,14 @@ object DedupOps {
         shingles(train, idCol, textCol, n).localCheckpoint(), maxDf)
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val te = shingles(test, idCol, textCol, n).localCheckpoint()
+    overlapReport(tr, te)
+  }
+
+  /** The shared decontamination tail: join train-index grams to test
+    * grams, count shared grams per (train, test) pair, normalize by the
+    * test doc's gram count.
+    */
+  private def overlapReport(tr: DataFrame, te: DataFrame): DataFrame = {
     val sizes = te.groupBy("doc_id").agg(count(lit(1)).as("n_test_grams"))
     tr.join(te.select(col("doc_id").as("test_doc"), col("shingle")), "shingle")
       .groupBy("train_doc", "test_doc")
@@ -678,5 +686,62 @@ object DedupOps {
         col("n_test_grams"),
         (col("shared_grams").cast("double") / col("n_test_grams"))
           .as("overlap_frac"))
+  }
+
+  /** `crossSplitOverlap` with a broadcast BLOOM SEMI-JOIN reduction on
+    * the train side — the 100 TB form. The plain shape shuffles EVERY
+    * train gram twice (the df groupBy, then the pair equi-join) even
+    * though only grams that also occur in the (small) eval set can ever
+    * reach the output. Here a Bloom filter is built over the test set's
+    * distinct grams (`Dataset.stat.bloomFilter`, `fpp` default 1%) and
+    * broadcast; train grams are membership-tested MAP-SIDE before any
+    * shuffle, so both shuffles shrink from O(all train grams) to
+    * O(true leakage + fpp · train grams). At 10 bits/item the filter is
+    * ~40× smaller than broadcasting the gram strings themselves — the
+    * eval suites that make a literal broadcast semi-join marginal
+    * (tens of millions of distinct grams) still fit a bloom.
+    *
+    * PROVABLY LOSSLESS — output is row-identical to `crossSplitOverlap`
+    * (d8's oracle hash-checks this variant too):
+    *   - no false negatives: every train gram actually present in the
+    *     test set passes the filter, so every true (train, test) gram
+    *     match survives;
+    *   - false positives are harmless: a surviving gram absent from the
+    *     test set matches nothing in the pair equi-join;
+    *   - the df CAP decision is unchanged: membership is a pure
+    *     function of the gram, so ALL copies of a gram pass or fail
+    *     together — any surviving gram's document frequency over the
+    *     survivors equals its full-corpus df, and a gram the filter
+    *     drops could contribute no output rows under either cap
+    *     verdict.
+    *
+    * The membership test is a Scala UDF over the broadcast sketch —
+    * deliberately: Spark exposes no public bloom-membership Column
+    * function, and embedding the serialized filter as a plan literal
+    * (the custom-Expression route) would put megabytes in the plan —
+    * the same plan-size trap `searchPrunedDf` documents. The UDF sits
+    * before the first shuffle, outside the codegen'd join/agg spans.
+    */
+  def crossSplitOverlapBloom(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      maxDf: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp $fpp")
+    val spark = train.sparkSession
+    val te = shingles(test, idCol, textCol, n).localCheckpoint()
+    val teGrams = te.select("shingle").distinct()
+    // one pass over the small side builds the sketch; expectedNumItems
+    // sizes it (~10 bits/item at 1%)
+    val bloom = teGrams.stat.bloomFilter("shingle",
+      math.max(teGrams.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    // filter BEFORE the df pass and the checkpoint: the survivors are
+    // what both cappedShingles branches and the pair join consume, so
+    // the materialized relation is already the reduced one
+    val tr = cappedShingles(
+        shingles(train, idCol, textCol, n)
+          .filter(mightContain(col("shingle"))).localCheckpoint(), maxDf)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    overlapReport(tr, te)
   }
 }

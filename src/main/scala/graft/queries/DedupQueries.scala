@@ -112,6 +112,48 @@ object DedupQueries extends QueryPack {
                FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
                WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.5)"""
 
+  /** The d9 clusters oracle — a recursive transitive closure over the
+    * shared `pairsCte` pair relation. One string, two entries (d9 and
+    * its star-contraction twin d9b), so the two cluster faces are held
+    * to literally the same oracle.
+    */
+  private val clustersOracleSql: String =
+    s"""WITH RECURSIVE $pairsCte,
+             e AS (SELECT d1 u, d2 v FROM jp UNION SELECT d2, d1 FROM jp),
+             reach AS (SELECT u, v FROM e
+               UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+             lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+               FROM reach GROUP BY u)
+             SELECT l.doc_id, l.cluster_id, s.csize AS cluster_size
+             FROM lab l JOIN (SELECT cluster_id, count(*) csize FROM lab
+               GROUP BY 1) s USING (cluster_id)
+             ORDER BY doc_id"""
+
+  /** The d8 leakage-report oracle, shared verbatim with the bloom
+    * variant d8b (losslessness is the claim under test).
+    */
+  private val decontOracleSql: String =
+    """WITH d AS (SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+               FROM documents),
+             toks AS (SELECT doc_id, b, string_split(text, ' ') ts FROM d
+               WHERE len(string_split(text, ' ')) >= 8),
+             idx AS (SELECT doc_id, b, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks),
+             sh AS (SELECT DISTINCT doc_id, b,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM idx),
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh WHERE b >= 90 GROUP BY doc_id),
+             pairs AS (SELECT a.doc_id AS train_doc, t.doc_id AS test_doc,
+               count(*) AS shared_grams
+               FROM sh a JOIN sh t ON a.shingle = t.shingle AND a.b < 80 AND t.b >= 90
+               GROUP BY 1, 2)
+             SELECT p.train_doc, p.test_doc, p.shared_grams,
+               s.n AS n_test_grams,
+               CAST(p.shared_grams AS DOUBLE) / s.n AS overlap_frac
+             FROM pairs p JOIN sizes s ON p.test_doc = s.doc_id
+             ORDER BY train_doc, test_doc"""
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash: one keeper (min doc_id) per distinct
@@ -147,6 +189,23 @@ object DedupQueries extends QueryPack {
       Some(s"""WITH $pairsCte
              SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""")),
 
+    // The same pairs through the LOSSLESS prefix-filtered join
+    // (DedupOps.jaccardPairsPrefix — AllPairs prefix principle): order
+    // each doc's shingles rarest-first, index only the first
+    // |d| − ceil(t·|d|) + 1, verify exactly. Provably finds every
+    // J ≥ t pair (proof in the operator's scaladoc) with NO df-cap
+    // knob — the web-scale default when boilerplate similarity must
+    // not be forfeited. Shares d2's oracle verbatim: identical output
+    // is the losslessness claim, hash-checked cross-engine.
+    Q("d2b_near_dup_pairs_prefix",
+      (s, d) => graft.operators.DedupOps.jaccardPairsPrefix(
+          graft.operators.DedupOps.shingles(
+            Tables.load(s, d, "documents"), "doc_id", "text"),
+          threshold = 0.5)
+        .orderBy("d1", "d2"),
+      Some(s"""WITH $pairsCte
+             SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""")),
+
     // Dup CLUSTERS: d2's pairs folded into transitive components
     // (DedupOps.connectedComponents) — one cluster id (= min member =
     // the keeper) per connected group, with the cluster size. The
@@ -161,16 +220,22 @@ object DedupQueries extends QueryPack {
           .withColumn("cluster_size", count(lit(1)).over(w))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $pairsCte,
-             e AS (SELECT d1 u, d2 v FROM jp UNION SELECT d2, d1 FROM jp),
-             reach AS (SELECT u, v FROM e
-               UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-             lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-               FROM reach GROUP BY u)
-             SELECT l.doc_id, l.cluster_id, s.csize AS cluster_size
-             FROM lab l JOIN (SELECT cluster_id, count(*) csize FROM lab
-               GROUP BY 1) s USING (cluster_id)
-             ORDER BY doc_id""")),
+      Some(clustersOracleSql)),
+
+    // The same clusters through the STAR-CONTRACTION algorithm
+    // (DedupOps.connectedComponentsStar, Kiveris et al. SoCC'14) —
+    // normally the automatic fallback when min-label propagation hits
+    // its iteration bound on a deep graph; exposed directly here so the
+    // O(log² n)-round path is oracle-hash-checked on real pair input,
+    // not just spec'd on synthetic chains. Shares d9's oracle verbatim.
+    Q("d9b_dup_clusters_star",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+        graft.operators.DedupOps.connectedComponentsStar(nearDupPairs(s, d))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("doc_id")
+      },
+      Some(clustersOracleSql)),
 
     // SimHash content fingerprint: 64 bits, bits 2d/2d+1 = bits 3/2 of
     // hex digit d of md5(token), majority-voted across the document's
@@ -319,25 +384,28 @@ object DedupQueries extends QueryPack {
             "doc_id", "text", n = 8)
           .orderBy("train_doc", "test_doc")
       },
-      Some("""WITH d AS (SELECT doc_id, text,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
-               FROM documents),
-             toks AS (SELECT doc_id, b, string_split(text, ' ') ts FROM d
-               WHERE len(string_split(text, ' ')) >= 8),
-             idx AS (SELECT doc_id, b, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks),
-             sh AS (SELECT DISTINCT doc_id, b,
-               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
-               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
-               FROM idx),
-             sizes AS (SELECT doc_id, count(*) AS n FROM sh WHERE b >= 90 GROUP BY doc_id),
-             pairs AS (SELECT a.doc_id AS train_doc, t.doc_id AS test_doc,
-               count(*) AS shared_grams
-               FROM sh a JOIN sh t ON a.shingle = t.shingle AND a.b < 80 AND t.b >= 90
-               GROUP BY 1, 2)
-             SELECT p.train_doc, p.test_doc, p.shared_grams,
-               s.n AS n_test_grams,
-               CAST(p.shared_grams AS DOUBLE) / s.n AS overlap_frac
-             FROM pairs p JOIN sizes s ON p.test_doc = s.doc_id
-             ORDER BY train_doc, test_doc"""))
+      Some(decontOracleSql)),
+
+    // The same leakage report through the broadcast-Bloom semi-join
+    // reduction (DedupOps.crossSplitOverlapBloom): train grams are
+    // membership-tested against a bloom over the eval set's grams
+    // MAP-SIDE, before any shuffle — at 100 TB the train-side shuffles
+    // shrink from O(all train grams) to O(leakage + 1% of train grams).
+    // Provably row-identical to d8 (no false negatives; false positives
+    // die in the exact equi-join; the df-cap verdict is unchanged
+    // because all copies of a gram pass or fail together — proof in the
+    // operator scaladoc), so it shares d8's oracle verbatim and the
+    // hash check IS the losslessness claim.
+    Q("d8b_decontamination_bloom",
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("bigint") % 100
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.DedupOps.crossSplitOverlapBloom(
+            docs.filter(bucket < 80), docs.filter(bucket >= 90),
+            "doc_id", "text", n = 8)
+          .orderBy("train_doc", "test_doc")
+      },
+      Some(decontOracleSql))
   )
 }

@@ -282,4 +282,46 @@ class DedupSpec extends AnyFunSuite {
         r.getLong(3), r.getDouble(4)))
     assert(got.toSeq === Seq((1L, 100L, 1L, 2L, 0.5)))
   }
+
+  test("bloom-prefiltered decontamination is row-identical to the plain shape") {
+    // the real split at sf0.001 — same fixture d8/d8b run on — plus a
+    // deliberately coarse fpp (0.5: most train grams FP through the
+    // filter) to exercise the false-positive path, not just the planted
+    // leak: losslessness must hold at ANY fpp, since FPs die in the
+    // exact equi-join
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("bigint") % 100
+    val docs = Tables.load(spark, sf, "documents")
+    val (train, test_) = (docs.filter(bucket < 80), docs.filter(bucket >= 90))
+    val plain = DedupOps.crossSplitOverlap(train, test_, "doc_id", "text", n = 8)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = DedupOps.crossSplitOverlapBloom(
+        train, test_, "doc_id", "text", n = 8, fpp = fpp)
+      assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty,
+        s"bloom (fpp=$fpp) and plain decontamination reports differ")
+    }
+  }
+
+  test("bloom prefilter respects the df cap exactly (copies pass or fail together)") {
+    import spark.implicits._
+    // gram A: df 3 (> cap 2) AND present in the test set — the plain
+    // shape must drop it via the cap, and the bloom shape must reach
+    // the same verdict from its reduced relation; gram B: df 1, leaked
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "iota kappa lambda mu nu xi omicron pi"
+    val train = Seq(
+      (1L, a), (2L, a), (3L, a), // df(A grams) = 3, capped out
+      (4L, b)) // df(B grams) = 1, survives
+      .toDF("doc_id", "text")
+    val test_ = Seq((100L, s"$a extra"), (101L, b)).toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val plain = DedupOps.crossSplitOverlap(
+        train, test_, "doc_id", "text", n = 8, maxDf = 2L)
+      val bloom = DedupOps.crossSplitOverlapBloom(
+        train, test_, "doc_id", "text", n = 8, maxDf = 2L, fpp = fpp)
+      val rows = bloom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((4L, 101L)), s"capped gram leaked through: $rows")
+      assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty)
+    }
+  }
 }
