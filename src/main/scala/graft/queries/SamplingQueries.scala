@@ -138,6 +138,46 @@ object SamplingQueries extends QueryPack {
                FROM documents)
              SELECT doc_id, source, src_rank,
                CAST(2 * src_rank + 1 AS DOUBLE) / (2 * w) AS mix_pos
-             FROM r ORDER BY mix_pos, doc_id"""))
+             FROM r ORDER BY mix_pos, doc_id""")),
+
+    // Token-BUDGET quota — sp4's row-count quota re-expressed in the
+    // unit that actually matters when assembling a training mixture:
+    // each source contributes its best documents (quality-ranked, the
+    // sp4 metric) until a fixed token budget is crossed; the document
+    // that crosses the line is included (exclusive-running-sum < budget),
+    // so every source lands within one document of its budget. One
+    // window per source partition — same WindowGroupLimit-friendly
+    // shape as sp3/sp4, embarrassingly parallel across sources, and a
+    // pure function of the data (no RNG): re-running on any engine or
+    // cluster yields the identical mixture.
+    Q("sp6_token_budget",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            (size(array_distinct(split(col("text"), " "))).cast("double") /
+              size(split(col("text"), " "))).as("quality"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .filter(col("cum_before") < 5000L)
+          .orderBy("source", "cum_before", "doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS quality
+               FROM documents),
+             c AS (SELECT doc_id, source, n_tokens, quality,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+               FROM q)
+             SELECT doc_id, source, n_tokens, quality, cum_before
+             FROM c WHERE cum_before < 5000
+             ORDER BY source, cum_before, doc_id"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -21,6 +22,91 @@ object TextQueries extends QueryPack {
   // A small English stopword list (the heuristic's signal).
   private val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  /** Intra-document repetition metrics — the Gopher-style repetition
+    * quality filters (Rae et al. 2021 §A1.1: "fraction of characters in
+    * the most common n-gram" / "in duplicate n-grams"). Per document:
+    *
+    *   - `top2_cnt` / `top2_gram` / `top2_frac`: occurrence count of the
+    *     most frequent word 2-gram (ties broken to the lexicographically
+    *     smallest gram — deterministic in any engine), and the character
+    *     fraction its occurrences cover (`cnt · len(gram) / n_chars`);
+    *   - `dup5_chars` / `dup5_frac`: characters covered by ALL
+    *     occurrences of word 5-grams that appear more than once.
+    *     Overlapping occurrences are counted per occurrence (the cheap
+    *     upper bound every published filter uses), so the fraction can
+    *     exceed 1 on pathologically periodic text — callers threshold,
+    *     they don't sum.
+    *
+    * Scale: gram counting is explode → groupBy(doc_id, gram) — map-side
+    * partial aggregation collapses each doc's repeats before the
+    * shuffle, and every downstream step (window max, the two left
+    * joins) is keyed by doc_id alone, so the whole plan re-uses one
+    * doc-hash partitioning and is embarrassingly parallel across
+    * documents at any corpus size. Integer counts + one IEEE division
+    * per ratio keep the output bit-identical cross-engine.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        split(col("text"), " ").as("ts"))
+    // sequence(1, k) runs DESCENDING for k < 1 (the t4 trap), so each
+    // gram size filters to docs long enough to emit at least one gram
+    def gramCounts(n: Int): DataFrame = base
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(ts, i, $n)))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val top2 = gramCounts(2)
+      .withColumn("max_cnt", max("cnt").over(w))
+      .filter(col("cnt") === col("max_cnt"))
+      .groupBy("doc_id")
+      .agg(max("cnt").as("top2_cnt"), min("gram").as("top2_gram"))
+    val dup5 = gramCounts(5)
+      .groupBy("doc_id")
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+        .otherwise(lit(0L))).as("dup5_chars"))
+    base.select("doc_id", "n_chars")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+        (coalesce(col("top2_cnt") * length(col("top2_gram")), lit(0L))
+          .cast("double") / col("n_chars")).as("top2_frac"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"),
+        (coalesce(col("dup5_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("dup5_frac"))
+  }
+
+  /** Per-source token-count distribution — see the t9 entry comment for
+    * the exact-percentile rationale. Median is the mean of the one or
+    * two middle ranks ((n+1) div 2 and (n+2) div 2 — equal when n is
+    * odd); p90 is the value at rank ceil(0.9·n) = (9n+9) div 10, all in
+    * integer arithmetic so the selection is engine-exact.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_tokens", "doc_id")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    toks
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("mean_tokens"),
+        avg(when(expr("rk = (n + 1) div 2 or rk = (n + 2) div 2"),
+          col("n_tokens"))).as("median_tokens"),
+        max(when(expr("rk = (9 * n + 9) div 10"), col("n_tokens")))
+          .as("p90_tokens"))
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -184,6 +270,70 @@ object TextQueries extends QueryPack {
                CAST(sum(t.tf) AS DOUBLE) / count(*) AS avg_tf
              FROM toks JOIN tf t USING (tok)
              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Intra-document repetition — the Gopher-style repetition quality
+    // filters (most-common-2-gram char fraction, duplicate-5-gram char
+    // fraction); see `repetitionMetrics` for semantics and the 100 TB
+    // plan argument.
+    Q("t8_repetition",
+      (s, d) => repetitionMetrics(Tables.load(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+               string_split(text, ' ') AS ts FROM documents),
+             g2 AS (SELECT doc_id, array_to_string(ts[i : i + 1], ' ') AS gram,
+               count(*) AS cnt
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t)
+               GROUP BY doc_id, gram),
+             g5 AS (SELECT doc_id, array_to_string(ts[i : i + 4], ' ') AS gram,
+               count(*) AS cnt
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t)
+               GROUP BY doc_id, gram),
+             m2 AS (SELECT doc_id, cnt, gram,
+               max(cnt) OVER (PARTITION BY doc_id) AS max_cnt FROM g2),
+             top2 AS (SELECT doc_id, max(cnt) AS top2_cnt, min(gram) AS top2_gram
+               FROM m2 WHERE cnt = max_cnt GROUP BY doc_id),
+             dup5 AS (SELECT doc_id,
+               sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup5_chars
+               FROM g5 GROUP BY doc_id)
+             SELECT b.doc_id, CAST(b.n_chars AS INTEGER) AS n_chars,
+               CAST(COALESCE(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+               COALESCE(top2_gram, '') AS top2_gram,
+               CAST(COALESCE(top2_cnt * length(top2_gram), 0) AS DOUBLE) / b.n_chars AS top2_frac,
+               CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+               CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / b.n_chars AS dup5_frac
+             FROM t b LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+             ORDER BY doc_id""")),
+
+    // Corpus shape report — per-source token-count distribution
+    // (docs, totals, min/max/mean, EXACT median and p90). The
+    // percentiles are rank arithmetic over a per-source sort, NOT
+    // approx_percentile: the sketch's merge order is engine-private, so
+    // its output can't be oracle-hashed, while row_number + integer
+    // rank selection is bit-identical anywhere. Median = mean of the
+    // one or two middle ranks; p90 = the value at rank ceil(0.9·n).
+    // Scale: one window sort per source partition, then a partial-agg
+    // groupBy on the same key — the sort is the honest cost of exact
+    // percentiles; a 100 TB pipeline that can tolerate error swaps in
+    // approx_percentile (same plan minus the window) but forfeits the
+    // cross-engine hash.
+    Q("t9_corpus_stats",
+      (s, d) => corpusStats(Tables.load(s, d, "documents")).orderBy("source"),
+      Some("""WITH q AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+               FROM documents),
+             r AS (SELECT source, n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+               FROM q)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+               avg(CASE WHEN rk = (n + 1) // 2 OR rk = (n + 2) // 2
+                 THEN n_tokens END) AS median_tokens,
+               max(CASE WHEN rk = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens
+             FROM r GROUP BY source ORDER BY source""")),
 
     // PII redaction (graft.operators.Redaction): the synthetic corpus
     // carries no digits or '@' at all, so a bare scrub would trivially
