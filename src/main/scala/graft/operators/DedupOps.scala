@@ -744,4 +744,63 @@ object DedupOps {
       .select(col("doc_id").as("train_doc"), col("shingle"))
     overlapReport(tr, te)
   }
+
+  /** Exact duplicate-SUBSTRING spans — the cut-list form of substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for every document, the maximal token
+    * spans covered by word `n`-grams that also occur in at least one
+    * OTHER document. Where the near-dup finders answer "which documents
+    * are copies", this answers "which RANGES of this document are
+    * copied" — the unit a surgical dedup pass actually removes
+    * (Lee et al. cut duplicated 50-token spans; `n` is the span
+    * granularity, defaulting low for the short synthetic docs).
+    *
+    * Output: one row per (doc_id, span_id) with `span_start`/`span_end`
+    * (1-based token positions, inclusive) and `span_tokens` — spans
+    * that overlap or touch are merged, so spans per doc are disjoint
+    * and maximal.
+    *
+    * Mechanism and scale: positional gram index (explode, same O(total
+    * tokens) cost as `shingles` but keeping positions), grams occurring
+    * in ≥ 2 DISTINCT docs found by one partial-agg groupBy (min ≠ max
+    * doc_id — no countDistinct state), joined back to positions (the
+    * d2-shaped inverted-index join, gram-keyed), then a per-doc
+    * gaps-and-islands window merge (running max of span ends; a new
+    * island starts when a position clears the previous cover by more
+    * than one token). Every shuffle is gram- or doc-keyed; nothing is
+    * quadratic. A web-scale corpus caps the gram relation exactly as d2
+    * does (`cappedShingles`) — a boilerplate gram with df in the
+    * millions marks those spans duplicated regardless, so capping the
+    * JOIN at a df large enough to assert "duplicated" loses nothing;
+    * the cap is deliberately not applied here because the demo corpus
+    * doesn't need it and the report must stay exact for the oracle.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> named_struct('i', i, 'gram', concat_ws(' ', slice(ts, i, $n))))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
+      .localCheckpoint()
+    val dup = g.groupBy("gram")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi")).select("gram")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    g.join(dup, "gram").select(col("doc_id"), col("i"))
+      .withColumn("prev_end", max(col("i") + (n - 1)).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("is_new").over(wCum))
+      .groupBy("doc_id", "span_id")
+      .agg(min("i").as("span_start"), max(col("i") + (n - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+  }
 }

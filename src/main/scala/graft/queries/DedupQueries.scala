@@ -406,6 +406,36 @@ object DedupQueries extends QueryPack {
             "doc_id", "text", n = 8)
           .orderBy("train_doc", "test_doc")
       },
-      Some(decontOracleSql))
+      Some(decontOracleSql)),
+
+    // Duplicate-substring CUT LIST (DedupOps.duplicateSpans, Lee et
+    // al. 2022): per document, the maximal merged token spans covered
+    // by 8-grams that also occur in at least one OTHER document —
+    // "which ranges are copied", the unit surgical substring dedup
+    // removes, where d1-d9 answer "which documents are copies".
+    Q("d10_duplicate_spans",
+      (s, d) => graft.operators.DedupOps.duplicateSpans(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             g AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+               array_to_string(ts[i : i + 7], ' ') AS gram
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM t)),
+             dup AS (SELECT gram FROM g GROUP BY gram
+               HAVING min(doc_id) <> max(doc_id)),
+             p AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+             m AS (SELECT doc_id, i,
+               max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM p),
+             isl AS (SELECT doc_id, i,
+               sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+               FROM m)
+             SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+               min(i) AS span_start, max(i + 7) AS span_end,
+               max(i + 7) - min(i) + 1 AS span_tokens
+             FROM isl GROUP BY doc_id, span_id
+             ORDER BY doc_id, span_start"""))
   )
 }

@@ -324,4 +324,25 @@ class DedupSpec extends AnyFunSuite {
       assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty)
     }
   }
+
+  test("duplicate spans: cross-doc runs merge, intra-doc-only repeats don't count") {
+    import spark.implicits._
+    // shared8 = an 8-token run planted in docs 1 and 2 at different
+    // positions; doc 3 repeats ITS OWN 8-token run twice but shares it
+    // with no other doc (must emit nothing); doc 4 carries two COPIES
+    // of shared8 separated by a unique gap (two disjoint spans)
+    val shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"u1 u2 $shared8 u3"), // span at tokens 3-10
+      (2L, s"$shared8 v1 v2 v3"), // span at tokens 1-8
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, s"$shared8 g1 g2 g3 g4 g5 g6 g7 g8 $shared8"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      (1L, 3, 10, 8), (2L, 1, 8, 8),
+      (4L, 1, 8, 8), (4L, 17, 24, 8)))
+  }
 }
