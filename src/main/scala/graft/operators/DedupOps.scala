@@ -775,16 +775,24 @@ object DedupOps {
     * the cap is deliberately not applied here because the demo corpus
     * doesn't need it and the report must stay exact for the oracle.
     */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    val g = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+  /** Positional gram index: (doc_id, i, gram) with `i` the 1-based
+    * token position the `n`-gram starts at — `shingles` keeping
+    * positions (and duplicates: the same gram at two positions is two
+    * rows, each a distinct span witness).
+    */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
       .filter(size(col("ts")) >= n)
       .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(ts) - ${n - 1}), " +
             s"i -> named_struct('i', i, 'gram', concat_ws(' ', slice(ts, i, $n))))"))
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
-      .localCheckpoint()
+
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = positionalGrams(docs, idCol, textCol, n).localCheckpoint()
     val dup = g.groupBy("gram")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       .filter(col("lo") =!= col("hi")).select("gram")
@@ -802,5 +810,54 @@ object DedupOps {
       .groupBy("doc_id", "span_id")
       .agg(min("i").as("span_start"), max(col("i") + (n - 1)).as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+  }
+
+  /** APPLY the substring cut list: rebuild every document's text with
+    * duplicated runs removed, keeping exactly ONE copy of each
+    * duplicated gram corpus-wide — in the owning document, defined
+    * deterministically as the MIN doc_id among the documents containing
+    * that gram (Lee et al. keep one occurrence; min-id is the
+    * engine-portable choice of which). A token position is cut when
+    * some duplicated gram covering it is owned elsewhere; positions the
+    * doc owns (or that no cross-doc gram covers) survive.
+    *
+    * Output per document: original `n_tokens`, kept/cut counts, and
+    * `text_clean` (the surviving tokens in original order). Docs losing
+    * every token keep a row with `text_clean = ''` — the downstream
+    * length filter, not this operator, decides to drop them.
+    *
+    * Scale: the same gram-keyed shuffles as `duplicateSpans` plus one
+    * position-keyed distinct and one anti-join, all doc- or gram-keyed;
+    * text reassembly is a per-doc sort inside one aggregation
+    * (`array_sort(collect_list(...))` — bounded by the doc's own
+    * length, never corpus-wide).
+    */
+  def substringDedupRewrite(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val g = positionalGrams(docs, idCol, textCol, n).localCheckpoint()
+    val owner = g.groupBy("gram")
+      .agg(min("doc_id").as("owner"), max("doc_id").as("hi"))
+      .filter(col("owner") =!= col("hi")).select("gram", "owner")
+    val cut = g.join(owner, "gram")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${n - 1})")).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(named_struct('pos', pos, 'tok', tok))), x -> x.tok)"),
+          " ").as("text_clean"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 }

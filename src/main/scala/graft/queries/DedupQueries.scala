@@ -436,6 +436,36 @@ object DedupQueries extends QueryPack {
                min(i) AS span_start, max(i + 7) AS span_end,
                max(i + 7) - min(i) + 1 AS span_tokens
              FROM isl GROUP BY doc_id, span_id
-             ORDER BY doc_id, span_start"""))
+             ORDER BY doc_id, span_start""")),
+
+    // APPLYING the cut list (DedupOps.substringDedupRewrite): rebuild
+    // each document with duplicated runs removed, keeping exactly one
+    // copy corpus-wide (in the min-doc_id owner of each duplicated
+    // gram). The full cleaned text is hash-compared, so the rebuild
+    // (anti-join + per-doc in-order reassembly) is pinned cross-engine
+    // token for token.
+    Q("d10b_dedup_rewrite",
+      (s, d) => graft.operators.DedupOps.substringDedupRewrite(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             g AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+               array_to_string(ts[i : i + 7], ' ') AS gram
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM t)),
+             own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram
+               HAVING min(doc_id) <> max(doc_id)),
+             cut AS (SELECT DISTINCT doc_id, pos FROM
+               (SELECT g.doc_id, unnest(range(g.i, g.i + 8)) AS pos
+                FROM g JOIN own USING (gram) WHERE g.doc_id <> own.owner)),
+             toks AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, ts[i] AS tok
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t)),
+             kept AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+               FROM toks ANTI JOIN cut USING (doc_id, pos) GROUP BY doc_id)
+             SELECT t.doc_id, CAST(len(t.ts) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(t.ts) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
+               COALESCE(text_clean, '') AS text_clean
+             FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""))
   )
 }

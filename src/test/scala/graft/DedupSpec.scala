@@ -345,4 +345,28 @@ class DedupSpec extends AnyFunSuite {
       (1L, 3, 10, 8), (2L, 1, 8, 8),
       (4L, 1, 8, 8), (4L, 17, 24, 8)))
   }
+
+  test("substring rewrite keeps exactly one copy, in the min-doc owner") {
+    import spark.implicits._
+    // same fixture as the span test: doc 1 owns shared8 (min doc_id),
+    // so it keeps its copy; docs 2 and 4 lose theirs (doc 4 twice);
+    // doc 3's intra-doc-only repeat is untouched
+    val shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val doc3 = "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (1L, s"u1 u2 $shared8 u3"),
+      (2L, s"$shared8 v1 v2 v3"),
+      (3L, doc3),
+      (4L, s"$shared8 g1 g2 g3 g4 g5 g6 g7 g8 $shared8"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.substringDedupRewrite(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 11, 11L, 0L, s"u1 u2 $shared8 u3"),
+      (2L, 11, 3L, 8L, "v1 v2 v3"),
+      (3L, 16, 16L, 0L, doc3),
+      (4L, 24, 8L, 16L, "g1 g2 g3 g4 g5 g6 g7 g8")))
+  }
 }
