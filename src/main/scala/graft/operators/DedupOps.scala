@@ -745,6 +745,21 @@ object DedupOps {
     overlapReport(tr, te)
   }
 
+  /** Positional gram index: (doc_id, i, gram) with `i` the 1-based
+    * token position the `n`-gram starts at — `shingles` keeping
+    * positions (and duplicates: the same gram at two positions is two
+    * rows, each a distinct span witness).
+    */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> named_struct('i', i, 'gram', concat_ws(' ', slice(ts, i, $n))))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
+
   /** Exact duplicate-SUBSTRING spans — the cut-list form of substring
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): for every document, the maximal token
@@ -775,21 +790,6 @@ object DedupOps {
     * the cap is deliberately not applied here because the demo corpus
     * doesn't need it and the report must stay exact for the oracle.
     */
-  /** Positional gram index: (doc_id, i, gram) with `i` the 1-based
-    * token position the `n`-gram starts at — `shingles` keeping
-    * positions (and duplicates: the same gram at two positions is two
-    * rows, each a distinct span witness).
-    */
-  private def positionalGrams(docs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(ts) - ${n - 1}), " +
-            s"i -> named_struct('i', i, 'gram', concat_ws(' ', slice(ts, i, $n))))"))
-        .as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
-
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = positionalGrams(docs, idCol, textCol, n).localCheckpoint()
@@ -813,13 +813,25 @@ object DedupOps {
   }
 
   /** APPLY the substring cut list: rebuild every document's text with
-    * duplicated runs removed, keeping exactly ONE copy of each
-    * duplicated gram corpus-wide — in the owning document, defined
-    * deterministically as the MIN doc_id among the documents containing
-    * that gram (Lee et al. keep one occurrence; min-id is the
-    * engine-portable choice of which). A token position is cut when
-    * some duplicated gram covering it is owned elsewhere; positions the
-    * doc owns (or that no cross-doc gram covers) survive.
+    * duplicated runs removed. The policy is PER-POSITION: each
+    * duplicated gram is owned by the MIN doc_id among the documents
+    * containing it (Lee et al. keep one occurrence; min-id is the
+    * engine-portable choice of which), and a token position is cut
+    * exactly when some duplicated gram covering it is owned elsewhere.
+    *
+    * What that does and does not guarantee:
+    *   - a document that owns every duplicated gram it contains is
+    *     untouched, and non-owners lose their copies — the common
+    *     disjoint-duplicates case keeps exactly one copy corpus-wide;
+    *   - when duplicated runs OVERLAP with different owners, the
+    *     per-position rule wins: a doc's owned run can be clipped by an
+    *     overlapping gram owned elsewhere, so an overlapped gram may
+    *     survive nowhere intact — the aggressive end of the trade, and
+    *     the deterministic one (a per-RUN guarantee would need
+    *     cross-gram consensus, a second connected-components pass);
+    *   - dedup is ACROSS documents: an owner repeating its own gram
+    *     internally keeps all its copies (pair with `repetitionMetrics`
+    *     to filter intra-doc repetition).
     *
     * Output per document: original `n_tokens`, kept/cut counts, and
     * `text_clean` (the surviving tokens in original order). Docs losing
