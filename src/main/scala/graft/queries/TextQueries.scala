@@ -335,6 +335,69 @@ object TextQueries extends QueryPack {
                max(CASE WHEN rk = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens
              FROM r GROUP BY source ORDER BY source""")),
 
+    // Distinct-cardinality SKETCH, engine-portable: a 256-register
+    // HyperLogLog over the corpus's distinct 3-gram shingles, built
+    // from explicit md5 register arithmetic instead of
+    // approx_count_distinct — Spark's HLL++ sketch (and DuckDB's) is
+    // engine-PRIVATE, so its estimate can never be oracle-checked;
+    // this one is a pure function of the data and hash-matches DOWN TO
+    // THE DOUBLE. Register: low 8 hash bits pick the bucket, rho = 1 +
+    // leading zeros of the remaining 52 bits (via length(trim(bin)) —
+    // integer/string ops, no log). The register sum Σ 2^-rho is EXACT
+    // in IEEE (dyadic terms spanning < 53 bits), hence
+    // order-independent across any partitioning — the property that
+    // makes a float sum hashable at all. Raw estimate only: the
+    // small-range linear-counting correction needs ln(), which is not
+    // bit-portable (t6's libm precedent); `empty_registers` ships so a
+    // caller can apply it engine-side. Scale: the sketch IS the scale
+    // story — one shuffle to 256 registers regardless of corpus size;
+    // the true count + rel_error columns exist for the oracle and the
+    // accuracy spec, and a 100 TB run drops them (they cost the exact
+    // distinct this sketch replaces).
+    Q("t10_distinct_sketch",
+      (s, d) => {
+        val grams = graft.operators.DedupOps.shingles(
+            Tables.load(s, d, "documents"), "doc_id", "text", n = 3)
+          .select("shingle").distinct()
+        val regs = s.range(256).selectExpr("id AS bucket")
+          .join(grams
+            .selectExpr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h")
+            .selectExpr("pmod(h, 256) AS bucket", "h div 256 AS w")
+            .selectExpr("bucket",
+              "52 - length(trim(LEADING '0' FROM bin(w))) + 1 AS rho")
+            .groupBy("bucket").agg(max("rho").as("rho")),
+            Seq("bucket"), "left")
+          .selectExpr("coalesce(rho, 0) AS rho")
+        regs.selectExpr(
+            "sum(1e0 / shiftleft(CAST(1 AS BIGINT), rho)) AS sum_inv",
+            "CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_registers")
+          .crossJoin(grams.agg(count(lit(1)).as("true_distinct")))
+          .selectExpr("256 AS m", "sum_inv", "empty_registers",
+            "0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv AS hll_estimate",
+            "true_distinct",
+            "abs(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv - true_distinct) / true_distinct AS rel_error")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+             gr AS (SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM sp)),
+             h AS (SELECT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM gr),
+             b AS (SELECT h % 256 AS bucket,
+               52 - length(trim(LEADING '0' FROM bin(h // 256))) + 1 AS rho FROM h
+               GROUP BY 1, 2),
+             r2 AS (SELECT bucket, max(rho) AS rho FROM b GROUP BY bucket),
+             regs AS (SELECT COALESCE(r2.rho, 0) AS rho
+               FROM (SELECT unnest(range(0, 256)) AS bucket) sp2 LEFT JOIN r2 USING (bucket)),
+             agg AS (SELECT sum(1e0 / (CAST(1 AS BIGINT) << rho)) AS sum_inv,
+               CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_registers
+               FROM regs),
+             t AS (SELECT count(*) AS true_distinct FROM gr)
+             SELECT 256 AS m, sum_inv, empty_registers,
+               0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv AS hll_estimate,
+               true_distinct,
+               abs(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv - true_distinct) / true_distinct AS rel_error
+             FROM agg, t""")),
+
     // PII redaction (graft.operators.Redaction): the synthetic corpus
     // carries no digits or '@' at all, so a bare scrub would trivially
     // match nothing — instead each row CONSTRUCTS its PII

@@ -38,6 +38,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n7 is n1's deliberate broadcast-tiny-query-side cross join over
     // the dequantized corpus — same bounded shape, same justification
     "n7_knn_quantized",
+    // t10: the 1-row × 1-row cross of the register aggregate with the
+    // true-distinct scalar (pipe_golden_counts' scalar-dashboard shape)
+    "t10_distinct_sketch",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {

@@ -55,4 +55,16 @@ class TextSpec extends AnyFunSuite {
       ("A", 4L, 10L, 1, 4, 2.5, 2.5, 4),
       ("B", 3L, 21L, 5, 9, 7.0, 7.0, 9)))
   }
+
+  test("portable HLL sketch lands within 3 sigma of the true distinct count") {
+    // 256 registers -> sigma = 1.04/sqrt(256) = 6.5%; the corpus's
+    // ~16.5k distinct 3-grams are far past the raw-regime floor
+    // (2.5 * m = 640), so the uncorrected estimate applies
+    val r = SparkEntry.queries("t10_distinct_sketch")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val (est, truth) = (r.getDouble(3), r.getLong(4))
+    assert(truth > 2.5 * 256, s"corpus too small for the raw regime: $truth")
+    assert(math.abs(est - truth) / truth < 3 * 0.065,
+      s"estimate $est vs true $truth outside 3 sigma")
+  }
 }
