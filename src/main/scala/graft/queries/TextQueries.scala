@@ -398,6 +398,53 @@ object TextQueries extends QueryPack {
                abs(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv - true_distinct) / true_distinct AS rel_error
              FROM agg, t""")),
 
+    // Heavy hitters via a COUNT-MIN sketch (d = 4 rows × w = 1024
+    // counters, md5 row-salted hashing) — t10's portable-sketch
+    // principle applied to frequency: counters are exact integer sums,
+    // so the sketch state AND its estimates hash cross-engine, and
+    // count-min's one-sided guarantee (estimate ≥ true count, within
+    // ~2N/w with probability 1 − 2^-d) becomes a testable property
+    // (`overestimate` ≥ 0 by construction). The top-20 list is ranked
+    // by the exact counts — oracle scaffolding, like t10's
+    // true_distinct; a 100 TB run keeps only the 4096-cell counter
+    // pass (one fixed-size shuffle regardless of corpus) and answers
+    // point queries from the sketch.
+    Q("t11_heavy_hitters",
+      (s, d) => {
+        val occ = Tables.load(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        def idx(rCol: String, tokCol: String) =
+          s"CAST(conv(substring(md5(concat($rCol, ':', $tokCol)), 1, 8), 16, 10) AS BIGINT) % 1024 AS idx"
+        val counters = occ
+          .select(explode(expr("sequence(0, 3)")).as("r"), col("tok"))
+          .selectExpr("r", idx("r", "tok"))
+          .groupBy("r", "idx").agg(count(lit(1)).as("c"))
+        val top = occ.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok")).limit(20)
+        top.select(col("tok"), col("true_cnt"),
+            explode(expr("sequence(0, 3)")).as("r"))
+          .selectExpr("tok", "true_cnt", "r", idx("r", "tok"))
+          .join(counters, Seq("r", "idx"))
+          .groupBy("tok", "true_cnt").agg(min("c").as("cm_estimate"))
+          .withColumn("overestimate", col("cm_estimate") - col("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok"))
+      },
+      Some("""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             ctr AS (SELECT r,
+               CAST(('0x' || substr(md5(r || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS idx,
+               count(*) AS c
+               FROM (SELECT tok, unnest(range(0, 4)) AS r FROM occ) GROUP BY 1, 2),
+             top AS (SELECT tok, count(*) AS true_cnt FROM occ GROUP BY tok
+               ORDER BY true_cnt DESC, tok LIMIT 20),
+             e AS (SELECT t.tok, t.true_cnt, rr.r,
+               CAST(('0x' || substr(md5(rr.r || ':' || t.tok), 1, 8)) AS BIGINT) % 1024 AS idx
+               FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr)
+             SELECT e.tok, e.true_cnt, min(c.c) AS cm_estimate,
+               min(c.c) - e.true_cnt AS overestimate
+             FROM e JOIN ctr c ON c.r = e.r AND c.idx = e.idx
+             GROUP BY e.tok, e.true_cnt
+             ORDER BY true_cnt DESC, tok""")),
+
     // PII redaction (graft.operators.Redaction): the synthetic corpus
     // carries no digits or '@' at all, so a bare scrub would trivially
     // match nothing — instead each row CONSTRUCTS its PII

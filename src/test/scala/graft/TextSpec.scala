@@ -67,4 +67,15 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(est - truth) / truth < 3 * 0.065,
       s"estimate $est vs true $truth outside 3 sigma")
   }
+
+  test("count-min estimates are one-sided: never below the true count") {
+    val rows = SparkEntry.queries("t11_heavy_hitters")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (truth, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= truth, s"count-min UNDER-estimated ${r.getString(0)}")
+      assert(over === est - truth)
+    }
+  }
 }
