@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Engine-portable HyperLogLog primitives, shared by the batch entry
+  * (t10_distinct_sketch) and the streaming face
+  * (`streaming/SketchStream`). Everything here is deterministic md5
+  * register arithmetic — no engine-private sketch state — so the
+  * registers AND the estimate hash-match the DuckDB oracle down to the
+  * double (the Σ 2^-rho register sum is exact dyadic arithmetic,
+  * order-independent across any partitioning; see the t10 entry
+  * comment in queries/TextQueries.scala).
+  *
+  * The register fold is per-bucket MAX — idempotent and commutative —
+  * which is what makes the sketch distributable and streamable:
+  * inserting a gram twice is a no-op, so no distinct pass is needed
+  * anywhere, merges need no coordination, and crash replays cannot
+  * corrupt the state.
+  */
+object Sketches {
+
+  /** Register count (2^8): rel. error σ ≈ 1.04/√256 = 6.5%. */
+  val M = 256
+
+  /** md5-derived (bucket, rho) per input gram: low 8 of 60 hash bits
+    * pick the bucket, rho = 1 + leading zeros of the remaining 52
+    * (via length(trim(bin)) — integer/string ops, no log/pow).
+    */
+  def gramRegisters(grams: DataFrame): DataFrame =
+    grams
+      .selectExpr(
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h")
+      .selectExpr(s"pmod(h, $M) AS bucket",
+        "52 - length(trim(LEADING '0' FROM bin(h div 256))) + 1 AS rho")
+
+  /** Fold to the DENSE register table: all `M` buckets, untouched ones
+    * at rho = 0 (contributing 2^0 to the register sum).
+    */
+  def registerTable(regs: DataFrame): DataFrame =
+    regs.sparkSession.range(M).selectExpr("id AS bucket")
+      .join(regs.groupBy("bucket").agg(max("rho").as("rho")),
+        Seq("bucket"), "left")
+      .selectExpr("bucket", "coalesce(rho, 0) AS rho")
+
+  /** Raw HLL estimate from a dense register table — one row with
+    * (m, sum_inv, empty_registers, hll_estimate). Raw regime only; the
+    * small-range linear-counting correction needs ln() (not
+    * bit-portable), which is why `empty_registers` is exposed.
+    */
+  def estimate(registers: DataFrame): DataFrame =
+    registers
+      .selectExpr(
+        "sum(1e0 / shiftleft(CAST(1 AS BIGINT), rho)) AS sum_inv",
+        "CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_registers")
+      .selectExpr(s"$M AS m", "sum_inv", "empty_registers",
+        s"0.7213e0 / (1e0 + 1.079e0 / ${M}e0) * ${M * M}e0 / sum_inv AS hll_estimate")
+}

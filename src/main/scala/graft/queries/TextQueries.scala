@@ -356,26 +356,16 @@ object TextQueries extends QueryPack {
     // distinct this sketch replaces).
     Q("t10_distinct_sketch",
       (s, d) => {
+        import graft.operators.Sketches
         val grams = graft.operators.DedupOps.shingles(
             Tables.load(s, d, "documents"), "doc_id", "text", n = 3)
           .select("shingle").distinct()
-        val regs = s.range(256).selectExpr("id AS bucket")
-          .join(grams
-            .selectExpr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h")
-            .selectExpr("pmod(h, 256) AS bucket", "h div 256 AS w")
-            .selectExpr("bucket",
-              "52 - length(trim(LEADING '0' FROM bin(w))) + 1 AS rho")
-            .groupBy("bucket").agg(max("rho").as("rho")),
-            Seq("bucket"), "left")
-          .selectExpr("coalesce(rho, 0) AS rho")
-        regs.selectExpr(
-            "sum(1e0 / shiftleft(CAST(1 AS BIGINT), rho)) AS sum_inv",
-            "CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_registers")
+        Sketches.estimate(
+            Sketches.registerTable(Sketches.gramRegisters(grams)))
           .crossJoin(grams.agg(count(lit(1)).as("true_distinct")))
-          .selectExpr("256 AS m", "sum_inv", "empty_registers",
-            "0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv AS hll_estimate",
+          .selectExpr("m", "sum_inv", "empty_registers", "hll_estimate",
             "true_distinct",
-            "abs(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv - true_distinct) / true_distinct AS rel_error")
+            "abs(hll_estimate - true_distinct) / true_distinct AS rel_error")
       },
       Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
                WHERE len(string_split(text, ' ')) >= 3),

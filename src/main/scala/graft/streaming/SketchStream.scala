@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{DedupOps, Sketches}
+
+/** STREAMING distinct-cardinality — the t10 HyperLogLog maintained as
+  * a NATIVE stateful aggregation over a document stream: per
+  * micro-batch, each document's 3-gram shingles project to
+  * (bucket, rho) pairs and fold into the running registers via
+  * `groupBy(bucket).max(rho)`.
+  *
+  * Why this is the sketch's natural streaming form:
+  *   - per-bucket max is idempotent and commutative, so the final
+  *     registers are BATCHING-INVARIANT (any chopping of the stream
+  *     yields the same state) and REPLAY-SAFE (a crash re-delivering a
+  *     micro-batch re-inserts grams as no-ops) — with no `_batch_id`
+  *     machinery, no watermark, and no distinct pass;
+  *   - state is EXACTLY ≤ 256 rows forever, regardless of stream
+  *     length — the rare unbounded-input stateful aggregation that
+  *     needs no eviction policy at all (contrast EventStream's
+  *     watermark-bounded windows);
+  *   - the registers are a mergeable summary: two streams' states (or
+  *     a stream's and a batch backfill's) combine by the same max —
+  *     `Sketches.registerTable` densifies and `Sketches.estimate`
+  *     prices any of them identically to the batch t10 entry.
+  *
+  * The caller attaches the sink (`outputMode("complete")` — the result
+  * is a ≤ 256-row table, so complete mode's full rewrite is the cheap
+  * option, not a scale concern).
+  */
+object SketchStream {
+
+  /** The streaming register aggregation for a document stream:
+    * (bucket, rho) with one row per touched bucket. Works unchanged on
+    * a batch DataFrame (the spec's equivalence lever).
+    */
+  def registerQuery(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    Sketches.gramRegisters(DedupOps.shingles(docs, idCol, textCol, n))
+      .groupBy("bucket").max("rho").withColumnRenamed("max(rho)", "rho")
+}
