@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Register count (2^8): rel. error σ ≈ 1.04/√256 = 6.5%. */
-  val M = 256
+  /** Bucket-index bits; M = 2^B registers. The hash is 15 md5 hex
+    * chars = 60 bits (16 would overflow signed BIGINT in both
+    * engines), leaving 60 − B bits for rho.
+    */
+  private val B = 8
 
-  /** md5-derived (bucket, rho) per input gram: low 8 of 60 hash bits
-    * pick the bucket, rho = 1 + leading zeros of the remaining 52
+  /** Register count (2^B): rel. error σ ≈ 1.04/√M = 6.5% at 256. */
+  val M: Int = 1 << B
+
+  /** md5-derived (bucket, rho) per input gram: low `B` of 60 hash bits
+    * pick the bucket, rho = 1 + leading zeros of the remaining 60 − B
     * (via length(trim(bin)) — integer/string ops, no log/pow).
     */
   def gramRegisters(grams: DataFrame): DataFrame =
@@ -32,7 +38,7 @@ object Sketches {
       .selectExpr(
         "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h")
       .selectExpr(s"pmod(h, $M) AS bucket",
-        "52 - length(trim(LEADING '0' FROM bin(h div 256))) + 1 AS rho")
+        s"${60 - B} - length(trim(LEADING '0' FROM bin(h div $M))) + 1 AS rho")
 
   /** Fold to the DENSE register table: all `M` buckets, untouched ones
     * at rho = 0 (contributing 2^0 to the register sum).

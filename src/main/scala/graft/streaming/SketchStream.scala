@@ -38,5 +38,5 @@ object SketchStream {
   def registerQuery(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame =
     Sketches.gramRegisters(DedupOps.shingles(docs, idCol, textCol, n))
-      .groupBy("bucket").max("rho").withColumnRenamed("max(rho)", "rho")
+      .groupBy("bucket").agg(org.apache.spark.sql.functions.max("rho").as("rho"))
 }
