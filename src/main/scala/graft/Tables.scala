@@ -63,20 +63,34 @@ object Tables {
     def spread(df: DataFrame): DataFrame =
       if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
       else df
-    // `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    // reader rejects (Spark timestamps are micros). Read nanos as a raw
-    // long and convert — truncation to micros, matching what the DuckDB
-    // oracle gets from `CAST(ts AS TIMESTAMP)`. The legacy flag is
-    // session-wide and harmless for the other tables (none carry nanos
-    // timestamps); setting it here once, before the first events read,
+    // `events.ts` normalization, SCHEMA-ADAPTIVE because the driver's
+    // generator has shipped two physical layouts across rounds:
+    //   - TIMESTAMP(NANOS), which Spark's reader rejects (Spark
+    //     timestamps are micros) — read nanos as a raw long via the
+    //     legacy flag and truncate to micros, matching what the DuckDB
+    //     oracle gets from `CAST(ts AS TIMESTAMP)`;
+    //   - TIMESTAMP(MICROS) non-UTC-adjusted (current testdata), which
+    //     Spark reads as TIMESTAMP_NTZ — cast to the session-zone
+    //     TIMESTAMP every downstream consumer already uses (sessions
+    //     run UTC, so the micros value is unchanged and the oracle
+    //     comparison is identical).
+    // Either path lands the same TimestampType micros. The legacy flag
+    // is session-wide and harmless for the other tables (none carry
+    // nanos timestamps); setting it before the first events read
     // replaces the per-load mutation flagged in round 1.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      // integer `div` — a double division would lose precision on 1.7e18-
-      // scale nano values (doubles carry 53 bits).
-      spread(df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val norm = df.schema("ts").dataType match {
+        // integer `div` — a double division would lose precision on
+        // 1.7e18-scale nano values (doubles carry 53 bits).
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
+      spread(norm)
     } else {
       spread(spark.read.parquet(s"$sfDir/$name.parquet"))
     }

@@ -28,12 +28,26 @@ object EventStream {
     StructField("props", StringType)))
 
   /** Streaming read of an events parquet directory (the pipe-shaped
-    * source for event-time processing).
+    * source for event-time processing). SCHEMA-ADAPTIVE on `ts` like
+    * `Tables.load` (the generator has shipped TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) layouts across rounds): the physical type is
+    * probed from the files already present — a streaming source needs
+    * its schema fixed at definition, and every caller populates the
+    * directory before defining the stream — and either path lands the
+    * same session-zone TimestampType micros.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(eventSchema).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case physical =>
+        val sch = StructType(eventSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = physical) else f))
+        spark.readStream.schema(sch).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-day windows per event type with a 1-day watermark:
