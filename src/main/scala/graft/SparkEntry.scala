@@ -23,7 +23,8 @@ object SparkEntry {
     TextQueries,
     MultimodalQueries,
     EventQueries,
-    SamplingQueries)
+    SamplingQueries,
+    RetrievalQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 sparse text retrieval — the lexical twin of the dense ANN
+  * serving path (IvfIndex). The reference pipeline ends in dashboard
+  * consumption queries (`dp_demo.sql:267-279`); an LLM-data pipeline
+  * additionally needs corpus SEARCH — "which documents match this
+  * query" — both ad-hoc (scan-time pruning) and served (persisted
+  * inverted index, partition-pruned reads). Okapi BM25 (k1 = 1.2,
+  * b = 0.75, Lucene-style idf = ln(1 + (N − df + ½)/(df + ½))) is the
+  * public-standard scoring function.
+  *
+  * Scale design (100 TB corpus, ~10-term queries):
+  *   - Ad-hoc scoring never materializes a global index: postings are
+  *     generated per-document (narrow explode + partial-agg groupBy)
+  *     and immediately semi-joined against the BROADCAST query-term
+  *     set, so only rows for the ≤ tens of query terms survive past
+  *     the first shuffle. df per term is computed from those surviving
+  *     postings alone — a term's full posting list survives its own
+  *     filter, so the df is the exact corpus df.
+  *   - Served scoring reads a PERSISTED index partitioned by
+  *     `bucket = pmod(hash(term), nBuckets)`: a query touches at most
+  *     |query terms| partitions of the postings store — the sparse
+  *     analogue of IVF's nprobe-cell pruned read; the corpus text is
+  *     never touched at query time.
+  *   - Scores are exact-integer: each per-term contribution is floored
+  *     to 1e-9 resolution (`contrib_e9` BIGINT) BEFORE the per-doc sum,
+  *     so the aggregate is order-independent under any partitioning —
+  *     the same trick that makes t10's register sum hashable. A raw
+  *     IEEE double sum would be partition-order-dependent and
+  *     unhashable.
+  *   - Top-k is a per-query window over the scored rows; queries are
+  *     few, matched docs are bounded by the query terms' df, so the
+  *     window partition is modest. For a high-df term at web scale the
+  *     posting list itself is large — the window then rides
+  *     WindowGroupLimit (rank pushdown) and only k rows per query
+  *     survive the final shuffle.
+  *
+  * Tokenization is the corpus's own: single-space word split, the same
+  * relation d2's shingles and t2's token counts are built on.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-(term, doc) postings: (term, doc_id, tf). One narrow explode,
+    * one partial-aggregated groupBy — the map side combines before the
+    * shuffle, so the shuffled volume is the distinct (doc, term) set,
+    * not the token stream.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token length: (doc_id, doc_len). */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), t => t =!= "")).as("doc_len"))
+
+  /** One-row corpus stats (n_docs, sum_len, avgdl). avgdl is the one
+    * IEEE division of two exact integers — bit-portable.
+    */
+  def corpusStats(lengths: DataFrame): DataFrame =
+    lengths.agg(count(lit(1)).as("n_docs"), sum("doc_len").as("sum_len"))
+      .withColumn("avgdl",
+        col("sum_len").cast("double") / col("n_docs").cast("double"))
+
+  /** BM25 tf-normalization, written as the exact operation sequence the
+    * DuckDB oracle replays: tf·(k1+1) / (tf + k1·((1−b) + b·(len/avgdl))).
+    * Every input is an exact integer or the portable avgdl division, and
+    * IEEE ops are deterministic, so the result is bit-identical in any
+    * engine that evaluates the same tree.
+    */
+  def tfNorm(tf: Column, docLen: Column, avgdl: Column): Column =
+    (tf.cast("double") * lit(K1 + 1.0)) /
+      (tf.cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) * (docLen.cast("double") / avgdl)))
+
+  /** Lucene-style idf: ln(1 + (N − df + ½)/(df + ½)) — strictly positive
+    * for every df ≤ N. NOT bit-portable across engines (libm ln); used
+    * only inside the integer-scaled full scorer whose oracle is pinned,
+    * never in a cross-engine-replayed expression (t6/t10 precedent).
+    */
+  def idf(df: Column, nDocs: Column): Column =
+    log(lit(1.0) +
+      (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+
+  /** Per-TERM top-k docs ranked by tf-normalization. For a fixed term,
+    * BM25's ranking is tfNorm's ranking (idf is a per-term constant and
+    * the map x → idf·x is strictly monotone), so this is the log-free,
+    * fully cross-engine-replayable face of BM25 ranking — the b2 oracle
+    * replays it bit-for-bit in DuckDB.
+    */
+  def termTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = docLengths(docs, idCol, textCol)
+    val stats = corpusStats(lens)
+    val p = postings(docs, idCol, textCol)
+      .join(broadcast(terms.toDF("term").distinct()), "term")
+    val scored = p.join(lens, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_len"),
+        tfNorm(col("tf"), col("doc_len"), col("avgdl")).as("tfnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tfnorm").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_len"),
+        col("rnk").cast("int").as("rnk"), col("tfnorm"))
+  }
+
+  /** Full multi-term BM25 top-k. `queries` are (query_id, text) pairs;
+    * scores are exact BIGINTs at 1e-9 resolution (see the object doc),
+    * so the result is a pure, order-independent function of
+    * (corpus, queries, k) — pinnable per corpus like n4's recall.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.toDF("query_id", "q_text")
+      .select(col("query_id"),
+        explode(array_distinct(split(col("q_text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val lens = docLengths(docs, idCol, textCol)
+    val stats = corpusStats(lens)
+    val p = postings(docs, idCol, textCol)
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+    val dfPerTerm = p.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreAndRank(p, dfPerTerm, lens, stats, qTerms, k)
+  }
+
+  /** Shared scoring tail: join postings × query terms, floor each
+    * contribution to e9 integers, sum exactly, rank per query.
+    */
+  private def scoreAndRank(p: DataFrame, dfPerTerm: DataFrame,
+      lens: DataFrame, stats: DataFrame, qTerms: DataFrame, k: Int): DataFrame = {
+    val contrib = p.join(broadcast(dfPerTerm), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .join(broadcast(qTerms), "term")
+      .select(col("query_id"), col("doc_id"),
+        floor(idf(col("df"), col("n_docs")) *
+          tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
+          .cast("long").as("contrib_e9"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("contrib_e9").as("score_e9"),
+        count(lit(1)).as("n_matched_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_e9").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("score_e9"), col("n_matched_terms"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted inverted index — build once, serve many, grow by append
+  // (the n5/IvfAppend analogue).
+  // ------------------------------------------------------------------
+
+  /** Layout under `dir`:
+    *   postings/ bucket=<pmod(hash(term), nBuckets)>/  (term, doc_id, tf, doc_len)
+    *   docs/     dbucket=<pmod(hash(doc_id), nBuckets)>/ (doc_id, doc_len)
+    *   stats/    one row (n_docs, sum_len, avgdl, n_buckets)
+    *
+    * doc_len is DENORMALIZED into the postings (a doc's length never
+    * changes, so it is append-safe); df is deliberately NOT — a
+    * build-time df goes stale the moment new docs arrive, so
+    * `servedTopK` computes df at query time from the pruned read
+    * itself: a query term's FULL posting list lives inside its bucket
+    * partitions, so the count over the surviving rows is the exact
+    * corpus df, at the cost of one extra aggregation over an
+    * already-pruned relation. That choice is what makes the index
+    * APPENDABLE without rewriting any existing posting row.
+    *
+    * The docs/ store (id-bucketed, the IvfIndex `_idb` pointer-store
+    * shape) exists for `appendToIndex`'s idempotence anti-join and for
+    * exact stats refresh; it is never read at query time.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    val lens = docLengths(docs, idCol, textCol)
+    val p = postings(docs, idCol, textCol)
+    p.join(lens, "doc_id")
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    lens.withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$dir/docs")
+    refreshStats(docs.sparkSession, dir, nBuckets)
+  }
+
+  /** Recompute stats/ from the docs store — one narrow two-column scan.
+    * Self-healing: a crash that lost or halved stats/ is fully repaired
+    * by this call (docs/ is the source of truth for N and avgdl).
+    */
+  def refreshStats(spark: SparkSession, dir: String, nBuckets: Int): Unit =
+    corpusStats(spark.read.parquet(s"$dir/docs").select("doc_id", "doc_len"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Append new documents to a saved index without touching existing
+    * rows — no posting is rewritten, no df maintenance (query-time df
+    * absorbs growth by construction). Returns the number of NEW docs
+    * indexed.
+    *
+    * Idempotent: delta ids already present in the docs store are
+    * anti-joined out (partition-pruned read of only the delta's id
+    * buckets), so a re-delivered or re-run append is a no-op — the
+    * IvfIndex.appendToSaved pointer-anti-join contract.
+    *
+    * CRASH WINDOW: postings are appended before the docs store. A crash
+    * between the two writes leaves postings rows whose ids the
+    * anti-join cannot see; the documented replay then appends them
+    * AGAIN as byte-identical duplicates (tf/doc_len are pure functions
+    * of the text). `servedTopK` is immune — it collapses exact-
+    * duplicate posting rows before df/scoring — and
+    * `Compaction.compact(dropExactDuplicates = true)` heals the storage
+    * itself (the DocStream index precedent). The reverse write order
+    * would instead LOSE the postings silently — duplicates-then-heal is
+    * the safe side. stats/ last; it regenerates via `refreshStats`.
+    */
+  def appendToIndex(delta: DataFrame, idCol: String, textCol: String,
+      dir: String): Long = {
+    val spark = delta.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select("n_buckets").head().getInt(0)
+    val d = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+    val deltaBuckets = d.select("dbucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(s"$dir/docs")
+      .filter(col("dbucket").isin(deltaBuckets: _*))
+      .select("doc_id")
+    val fresh = d.join(existing, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // pin: consumed by two writes below
+    val nFresh = fresh.count()
+    if (nFresh == 0) return 0L
+    val lens = docLengths(fresh, "doc_id", "text")
+    postings(fresh, "doc_id", "text").join(lens, "doc_id")
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    lens.withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+      .repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket")
+      .parquet(s"$dir/docs")
+    refreshStats(spark, dir, nBuckets)
+    nFresh
+  }
+
+  /** Serve top-k from a persisted index: reads ONLY the partitions the
+    * query terms hash into. The bucket set is resolved driver-side from
+    * the LITERAL query set (a collect over a local literal relation —
+    * no file is read; the n5 precedent of driver-side probe selection)
+    * and pushed down as a plan-time `isin` PartitionFilter, then the
+    * term equi-join runs inside the surviving partitions. df is
+    * computed from the pruned rows (exact — see `buildIndex`), making
+    * the result bit-identical to `topK` on the same corpus (Bm25Spec
+    * pins it): same inputs, same expression tree. The pre-scoring
+    * `distinct()` collapses byte-identical rows a crash-replayed
+    * append may have left (over the already-pruned tiny relation — its
+    * rows are about to shuffle for the df aggregate anyway).
+    */
+  def servedTopK(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    servedTopKDf(spark, dir, queries.toDF("query_id", "q_text"), k)
+  }
+
+  /** DataFrame-native serving — `queries` is any (query_id, q_text)
+    * relation, e.g. one micro-batch of a query stream
+    * (`RetrievalStream`). The bucket set is still resolved driver-side
+    * (a collect of the batch's DISTINCT term-bucket codes, bounded by
+    * the batch's vocabulary — the DocStream `touched` precedent):
+    * parquet partition pruning needs plan-time literals, and the
+    * alternative (joining the full postings store) would read every
+    * bucket. For literal query sets the collect costs no file read.
+    */
+  def servedTopKDf(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val stats = spark.read.parquet(s"$dir/stats")
+    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("q_text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val termBuckets = qTerms.select("term").distinct()
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    val buckets = termBuckets.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(termBuckets), Seq("bucket", "term"))
+      .select("term", "doc_id", "tf", "doc_len").distinct()
+    val dfPerTerm = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = p.join(broadcast(dfPerTerm), "term")
+      .join(broadcast(qTerms), "term")
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf(col("df"), col("n_docs")) *
+          tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
+          .cast("long").as("contrib_e9"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("contrib_e9").as("score_e9"),
+        count(lit(1)).as("n_matched_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_e9").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("score_e9"), col("n_matched_terms"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (RRF, Cormack & Clarke SIGIR'09) — the
+  * standard score-free combiner for HYBRID retrieval: each input is one
+  * system's ranked answer (lexical BM25, dense ANN, a heuristic
+  * recency sort, ...) for the same query set, and the fused score of a
+  * doc is Σ_systems 1/(k0 + rank). Rank-only fusion needs no score
+  * calibration across systems — exactly why it is the default way to
+  * combine `Bm25.topK` with `IvfIndex` ANN results in a retrieval
+  * pipeline.
+  *
+  * Exactness: each contribution is the INTEGER 1e12 DIV (k0 + rank) —
+  * exact integer division, positive operands, so Spark's `DIV` and
+  * DuckDB's `//` agree — and the per-doc sum is an order-independent
+  * BIGINT sum, hashable under any partitioning (the b3/t10 discipline).
+  * With k0 = 60 and ranks ≤ 1000 the quotients are distinct enough
+  * that ties are broken only where true RRF scores tie too (then by
+  * doc_id, pinned).
+  *
+  * Scale: inputs are already top-k lists — each system's output is
+  * |queries|·k rows, so the union, the (query_id, doc_id) partial-agg
+  * sum, and the per-query rank window all run on rows-already-bounded
+  * relations; nothing here touches a corpus. The fusion of S systems
+  * over Q queries shuffles S·Q·k rows once.
+  */
+object RankFusion {
+
+  val Scale = 1000000000000L // 1e12: rrf_e12 = Σ floor(1e12/(k0+rnk))
+
+  /** Fuse ranked lists, each with columns (query_id, doc_id, rnk), into
+    * per-query top-k by RRF. Output: (query_id, rnk, doc_id, rrf_e12,
+    * n_lists) where n_lists counts the systems that returned the doc.
+    */
+  def rrf(ranked: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrf needs at least one ranked list")
+    require(k0 >= 1, "k0 must be >= 1")
+    val unioned = ranked
+      .map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_.unionByName(_))
+    val contrib = unioned.select(col("query_id"), col("doc_id"),
+      expr(s"CAST($Scale DIV (CAST($k0 AS BIGINT) + CAST(rnk AS BIGINT)) AS BIGINT)")
+        .as("contrib_e12"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("contrib_e12").as("rrf_e12"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_e12").desc, col("doc_id"))
+    scored.withColumn("out_rnk", row_number().over(w))
+      .filter(col("out_rnk") <= k)
+      .select(col("query_id"), col("out_rnk").cast("int").as("rnk"),
+        col("doc_id"), col("rrf_e12"), col("n_lists"))
+  }
+}

