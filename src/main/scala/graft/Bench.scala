@@ -171,7 +171,12 @@ object Bench {
     // process — the one JSON line must also land in a file the repo
     // keeps (r10 verdict "bench record integrity"). Failure to write is
     // non-fatal: stdout remains the contract.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // A SPARK_GRAFT_BENCH_ONLY spot-check must not clobber the full
+    // durable record (r12: a 2-entry restricted run silently replaced
+    // the 87-entry BENCH_LOCAL.json) — restricted runs stay
+    // stdout-only unless an output path is explicitly requested.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.nonEmpty) "" else "BENCH_LOCAL.json")
     if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))

@@ -24,7 +24,8 @@ object SparkEntry {
     MultimodalQueries,
     EventQueries,
     SamplingQueries,
-    RetrievalQueries)
+    RetrievalQueries,
+    CorpusPipelineQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

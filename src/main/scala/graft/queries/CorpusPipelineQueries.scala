@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CorpusPipeline
+
+/** The composed corpus-preparation chain (quality filter → exact dedup
+  * → deterministic split) as oracle entries — the end-to-end shape a
+  * training-data team actually runs, proving the standalone stages
+  * (t12 / d1 / sp1) compose without semantic drift: the DuckDB oracle
+  * replays the ENTIRE chain, so a regression in any stage's arithmetic
+  * or in the composition order surfaces as a hash mismatch here even
+  * if each standalone entry still passes.
+  */
+object CorpusPipelineQueries extends QueryPack {
+
+  /** The t12 logit chain as SQL, shared by both entries. */
+  private val CleanSql =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+       wv AS (SELECT doc_id,
+         (CAST(('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+         FROM tk),
+       sm AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit FROM wv GROUP BY doc_id),
+       surv AS (SELECT d.doc_id, d.source, d.text, COALESCE(sm.logit, 0) AS logit
+         FROM documents d LEFT JOIN sm USING (doc_id)
+         WHERE COALESCE(sm.logit, 0) >= 0),
+       keep AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+       cleaned AS (SELECT s.doc_id, s.source, s.logit,
+         CAST(len(list_filter(string_split(s.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+         FROM surv s JOIN keep USING (doc_id))"""
+
+  val queries: Seq[Q] = Seq(
+
+    // Per-(split, source) shape of the cleaned corpus — the report a
+    // data team reads before training: how many docs and tokens each
+    // mixture cell holds after filtering and dedup.
+    Q("x1_corpus_pipeline",
+      (s, d) => CorpusPipeline.clean(Tables.load(s, d, "documents"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("logit").as("sum_logit"),
+          min("doc_id").as("first_doc"))
+        .orderBy("split", "source"),
+      Some(s"""WITH $CleanSql
+           SELECT split, source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(sum(logit) AS BIGINT) AS sum_logit,
+             min(doc_id) AS first_doc
+           FROM cleaned GROUP BY split, source ORDER BY split, source""")),
+
+    // Row-level detail of the cleaned test split (the smallest cell):
+    // pins per-doc ids, logits, token counts, and assignments exactly.
+    Q("x2_corpus_pipeline_detail",
+      (s, d) => CorpusPipeline.clean(Tables.load(s, d, "documents"))
+        .filter(col("split") === "test")
+        .select("doc_id", "source", "logit", "n_tokens", "split")
+        .orderBy("doc_id"),
+      Some(s"""WITH $CleanSql
+           SELECT doc_id, source, logit, n_tokens, split
+           FROM cleaned WHERE split = 'test' ORDER BY doc_id""")),
+
+    // Per-source ADAPTIVE quality gate: a fixed global threshold
+    // over-prunes weak sources and under-prunes strong ones, so the
+    // production filter is quantile-based — keep each source's top
+    // decile by logit. The cut is the EXACT p90 rank value (t9's
+    // integer rank arithmetic — approx_percentile's sketch is engine-
+    // private and could never oracle-hash); keep = logit ≥ that
+    // source's p90 (ties keep everything at the cut, deterministic).
+    // Scale: one rank window per source (t9's documented trade — a
+    // tolerant 100 TB run swaps in approx_percentile, same plan minus
+    // the window) + a broadcast threshold join back.
+    Q("x3_quality_quantile_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val scored = docs.select("doc_id", "source")
+          .join(graft.operators.QualityModel
+            .scoreDerived(docs, "doc_id", "text", dims = 1024), Seq("doc_id"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("logit"), col("doc_id"))
+        val ranked = scored
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        val thr = ranked
+          .filter(col("rk") === expr("(9 * n + 9) div 10"))
+          .select(col("source"), col("logit").as("thr_logit"))
+        scored.join(broadcast(thr), Seq("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            max("thr_logit").as("p90_logit"),
+            sum(when(col("logit") >= col("thr_logit"), 1L).otherwise(0L))
+              .as("n_kept"),
+            min(when(col("logit") >= col("thr_logit"), col("doc_id")))
+              .as("first_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $CleanSql,
+             sc AS (SELECT d.doc_id, d.source, COALESCE(sm.logit, 0) AS logit
+               FROM documents d LEFT JOIN sm USING (doc_id)),
+             r AS (SELECT source, doc_id, logit,
+               row_number() OVER (PARTITION BY source ORDER BY logit, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+               FROM sc),
+             thr AS (SELECT source, logit AS thr_logit FROM r
+               WHERE rk = (9 * n + 9) // 10)
+           SELECT sc.source, count(*) AS n_total,
+             max(thr.thr_logit) AS p90_logit,
+             CAST(sum(CASE WHEN sc.logit >= thr.thr_logit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             min(CASE WHEN sc.logit >= thr.thr_logit THEN sc.doc_id END) AS first_kept
+           FROM sc JOIN thr USING (source)
+           GROUP BY sc.source ORDER BY sc.source"""))
+  )
+}
