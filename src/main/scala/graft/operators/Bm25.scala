@@ -124,27 +124,36 @@ object Bm25 {
       queries: Seq[(Long, String)], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qTerms = queries.toDF("query_id", "q_text")
-      .select(col("query_id"),
-        explode(array_distinct(split(col("q_text"), " "))).as("term"))
-      .filter(col("term") =!= "")
+    val qTerms = queryTerms(queries.toDF("query_id", "q_text"))
     val lens = docLengths(docs, idCol, textCol)
     val stats = corpusStats(lens)
     val p = postings(docs, idCol, textCol)
       .join(broadcast(qTerms.select("term").distinct()), "term")
-    val dfPerTerm = p.groupBy("term").agg(count(lit(1)).as("df"))
-    scoreAndRank(p, dfPerTerm, lens, stats, qTerms, k)
+      .join(lens, "doc_id")
+      .select("term", "doc_id", "tf", "doc_len")
+    scoreAndRank(p, stats, qTerms, k)
   }
 
-  /** Shared scoring tail: join postings × query terms, floor each
-    * contribution to e9 integers, sum exactly, rank per query.
+  /** (query_id, term) pairs from a (query_id, q_text) relation. */
+  private def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"),
+        explode(array_distinct(split(col("q_text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** THE scoring tail, shared STRUCTURALLY by the ad-hoc and served
+    * paths (their bit-identity contract rests on this being one
+    * expression tree, not two copies kept in sync): `p` is
+    * (term, doc_id, tf, doc_len) already restricted to the query
+    * terms; df per term is the exact count over those rows (each
+    * term's full posting list survives its own filter); contributions
+    * floor to e9 integers before the order-independent per-doc sum.
     */
-  private def scoreAndRank(p: DataFrame, dfPerTerm: DataFrame,
-      lens: DataFrame, stats: DataFrame, qTerms: DataFrame, k: Int): DataFrame = {
+  private def scoreAndRank(p: DataFrame, stats: DataFrame,
+      qTerms: DataFrame, k: Int): DataFrame = {
+    val dfPerTerm = p.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = p.join(broadcast(dfPerTerm), "term")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
       .join(broadcast(qTerms), "term")
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
       .select(col("query_id"), col("doc_id"),
         floor(idf(col("df"), col("n_docs")) *
           tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
@@ -185,8 +194,12 @@ object Bm25 {
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 64): Unit = {
-    val lens = docLengths(docs, idCol, textCol)
-    val p = postings(docs, idCol, textCol)
+    // same set-semantics defense as appendToIndex: a repeated id would
+    // double tf and inflate the stats (one narrow extra shuffle,
+    // dominated by the postings aggregation that follows)
+    val d = docs.select(col(idCol), col(textCol)).dropDuplicates(idCol)
+    val lens = docLengths(d, idCol, textCol)
+    val p = postings(d, idCol, textCol)
     p.join(lens, "doc_id")
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .repartition(col("bucket"))
@@ -234,7 +247,15 @@ object Bm25 {
     val spark = delta.sparkSession
     val nBuckets = spark.read.parquet(s"$dir/stats")
       .select("n_buckets").head().getInt(0)
+    // set semantics WITHIN the delta too (review r12): an at-least-once
+    // upstream can repeat a doc inside one call, and the docs-store
+    // anti-join only covers re-delivery ACROSS calls — without this a
+    // repeated row would double tf (not a byte-identical duplicate, so
+    // no later pass could heal it) and inflate n_docs/avgdl. Two rows
+    // with the same id but DIFFERENT text remain a caller contract
+    // violation (which copy survives is not deterministic).
     val d = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .dropDuplicates("doc_id")
       .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
     val deltaBuckets = d.select("dbucket").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -291,10 +312,7 @@ object Bm25 {
       queries: DataFrame, k: Int): DataFrame = {
     val stats = spark.read.parquet(s"$dir/stats")
     val nBuckets = stats.select("n_buckets").head().getInt(0)
-    val qTerms = queries
-      .select(col("query_id"),
-        explode(array_distinct(split(col("q_text"), " "))).as("term"))
-      .filter(col("term") =!= "")
+    val qTerms = queryTerms(queries)
     val termBuckets = qTerms.select("term").distinct()
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
     val buckets = termBuckets.select("bucket").distinct()
@@ -303,21 +321,6 @@ object Bm25 {
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(termBuckets), Seq("bucket", "term"))
       .select("term", "doc_id", "tf", "doc_len").distinct()
-    val dfPerTerm = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = p.join(broadcast(dfPerTerm), "term")
-      .join(broadcast(qTerms), "term")
-      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
-      .select(col("query_id"), col("doc_id"),
-        floor(idf(col("df"), col("n_docs")) *
-          tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
-          .cast("long").as("contrib_e9"))
-    val scored = contrib.groupBy("query_id", "doc_id")
-      .agg(sum("contrib_e9").as("score_e9"),
-        count(lit(1)).as("n_matched_terms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score_e9").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
-        col("doc_id"), col("score_e9"), col("n_matched_terms"))
+    scoreAndRank(p, stats, qTerms, k)
   }
 }

@@ -46,13 +46,8 @@ object CorpusPipeline {
     surviving.join(keepers, Seq("doc_id"))
       .withColumn("n_tokens",
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("bigint") % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", SplitAssign.bucket(col("doc_id")))
+      .withColumn("split", SplitAssign.split(col("bucket")))
       .select("doc_id", "source", "text", "logit", "n_tokens", "split")
   }
 }

@@ -21,8 +21,7 @@ import graft.Tables
 object SamplingQueries extends QueryPack {
 
   private val bucketExpr =
-    (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 100).as("bucket")
+    graft.operators.SplitAssign.bucket(col("doc_id")).as("bucket")
 
   val queries: Seq[Q] = Seq(
 
@@ -30,10 +29,7 @@ object SamplingQueries extends QueryPack {
     Q("sp1_split_assign",
       (s, d) => Tables.load(s, d, "documents")
         .select(col("doc_id"), bucketExpr)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
+        .withColumn("split", graft.operators.SplitAssign.split(col("bucket")))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,

@@ -38,7 +38,15 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema("ts").dataType match {
+    // Probe failure (empty / not-yet-populated directory — the
+    // define-stream-then-deliver lifecycle) falls back to the CURRENT
+    // generator layout (micros read as TIMESTAMP_NTZ); a nanos-era
+    // directory populated after definition would need the eventSchema
+    // path — deliver one file first to disambiguate (review r12).
+    val probed =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => TimestampNTZType }
+    probed match {
       case LongType =>
         spark.readStream.schema(eventSchema).parquet(dir)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Captures the pinned-oracle values for b3/b4 (full ln-idf BM25 top-k
   * is a constant of (corpus, queries, k) — see RetrievalQueries): the
   * integer corpus fingerprint Σ doc_id·n_chars and the top-k rows per
-  * test corpus. Run via Test/runMain; the printed VALUES go into
-  * RetrievalQueries.PinnedTopK verbatim. Not a spec.
+  * test corpus. Run via Test/runMain; the printed VALUES rows paste
+  * verbatim into RetrievalQueries.PinnedTopKOracle's VALUES list.
+  * Not a spec.
   */
 object Bm25Probe {
   def main(args: Array[String]): Unit = {
@@ -30,7 +31,7 @@ object Bm25Probe {
         .orderBy("query_id", "rnk").collect()
       println(s"-- $sf fingerprint=$f")
       rows.foreach { r =>
-        println(s"($f, ${r.getLong(0)}, ${r.getInt(1)}, ${r.getLong(2)}, ${r.getLong(3)}L, ${r.getLong(4)}),")
+        println(s"($f, ${r.getLong(0)}, ${r.getInt(1)}, ${r.getLong(2)}, ${r.getLong(3)}, ${r.getLong(4)}),")
       }
     }
     spark.stop()

@@ -103,8 +103,33 @@ class CorpusStreamSpec extends AnyFunSuite {
         s"$base/ck", threshold = threshold, nBuckets = 8)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val idx = spark.read.parquet(s"$base/idx")
+    val idx = spark.read.parquet(s"$base/idx/entries")
     assert(idx.count() === batchTwin.size)
     assert(idx.select("doc_id").distinct().count() === batchTwin.size)
+  }
+
+  test("a restarted stream with a different nBuckets still sees stored duplicates") {
+    val srcDir = Files.createTempDirectory("graft_cs3_src").toString
+    val base = Files.createTempDirectory("graft_cs3").toString
+    def deliver(rs: Seq[(Long, String, String)], name: String): Unit = {
+      rs.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    }
+    def runOnce(nBuckets: Int): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+      val q = CorpusStream.cleanStream(src, s"$base/idx", s"$base/out",
+          s"$base/ck", threshold = Long.MinValue, nBuckets = nBuckets)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    deliver(fileA, "a"); runOnce(nBuckets = 8)
+    // second stream misconfigured with a different modulus: the
+    // persisted _meta must win, so fileA's duplicate re-delivered under
+    // a NEW id is still found and dropped
+    deliver(Seq((101L, "web", fileA.head._3)), "b"); runOnce(nBuckets = 32)
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(101L), "stored duplicate missed after nBuckets change")
+    assert(out.contains(fileA.head._1))
   }
 }
