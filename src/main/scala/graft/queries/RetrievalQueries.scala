@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bm25, RankFusion}
+import graft.operators.{Bm25, HashedEmbedding, RankFusion}
 
 /** BM25 sparse retrieval over the `documents` table — the lexical twin
   * of SimilarityQueries' dense ANN family (builder brief "similarity
@@ -59,6 +59,32 @@ object RetrievalQueries extends QueryPack {
   private val TfNormSql =
     """(CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(doc_len AS DOUBLE) / avgdl)))"""
+
+  /** DuckDB twin of HashedEmbedding.embed (dims=1024, dim=16): token →
+    * bucket, per-(dim, bucket) md5 integer weight, per-doc per-dim sum,
+    * zero vector for token-less docs. Components are exact integers
+    * carried as DOUBLE (the list element type cosine consumes).
+    */
+  private val EmbedSql =
+    """etoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       eb AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket
+         FROM etoks WHERE token <> ''),
+       ed AS (SELECT unnest(range(0, 16)) AS d),
+       ec AS (SELECT doc_id, d,
+         (CAST(('0x' || substr(md5('e:' || CAST(d AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+         FROM eb CROSS JOIN ed),
+       ev AS (SELECT doc_id, d, CAST(sum(w) AS DOUBLE) AS vd FROM ec GROUP BY 1, 2),
+       evec AS (SELECT doc_id, list(vd ORDER BY d) AS v FROM ev GROUP BY doc_id),
+       vec AS (SELECT dd.doc_id,
+         COALESCE(e.v, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) AS v
+         FROM documents dd LEFT JOIN evec e USING (doc_id))"""
+
+  /** The n1-oracle left-fold dot, on the derived vectors. */
+  private def edot(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+  private val EmbDot = edot("qe", "ne")
+  private val EmbDotQQ = edot("qe", "qe")
+  private val EmbDotNN = edot("ne", "ne")
 
   /** Pinned full-BM25 results per corpus, keyed by the exact integer
     * fingerprint Σ doc_id·n_chars (order-independent integer sum; the
@@ -230,6 +256,55 @@ object RetrievalQueries extends QueryPack {
     // rankings is passed: RankFusion.rrf unions its inputs anyway, so
     // this is identical to three per-term frames at a third of the
     // scan cost.
+    // Feature-hashed doc embeddings (HashedEmbedding): text → dim-16
+    // integer vector as a pure query. The entry pins each vector via
+    // its first two components + the exact BIGINT squared norm (an
+    // array column would be at the mercy of engine list-stringification
+    // in the compare; the scalars pin the same information).
+    Q("t13_hashed_embedding",
+      (s, d) => {
+        val emb = HashedEmbedding.embed(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        emb.select(col("doc_id"),
+            element_at(col("embedding"), 1).cast("long").as("v0"),
+            element_at(col("embedding"), 2).cast("long").as("v1"),
+            HashedEmbedding.norm2("embedding").as("norm2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $EmbedSql
+           SELECT doc_id, CAST(v[1] AS BIGINT) AS v0, CAST(v[2] AS BIGINT) AS v1,
+             CAST(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) AS BIGINT) AS norm2
+           FROM vec ORDER BY doc_id""")),
+
+    // Exact kNN over the DERIVED embeddings — text → vector → ANN
+    // entirely inside the engine (the n1 shape on t13's vectors; the
+    // integer-valued components make even the cosine exact cross-engine,
+    // see HashedEmbedding's doc). Zero vectors are excluded from both
+    // sides (cosine undefined), deterministically in both engines.
+    Q("n8_hashed_embedding_knn",
+      (s, d) => {
+        val emb = HashedEmbedding.embed(
+            Tables.load(s, d, "documents"), "doc_id", "text")
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.operators.SimilarityOps
+          .topKCosineWindow(emb, Seq(0L, 1L, 2L, 3L, 4L), 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $EmbedSql,
+             nz AS (SELECT doc_id, v FROM vec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             q AS (SELECT doc_id query_id, v qe FROM nz WHERE doc_id < 5),
+             c AS (SELECT doc_id neighbor_id, v ne FROM nz),
+             sims AS (SELECT query_id, neighbor_id,
+               ($EmbDot) / (sqrt($EmbDotQQ) * sqrt($EmbDotNN)) AS sim
+              FROM q, c WHERE neighbor_id <> query_id),
+             ranked AS (SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM sims)
+           SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+           FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
     Q("b5_rrf_fusion",
       (s, d) => {
         val perTerm = Bm25.termTopK(Tables.load(s, d, "documents"),

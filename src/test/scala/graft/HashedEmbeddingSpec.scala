@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HashedEmbedding, SimilarityOps}
+
+class HashedEmbeddingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5Int(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+  private def expectedVec(text: String, dims: Int, dim: Int): Seq[Long] = {
+    val buckets = text.split(" ").filter(_.nonEmpty)
+      .map(t => md5Int(t) % dims)
+    (0 until dim).map(d =>
+      buckets.map(b => (md5Int(s"e:$d:$b") % 2001L) - 1000L).sum)
+  }
+
+  test("embedding matches a from-first-principles computation; empty text embeds to zero") {
+    val docs = Seq((1L, "red fish blue fish"), (2L, "")).toDF("doc_id", "text")
+    val got = HashedEmbedding.embed(docs, "doc_id", "text", dims = 64, dim = 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toLong)).toMap
+    assert(got(1L) === expectedVec("red fish blue fish", 64, 8))
+    assert(got(2L) === Seq.fill(8)(0L))
+  }
+
+  test("components are order-independent: shuffled token order embeds identically per token multiset") {
+    // same multiset of tokens, different order -> identical vector
+    val docs = Seq((1L, "a b c c"), (2L, "c a c b")).toDF("doc_id", "text")
+    val got = HashedEmbedding.embed(docs, "doc_id", "text", dims = 64, dim = 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(1L) === got(2L))
+  }
+
+  test("derived embeddings feed the n-family unchanged: partitioned exact == brute exact") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = HashedEmbedding.embed(docs, "doc_id", "text")
+      .filter(HashedEmbedding.norm2("embedding") > 0L)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val ids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(SimilarityOps.topKCosineWindow(emb, ids, 5))
+    val part = rows(SimilarityOps.topKCosinePartitioned(emb, ids, 5))
+    assert(part === brute)
+    assert(brute.size === ids.size * 5)
+  }
+}
