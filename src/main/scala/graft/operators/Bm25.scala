@@ -168,6 +168,73 @@ object Bm25 {
         col("doc_id"), col("score_e9"), col("n_matched_terms"))
   }
 
+  /** PASSAGE retrieval — the RAG shape: score fixed-window chunks (the
+    * t7 chunker: `window` tokens every `stride`), then rank DOCS by
+    * their best chunk (max-pooling), returning where in the doc the
+    * match lives (`best_chunk_idx` — what a RAG pipeline actually
+    * feeds the generator). Scoring is per-term tf-normalization floored
+    * to e9 integers and summed — deliberately idf-FREE: each query
+    * term weighs equally, which keeps the whole computation log-free
+    * and cross-engine bit-exact (the b2 discipline; the idf-weighted
+    * variant is `topK` over chunks-as-docs and inherits b3's pinned-
+    * oracle caveat). Length normalization uses the CHUNK length
+    * against the chunk-corpus avgdl, as passage scoring should.
+    *
+    * Scale: chunking is a narrow explode (no shuffle); postings
+    * aggregate per (doc, chunk, term) map-side; the query-term
+    * semi-join bounds everything after it; doc max-pooling touches
+    * only scored chunks.
+    */
+  def passageTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      window: Int = 30, stride: Int = 25): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queryTerms(queries.toDF("query_id", "q_text"))
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, (greatest(size(ts) - $window, 0) + ${stride - 1}) div $stride)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"filter(slice(ts, chunk_idx * $stride + 1, $window), t -> t <> '')")
+          .as("ctoks"))
+    val lens = chunks.select(col("doc_id"), col("chunk_idx"),
+      size(col("ctoks")).cast("long").as("chunk_len"))
+    val stats = lens.agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("sum_len"))
+      .withColumn("avgdl",
+        col("sum_len").cast("double") / col("n_chunks").cast("double"))
+    val p = chunks
+      .select(col("doc_id"), col("chunk_idx"), explode(col("ctoks")).as("term"))
+      .groupBy("doc_id", "chunk_idx", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+    val contrib = p.join(lens, Seq("doc_id", "chunk_idx"))
+      .join(broadcast(qTerms), "term")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        floor(tfNorm(col("tf"), col("chunk_len"), col("avgdl")) * lit(1e9))
+          .cast("long").as("contrib_e9"))
+    val chunkScores = contrib.groupBy("query_id", "doc_id", "chunk_idx")
+      .agg(sum("contrib_e9").as("chunk_score_e9"))
+    val docScores = chunkScores.groupBy("query_id", "doc_id")
+      .agg(max("chunk_score_e9").as("doc_score_e9"),
+        count(lit(1)).as("n_matching_chunks"))
+    val best = chunkScores.select(col("query_id"), col("doc_id"),
+        col("chunk_idx"), col("chunk_score_e9"))
+      .join(docScores,
+        Seq("query_id", "doc_id"))
+      .filter(col("chunk_score_e9") === col("doc_score_e9"))
+      .groupBy("query_id", "doc_id", "doc_score_e9", "n_matching_chunks")
+      .agg(min("chunk_idx").as("best_chunk_idx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("doc_score_e9").desc, col("doc_id"))
+    best.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("doc_score_e9"),
+        col("best_chunk_idx").cast("int").as("best_chunk_idx"),
+        col("n_matching_chunks"))
+  }
+
   // ------------------------------------------------------------------
   // Persisted inverted index — build once, serve many, grow by append
   // (the n5/IvfAppend analogue).

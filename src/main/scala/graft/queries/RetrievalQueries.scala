@@ -247,6 +247,53 @@ object RetrievalQueries extends QueryPack {
         .orderBy("query_id", "rnk"),
       Some(PinnedTopKOracle)),
 
+    // Passage retrieval (the RAG shape): rank DOCS by their best
+    // CHUNK's idf-free score, reporting which chunk matched. Log-free,
+    // so the chunker + postings + scoring + max-pooling all replay
+    // bit-exact in DuckDB (Bm25.passageTopK's doc explains the
+    // idf-free trade).
+    Q("b6_passage_topk",
+      (s, d) => Bm25.passageTopK(Tables.load(s, d, "documents"),
+          "doc_id", "text", Queries, BK)
+        .orderBy("query_id", "rnk"),
+      Some {
+        val qtVals = Queries.flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct
+            .map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+           c0 AS (SELECT doc_id, ts,
+             unnest(range(0, 1 + (greatest(len(ts) - 30, 0) + 24) // 25)) AS chunk_idx
+             FROM t),
+           ch AS (SELECT doc_id, chunk_idx,
+             list_filter(ts[chunk_idx * 25 + 1 : chunk_idx * 25 + 30], x -> x <> '') AS ctoks
+             FROM c0),
+           lens AS (SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS chunk_len FROM ch),
+           stats AS (SELECT CAST(sum(chunk_len) AS DOUBLE) / count(*) AS avgdl FROM lens),
+           p0 AS (SELECT doc_id, chunk_idx, unnest(ctoks) AS term FROM ch),
+           p AS (SELECT doc_id, chunk_idx, term, count(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+           qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+             FROM (VALUES $qtVals) AS v(query_id, term)),
+           con AS (SELECT qt.query_id, p.doc_id, p.chunk_idx,
+             CAST(floor(((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+               (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(chunk_len AS DOUBLE) / avgdl)))) * 1e9) AS BIGINT) AS contrib
+             FROM p JOIN qt USING (term) JOIN lens USING (doc_id, chunk_idx) CROSS JOIN stats),
+           cs AS (SELECT query_id, doc_id, chunk_idx,
+             CAST(sum(contrib) AS BIGINT) AS chunk_score FROM con GROUP BY 1, 2, 3),
+           ds AS (SELECT query_id, doc_id, max(chunk_score) AS doc_score,
+             count(*) AS n_matching_chunks FROM cs GROUP BY 1, 2),
+           b AS (SELECT ds.query_id, ds.doc_id, ds.doc_score, ds.n_matching_chunks,
+             min(cs.chunk_idx) AS best_chunk_idx
+             FROM ds JOIN cs ON cs.query_id = ds.query_id AND cs.doc_id = ds.doc_id
+               AND cs.chunk_score = ds.doc_score
+             GROUP BY 1, 2, 3, 4),
+           r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY doc_score DESC, doc_id) AS rnk FROM b)
+         SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id,
+           doc_score AS doc_score_e9,
+           CAST(best_chunk_idx AS INTEGER) AS best_chunk_idx, n_matching_chunks
+         FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
+      }),
+
     // Reciprocal-rank fusion: b2's three per-term rankings fused as
     // three retrieval systems answering one query — contributions are
     // exact 1e12 DIV (60+rnk) integers, so the whole hybrid-combiner

@@ -168,6 +168,33 @@ class Bm25Spec extends AnyFunSuite {
     assert(stats.getLong(1) === 3L)
   }
 
+  test("passage retrieval finds WHICH chunk matches and ranks docs by their best chunk") {
+    // doc 1: 60 tokens, query term only in the tail -> two+ chunks,
+    // best chunk is a later one; doc 2: term in the head chunk; doc 3:
+    // no match
+    val head = Seq.fill(55)("filler").mkString(" ")
+    val docs = Seq(
+      (1L, s"$head needle alpha beta gamma delta"),
+      (2L, "needle " + Seq.fill(40)("filler").mkString(" ")),
+      (3L, "nothing here at all")).toDF("doc_id", "text")
+    val got = Bm25.passageTopK(docs, "doc_id", "text",
+        Seq((0L, "needle")), k = 5)
+      .select("rnk", "doc_id", "best_chunk_idx", "n_matching_chunks")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._2).toSet === Set(1L, 2L), "doc 3 must not match")
+    val byDoc = got.map(g => g._2 -> g).toMap
+    // doc 1 has 60 tokens -> chunks at 0/25/50; 'needle' is token 56,
+    // inside chunks starting at 25 (covers 26-55? no: tokens 26..55)
+    // and 50 (tokens 51..60). Token 56 lies in chunk_idx 2 only.
+    assert(byDoc(1L)._3 === 2, s"wrong best chunk: ${byDoc(1L)}")
+    assert(byDoc(2L)._3 === 0)
+    // doc 2's matching chunk is 41 tokens of which... chunk 0 is 30
+    // tokens with tf=1; doc 1's best chunk (idx 2) is 10 tokens with
+    // tf=1 -> shorter chunk, higher tf-normalization -> doc 1 ranks
+    // first (len 10 < avgdl shrinks the denominator)
+    assert(byDoc(1L)._1 === 1 && byDoc(2L)._1 === 2)
+  }
+
   test("RRF fusion matches a hand computation on two ranked lists") {
     import graft.operators.RankFusion
     // system A: doc 10 then 20; system B: doc 20 then 30

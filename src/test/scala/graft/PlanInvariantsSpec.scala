@@ -45,6 +45,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // corpus-stats aggregate (n_docs, avgdl) — a 1-row broadcast build
     // side, the scalar-dashboard shape again
     "b2_bm25_term_topk", "b3_bm25_topk", "b4_bm25_served", "b5_rrf_fusion",
+    "b6_passage_topk",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",
