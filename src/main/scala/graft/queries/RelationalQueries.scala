@@ -323,6 +323,53 @@ object RelationalQueries extends QueryPack {
              md5(c_name) AS name_md5
              FROM customer ORDER BY c_custkey LIMIT 500""")),
 
+    // ---- beyond the reference: relational breadth -----------------------
+    // ROLLUP — subtotal/grand-total in one pass (Spark plans one Expand
+    // + one aggregate, not G passes). NULL group keys are COALESCEd to
+    // a literal in BOTH engines: the drivers' compare stringifies
+    // nulls differently (None vs NaN), and no data value collides with
+    // the sentinel.
+    Q("a6_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             count(*) AS n, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // PIVOT — wide-format report (per-month counts by order priority).
+    // Spark's relational pivot with an EXPLICIT value list (no extra
+    // distinct-values job; plans as one aggregate with conditional
+    // counts); the oracle is the equivalent CASE aggregation — integer
+    // counts only, no float sums.
+    Q("a7_pivot",
+      (s, d) => t(s, d, "orders")
+        .select(month(col("o_orderdate")).as("m"), col("o_orderpriority"))
+        .groupBy("m")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("m"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .orderBy("m"),
+      Some("""SELECT month(o_orderdate) AS m,
+             count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+             count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+             count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+             count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+             count(*) FILTER (o_orderpriority = '5-LOW') AS low
+             FROM orders GROUP BY m ORDER BY m""")),
+
     // ---- §2.9 subqueries ------------------------------------------------
     // Q1/Q2: the 10-scalar-subquery "pipeline dashboard" (dp_demo.sql:127-142)
     // — uncorrelated ScalarSubquery nodes, each planned as an independent
