@@ -191,11 +191,7 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = queryTerms(queries.toDF("query_id", "q_text"))
-    val chunks = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
-      .select(col("doc_id"), col("ts"),
-        explode(expr(s"sequence(0, (greatest(size(ts) - $window, 0) + ${stride - 1}) div $stride)"))
-          .as("chunk_idx"))
+    val chunks = Chunker.explodeChunks(docs, idCol, textCol, window, stride)
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"filter(slice(ts, chunk_idx * $stride + 1, $window), t -> t <> '')")
           .as("ctoks"))
@@ -216,16 +212,17 @@ object Bm25 {
           .cast("long").as("contrib_e9"))
     val chunkScores = contrib.groupBy("query_id", "doc_id", "chunk_idx")
       .agg(sum("contrib_e9").as("chunk_score_e9"))
-    val docScores = chunkScores.groupBy("query_id", "doc_id")
-      .agg(max("chunk_score_e9").as("doc_score_e9"),
+    // argmax in ONE aggregation (review r12): lexicographic struct max
+    // gives (max score, then max(-idx) = MIN idx on ties) — no
+    // self-join, no second shuffle over the scored chunks
+    val best = chunkScores.groupBy("query_id", "doc_id")
+      .agg(max(struct(col("chunk_score_e9"),
+          (-col("chunk_idx")).as("neg_idx"))).as("_best"),
         count(lit(1)).as("n_matching_chunks"))
-    val best = chunkScores.select(col("query_id"), col("doc_id"),
-        col("chunk_idx"), col("chunk_score_e9"))
-      .join(docScores,
-        Seq("query_id", "doc_id"))
-      .filter(col("chunk_score_e9") === col("doc_score_e9"))
-      .groupBy("query_id", "doc_id", "doc_score_e9", "n_matching_chunks")
-      .agg(min("chunk_idx").as("best_chunk_idx"))
+      .select(col("query_id"), col("doc_id"),
+        col("_best.chunk_score_e9").as("doc_score_e9"),
+        (-col("_best.neg_idx")).as("best_chunk_idx"),
+        col("n_matching_chunks"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("doc_score_e9").desc, col("doc_id"))
     best.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

@@ -52,8 +52,18 @@ object HashedEmbedding {
       .select(col("doc_id"), QualityModel.tokenBucket(col("token"), dims).as("bucket"))
     val aggs = (0 until dim).map(d => sum(dimWeight(col("bucket"), d)).as(s"_v$d"))
     val sums = buckets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // The exactness contract REQUIRES |component| < 2^24 (float's exact-
+    // integer range; bound is tokens·1000, crossed around ~17k tokens).
+    // Enforced, not assumed (review r12): a longer doc FAILS LOUDLY here
+    // instead of silently rounding in float while the DuckDB twin keeps
+    // the exact double — chunk such docs first (t7), or widen the
+    // component type along with every Array[Float] consumer.
+    def guarded(v: org.apache.spark.sql.Column) =
+      when(abs(v) >= lit(1L << 24),
+        expr(s"raise_error('HashedEmbedding: component exceeds float-exact range (doc too long; chunk it first)')"))
+        .otherwise(v).cast("float")
     val vec = array((0 until dim).map(d =>
-      coalesce(col(s"_v$d"), lit(0L)).cast("float")): _*)
+      guarded(coalesce(col(s"_v$d"), lit(0L)))): _*)
     docs.select(col(idCol).as("doc_id"))
       .join(sums, Seq("doc_id"), "left")
       .select(col("doc_id"), vec.as("embedding"))

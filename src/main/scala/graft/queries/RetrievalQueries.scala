@@ -294,15 +294,6 @@ object RetrievalQueries extends QueryPack {
          FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
       }),
 
-    // Reciprocal-rank fusion: b2's three per-term rankings fused as
-    // three retrieval systems answering one query — contributions are
-    // exact 1e12 DIV (60+rnk) integers, so the whole hybrid-combiner
-    // arithmetic replays bit-for-bit in DuckDB (the one fusion shape
-    // that needs no score calibration; same operator fuses BM25 with
-    // dense ANN lists — Bm25Spec). One frame carrying all three
-    // rankings is passed: RankFusion.rrf unions its inputs anyway, so
-    // this is identical to three per-term frames at a third of the
-    // scan cost.
     // Feature-hashed doc embeddings (HashedEmbedding): text → dim-16
     // integer vector as a pure query. The entry pins each vector via
     // its first two components + the exact BIGINT squared norm (an
@@ -352,6 +343,15 @@ object RetrievalQueries extends QueryPack {
            SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
            FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
+    // Reciprocal-rank fusion: b2's three per-term rankings fused as
+    // three retrieval systems answering one query — contributions are
+    // exact 1e12 DIV (60+rnk) integers, so the whole hybrid-combiner
+    // arithmetic replays bit-for-bit in DuckDB (the one fusion shape
+    // that needs no score calibration; same operator fuses BM25 with
+    // dense ANN lists — Bm25Spec). One frame carrying all three
+    // rankings is passed: RankFusion.rrf unions its inputs anyway, so
+    // this is identical to three per-term frames at a third of the
+    // scan cost.
     Q("b5_rrf_fusion",
       (s, d) => {
         val perTerm = Bm25.termTopK(Tables.load(s, d, "documents"),

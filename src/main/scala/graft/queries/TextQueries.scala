@@ -214,16 +214,11 @@ object TextQueries extends QueryPack {
     // shuffle except the final sort — embarrassingly parallel at any
     // corpus size.
     Q("t7_chunk_windows",
-      (s, d) => Tables.load(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .select(col("doc_id"), col("ts"),
-          // greatest() wraps the SUBTRACTION, not the quotient: a short
-          // doc's negative numerator truncates toward zero in Spark's
-          // `div` but floors in DuckDB's `//` — keeping the numerator
-          // non-negative makes the two identical
-          explode(expr(
-            "sequence(0, (greatest(size(ts) - 30, 0) + 24) div 25)"))
-            .as("chunk_idx"))
+      // chunk derivation shared with Bm25.passageTopK — the Spark-div
+      // vs DuckDB-// portability rule lives in Chunker's doc
+      (s, d) => graft.operators.Chunker
+        .explodeChunks(Tables.load(s, d, "documents"), "doc_id", "text",
+          window = 30, stride = 25)
         .select(col("doc_id"), col("chunk_idx"),
           expr("size(slice(ts, chunk_idx * 25 + 1, 30))").as("n_chunk_tokens"),
           expr("md5(concat_ws(' ', slice(ts, chunk_idx * 25 + 1, 30)))")

@@ -43,6 +43,27 @@ class HashedEmbeddingSpec extends AnyFunSuite {
     assert(got(1L) === got(2L))
   }
 
+  test("a doc long enough to overflow float-exact range fails loudly, not silently") {
+    // deterministic overflow: repeat one token whose dim-0 weight is
+    // large enough that n·|w| crosses 2^24
+    val dims = 64
+    val tok = ('a' to 'z').map(_.toString)
+      .maxBy(t => math.abs((md5Int(s"e:0:${md5Int(t) % dims}") % 2001L) - 1000L))
+    val w = math.abs((md5Int(s"e:0:${md5Int(tok) % dims}") % 2001L) - 1000L)
+    assert(w > 100, s"fixture token too weak: w=$w")
+    val n = ((1L << 24) / w + 1L).toInt
+    val docs = Seq((1L, Seq.fill(n)(tok).mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.operators.HashedEmbedding
+        .embed(docs, "doc_id", "text", dims = dims, dim = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("float-exact range")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("derived embeddings feed the n-family unchanged: partitioned exact == brute exact") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val emb = HashedEmbedding.embed(docs, "doc_id", "text")
