@@ -114,6 +114,53 @@ object CorpusPipelineQueries extends QueryPack {
              CAST(sum(CASE WHEN sc.logit >= thr.thr_logit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              min(CASE WHEN sc.logit >= thr.thr_logit THEN sc.doc_id END) AS first_kept
            FROM sc JOIN thr USING (source)
-           GROUP BY sc.source ORDER BY sc.source"""))
+           GROUP BY sc.source ORDER BY sc.source""")),
+
+    // CANONICAL SELECTION: within each near-dup cluster (d9's
+    // components over the shared d2 pair relation — literally
+    // DedupQueries.nearDupPairs, so the cluster definition cannot
+    // drift from d2/d9), keep the HIGHEST-QUALITY member by t12 logit
+    // (tie → min doc_id) instead of d9's min-id keeper — the
+    // production dedup policy: when copies differ in cleanliness, keep
+    // the cleanest, not the earliest-crawled. One row per multi-member
+    // cluster; argmax is a single struct-max aggregation.
+    Q("x4_canonical_selection",
+      (s, d) => {
+        val clusters = graft.operators.DedupOps
+          .connectedComponents(DedupQueries.nearDupPairs(s, d))
+        val docs = Tables.load(s, d, "documents")
+        val scored = clusters.join(
+          graft.operators.QualityModel
+            .scoreDerived(docs, "doc_id", "text", dims = 1024),
+          Seq("doc_id"))
+        scored.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"),
+            max(struct(col("logit"), (-col("doc_id")).as("neg_id"))).as("_best"))
+          .select(col("cluster_id"), col("cluster_size"),
+            (-col("_best.neg_id")).as("keeper_id"),
+            col("_best.logit").as("keeper_logit"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+             e AS (SELECT d1 u, d2 v FROM jp UNION SELECT d2, d1 FROM jp),
+             reach AS (SELECT u, v FROM e
+               UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+             lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+               FROM reach GROUP BY u),
+             cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1),
+             qtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             qtk AS (SELECT doc_id, token FROM qtoks WHERE token <> ''),
+             qwv AS (SELECT doc_id,
+               (CAST(('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+               FROM qtk),
+             qsm AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit FROM qwv GROUP BY doc_id),
+             m AS (SELECT lab.doc_id, lab.cluster_id, COALESCE(qsm.logit, 0) AS logit
+               FROM lab LEFT JOIN qsm USING (doc_id)),
+             k AS (SELECT cluster_id, doc_id, logit,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY logit DESC, doc_id) AS rn
+               FROM m)
+           SELECT k.cluster_id, CAST(cs.csize AS BIGINT) AS cluster_size,
+             k.doc_id AS keeper_id, k.logit AS keeper_logit
+           FROM k JOIN cs USING (cluster_id) WHERE rn = 1 ORDER BY cluster_id"""))
   )
 }

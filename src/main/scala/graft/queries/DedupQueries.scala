@@ -87,7 +87,7 @@ object DedupQueries extends QueryPack {
     * branch (swap localCheckpoint for persist(MEMORY_AND_DISK) on a real
     * cluster).
     */
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val sh = graft.operators.DedupOps
       .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -99,7 +99,7 @@ object DedupQueries extends QueryPack {
   /** The DuckDB twin of `nearDupPairs`, ending in `jp(d1, d2, jaccard)`
     * — the single source both d2's and d9's oracle SQL build on.
     */
-  private val pairsCte: String =
+  private[queries] val pairsCte: String =
     """toksv AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
                WHERE len(string_split(text, ' ')) >= 3),
              idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toksv),

@@ -65,6 +65,30 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(cleaned.values.toSet === Set("train", "val", "test"))
   }
 
+  test("canonical selection keeps the highest-logit cluster member, not the min id") {
+    import graft.operators.{DedupOps, QualityModel}
+    // two near-identical docs (share nearly all 3-grams) with different
+    // ids; whichever scores higher must be the keeper regardless of id
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " lambda" // superset text: Jaccard well above 0.5
+    val docs = Seq((5L, a), (9L, b)).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(
+      DedupOps.shingles(docs, "doc_id", "text"), threshold = 0.5)
+    assert(pairs.count() === 1L, "fixture pair not detected")
+    val clusters = DedupOps.connectedComponents(pairs)
+    val scored = clusters.join(
+      QualityModel.scoreDerived(docs, "doc_id", "text", 1024), Seq("doc_id"))
+    val keeper = scored.groupBy("cluster_id")
+      .agg(max(struct(col("logit"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select((-col("b.neg_id")).as("keeper_id")).head().getLong(0)
+    val logits = QualityModel.scoreDerived(docs, "doc_id", "text", 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = if (logits(5L) > logits(9L)) 5L
+      else if (logits(9L) > logits(5L)) 9L else 5L
+    assert(keeper === expected,
+      s"keeper $keeper, logits $logits")
+  }
+
   test("token counts ride the cleaned rows exactly") {
     val cleaned = CorpusPipeline.clean(planted, threshold = Long.MinValue)
       .select("doc_id", "n_tokens").collect()
