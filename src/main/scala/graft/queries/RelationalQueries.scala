@@ -370,6 +370,43 @@ object RelationalQueries extends QueryPack {
              count(*) FILTER (o_orderpriority = '5-LOW') AS low
              FROM orders GROUP BY m ORDER BY m""")),
 
+    // FULL OUTER JOIN — both-sides-preserved reconciliation, reported
+    // as side-state counts so the output is compact and null keys never
+    // reach the compare. Each side is restricted (BUILDING customers ×
+    // urgent orders) so all THREE states are non-empty on this data —
+    // the unrestricted join matches every row and would exercise
+    // nothing (every order has a customer, every customer orders).
+    Q("j4_full_outer",
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").as("c")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT").as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "full_outer")
+        .select(when(col("o.o_orderkey").isNull, "customer_only")
+          .when(col("c.c_custkey").isNull, "order_only")
+          .otherwise("matched").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side"),
+      Some("""SELECT CASE WHEN o_orderkey IS NULL THEN 'customer_only'
+                  WHEN c_custkey IS NULL THEN 'order_only'
+                  ELSE 'matched' END AS side, count(*) AS n
+             FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+             FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+               ON c_custkey = o_custkey
+             GROUP BY side ORDER BY side""")),
+
+    // Correlated NOT EXISTS — plans as a left ANTI join (no correlated
+    // re-execution), the complement of p6's IN. Correlated on key AND a
+    // predicate (customers with no URGENT order — non-empty here; every
+    // customer has SOME order).
+    Q("p9_not_exists", sql(
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey"""),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             ORDER BY c_custkey""")),
+
     // ---- §2.9 subqueries ------------------------------------------------
     // Q1/Q2: the 10-scalar-subquery "pipeline dashboard" (dp_demo.sql:127-142)
     // — uncorrelated ScalarSubquery nodes, each planned as an independent
