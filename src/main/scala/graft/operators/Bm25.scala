@@ -242,6 +242,16 @@ object Bm25 {
     *   docs/     dbucket=<pmod(hash(doc_id), nBuckets)>/ (doc_id, doc_len)
     *   stats/    one row (n_docs, sum_len, avgdl, n_buckets)
     *
+    * The "document" is whatever relation the caller indexes — a CHUNK
+    * relation (Chunker.explodeChunks with a synthetic
+    * `doc_id·K + chunk_idx` id and reassembled chunk text) serves
+    * passage queries through the identical machinery: build the index
+    * over chunks-as-docs, `servedTopK` returns top CHUNKS (with ln-idf
+    * BM25, unlike `passageTopK`'s deliberately log-free scoring), and
+    * the caller decodes `doc_id DIV K` for doc-level grouping — the
+    * standard two-stage retrieval shape (Bm25Spec pins the
+    * chunks-as-docs round trip).
+    *
     * doc_len is DENORMALIZED into the postings (a doc's length never
     * changes, so it is append-safe); df is deliberately NOT — a
     * build-time df goes stale the moment new docs arrive, so

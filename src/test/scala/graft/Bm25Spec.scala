@@ -195,6 +195,32 @@ class Bm25Spec extends AnyFunSuite {
     assert(byDoc(1L)._1 === 1 && byDoc(2L)._1 === 2)
   }
 
+  test("chunks-as-docs: the served index answers passage queries bit-identically to ad-hoc") {
+    import graft.operators.Chunker
+    val docs = Tables.load(spark, sf, "documents")
+    // chunk relation with synthetic ids: doc_id * 4096 + chunk_idx
+    val chunks = Chunker.explodeChunks(docs, "doc_id", "text",
+        window = 30, stride = 25)
+      .select((col("doc_id") * 4096 + col("chunk_idx")).as("chunk_id"),
+        expr("concat_ws(' ', slice(ts, chunk_idx * 25 + 1, 30))").as("chunk_text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_chunks").toString
+    try {
+      Bm25.buildIndex(chunks, "chunk_id", "chunk_text", dir, nBuckets = 16)
+      val adhoc = rows(Bm25.topK(chunks, "chunk_id", "chunk_text", queries, k = 10))
+      val served = rows(Bm25.servedTopK(spark, dir, queries, k = 10))
+      assert(served === adhoc)
+      assert(adhoc.nonEmpty)
+      // doc-level decode: every returned chunk id maps back to a real doc
+      val docIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(adhoc.forall { case (_, _, chunkId, _, _) => docIds(chunkId / 4096) })
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("RRF fusion matches a hand computation on two ranked lists") {
     import graft.operators.RankFusion
     // system A: doc 10 then 20; system B: doc 20 then 30
