@@ -61,4 +61,38 @@ object Sketches {
         "CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_registers")
       .selectExpr(s"$M AS m", "sum_inv", "empty_registers",
         s"0.7213e0 / (1e0 + 1.079e0 / ${M}e0) * ${M * M}e0 / sum_inv AS hll_estimate")
+
+  // ------------------------------------------------------------------
+  // Count-min (t11's sketch as a reusable operator; SketchesSpec pins
+  // this to t11's inline arithmetic so the two cannot drift)
+  // ------------------------------------------------------------------
+
+  /** Count-min counters over a token relation `toks(tok)`:
+    * (r, idx, c) for r < depth rows of width cells — idx is the t11
+    * md5 arithmetic (`conv` ≡ DuckDB hex cast). ADDITIVE, hence
+    * mergeable: counters of two corpus slices (or two micro-batches)
+    * combine by cell-wise sum — the property the streaming form builds
+    * on. Fixed-size output (≤ depth·width rows) at any corpus size.
+    */
+  def cmCounters(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    toks
+      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .selectExpr("r",
+        s"CAST(conv(substring(md5(concat(r, ':', tok)), 1, 8), 16, 10) AS BIGINT) % $width AS idx")
+      .groupBy("r", "idx").agg(count(lit(1)).as("c"))
+
+  /** Point estimates from (possibly merged) counters for a token
+    * relation `queryToks(tok)`: min over the token's depth cells —
+    * the one-sided guarantee (estimate ≥ true count) holds for any
+    * cell-wise-summed merge of `cmCounters` outputs.
+    */
+  def cmEstimate(counters: DataFrame, queryToks: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    queryToks
+      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .selectExpr("tok", "r",
+        s"CAST(conv(substring(md5(concat(r, ':', tok)), 1, 8), 16, 10) AS BIGINT) % $width AS idx")
+      .join(counters, Seq("r", "idx"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
 }

@@ -39,4 +39,43 @@ object SketchStream {
       textCol: String = "text", n: Int = 3): DataFrame =
     Sketches.gramRegisters(DedupOps.shingles(docs, idCol, textCol, n))
       .groupBy("bucket").agg(org.apache.spark.sql.functions.max("rho").as("rho"))
+
+  /** STREAMING count-min (t11's sketch over a document stream). Unlike
+    * the HLL's idempotent max, count-min counters are SUMS — a naive
+    * stateful aggregation would double-count on crash replay. The
+    * streaming form therefore lands PER-BATCH PARTIAL counters in
+    * `_batch_id` partitions via dynamic partition overwrite (a
+    * replayed batch overwrites its own partial — idempotent), and the
+    * sketch is the cell-wise SUM of the partials at read time
+    * (`mergedCounters`): additivity is exactly what makes that merge
+    * correct. Per-batch output ≤ depth·width rows; read cost grows
+    * with batch count until `Compaction.compact` folds old partitions
+    * (or periodically re-write via mergedCounters into one partition).
+    */
+  def counterStream(docs: DataFrame, outDir: String, checkpointDir: String,
+      textCol: String = "text", depth: Int = 4, width: Int = 1024)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        Sketches.cmCounters(
+            batch.select(explode(split(col(textCol), " ")).as("tok")),
+            depth, width)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+
+  /** The stream's current sketch: cell-wise sum over all batch
+    * partials — interchangeable with a batch `Sketches.cmCounters`
+    * over the same corpus (SketchStreamSpec pins it).
+    */
+  def mergedCounters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).groupBy("r", "idx")
+      .agg(org.apache.spark.sql.functions.sum("c").as("c"))
 }

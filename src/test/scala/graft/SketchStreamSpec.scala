@@ -57,6 +57,67 @@ class SketchStreamSpec extends AnyFunSuite {
       "streamed registers diverge from the batch fold")
   }
 
+  test("streamed count-min: merged partials equal batch counters; replay overwrites, never double-counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+    val batchCounters = Sketches.cmCounters(
+        docs.select(explode(split(col("text"), " ")).as("tok")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val waves = Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
+    val srcDir = Files.createTempDirectory("graft_cm_src").toString
+    val base = Files.createTempDirectory("graft_cm").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = SketchStream.counterStream(src, s"$base/out", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def merged() = SketchStream.mergedCounters(spark, s"$base/out")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged() === batchCounters,
+      "merged streamed partials diverge from the batch sketch")
+    // crash replay: re-write batch 0's partial (dynamic overwrite of
+    // its own partition) — the merge must be unchanged, not doubled
+    Sketches.cmCounters(
+        waves.head.toDF("doc_id", "text")
+          .select(explode(split(col("text"), " ")).as("tok")))
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(s"$base/out")
+    assert(merged() === batchCounters, "replayed partial double-counted")
+    // one-sidedness survives the merge: estimate >= true count
+    val trueCnt = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmEstimate(
+        SketchStream.mergedCounters(spark, s"$base/out"),
+        trueCnt.keySet.toSeq.toDF("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trueCnt.forall { case (t, c) => est(t) >= c },
+      "count-min one-sided guarantee violated after merge")
+  }
+
+  test("Sketches.cmCounters reproduces t11's inline estimates (anti-drift pin)") {
+    val sf = "/root/testdata/sf0.001"
+    val t11 = SparkEntry.queries("t11_heavy_hitters")(spark, sf)
+      .select("tok", "cm_estimate").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val occ = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val viaOps = Sketches.cmEstimate(Sketches.cmCounters(occ),
+        t11.keySet.toSeq.toDF("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaOps === t11)
+  }
+
   test("streamed registers price to the batch t10 estimate") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
