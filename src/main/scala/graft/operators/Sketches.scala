@@ -63,22 +63,29 @@ object Sketches {
         s"0.7213e0 / (1e0 + 1.079e0 / ${M}e0) * ${M * M}e0 / sum_inv AS hll_estimate")
 
   // ------------------------------------------------------------------
-  // Count-min (t11's sketch as a reusable operator; SketchesSpec pins
-  // this to t11's inline arithmetic so the two cannot drift)
+  // Count-min (t11's sketch as a reusable operator; t11 now CALLS
+  // these, and SketchStreamSpec additionally pins the estimates, so
+  // the arithmetic exists exactly once)
   // ------------------------------------------------------------------
 
+  /** (tok) → (tok, r, idx): each token's depth cell coordinates — THE
+    * cell-index arithmetic (`conv` ≡ DuckDB hex cast), shared by the
+    * counter and estimate faces.
+    */
+  private def cmCells(toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks
+      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .selectExpr("tok", "r",
+        s"CAST(conv(substring(md5(concat(r, ':', tok)), 1, 8), 16, 10) AS BIGINT) % $width AS idx")
+
   /** Count-min counters over a token relation `toks(tok)`:
-    * (r, idx, c) for r < depth rows of width cells — idx is the t11
-    * md5 arithmetic (`conv` ≡ DuckDB hex cast). ADDITIVE, hence
+    * (r, idx, c) for r < depth rows of width cells. ADDITIVE, hence
     * mergeable: counters of two corpus slices (or two micro-batches)
     * combine by cell-wise sum — the property the streaming form builds
     * on. Fixed-size output (≤ depth·width rows) at any corpus size.
     */
   def cmCounters(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
-    toks
-      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .selectExpr("r",
-        s"CAST(conv(substring(md5(concat(r, ':', tok)), 1, 8), 16, 10) AS BIGINT) % $width AS idx")
+    cmCells(toks, depth, width)
       .groupBy("r", "idx").agg(count(lit(1)).as("c"))
 
   /** Point estimates from (possibly merged) counters for a token
@@ -88,10 +95,7 @@ object Sketches {
     */
   def cmEstimate(counters: DataFrame, queryToks: DataFrame,
       depth: Int = 4, width: Int = 1024): DataFrame =
-    queryToks
-      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .selectExpr("tok", "r",
-        s"CAST(conv(substring(md5(concat(r, ':', tok)), 1, 8), 16, 10) AS BIGINT) % $width AS idx")
+    cmCells(queryToks, depth, width)
       .join(counters, Seq("r", "idx"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))

@@ -129,9 +129,14 @@ object CorpusPipelineQueries extends QueryPack {
         val clusters = graft.operators.DedupOps
           .connectedComponents(DedupQueries.nearDupPairs(s, d))
         val docs = Tables.load(s, d, "documents")
+        // score ONLY cluster members (review r12): the logit is a pure
+        // per-doc function, so restricting before scoreDerived is
+        // semantically identical and skips the full-corpus token
+        // explode — cluster membership is small, the corpus is not
+        val memberDocs = docs.join(clusters.select("doc_id"), Seq("doc_id"))
         val scored = clusters.join(
           graft.operators.QualityModel
-            .scoreDerived(docs, "doc_id", "text", dims = 1024),
+            .scoreDerived(memberDocs, "doc_id", "text", dims = 1024),
           Seq("doc_id"))
         scored.groupBy("cluster_id")
           .agg(count(lit(1)).as("cluster_size"),

@@ -396,22 +396,18 @@ object TextQueries extends QueryPack {
     // point queries from the sketch.
     Q("t11_heavy_hitters",
       (s, d) => {
+        import graft.operators.Sketches
         val occ = Tables.load(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
-        def idx(rCol: String, tokCol: String) =
-          s"CAST(conv(substring(md5(concat($rCol, ':', $tokCol)), 1, 8), 16, 10) AS BIGINT) % 1024 AS idx"
-        val counters = occ
-          .select(explode(expr("sequence(0, 3)")).as("r"), col("tok"))
-          .selectExpr("r", idx("r", "tok"))
-          .groupBy("r", "idx").agg(count(lit(1)).as("c"))
         val top = occ.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
           .orderBy(col("true_cnt").desc, col("tok")).limit(20)
-        top.select(col("tok"), col("true_cnt"),
-            explode(expr("sequence(0, 3)")).as("r"))
-          .selectExpr("tok", "true_cnt", "r", idx("r", "tok"))
-          .join(counters, Seq("r", "idx"))
-          .groupBy("tok", "true_cnt").agg(min("c").as("cm_estimate"))
+        // the sketch arithmetic lives ONCE in Sketches (review r12);
+        // this entry composes counters + point estimates + the exact
+        // scaffolding
+        Sketches.cmEstimate(Sketches.cmCounters(occ), top.select("tok"))
+          .join(top, Seq("tok"))
           .withColumn("overestimate", col("cm_estimate") - col("true_cnt"))
+          .select("tok", "true_cnt", "cm_estimate", "overestimate")
           .orderBy(col("true_cnt").desc, col("tok"))
       },
       Some("""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -75,7 +75,18 @@ object SketchStream {
     * over the same corpus (SketchStreamSpec pins it).
     */
   def mergedCounters(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(dir).groupBy("r", "idx")
+      dir: String): DataFrame = {
+    // an output dir with no data files yet (before the first non-empty
+    // batch commits) reads as the EMPTY sketch, not an
+    // unable-to-infer-schema crash (review r12)
+    val raw =
+      try spark.read.parquet(dir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).selectExpr("CAST(0 AS INT) AS r",
+            "CAST(0 AS BIGINT) AS idx", "CAST(0 AS BIGINT) AS c")
+      }
+    raw.groupBy("r", "idx")
       .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+  }
 }

@@ -105,6 +105,13 @@ class SketchStreamSpec extends AnyFunSuite {
       "count-min one-sided guarantee violated after merge")
   }
 
+  test("mergedCounters on a not-yet-written output dir is the empty sketch, not a crash") {
+    val dir = Files.createTempDirectory("graft_cm_empty").toString
+    val m = SketchStream.mergedCounters(spark, dir)
+    assert(m.count() === 0L)
+    assert(m.columns.toSeq === Seq("r", "idx", "c"))
+  }
+
   test("Sketches.cmCounters reproduces t11's inline estimates (anti-drift pin)") {
     val sf = "/root/testdata/sf0.001"
     val t11 = SparkEntry.queries("t11_heavy_hitters")(spark, sf)
