@@ -155,4 +155,32 @@ class PropertiesSpec extends AnyFunSuite {
       assert(bad === 0L, s"trial $trial")
     }
   }
+
+  test("RRF fusion: list-order invariance, and every fused score is the exact reciprocal sum") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RankFusion
+    val listGen: Gen[List[(Long, Long, Int)]] =
+      Gen.listOfN(20, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 30L), Gen.choose(1, 10)))
+    def dedupRanks(rows: List[(Long, Long, Int)]) =
+      // one rank per (query, doc) within a list — a valid ranked list
+      rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+    for (trial <- 1 to 10) {
+      val a = dedupRanks(sample(listGen, trial.toLong))
+      val b = dedupRanks(sample(listGen, trial.toLong + 500))
+      val c = dedupRanks(sample(listGen, trial.toLong + 900))
+      def fuse(lists: Seq[List[(Long, Long, Int)]]) =
+        RankFusion.rrf(lists.map(_.toDF("query_id", "doc_id", "rnk")), k = 50)
+          .select("query_id", "doc_id", "rrf_e12", "n_lists").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val abc = fuse(Seq(a, b, c))
+      // list order must not matter (the union + sum is commutative)
+      assert(fuse(Seq(c, a, b)) === abc, s"trial $trial: order-dependent")
+      // exact score: Σ over lists containing the doc of 1e12 / (60 + rnk)
+      val expected = (a ++ b ++ c).groupBy(r => (r._1, r._2))
+        .map { case (k, rs) =>
+          k -> (rs.map(r => 1000000000000L / (60L + r._3)).sum, rs.size.toLong) }
+      abc.foreach { case (k, v) =>
+        assert(expected(k) === v, s"trial $trial at $k") }
+    }
+  }
 }
