@@ -386,6 +386,65 @@ object DedupQueries extends QueryPack {
       },
       Some(decontOracleSql)),
 
+    // The ACTION face of d8's report: drop every train doc whose
+    // overlap with ANY test doc reaches the threshold, and report the
+    // cleaned train set per source — report → act, the step a real
+    // pipeline runs before training. Composes d8's exact relation
+    // (same operator call), so the drop set cannot drift from the
+    // report.
+    Q("d8c_decontaminated_train",
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("bigint") % 100
+        val docs = Tables.load(s, d, "documents")
+        val train = docs.filter(bucket < 80)
+        val contaminated = graft.operators.DedupOps.crossSplitOverlap(
+            train, docs.filter(bucket >= 90), "doc_id", "text", n = 8)
+          .filter(col("overlap_frac") >= 0.5)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val keptAgg = train.join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+        // LEFT join from the totals so a fully-dropped source still
+        // reports (n_kept = 0), with sentinel first_kept — no nulls
+        // reach the compare
+        train.groupBy("source").agg(count(lit(1)).as("n_train"))
+          .join(keptAgg, Seq("source"), "left")
+          .select(col("source"), col("n_train"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_train") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("first_kept"), lit(-1L)).as("first_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+               FROM documents),
+             toks AS (SELECT doc_id, b, string_split(text, ' ') ts FROM d
+               WHERE len(string_split(text, ' ')) >= 8),
+             idx AS (SELECT doc_id, b, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks),
+             sh AS (SELECT DISTINCT doc_id, b,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM idx),
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh WHERE b >= 90 GROUP BY doc_id),
+             pairs AS (SELECT a.doc_id AS train_doc, t.doc_id AS test_doc, count(*) AS shared_grams
+               FROM sh a JOIN sh t ON a.shingle = t.shingle AND a.b < 80 AND t.b >= 90
+               GROUP BY 1, 2),
+             bad AS (SELECT DISTINCT p.train_doc AS doc_id FROM pairs p
+               JOIN sizes s ON p.test_doc = s.doc_id
+               WHERE CAST(p.shared_grams AS DOUBLE) / s.n >= 0.5),
+             train AS (SELECT doc_id, source FROM d WHERE b < 80),
+             kept AS (SELECT t.doc_id, t.source FROM train t
+               WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = t.doc_id)),
+             ka AS (SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept
+               FROM kept GROUP BY source),
+             ta AS (SELECT source, count(*) AS n_train FROM train GROUP BY source)
+           SELECT ta.source, ta.n_train,
+             COALESCE(ka.n_kept, 0) AS n_kept,
+             ta.n_train - COALESCE(ka.n_kept, 0) AS n_dropped,
+             COALESCE(ka.first_kept, -1) AS first_kept
+           FROM ta LEFT JOIN ka USING (source) ORDER BY ta.source""")),
+
     // The same leakage report through the broadcast-Bloom semi-join
     // reduction (DedupOps.crossSplitOverlapBloom): train grams are
     // membership-tested against a bloom over the eval set's grams
