@@ -26,6 +26,17 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("readEvents tolerates a not-yet-populated source directory (define-then-deliver)") {
+    val empty = Files.createTempDirectory("graft_ev_empty").toString
+    // must not throw at definition (review r12: the schema probe used
+    // to crash on an empty dir); the stream falls back to the current
+    // micros layout
+    val df = graft.streaming.EventStream.readEvents(spark, empty)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("windowed agg with watermark: streaming result equals the batch plan") {
     val q = EventStream.windowedAgg(EventStream.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("win_agg")
