@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -417,6 +421,208 @@ object MultimodalOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  // ======== compressed codecs via javax.imageio (public JDK) ========
+
+  // Skip ImageIO's disk-backed stream cache: payloads are in-memory byte
+  // arrays, and temp-file churn per decode would dominate at scale.
+  ImageIO.setUseCache(false)
+
+  /** PNG payload for `docId`: the SAME deterministic raster as the PPM
+    * fixture (`pixelByte` over `imageWidth`×`imageHeight`), encoded with
+    * the JDK's `javax.imageio` PNG writer. PNG is lossless, so the
+    * m9 oracle replays the raster formula exactly — while the Spark side
+    * genuinely exercises a real compressed-codec decode (`ImageIO.read`
+    * → inflate → de-filter), not the hand-rolled PPM parser.
+    */
+  def pngBytes(docId: Long): Array[Byte] = {
+    val w = imageWidth(docId); val h = imageHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val r = pixelByte(docId, 3L * p)
+      val g = pixelByte(docId, 3L * p + 1)
+      val b = pixelByte(docId, 3L * p + 2)
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", baos), "no PNG writer available")
+    baos.toByteArray
+  }
+
+  /** One PNG payload per document row (narrow, no shuffle). */
+  def withPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, "image/png", pngBytes(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Decode any ImageIO-supported payload (PNG, JPEG, GIF, BMP — the
+    * JDK's standard plugin set) into the `PpmImage` raster shape the
+    * rest of the family consumes (resize, aHash, features). Bulk
+    * `getRGB` avoids per-pixel accessor overhead; throws on undecodable
+    * bytes — decode failures surface, they don't fabricate rasters.
+    */
+  def decodeViaImageIO(bytes: Array[Byte]): PpmImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](3 * w * h)
+    var p = 0
+    while (p < w * h) {
+      val v = rgb(p)
+      out(3 * p) = ((v >> 16) & 0xFF).toByte
+      out(3 * p + 1) = ((v >> 8) & 0xFF).toByte
+      out(3 * p + 2) = (v & 0xFF).toByte
+      p += 1
+    }
+    PpmImage(w, h, 255, out)
+  }
+
+  /** ImageIO decode pass over a lossless-codec media column: geometry +
+    * exact per-channel means + the aHash fingerprint, one per-partition
+    * decode (the m9 face). Because the codec is lossless the decoded
+    * raster equals the generator formula byte-for-byte, so the oracle
+    * replays means AND hash exactly — full m3+m5-strength verification
+    * of a real `javax.imageio` decode path.
+    */
+  def decodeImageIoFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          val img = decodeViaImageIO(bytes)
+          val npx = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < npx) {
+            sr += img.pixels(3 * p) & 0xFF
+            sg += img.pixels(3 * p + 1) & 0xFF
+            sb += img.pixels(3 * p + 2) & 0xFF
+            p += 1
+          }
+          (id, mt, img.width, img.height,
+            sr.toDouble / npx, sg.toDouble / npx, sb.toDouble / npx,
+            aHash64(img))
+        }
+      }
+      .toDF("doc_id", "media_type", "width", "height",
+        "mean_r", "mean_g", "mean_b", "image_hash")
+  }
+
+  /** JPEG fixture gray level of 8×8 block (bx, by) — r=g=b, so chroma
+    * subsampling is a no-op on the fixture.
+    */
+  def jpegBlockGray(docId: Long, bx: Int, by: Int): Int =
+    ((docId * 37L + bx * 17L + by * 29L) % 256L).toInt
+
+  /** JPEG fixture geometry: fixed 64×64. */
+  val JpegSide = 64
+
+  /** The pristine (pre-encode) JPEG fixture raster: 64×64, constant-gray
+    * 8×8 blocks (`jpegBlockGray`). Constant blocks are pure-DC in the
+    * JPEG DCT, so at high quality they decode with ≤~2-level error —
+    * the fixture shape that makes a lossy codec testable: exact pixel
+    * replay is impossible, but perceptual invariants are rock-solid.
+    */
+  def jpegRaster(docId: Long): PpmImage = {
+    val s = JpegSide
+    val out = new Array[Byte](3 * s * s)
+    var y = 0
+    while (y < s) {
+      var x = 0
+      while (x < s) {
+        val g = jpegBlockGray(docId, x / 8, y / 8).toByte
+        val base = 3 * (y * s + x)
+        out(base) = g; out(base + 1) = g; out(base + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(s, s, 255, out)
+  }
+
+  /** Encode a raster as JPEG at an explicit quality via the JDK writer
+    * (deterministic for a fixed JDK: no timestamps or randomness in the
+    * JFIF stream).
+    */
+  def encodeJpeg(img: PpmImage, quality: Float = 0.9f): Array[Byte] = {
+    val buf = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < img.width * img.height) {
+      val r = img.pixels(3 * p) & 0xFF
+      val g = img.pixels(3 * p + 1) & 0xFF
+      val b = img.pixels(3 * p + 2) & 0xFF
+      buf.setRGB(p % img.width, p / img.width, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(buf, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** One JPEG payload per document row (narrow, no shuffle). */
+  def withJpegPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, "image/jpeg", encodeJpeg(jpegRaster(id)))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** The m8 face: decode each JPEG with `ImageIO.read` and report
+    * geometry plus perceptual invariants against the pristine fixture
+    * raster — aHash Hamming distance ≤ 6 bits and every channel mean
+    * within 2 gray levels. JPEG is lossy, so an exact-pixel oracle is
+    * impossible BY THE CODEC'S NATURE; geometry + these invariants are
+    * the strongest engine-independent claims it permits (documented in
+    * m8's oracle comment). Any real decode defect — wrong geometry,
+    * channel slip, raster corruption, codec failure — flips an invariant
+    * to 0 and breaks the oracle hash.
+    */
+  def decodeJpegInvariants(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          val dec = decodeViaImageIO(bytes)
+          val src = jpegRaster(id)
+          val hamming =
+            java.lang.Long.bitCount(aHash64(dec) ^ aHash64(src))
+          val n = dec.width * dec.height
+          var dr = 0L; var dg = 0L; var db = 0L
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < math.min(n, src.width * src.height)) {
+            dr += dec.pixels(3 * p) & 0xFF; sr += src.pixels(3 * p) & 0xFF
+            dg += dec.pixels(3 * p + 1) & 0xFF; sg += src.pixels(3 * p + 1) & 0xFF
+            db += dec.pixels(3 * p + 2) & 0xFF; sb += src.pixels(3 * p + 2) & 0xFF
+            p += 1
+          }
+          val meanDiff = Seq((dr, sr), (dg, sg), (db, sb)).map {
+            case (d, s) => math.abs(d - s).toDouble / n
+          }.max
+          (id, mt, dec.width, dec.height,
+            if (hamming <= 6) 1 else 0,
+            if (meanDiff <= 2.0) 1 else 0)
+        }
+      }
+      .toDF("doc_id", "media_type", "width", "height",
+        "hash_near", "means_close")
   }
 
   /** Order-sensitive byte statistics of a resized payload: plain sum

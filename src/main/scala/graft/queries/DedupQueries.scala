@@ -87,14 +87,30 @@ object DedupQueries extends QueryPack {
     * branch (swap localCheckpoint for persist(MEMORY_AND_DISK) on a real
     * cluster).
     */
+  /** Session cache of the computed pair relation, keyed by (appId,
+    * sfDir) — the n5 "built once on first touch" contract (VERDICT r11
+    * #3): FOUR entries consume this relation (d2 orders it, d9/d9b fold
+    * it into components, x4 selects canonical keepers over those
+    * components), and before this cache each one re-ran the corpus
+    * shingle+join from scratch. The checkpointed pairs are tiny (the
+    * near-dup pair count, not the corpus), so the cache holds O(pairs)
+    * blocks, never O(corpus). Same staleness caveat as n5's ivfDirCache:
+    * if files under `d` are regenerated mid-application, key by a
+    * content fingerprint or drop the cache.
+    */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.DataFrame]()
+
   private[queries] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val sh = graft.operators.DedupOps
-      .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
-    val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
-      .localCheckpoint()
-    graft.operators.DedupOps.jaccardPairs(capped, threshold = 0.5)
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    pairCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      val sh = graft.operators.DedupOps
+        .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
+      val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
+        .localCheckpoint()
+      graft.operators.DedupOps.jaccardPairs(capped, threshold = 0.5)
+        .localCheckpoint()
+    })
 
   /** The DuckDB twin of `nearDupPairs`, ending in `jp(d1, d2, jaccard)`
     * — the single source both d2's and d9's oracle SQL build on.

@@ -193,6 +193,76 @@ object MultimodalQueries extends QueryPack {
              SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, frame_hash
              FROM h ORDER BY doc_id, frame_idx""")),
 
+    // REAL JPEG decode via the public JDK codec (javax.imageio): each
+    // document carries a deterministic 64×64 JPEG (constant-gray 8×8
+    // blocks — pure-DC in the DCT, so high-quality JPEG reproduces them
+    // within ~2 gray levels). JPEG is lossy, so an exact-pixel oracle is
+    // impossible BY THE CODEC'S NATURE; the oracle pins what the codec
+    // guarantees — geometry, plus two perceptual invariants computed
+    // Spark-side against the pristine fixture raster (aHash Hamming ≤ 6,
+    // channel means within 2 levels). Any decode defect (geometry, channel
+    // slip, raster corruption, codec failure) flips an invariant to 0 and
+    // breaks the hash. The lossless ImageIO path with a FULLY-replayed
+    // oracle is m9 below; near-dup detection over perturbed JPEGs rides
+    // the unchanged SimHash bands (MultimodalSpec).
+    Q("m8_decode_jpeg",
+      (s, d) => MultimodalOps
+        .decodeJpegInvariants(s,
+          MultimodalOps.withJpegPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'image/jpeg' AS media_type,
+             CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS hash_near,
+             CAST(1 AS INTEGER) AS means_close
+             FROM documents ORDER BY doc_id""")),
+
+    // REAL PNG decode via javax.imageio with FULL oracle replay: the
+    // payload is the m3 raster formula PNG-encoded by the JDK writer;
+    // PNG is lossless, so the decoded raster equals the formula
+    // byte-for-byte and the oracle replays geometry, exact channel
+    // means (m3's CTE), and the aHash fingerprint (m5's CTE) — m3+m5-
+    // strength verification of a genuine compressed-codec decode
+    // (inflate + de-filter), not the hand-rolled PPM parser.
+    Q("m9_decode_png",
+      (s, d) => MultimodalOps
+        .decodeImageIoFeatures(s,
+          MultimodalOps.withPngPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INTEGER) AS width,
+               CAST(8 + doc_id % 7 AS INTEGER) AS height FROM documents),
+             px AS (SELECT doc_id, width, height,
+               unnest(range(0, width * height)) AS p FROM dims),
+             sums AS (SELECT doc_id, width, height,
+               sum((doc_id*31 + (3*p    )*7) % 256) AS sr,
+               sum((doc_id*31 + (3*p + 1)*7) % 256) AS sg,
+               sum((doc_id*31 + (3*p + 2)*7) % 256) AS sb
+              FROM px GROUP BY 1, 2, 3),
+             opx AS (SELECT doc_id, width AS w, height AS h,
+               unnest(range(0, 64)) AS o FROM dims),
+             mapped AS (SELECT doc_id, o,
+               3 * (((o // 8) * h // 8) * w + ((o % 8) * w // 8)) AS src
+              FROM opx),
+             gray AS (SELECT doc_id, o,
+                 (doc_id*31 + (src    )*7) % 256
+               + (doc_id*31 + (src + 1)*7) % 256
+               + (doc_id*31 + (src + 2)*7) % 256 AS g FROM mapped),
+             tot AS (SELECT doc_id, sum(g) AS tg FROM gray GROUP BY 1),
+             hsh AS (SELECT gray.doc_id,
+               CAST(sum(CASE WHEN g * 64 > tg THEN
+                 (CASE WHEN o = 63 THEN -9223372036854775808
+                       ELSE CAST(power(2, o) AS BIGINT) END)
+                 ELSE 0 END) AS BIGINT) AS image_hash
+              FROM gray JOIN tot ON gray.doc_id = tot.doc_id
+              GROUP BY gray.doc_id)
+             SELECT s.doc_id, 'image/png' AS media_type, s.width, s.height,
+               CAST(s.sr AS DOUBLE) / (s.width * s.height) AS mean_r,
+               CAST(s.sg AS DOUBLE) / (s.width * s.height) AS mean_g,
+               CAST(s.sb AS DOUBLE) / (s.width * s.height) AS mean_b,
+               h.image_hash
+             FROM sums s JOIN hsh h ON s.doc_id = h.doc_id
+             ORDER BY s.doc_id""")),
+
     // Audio modality (MultimodalOps.audioFeatures): REAL byte-level
     // parse of the A1 PCM container, then 16-sample windowed energy —
     // integer sample-square sums, one exact division per window, and an

@@ -261,4 +261,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L, 2L)),
       s"expected exactly the planted re-cut pair, got $pairs")
   }
+
+  test("PNG via ImageIO round-trips the raster formula byte-for-byte (lossless)") {
+    for (id <- Seq(0L, 1L, 7L, 63L, 499L)) {
+      val dec = MultimodalOps.decodeViaImageIO(MultimodalOps.pngBytes(id))
+      assert(dec.width === MultimodalOps.imageWidth(id))
+      assert(dec.height === MultimodalOps.imageHeight(id))
+      dec.pixels.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xFF) === MultimodalOps.pixelByte(id, i), s"doc $id byte $i")
+      }
+    }
+    // undecodable bytes fail loudly, never fabricate a raster
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeViaImageIO(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("JPEG via ImageIO: geometry exact, decode perceptually faithful") {
+    val invariants = MultimodalOps.decodeJpegInvariants(spark,
+        MultimodalOps.withJpegPayload(spark,
+          Tables.load(spark, sf, "documents")))
+      .collect()
+    assert(invariants.length ===
+      Tables.load(spark, sf, "documents").count())
+    invariants.foreach { r =>
+      assert(r.getAs[Int]("width") === MultimodalOps.JpegSide, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Int]("height") === MultimodalOps.JpegSide)
+      assert(r.getAs[Int]("hash_near") === 1, s"aHash drift doc ${r.getLong(0)}")
+      assert(r.getAs[Int]("means_close") === 1, s"mean drift doc ${r.getLong(0)}")
+    }
+  }
+
+  test("JPEG near-dup: perturbed re-encode found by the banded SimHash search") {
+    import spark.implicits._
+    // a perturbed copy: one 8×8 block's gray nudged by +4 — survives the
+    // lossy round-trip as a near-identical aHash; a different doc's
+    // fixture is a genuinely different image
+    val base = MultimodalOps.jpegRaster(5L)
+    val perturbed = {
+      val px = base.pixels.clone()
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val i = 3 * (y * MultimodalOps.JpegSide + x)
+          val g = math.min(255, (px(i) & 0xFF) + 4).toByte
+          px(i) = g; px(i + 1) = g; px(i + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      MultimodalOps.PpmImage(base.width, base.height, 255, px)
+    }
+    val media = Seq(
+      (1L, MultimodalOps.encodeJpeg(base)),
+      (2L, MultimodalOps.encodeJpeg(perturbed)),
+      (3L, MultimodalOps.encodeJpeg(MultimodalOps.jpegRaster(6L))))
+      .toDF("doc_id", "payload")
+    import org.apache.spark.sql.functions.{col, udf}
+    val hashUdf = udf((bytes: Array[Byte]) =>
+      MultimodalOps.aHash64(MultimodalOps.decodeViaImageIO(bytes)))
+    val hashes = media.select(col("doc_id"),
+      hashUdf(col("payload")).as("simhash"))
+    val pairs = graft.operators.DedupOps
+      .simHashNearPairs(hashes, maxHamming = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected exactly the planted perturbed-JPEG pair, got $pairs")
+  }
 }
