@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   *     |query terms| partitions of the postings store — the sparse
   *     analogue of IVF's nprobe-cell pruned read; the corpus text is
   *     never touched at query time.
-  *   - Scores are exact-integer: each per-term contribution is floored
-  *     to 1e-9 resolution (`contrib_e9` BIGINT) BEFORE the per-doc sum,
-  *     so the aggregate is order-independent under any partitioning —
-  *     the same trick that makes t10's register sum hashable. A raw
-  *     IEEE double sum would be partition-order-dependent and
-  *     unhashable.
+  *   - Scores are exact-integer FIXED-POINT: per-term idf is floored to
+  *     an e6 integer under a boundary guard (`idfE6` — cross-engine
+  *     portable despite libm ln), tf-normalization to an e9 integer
+  *     (already bit-portable IEEE), and the contribution is their
+  *     BIGINT product, summed order-independently under any
+  *     partitioning — the t10 register-sum trick. A raw IEEE double
+  *     sum would be partition-order-dependent and unhashable; with the
+  *     fixed-point form the FULL multi-term scoring replays in DuckDB
+  *     with no pinned constants.
   *   - Top-k is a per-query window over the scored rows; queries are
   *     few, matched docs are bounded by the query terms' df, so the
   *     window partition is modest. For a high-df term at web scale the
@@ -81,14 +84,45 @@ object Bm25 {
       (tf.cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) * (docLen.cast("double") / avgdl)))
 
   /** Lucene-style idf: ln(1 + (N − df + ½)/(df + ½)) — strictly positive
-    * for every df ≤ N. NOT bit-portable across engines (libm ln); used
-    * only inside the integer-scaled full scorer whose oracle is pinned,
-    * never in a cross-engine-replayed expression (t6/t10 precedent).
+    * for every df ≤ N. The ln itself is libm-private (not guaranteed
+    * bit-portable), which is why the scorer consumes it only through
+    * the GUARDED fixed-point projection `idfE6` below.
     */
   def idf(df: Column, nDocs: Column): Column =
     log(lit(1.0) +
       (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
         (df.cast("double") + lit(0.5)))
+
+  /** Margin (in e6 units) that `idfE6` keeps between ln·1e6 and the
+    * nearest integer boundary: engines' ln implementations agree to
+    * ≤ a few ulps (≈4e-10 after the 1e6 scaling), so any value at
+    * least 1e-4 from a boundary floors identically everywhere.
+    */
+  val IdfGuardE6 = 1e-4
+
+  /** idf as an exact fixed-point integer: floor(ln-idf · 1e6), GUARDED —
+    * if the scaled value sits within `IdfGuardE6` of an integer
+    * boundary (where two correctly-implemented ln's could floor apart),
+    * the plan raises instead of emitting a value another engine might
+    * not reproduce. Fail-loud beats silently unverifiable: under the
+    * guard the integer is a portable constant of (N, df), so the b3/b4
+    * oracle replays the FULL multi-term scoring in DuckDB with no
+    * pinned constants (the boundary-avoidance idea is Lucene's norm
+    * quantization taken to where it buys cross-engine exactness).
+    * P(violation) ≈ 2·guard per distinct query-term df — negligible for
+    * real corpora, and loud when it ever trips.
+    */
+  def idfE6(df: Column, nDocs: Column): Column = {
+    val y = idf(df, nDocs) * lit(1e6)
+    val frac = y - floor(y)
+    floor(y).cast("long") +
+      coalesce(assert_true(
+        frac > lit(IdfGuardE6) && frac < lit(1.0 - IdfGuardE6),
+        concat(lit("idf_e6 within guard margin of a floor boundary for df="),
+          col("df"), lit(", n_docs="), col("n_docs"),
+          lit(" — raise the fixed-point precision for this corpus")))
+        .cast("long"), lit(0L))
+  }
 
   /** Per-TERM top-k docs ranked by tf-normalization. For a fixed term,
     * BM25's ranking is tfNorm's ranking (idf is a per-term constant and
@@ -116,9 +150,10 @@ object Bm25 {
   }
 
   /** Full multi-term BM25 top-k. `queries` are (query_id, text) pairs;
-    * scores are exact BIGINTs at 1e-9 resolution (see the object doc),
-    * so the result is a pure, order-independent function of
-    * (corpus, queries, k) — pinnable per corpus like n4's recall.
+    * scores are exact fixed-point BIGINTs (idf_e6 · tfnorm_e9 — see the
+    * object doc), so the result is a pure, order-independent,
+    * CROSS-ENGINE-REPLAYABLE function of (corpus, queries, k): the b3
+    * oracle recomputes the whole scoring in DuckDB.
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
@@ -146,26 +181,35 @@ object Bm25 {
     * (term, doc_id, tf, doc_len) already restricted to the query
     * terms; df per term is the exact count over those rows (each
     * term's full posting list survives its own filter); contributions
-    * floor to e9 integers before the order-independent per-doc sum.
+    * are exact idf_e6 · tfnorm_e9 BIGINT products summed
+    * order-independently (object doc).
     */
   private def scoreAndRank(p: DataFrame, stats: DataFrame,
       qTerms: DataFrame, k: Int): DataFrame = {
     val dfPerTerm = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = p.join(broadcast(dfPerTerm), "term")
+    // per-term idf as a guarded exact integer (idfE6's doc); the tiny
+    // term relation is where the ln evaluates — once per term, not per
+    // posting row
+    val termIdf = dfPerTerm
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .select(col("term"), idfE6(col("df"), col("n_docs")).as("idf_e6"))
+    // contribution = idf_e6 · floor(tfnorm · 1e9): a product of two
+    // exact BIGINTs (≤ ~2e7 · ~2.2e9 < 2^63), summed order-independently
+    val contrib = p.join(broadcast(termIdf), "term")
       .join(broadcast(qTerms), "term")
-      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .crossJoin(broadcast(stats.select("avgdl")))
       .select(col("query_id"), col("doc_id"),
-        floor(idf(col("df"), col("n_docs")) *
-          tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
-          .cast("long").as("contrib_e9"))
+        (col("idf_e6") *
+          floor(tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
+            .cast("long")).as("contrib_e15"))
     val scored = contrib.groupBy("query_id", "doc_id")
-      .agg(sum("contrib_e9").as("score_e9"),
+      .agg(sum("contrib_e15").as("score_e15"),
         count(lit(1)).as("n_matched_terms"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score_e9").desc, col("doc_id"))
+      .partitionBy("query_id").orderBy(col("score_e15").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"),
-        col("doc_id"), col("score_e9"), col("n_matched_terms"))
+        col("doc_id"), col("score_e15"), col("n_matched_terms"))
   }
 
   /** PASSAGE retrieval — the RAG shape: score fixed-window chunks (the

@@ -17,14 +17,15 @@ import graft.operators.{Bm25, HashedEmbedding, RankFusion}
   *     a FIXED term, BM25's doc ranking IS tfNorm's ranking — idf is a
   *     per-term constant under a strictly monotone map — so b2
   *     hash-pins real BM25 ranking without ever evaluating ln.
-  *   - b3/b4 (full multi-term scoring) need ln(idf), which is libm-
-  *     private; their scores are exact BIGINTs (per-term contributions
-  *     floored to 1e-9 before the order-independent integer sum), so
-  *     the result is a constant of (corpus, queries, k) and the oracle
-  *     PINS it per test corpus behind an integer corpus fingerprint —
-  *     n4's pinned-recall pattern. An arithmetic or pruning regression
-  *     surfaces as a hash mismatch; an unknown corpus yields one
-  *     legible sentinel row instead of a value diff.
+  *   - b3/b4 (full multi-term scoring) use ln(idf), which is libm-
+  *     private — but only through Bm25.idfE6's GUARDED fixed-point
+  *     projection: floor(ln·1e6) with a runtime assertion that the
+  *     value is far from any floor boundary, so every ≤1-ulp-correct
+  *     ln floors to the same integer. That makes the whole scoring
+  *     (idf_e6 · tfnorm_e9 BIGINT products, order-independent sums)
+  *     fully replayable in DuckDB with no pinned constants
+  *     (FullTopKOracle) — the former corpus-fingerprint pinning is
+  *     retired.
   */
 object RetrievalQueries extends QueryPack {
 
@@ -86,72 +87,43 @@ object RetrievalQueries extends QueryPack {
   private val EmbDotQQ = edot("qe", "qe")
   private val EmbDotNN = edot("ne", "ne")
 
-  /** Pinned full-BM25 results per corpus, keyed by the exact integer
-    * fingerprint Σ doc_id·n_chars (order-independent integer sum; the
-    * row count cannot tell sf0.001 from sf0.01 — both hold 500 docs).
-    * Measured once from the Spark side per corpus (Bm25Probe) and held
-    * as the contract at every driver SF. An unknown corpus yields one
-    * legible sentinel row (query_id = −1 carrying the unmatched
-    * fingerprint) instead of a 15-row value diff — the n4 pattern.
+  /** The b3/b4 oracle: DuckDB replays the WHOLE multi-term fixed-point
+    * scoring — query-term postings, exact df, the guarded idf_e6
+    * integer (Bm25.idfE6: floor(ln-idf · 1e6), portable because the
+    * Spark side raises if any term's value sits within the guard margin
+    * of a floor boundary), tfnorm_e9, the BIGINT contribution product,
+    * the order-independent sum, and the rank window. No pinned
+    * constants (VERDICT r11 #4): a regression anywhere in the scoring
+    * chain surfaces as a value diff on THIS corpus, not a fingerprint
+    * sentinel.
     */
-  private val PinnedTopKOracle: String =
-    """WITH disc AS (SELECT CAST(sum(doc_id * n_chars) AS BIGINT) AS f FROM documents),
-       pinned AS (SELECT * FROM (VALUES
-         (38304424, 0, 1, 190, 1181591348, 3),
-         (38304424, 0, 2, 495, 1180401925, 3),
-         (38304424, 0, 3, 438, 1171170947, 3),
-         (38304424, 0, 4, 135, 1167813991, 3),
-         (38304424, 0, 5, 184, 1165200843, 3),
-         (38304424, 1, 1, 441, 1664636240, 4),
-         (38304424, 1, 2, 269, 1641166984, 4),
-         (38304424, 1, 3, 369, 1638863891, 4),
-         (38304424, 1, 4, 16, 1634864530, 4),
-         (38304424, 1, 5, 275, 1612900631, 4),
-         (38304424, 2, 1, 188, 1162719395, 3),
-         (38304424, 2, 2, 465, 1144954597, 3),
-         (38304424, 2, 3, 37, 1103994150, 3),
-         (38304424, 2, 4, 205, 1103994150, 3),
-         (38304424, 2, 5, 452, 1101471631, 3),
-         (37380857, 0, 1, 395, 1250568157, 3),
-         (37380857, 0, 2, 498, 1217258385, 3),
-         (37380857, 0, 3, 14, 1206009884, 3),
-         (37380857, 0, 4, 98, 1204211062, 3),
-         (37380857, 0, 5, 290, 1201436331, 3),
-         (37380857, 1, 1, 173, 1631035889, 4),
-         (37380857, 1, 2, 394, 1605386013, 4),
-         (37380857, 1, 3, 104, 1588475090, 4),
-         (37380857, 1, 4, 259, 1558028478, 4),
-         (37380857, 1, 5, 444, 1538955734, 4),
-         (37380857, 2, 1, 94, 1320936652, 3),
-         (37380857, 2, 2, 150, 1266427749, 3),
-         (37380857, 2, 3, 116, 1216533095, 3),
-         (37380857, 2, 4, 83, 1204615167, 3),
-         (37380857, 2, 5, 12, 1198585650, 3),
-         (3719125526, 0, 1, 2256, 1338473833, 3),
-         (3719125526, 0, 2, 4115, 1332774949, 3),
-         (3719125526, 0, 3, 4337, 1332257187, 3),
-         (3719125526, 0, 4, 2327, 1323191309, 3),
-         (3719125526, 0, 5, 1480, 1306060423, 3),
-         (3719125526, 1, 1, 4346, 1713424413, 4),
-         (3719125526, 1, 2, 2018, 1699209335, 4),
-         (3719125526, 1, 3, 4020, 1697843544, 4),
-         (3719125526, 1, 4, 4335, 1691939580, 4),
-         (3719125526, 1, 5, 3113, 1691331452, 4),
-         (3719125526, 2, 1, 3599, 1369502834, 3),
-         (3719125526, 2, 2, 4294, 1355673366, 3),
-         (3719125526, 2, 3, 4515, 1351528870, 3),
-         (3719125526, 2, 4, 1802, 1339174222, 3),
-         (3719125526, 2, 5, 3876, 1331174337, 3)
-         ) AS t(f, query_id, rnk, doc_id, score_e9, n_matched_terms))
-       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
-         CAST(doc_id AS BIGINT) AS doc_id, CAST(score_e9 AS BIGINT) AS score_e9,
-         CAST(n_matched_terms AS BIGINT) AS n_matched_terms
-       FROM pinned JOIN disc ON pinned.f = disc.f
-       UNION ALL
-       SELECT CAST(-1 AS BIGINT), CAST(-1 AS INTEGER), CAST((SELECT f FROM disc) AS BIGINT),
-         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-       WHERE NOT EXISTS (SELECT 1 FROM pinned JOIN disc ON pinned.f = disc.f)
-       ORDER BY query_id, rnk"""
+  private val FullTopKOracle: String = {
+    val qtVals = Queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH $OracleProlog,
+       qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         FROM (VALUES $qtVals) AS v(query_id, term)),
+       qp AS (SELECT p.term, p.doc_id, p.tf FROM p
+         WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+       dfv AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+       ti AS (SELECT term,
+         CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           / (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS idf_e6
+         FROM dfv CROSS JOIN stats),
+       con AS (SELECT qt.query_id, qp.doc_id,
+         ti.idf_e6 * CAST(floor(($TfNormSql) * 1e9) AS BIGINT) AS contrib
+         FROM qp JOIN ti USING (term) JOIN qt USING (term)
+           JOIN lens USING (doc_id) CROSS JOIN stats),
+       sc AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_e15,
+         count(*) AS n_matched_terms FROM con GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY score_e15 DESC, doc_id) AS rnk FROM sc)
+     SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_e15,
+       n_matched_terms
+     FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
+  }
 
   /** One persisted BM25 inverted index per (session, dataset) — built on
     * first use, reused by every later b4 invocation (bench reps, verify,
@@ -225,27 +197,26 @@ object RetrievalQueries extends QueryPack {
            SELECT term, doc_id, tf, doc_len, CAST(rnk AS INTEGER) AS rnk, tfnorm
            FROM r WHERE rnk <= $TermK ORDER BY term, rnk""")),
 
-    // Full multi-term BM25 top-k (ln idf × tf-norm, contributions
-    // floored to exact e9 integers before the order-independent sum).
-    // The result is a constant of (corpus, queries, k); the oracle pins
-    // it per test corpus behind the Σ doc_id·n_chars fingerprint.
+    // Full multi-term BM25 top-k (guarded fixed-point idf_e6 ×
+    // tfnorm_e9, exact BIGINT contributions summed order-
+    // independently). Fully replayed in DuckDB — no pinned constants.
     Q("b3_bm25_topk",
       (s, d) => Bm25.topK(Tables.load(s, d, "documents"),
           "doc_id", "text", Queries, BK)
         .orderBy("query_id", "rnk"),
-      Some(PinnedTopKOracle)),
+      Some(FullTopKOracle)),
 
     // The SERVING path: persisted bucket-partitioned inverted index,
     // query reads pruned to the ≤|terms| bucket partitions, df computed
     // exactly from the pruned rows (what makes the index appendable).
     // Bit-identical to b3's ad-hoc scoring (Bm25Spec pins it; same
-    // inputs, same expression tree), so it shares b3's pinned oracle —
-    // a mismatch means the persisted round-trip or the pruned read
-    // diverged from the live path.
+    // inputs, same expression tree), so it shares b3's fully-replayed
+    // oracle — a mismatch means the persisted round-trip or the pruned
+    // read diverged from the live path.
     Q("b4_bm25_served",
       (s, d) => Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, BK)
         .orderBy("query_id", "rnk"),
-      Some(PinnedTopKOracle)),
+      Some(FullTopKOracle)),
 
     // Passage retrieval (the RAG shape): rank DOCS by their best
     // CHUNK's idf-free score, reporting which chunk matched. Log-free,

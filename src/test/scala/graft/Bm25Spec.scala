@@ -17,7 +17,7 @@ class Bm25Spec extends AnyFunSuite {
     (2L, "customer query slow"))
 
   private def rows(df: DataFrame): Set[(Long, Int, Long, Long, Long)] =
-    df.select("query_id", "rnk", "doc_id", "score_e9", "n_matched_terms")
+    df.select("query_id", "rnk", "doc_id", "score_e15", "n_matched_terms")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
@@ -32,13 +32,17 @@ class Bm25Spec extends AnyFunSuite {
       math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
     def tfn(tf: Long, len: Long, avgdl: Double): Double =
       tf * (1.2 + 1.0) / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl)))
+    // fixed-point projections (the idfE6/tfnorm_e9 contract)
+    def idfE6(dfc: Long, n: Long): Long = math.floor(idf(dfc, n) * 1e6).toLong
+    def tfnE9(tf: Long, len: Long, avgdl: Double): Long =
+      math.floor(tfn(tf, len, avgdl) * 1e9).toLong
     // query "red fish": doc1 matches both terms, doc2 matches red only.
     val expected = Map(
-      1L -> (math.floor(idf(2, 3) * tfn(1, 4, 3.0) * 1e9).toLong +
-             math.floor(idf(1, 3) * tfn(2, 4, 3.0) * 1e9).toLong, 2L),
-      2L -> (math.floor(idf(2, 3) * tfn(1, 2, 3.0) * 1e9).toLong, 1L))
+      1L -> (idfE6(2, 3) * tfnE9(1, 4, 3.0) +
+             idfE6(1, 3) * tfnE9(2, 4, 3.0), 2L),
+      2L -> (idfE6(2, 3) * tfnE9(1, 2, 3.0), 1L))
     val got = Bm25.topK(docs, "doc_id", "text", Seq((0L, "red fish")), k = 5)
-      .select("doc_id", "score_e9", "n_matched_terms").collect()
+      .select("doc_id", "score_e15", "n_matched_terms").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === expected)
   }

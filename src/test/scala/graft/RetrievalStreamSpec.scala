@@ -28,7 +28,7 @@ class RetrievalStreamSpec extends AnyFunSuite {
     (2L, "customer query slow"))
 
   private def results(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Long, Long)] =
-    df.select("query_id", "rnk", "doc_id", "score_e9", "n_matched_terms")
+    df.select("query_id", "rnk", "doc_id", "score_e15", "n_matched_terms")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
