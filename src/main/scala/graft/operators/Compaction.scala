@@ -106,4 +106,81 @@ object Compaction {
       maxFiles: Int = 4): Seq[String] =
     compact(spark, s"$dir/assigned", "cell", maxFiles) ++
       compact(spark, s"$dir/by_id", "_idb", maxFiles).map("by_id:" + _)
+
+  /** Fold committed count-min BATCH PARTIALS (the `_batch_id`
+    * partitions `SketchStream.counterStream` lands) into one BASE
+    * partition (`_batch_id = −1`), so the sketch's read cost stops
+    * growing with batch count. Additivity makes the fold exact; the
+    * design burden is replay- and crash-safety:
+    *
+    *   - the HIGHEST batch id on disk is never folded: under
+    *     structured streaming it is the only batch whose foreachBatch
+    *     effect may precede its checkpoint commit — a failure replays
+    *     exactly that batch, and the replay's dynamic overwrite must
+    *     find its own partition, not a base that silently absorbed it
+    *     (which would double-count);
+    *   - the base records WHICH ids it has absorbed as marker rows
+    *     (r = −1, idx = batch id, c = 0), written in the SAME
+    *     dynamic-overwrite commit as the folded cells. Readers
+    *     (`SketchStream.mergedCounters`) exclude any on-disk partition
+    *     named by a marker, so the crash window between base write and
+    *     partial deletion double-counts NOTHING; a re-run skips
+    *     already-absorbed ids (idempotent) and merely retries the
+    *     deletes.
+    *
+    * The one remaining window is dynamic overwrite's own non-atomic
+    * commit on the base partition itself — the same documented
+    * `compact` window, same `.spark-staging-*` recovery. Single-writer
+    * contract: run while the stream is stopped or between its commits.
+    *
+    * Returns the batch ids newly folded by this call.
+    */
+  def compactSketch(spark: SparkSession, dir: String): Seq[Long] = {
+    import spark.implicits._
+    val BaseId = -1L
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val onDisk = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch_id="))
+      .map(_.getPath.getName.stripPrefix("_batch_id=").toLong)
+    val real = onDisk.filter(_ >= 0L)
+    if (real.isEmpty) return Seq.empty
+    val baseExists = onDisk.contains(BaseId)
+    val base =
+      if (baseExists)
+        spark.read.option("basePath", dir).parquet(s"$dir/_batch_id=$BaseId")
+          .select("r", "idx", "c")
+      else
+        spark.range(0).selectExpr("CAST(0 AS INT) AS r",
+          "CAST(0 AS BIGINT) AS idx", "CAST(0 AS BIGINT) AS c")
+    val folded: Set[Long] = base.filter(col("r") === -1)
+      .select("idx").collect().map(_.getLong(0)).toSet
+    // partials a previous crash left on disk after they were absorbed:
+    // invisible to readers (markers), but retry their deletion below
+    val leftover = real.filter(folded)
+    val candidates = real.filter(id => id < real.max && !folded(id)).sorted
+    if (candidates.nonEmpty) {
+      val candRows = spark.read.option("basePath", dir)
+        .parquet(candidates.map(id => s"$dir/_batch_id=$id"): _*)
+        .select("r", "idx", "c")
+      val cells = base.filter(col("r") >= 0).unionByName(candRows)
+        .groupBy("r", "idx").agg(sum("c").as("c"))
+        .select(col("r").cast("int").as("r"), col("idx").cast("long").as("idx"),
+          col("c").cast("long").as("c"))
+      val markers = (folded ++ candidates).toSeq.sorted.toDF("idx")
+        .select(lit(-1).cast("int").as("r"), col("idx").cast("long").as("idx"),
+          lit(0L).as("c"))
+      cells.unionByName(markers)
+        .withColumn("_batch_id", lit(BaseId))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id").parquet(dir)
+    }
+    (candidates ++ leftover).distinct.foreach { id =>
+      fs.delete(new Path(path, s"_batch_id=$id"), true); ()
+    }
+    candidates
+  }
 }

@@ -316,9 +316,9 @@ object IvfIndex {
   }
 
   /** Latest drift record of a persisted index, `None` until the first
-    * append against a baseline-carrying save. `flagged` means: schedule
-    * a rebuild (`build` + `save` on the full corpus) — appends keep
-    * working meanwhile, recall just decays for the shifted slice.
+    * append against a baseline-carrying save. `flagged` means: run
+    * `retrain(dir)` (or schedule it) — appends keep working meanwhile,
+    * recall just decays for the shifted slice.
     */
   def driftStatus(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DriftStatus] = {
@@ -330,6 +330,45 @@ object IvfIndex {
       .map(r => DriftStatus(r.getAs[Long]("seq"), r.getAs[Long]("n"),
         r.getAs[Double]("mean_dist"), r.getAs[Double]("ratio"),
         r.getAs[Boolean]("flagged")))
+  }
+
+  /** The ACTION face of the drift metric (the d8c pattern: a report
+    * without an operator that acts on it leaves the decision manual):
+    * rebuild the quantizer from the index's own current corpus and
+    * rewrite the whole store in place — centroids re-fit on a bounded
+    * sample (`build`'s contract), every vector re-assigned, pointers
+    * rewritten, and the drift baseline reset to the new fit, with the
+    * drift LOG cleared (its ratios were measured against the retired
+    * baseline; `driftStatus` returns None until the first post-retrain
+    * append). A quantized store stays quantized — its dequantized view
+    * is the fit input AND the rewritten payload, so no float corpus is
+    * needed.
+    *
+    * The store's content is materialized (localCheckpoint inside
+    * `build`, plus the corpus pin here) BEFORE any overwrite starts, so
+    * the rewrite never reads the files it is replacing. In-place
+    * overwrite carries the same non-atomic commit window as every
+    * overwrite in this layout: a crash mid-rewrite needs the store
+    * restored (or the index rebuilt from the source corpus); at 100 TB
+    * retrain into a fresh directory and swap paths if that window is
+    * unacceptable. Single-writer: stop appends while retraining.
+    *
+    * Returns the retrained index (already persisted at `dir`).
+    */
+  def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      seed: Long = 42L, maxTrainRows: Long = 100000L): BuiltIvf = {
+    val (idx, quantizedStore) = loadWithLayout(spark, dir)
+    val nlist = idx.centers.size
+    // pin the logical corpus before the store is overwritten
+    val corpus = idx.assigned.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val rebuilt = build(corpus, nlist, seed, maxTrainRows,
+      knownN = corpus.count())
+    if (quantizedStore) saveQuantized(rebuilt, dir) else save(rebuilt, dir)
+    val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logPath)) { fs.delete(logPath, true); () }
+    rebuilt
   }
 
   /** Rebuild the pointer store from the assignment — crash recovery for

@@ -49,8 +49,11 @@ object SketchStream {
     * sketch is the cell-wise SUM of the partials at read time
     * (`mergedCounters`): additivity is exactly what makes that merge
     * correct. Per-batch output ≤ depth·width rows; read cost grows
-    * with batch count until `Compaction.compact` folds old partitions
-    * (or periodically re-write via mergedCounters into one partition).
+    * with batch count until `Compaction.compactSketch` folds committed
+    * partials into the `_batch_id = −1` BASE partition — replay-safe:
+    * the newest id is never folded (it may still replay) and absorbed
+    * ids are recorded as marker rows the reader honors even if a crash
+    * left their partitions on disk.
     */
   def counterStream(docs: DataFrame, outDir: String, checkpointDir: String,
       textCol: String = "text", depth: Int = 4, width: Int = 1024)
@@ -70,12 +73,17 @@ object SketchStream {
         ()
       }
 
-  /** The stream's current sketch: cell-wise sum over all batch
-    * partials — interchangeable with a batch `Sketches.cmCounters`
-    * over the same corpus (SketchStreamSpec pins it).
+  /** The stream's current sketch: cell-wise sum over the base plus all
+    * live batch partials — interchangeable with a batch
+    * `Sketches.cmCounters` over the same corpus (SketchStreamSpec pins
+    * it). Partials already absorbed into the base (marker rows r = −1
+    * listing their batch ids — `Compaction.compactSketch`) are excluded
+    * even if a crash left their partitions on disk, so the compaction
+    * crash window can never double-count.
     */
   def mergedCounters(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     // an output dir with no data files yet (before the first non-empty
     // batch commits) reads as the EMPTY sketch, not an
     // unable-to-infer-schema crash (review r12)
@@ -86,7 +94,14 @@ object SketchStream {
           spark.range(0).selectExpr("CAST(0 AS INT) AS r",
             "CAST(0 AS BIGINT) AS idx", "CAST(0 AS BIGINT) AS c")
       }
-    raw.groupBy("r", "idx")
-      .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    val cells =
+      if (raw.columns.contains("_batch_id")) {
+        val folded = raw.filter(col("r") === -1)
+          .select(col("idx").as("_folded_id")).distinct()
+        raw.filter(col("r") >= 0)
+          .join(folded, col("_batch_id") === col("_folded_id"), "left_anti")
+      } else raw
+    cells.groupBy("r", "idx").agg(sum("c").as("c"))
+      .select("r", "idx", "c")
   }
 }

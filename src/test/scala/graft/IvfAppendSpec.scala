@@ -104,6 +104,71 @@ class IvfAppendSpec extends AnyFunSuite {
       "drift log must order appends")
   }
 
+  test("retrain acts on flagged drift: centroids refit, drift cleared, serving matches a fresh build") {
+    val full = IvfIndex.build(planted, nlist = 10)
+    val dir = tmp("graft_ivf_retrain")
+    IvfIndex.save(IvfIndex.BuiltIvf(
+      full.assigned.filter(col("vec_id") < 150L), full.centers), dir)
+
+    // a shifted append: five far-away clusters the frozen quantizer
+    // cannot place well — the drift metric flags it
+    val shifted = planted.filter(col("vec_id") >= 150L)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * 5.0f + 3.0f).as("embedding"))
+      .localCheckpoint()
+    IvfIndex.appendToSaved(spark, dir, shifted)
+    assert(IvfIndex.driftStatus(spark, dir).get.flagged,
+      "fixture must flag before the action face runs")
+
+    val retrained = IvfIndex.retrain(spark, dir)
+    // the report face is reset: ratios against the retired baseline are
+    // gone, the next append measures against the new fit
+    assert(IvfIndex.driftStatus(spark, dir).isEmpty, "drift did not clear")
+
+    // served results bit-match a FRESH build+save of the same logical
+    // corpus (the append-vs-full discipline): the re-fit centroids place
+    // the shifted clusters in their own cells, and the exact re-rank
+    // makes results independent of centroid jitter on clustered data
+    val logical = planted.filter(col("vec_id") < 150L).unionByName(shifted)
+    val freshDir = tmp("graft_ivf_fresh")
+    IvfIndex.save(IvfIndex.build(logical, nlist = 10), freshDir)
+    val q2 = (0 until 5).map(c => (c * 30).toLong) ++
+      (5 until 10).map(c => (c * 30).toLong + 1000L)
+    assert(rows(IvfIndex.searchPrebuilt(retrained, q2, 5, nprobe = 2)) ===
+      rows(IvfIndex.searchPrebuilt(IvfIndex.load(spark, freshDir), q2, 5,
+        nprobe = 2)))
+    assert(rows(IvfIndex.searchPruned(IvfIndex.load(spark, dir), q2, 5,
+        nprobe = 2)) ===
+      rows(IvfIndex.searchPruned(IvfIndex.load(spark, freshDir), q2, 5,
+        nprobe = 2)))
+
+    // the next append measures against the NEW baseline: the same
+    // distribution that flagged before retrain is in-distribution now
+    val more = shifted.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    IvfIndex.appendToSaved(spark, dir, more)
+    val post = IvfIndex.driftStatus(spark, dir).get
+    assert(!post.flagged,
+      s"post-retrain in-distribution append flagged (ratio ${post.ratio})")
+  }
+
+  test("retrain keeps a quantized store quantized and serving-consistent") {
+    val full = IvfIndex.build(planted, nlist = 10)
+    val dir = tmp("graft_ivf_retrain_q")
+    IvfIndex.saveQuantized(full, dir)
+    IvfIndex.retrain(spark, dir)
+    val raw = spark.read.parquet(s"$dir/assigned")
+    assert(raw.columns.contains("qvec"), "retrain forked the store to floats")
+    // the retrained quantized index still serves: every query's top hit
+    // is a member of its own planted cluster
+    val served = IvfIndex.searchPruned(IvfIndex.load(spark, dir),
+      queries, 5, nprobe = 2)
+    served.filter(col("rnk") === 1).collect().foreach { r =>
+      assert(r.getLong(1) / 30L === r.getLong(0) / 30L,
+        s"query ${r.getLong(0)} top hit left its cluster")
+    }
+  }
+
   test("crash mid-append: repairPointers heals orphan vectors, then the re-run is a no-op") {
     val full = IvfIndex.build(planted, nlist = 10)
     val fullDir = tmp("graft_ivf_ref")

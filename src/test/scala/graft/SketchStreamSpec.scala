@@ -105,6 +105,78 @@ class SketchStreamSpec extends AnyFunSuite {
       "count-min one-sided guarantee violated after merge")
   }
 
+  test("compactSketch folds committed partials; replay, crash leftovers, and re-runs stay exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+    val batchCounters = Sketches.cmCounters(
+        docs.select(explode(split(col("text"), " ")).as("tok")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val waves = Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
+    val srcDir = Files.createTempDirectory("graft_cmc_src").toString
+    val base = Files.createTempDirectory("graft_cmc").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = SketchStream.counterStream(src, s"$base/out", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def merged() = SketchStream.mergedCounters(spark, s"$base/out")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def partsOnDisk() = new java.io.File(s"$base/out").listFiles()
+      .filter(_.getName.startsWith("_batch_id=")).map(_.getName).toSet
+
+    // fold: batches 0 and 1 are committed history; 2 (the newest) must
+    // stay live — it is the only batch a crash could still replay
+    val folded = graft.operators.Compaction.compactSketch(spark, s"$base/out")
+    assert(folded === Seq(0L, 1L))
+    assert(partsOnDisk() === Set("_batch_id=-1", "_batch_id=2"))
+    assert(merged() === batchCounters, "compacted+live diverges from batch sketch")
+
+    // crash replay of the un-folded newest batch: dynamic overwrite of
+    // its own partition — merge unchanged, never doubled
+    Sketches.cmCounters(
+        waves(2).toDF("doc_id", "text")
+          .select(explode(split(col("text"), " ")).as("tok")))
+      .withColumn("_batch_id", lit(2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(s"$base/out")
+    assert(merged() === batchCounters, "replayed live partial double-counted")
+
+    // crash window: an ABSORBED partial resurrected on disk (base write
+    // committed, delete did not) — the base's marker rows keep it
+    // invisible to readers, and a re-run only retries the delete
+    Sketches.cmCounters(
+        waves.head.toDF("doc_id", "text")
+          .select(explode(split(col("text"), " ")).as("tok")))
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("append").partitionBy("_batch_id").parquet(s"$base/out")
+    assert(partsOnDisk().contains("_batch_id=0"))
+    assert(merged() === batchCounters, "marker exclusion failed: leftover counted")
+    val refold = graft.operators.Compaction.compactSketch(spark, s"$base/out")
+    assert(refold.isEmpty, "re-run re-folded an absorbed id")
+    assert(partsOnDisk() === Set("_batch_id=-1", "_batch_id=2"),
+      "re-run did not retry the leftover delete")
+    assert(merged() === batchCounters)
+
+    // the estimates the sketch exists for survive the whole lifecycle
+    val trueCnt = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmEstimate(
+        SketchStream.mergedCounters(spark, s"$base/out"),
+        trueCnt.keySet.toSeq.toDF("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trueCnt.forall { case (t, c) => est(t) >= c },
+      "one-sided guarantee violated after compaction")
+  }
+
   test("mergedCounters on a not-yet-written output dir is the empty sketch, not a crash") {
     val dir = Files.createTempDirectory("graft_cm_empty").toString
     val m = SketchStream.mergedCounters(spark, dir)
