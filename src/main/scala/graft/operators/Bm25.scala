@@ -410,6 +410,14 @@ object Bm25 {
     * `distinct()` collapses byte-identical rows a crash-replayed
     * append may have left (over the already-pruned tiny relation — its
     * rows are about to shuffle for the df aggregate anyway).
+    *
+    * Interim exposure inside `appendToIndex`'s documented crash window
+    * (postings landed, docs/stats not yet): the orphan postings count
+    * into df while n_docs/avgdl still exclude their docs, so scores —
+    * not just row sets — can TEMPORARILY differ from `topK` on the
+    * logical corpus until the replayed append completes (ADVICE r11).
+    * Healed by the replay; the window is the append's, not this
+    * reader's.
     */
   def servedTopK(spark: SparkSession, dir: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {

@@ -39,7 +39,16 @@ object RankFusion {
     require(ranked.nonEmpty, "rrf needs at least one ranked list")
     require(k0 >= 1, "k0 must be >= 1")
     val unioned = ranked
-      .map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .map(_.select(col("query_id"), col("doc_id"), col("rnk"))
+        // each list contributes AT MOST ONE rank per (query, doc): a
+        // contract-violating input (e.g. a caller unioning two runs into
+        // one frame) would otherwise silently double-sum that doc and
+        // inflate n_lists (ADVICE r11). Collapse deterministically to
+        // the BEST (minimum) rank; a well-formed top-k list passes
+        // through unchanged, and the relation is already k-bounded so
+        // the partial agg is tiny.
+        .groupBy("query_id", "doc_id")
+        .agg(min("rnk").as("rnk")))
       .reduce(_.unionByName(_))
     val contrib = unioned.select(col("query_id"), col("doc_id"),
       expr(s"CAST($Scale DIV (CAST($k0 AS BIGINT) + CAST(rnk AS BIGINT)) AS BIGINT)")

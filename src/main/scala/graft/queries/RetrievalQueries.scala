@@ -319,16 +319,19 @@ object RetrievalQueries extends QueryPack {
     // exact 1e12 DIV (60+rnk) integers, so the whole hybrid-combiner
     // arithmetic replays bit-for-bit in DuckDB (the one fusion shape
     // that needs no score calibration; same operator fuses BM25 with
-    // dense ANN lists — Bm25Spec). One frame carrying all three
-    // rankings is passed: RankFusion.rrf unions its inputs anyway, so
-    // this is identical to three per-term frames at a third of the
-    // scan cost.
+    // dense ANN lists — Bm25Spec). The three lists are passed as three
+    // INPUTS — rrf enforces one-rank-per-doc per input (ADVICE r11), so
+    // a single frame carrying all rankings would be fused as one system;
+    // the shared termTopK result is checkpointed once (terms·k rows),
+    // keeping the corpus scan count at one.
     Q("b5_rrf_fusion",
       (s, d) => {
         val perTerm = Bm25.termTopK(Tables.load(s, d, "documents"),
-          "doc_id", "text", QueryTerms, TermK)
-        RankFusion.rrf(Seq(perTerm.select(lit(0L).as("query_id"),
-          col("doc_id"), col("rnk"))), k = TermK)
+          "doc_id", "text", QueryTerms, TermK).localCheckpoint()
+        RankFusion.rrf(QueryTerms.map(t =>
+          perTerm.filter(col("term") === t)
+            .select(lit(0L).as("query_id"), col("doc_id"), col("rnk"))),
+          k = TermK)
           .orderBy("query_id", "rnk")
       },
       Some(s"""WITH $OracleProlog,

@@ -397,8 +397,11 @@ object TextQueries extends QueryPack {
     Q("t11_heavy_hitters",
       (s, d) => {
         import graft.operators.Sketches
+        // empty tokens excluded — the one tokenization convention every
+        // operator shares (Bm25.postings / QualityModel / ADVICE r11)
         val occ = Tables.load(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
         val top = occ.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
           .orderBy(col("true_cnt").desc, col("tok")).limit(20)
         // the sketch arithmetic lives ONCE in Sketches (review r12);
@@ -410,7 +413,8 @@ object TextQueries extends QueryPack {
           .select("tok", "true_cnt", "cm_estimate", "overestimate")
           .orderBy(col("true_cnt").desc, col("tok"))
       },
-      Some("""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      Some("""WITH occ0 AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             occ AS (SELECT tok FROM occ0 WHERE tok <> ''),
              ctr AS (SELECT r,
                CAST(('0x' || substr(md5(r || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS idx,
                count(*) AS c

@@ -43,9 +43,15 @@ object EventStream {
     // generator layout (micros read as TIMESTAMP_NTZ); a nanos-era
     // directory populated after definition would need the eventSchema
     // path — deliver one file first to disambiguate (review r12).
+    // only the empty/missing-dir analysis error falls back; a genuine
+    // read failure (permissions, corrupt footer, IO) must propagate at
+    // definition time, not silently lock the stream to the micros
+    // layout (ADVICE r11)
     val probed =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: Throwable => TimestampNTZType }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => TimestampNTZType
+      }
     probed match {
       case LongType =>
         spark.readStream.schema(eventSchema).parquet(dir)

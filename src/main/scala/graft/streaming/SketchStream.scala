@@ -63,8 +63,11 @@ object SketchStream {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
+        // empty tokens excluded — the shared tokenization convention
+        // (Bm25.postings / QualityModel / t11; ADVICE r11)
         Sketches.cmCounters(
-            batch.select(explode(split(col(textCol), " ")).as("tok")),
+            batch.select(explode(split(col(textCol), " ")).as("tok"))
+              .filter(col("tok") =!= ""),
             depth, width)
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")

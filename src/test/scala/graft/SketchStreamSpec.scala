@@ -61,7 +61,8 @@ class SketchStreamSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(200).cache()
     val batchCounters = Sketches.cmCounters(
-        docs.select(explode(split(col("text"), " ")).as("tok")))
+        docs.select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= ""))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
 
     val rows = docs.as[(Long, String)].collect().toSeq
@@ -88,7 +89,8 @@ class SketchStreamSpec extends AnyFunSuite {
     // its own partition) — the merge must be unchanged, not doubled
     Sketches.cmCounters(
         waves.head.toDF("doc_id", "text")
-          .select(explode(split(col("text"), " ")).as("tok")))
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= ""))
       .withColumn("_batch_id", lit(0L))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id").parquet(s"$base/out")
@@ -109,7 +111,8 @@ class SketchStreamSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(200).cache()
     val batchCounters = Sketches.cmCounters(
-        docs.select(explode(split(col("text"), " ")).as("tok")))
+        docs.select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= ""))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val rows = docs.as[(Long, String)].collect().toSeq
     val waves = Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
@@ -143,7 +146,8 @@ class SketchStreamSpec extends AnyFunSuite {
     // its own partition — merge unchanged, never doubled
     Sketches.cmCounters(
         waves(2).toDF("doc_id", "text")
-          .select(explode(split(col("text"), " ")).as("tok")))
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= ""))
       .withColumn("_batch_id", lit(2L))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id").parquet(s"$base/out")
@@ -154,7 +158,8 @@ class SketchStreamSpec extends AnyFunSuite {
     // invisible to readers, and a re-run only retries the delete
     Sketches.cmCounters(
         waves.head.toDF("doc_id", "text")
-          .select(explode(split(col("text"), " ")).as("tok")))
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= ""))
       .withColumn("_batch_id", lit(0L))
       .write.mode("append").partitionBy("_batch_id").parquet(s"$base/out")
     assert(partsOnDisk().contains("_batch_id=0"))
