@@ -678,4 +678,102 @@ object MultimodalOps {
       }
       .toDF("doc_id", "frame_idx", "width", "height", "byte_sum", "byte_checksum")
   }
+
+  // ======== real audio codec via javax.sound.sampled (public JDK) ========
+
+  /** Per-doc 16-bit PCM fixture: sample count and signed sample value.
+    * Same determinism contract as `audioSampleByte` but full 16-bit
+    * range slice, so the RIFF/WAVE little-endian frame reassembly is
+    * genuinely exercised (sign bit + both bytes carry information).
+    */
+  def wavSampleCount(docId: Long): Int = 64 + (docId % 32).toInt
+  def wavSample(docId: Long, i: Long): Int =
+    (((docId * 13 + i * 11) % 4096) - 2048).toInt
+
+  val WavRate = 8000f
+
+  /** A real RIFF/WAVE payload written by the JDK's own WAV encoder
+    * (`javax.sound.sampled.AudioSystem.write`): 16-bit signed
+    * little-endian mono PCM at 8 kHz. WAV PCM is lossless, so the m10
+    * oracle replays the full sample formula — a header mis-parse,
+    * endianness slip, or frame-size error cannot hash-match.
+    */
+  def wavBytes(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val n = wavSampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = wavSample(docId, i)
+      pcm(2 * i) = (v & 0xFF).toByte          // little-endian low byte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** One WAV payload per document row (narrow, no shuffle). */
+  def withWavPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, "audio/wav", wavBytes(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** A decoded PCM clip with full format metadata. */
+  final case class WavClip(rate: Float, bits: Int, channels: Int, samples: Array[Int])
+
+  /** Decode a RIFF/WAVE payload with the JDK's real WAV reader
+    * (`AudioSystem.getAudioInputStream`): container parse, format
+    * negotiation, then little-endian signed 16-bit frame reassembly.
+    * Throws on anything but 16-bit mono PCM — a decode failure must
+    * surface, not fabricate samples.
+    */
+  def decodeWav(bytes: Array[Byte]): WavClip = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unsupported WAV format: $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF))
+        i += 1
+      }
+      WavClip(fmt.getSampleRate, fmt.getSampleSizeInBits, fmt.getChannels, out)
+    } finally ais.close()
+  }
+
+  /** The m10 face: decode each WAV with the JDK codec and emit m7-shape
+    * windowed features over the SIGNED samples (sum of squares is
+    * integer-exact; rms is one IEEE division + a correctly-rounded
+    * sqrt, so the whole composition hash-matches the oracle replay).
+    * Per-partition decode, no shuffle; `sample_rate` pins the parsed
+    * header, `n_samples` the frame count.
+    */
+  def wavFeatures(spark: SparkSession, media: DataFrame,
+      window: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        val clip = decodeWav(bytes)
+        clip.samples.grouped(window).zipWithIndex.map { case (w, wi) =>
+          var ss = 0L
+          w.foreach { v => ss += v.toLong * v }
+          (id, clip.rate.toInt, clip.samples.length, wi, w.length, ss,
+            math.sqrt(ss.toDouble / w.length))
+        }
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "win_idx", "win_len",
+        "sum_sq", "rms")
+  }
 }

@@ -99,4 +99,55 @@ object Sketches {
       .join(counters, Seq("r", "idx"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
+
+  // ------------------------------------------------------------------
+  // Log2-histogram quantile sketch — the DDSketch shape (Masson,
+  // Rim & Lee, VLDB 2019, public) with base-2 buckets: floor(log2 v)
+  // indexes a fixed ≤64-bucket histogram, so the sketch is ADDITIVE
+  // (mergeable by bucket-wise sum — the cmCounters property), fixed-
+  // size at any corpus size, and the rank→bucket quantile answer has a
+  // guaranteed ≤2× relative-error envelope [lo, hi]. Production
+  // DDSketch uses log_{1+α} buckets for a tighter α envelope; base 2
+  // keeps the index log-free (bit-length string arithmetic, the HLL
+  // rho idiom) and therefore bit-replayable in a second engine. t9
+  // holds the exact-rank face; this is its streamable, mergeable twin.
+  // ------------------------------------------------------------------
+
+  /** Bucket-wise counts of floor(log2 v) over `values(v)`; v ≤ 0 lands
+    * in bucket −1. `length(bin(v)) − 1` ≡ floor(log2 v) for v ≥ 1 in
+    * Spark and DuckDB alike (bin renders without leading zeros).
+    */
+  def logHistogram(values: DataFrame): DataFrame =
+    values
+      .selectExpr(
+        "CASE WHEN v <= 0 THEN -1 ELSE CAST(length(bin(v)) - 1 AS INT) END AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile envelopes from a (possibly merged) histogram: for each
+    * rational q = q_num/q_den, the ceiling rank, the smallest bucket
+    * whose cumulative count reaches it, and the value envelope
+    * [lo, hi] = [2^b, 2^(b+1) − 1] guaranteed to contain the exact
+    * q-quantile. All-integer arithmetic (ceil via (a + d − 1) div d) —
+    * no float ranks. The rank window runs over the ≤64-row sketch,
+    * never the corpus, so the single-partition sort is O(buckets).
+    */
+  def histQuantiles(hist: DataFrame, qs: Seq[(Int, Int)]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val total = hist.agg(sum("cnt").as("n"))
+    val ranks = qs.toDF("q_num", "q_den").crossJoin(total)
+      .selectExpr("q_num", "q_den",
+        "(q_num * n + q_den - 1) div q_den AS rank")
+    val cum = hist
+      .withColumn("cum",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy("q_num", "q_den", "rank")
+      .agg(min("bucket").as("bucket"))
+      .selectExpr("q_num", "q_den", "rank", "bucket",
+        "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket) END AS lo",
+        "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1 END AS hi")
+  }
 }

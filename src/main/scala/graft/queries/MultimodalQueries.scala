@@ -283,6 +283,33 @@ object MultimodalQueries extends QueryPack {
                CAST(sum(v * v) AS BIGINT) AS sum_sq FROM v GROUP BY 1, 2)
              SELECT doc_id, win_idx, win_len, sum_sq,
                sqrt(CAST(sum_sq AS DOUBLE) / win_len) AS rms
+             FROM agg ORDER BY doc_id, win_idx""")),
+
+    // REAL WAV decode via the public JDK codec (javax.sound.sampled):
+    // each document carries a RIFF/WAVE payload written by the JDK's
+    // own encoder (16-bit signed LE mono PCM @ 8 kHz), decoded back
+    // with AudioSystem.getAudioInputStream — real container parse +
+    // frame reassembly, the audio analogue of m9's PNG round trip.
+    // WAV PCM is lossless, so the oracle replays the full signed
+    // sample formula; an endianness slip or header mis-parse cannot
+    // hash-match.
+    Q("m10_decode_wav",
+      (s, d) => MultimodalOps
+        .wavFeatures(s,
+          MultimodalOps.withWavPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "win_idx"),
+      Some("""WITH dims AS (SELECT doc_id,
+               64 + doc_id % 32 AS n FROM documents),
+             sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+             v AS (SELECT doc_id, n, i, CAST(i // 16 AS INTEGER) AS win_idx,
+               (doc_id*13 + i*11) % 4096 - 2048 AS v FROM sm),
+             agg AS (SELECT doc_id, CAST(max(n) AS INTEGER) AS n_samples,
+               win_idx,
+               CAST(count(*) AS INTEGER) AS win_len,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq FROM v GROUP BY 1, 3)
+             SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+               n_samples, win_idx, win_len, sum_sq,
+               sqrt(CAST(sum_sq AS DOUBLE) / win_len) AS rms
              FROM agg ORDER BY doc_id, win_idx"""))
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bm25, HashedEmbedding, RankFusion}
+import graft.operators.{Bm25, HashedEmbedding, RankFusion, SemanticDedup}
 
 /** BM25 sparse retrieval over the `documents` table — the lexical twin
   * of SimilarityQueries' dense ANN family (builder brief "similarity
@@ -352,6 +352,48 @@ object RetrievalQueries extends QueryPack {
                FROM f)
            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
              doc_id, rrf_e12, CAST(n_lists AS BIGINT) AS n_lists
-           FROM fr WHERE rnk <= $TermK ORDER BY query_id, rnk"""))
+           FROM fr WHERE rnk <= $TermK ORDER BY query_id, rnk""")),
+
+    // Semantic dedup, the SemDeDup shape (Abbas et al. 2023) over the
+    // DERIVED t13 embeddings: deterministic sign-LSH cells stand in for
+    // the k-means stage (cell assignment is part of the semantics, see
+    // SemanticDedup's doc), exact within-cell cosine, drop any doc with
+    // a smaller-id epsilon-neighbor in its cell. The corpus's organic
+    // exact duplicates land at cosine 1.0 in the same cell, so the drop
+    // set is non-vacuous at every SF; the oracle replays the WHOLE
+    // chain — embedding, plane dots, cell bits, BIGINT pair dots,
+    // cosine, and the keep verdict.
+    Q("d11_semantic_dedup",
+      (s, d) => {
+        val emb = HashedEmbedding.embed(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        SemanticDedup.dedupVerdicts(emb, eps = 0.95).orderBy("doc_id")
+      },
+      Some(s"""WITH $EmbedSql,
+             n2 AS (SELECT doc_id, v,
+               CAST(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) AS BIGINT) AS nrm
+               FROM vec),
+             pw AS (SELECT p, d,
+               (CAST(('0x' || substr(md5('sd:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+               FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 16)) AS d)),
+             dots AS (SELECT n2.doc_id, pw.p,
+               CAST(sum(CAST(n2.v[pw.d + 1] AS BIGINT) * pw.w) AS BIGINT) AS dp
+               FROM n2, pw GROUP BY 1, 2),
+             cells AS (SELECT doc_id,
+               CAST(sum(CASE WHEN dp >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS cell
+               FROM dots GROUP BY doc_id),
+             nz AS (SELECT c.doc_id, c.cell, n2.v, n2.nrm
+               FROM cells c JOIN n2 USING (doc_id) WHERE n2.nrm > 0),
+             pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(list_reduce(list_transform(list_zip(a.v, b.v),
+                 x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE)
+               / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+               FROM nz a JOIN nz b ON a.cell = b.cell AND a.doc_id < b.doc_id),
+             dropped AS (SELECT b_id AS doc_id, min(a_id) AS witness
+               FROM pr WHERE cosine >= 0.95 GROUP BY 1)
+           SELECT c.doc_id, c.cell,
+             CAST(CASE WHEN dr.witness IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+             CAST(COALESCE(dr.witness, -1) AS BIGINT) AS witness
+           FROM cells c LEFT JOIN dropped dr USING (doc_id) ORDER BY c.doc_id"""))
   )
 }

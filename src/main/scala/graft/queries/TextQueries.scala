@@ -430,6 +430,45 @@ object TextQueries extends QueryPack {
              GROUP BY e.tok, e.true_cnt
              ORDER BY true_cnt DESC, tok""")),
 
+    // Quantile SKETCH over per-doc token counts — the DDSketch shape
+    // (Masson et al., VLDB 2019) with base-2 buckets (Sketches
+    // .logHistogram/.histQuantiles): a fixed ≤64-bucket additive
+    // histogram (mergeable by bucket-wise sum, streamable like the
+    // count-min partials) answers any quantile with a guaranteed
+    // ≤2× envelope [lo, hi]. t9 is the exact-rank face that a 100 TB
+    // run cannot afford per ad-hoc query; this sketch is one
+    // fixed-size shuffle at any corpus size, and every number —
+    // ceiling ranks, bucket pick, power-of-two envelopes — is integer
+    // arithmetic replayed bit-for-bit by the oracle.
+    Q("t14_quantile_sketch",
+      (s, d) => {
+        import graft.operators.Sketches
+        val vals = Tables.load(s, d, "documents")
+          .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS v")
+        Sketches.histQuantiles(Sketches.logHistogram(vals),
+            Seq((1, 2), (9, 10), (99, 100)))
+          .orderBy("q_den", "q_num")
+      },
+      Some("""WITH vals AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+             b AS (SELECT CASE WHEN v <= 0 THEN -1
+               ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS bucket FROM vals),
+             h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+             qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) v(q_num, q_den)),
+             r AS (SELECT q_num, q_den,
+               CAST((q_num * n + q_den - 1) // q_den AS BIGINT) AS rank
+               FROM qs CROSS JOIN tot),
+             c AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM h),
+             pick AS (SELECT r.q_num, r.q_den, r.rank, min(c.bucket) AS bucket
+               FROM r JOIN c ON c.cum >= r.rank GROUP BY 1, 2, 3)
+             SELECT CAST(q_num AS INTEGER) AS q_num, CAST(q_den AS INTEGER) AS q_den,
+               rank, bucket,
+               CASE WHEN bucket < 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << bucket) END AS lo,
+               CASE WHEN bucket < 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi
+             FROM pick ORDER BY q_den, q_num""")),
+
     // Hashed-feature linear model inference (QualityModel): the
     // fastText-style quality-classifier shape as a pure query — tokens
     // hash to buckets (sp1's md5 idiom), integer micro-unit weights,

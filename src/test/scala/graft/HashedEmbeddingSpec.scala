@@ -79,4 +79,32 @@ class HashedEmbeddingSpec extends AnyFunSuite {
     assert(part === brute)
     assert(brute.size === ids.size * 5)
   }
+
+  test("semantic dedup: exact copy AND doubled-text copy drop against the original; distinct doc kept") {
+    // doc 11 = doc 10's text verbatim (identical vector); doc 12 = the
+    // text twice (vector x2 -> cosine exactly 1.0, NOT an exact-hash
+    // dup — the case d1 misses and SemDeDup exists for); doc 13 shares
+    // no tokens.
+    val base = "spark merge vector window batch table"
+    val docs = Seq(
+      (10L, base), (11L, base), (12L, s"$base $base"),
+      (13L, "customer orders revenue quarter")).toDF("doc_id", "text")
+    val emb = graft.operators.HashedEmbedding.embed(docs, "doc_id", "text")
+    val got = graft.operators.SemanticDedup.dedupVerdicts(emb, eps = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(1)))).toMap
+    assert(got(10L)._1 === 1 && got(10L)._2 === -1L)
+    assert(got(11L) === ((0, 10L, got(10L)._3)), "exact copy drops, witness=10, same cell")
+    assert(got(12L) === ((0, 10L, got(10L)._3)), "doubled text drops: same direction, same cell")
+    assert(got(13L)._1 === 1)
+  }
+
+  test("semantic dedup: zero vectors never pair; verdict covers every embedded doc") {
+    val docs = Seq((1L, ""), (2L, ""), (3L, "alpha beta")).toDF("doc_id", "text")
+    val emb = graft.operators.HashedEmbedding.embed(docs, "doc_id", "text")
+    val got = graft.operators.SemanticDedup.dedupVerdicts(emb, eps = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1),
+      "identical zero vectors are d1's business, not cosine's")
+  }
 }

@@ -329,4 +329,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)),
       s"expected exactly the planted perturbed-JPEG pair, got $pairs")
   }
+
+  test("WAV via javax.sound.sampled round-trips the signed PCM formula exactly") {
+    for (id <- Seq(0L, 1L, 31L, 499L)) {
+      val clip = MultimodalOps.decodeWav(MultimodalOps.wavBytes(id))
+      assert(clip.rate === MultimodalOps.WavRate)
+      assert(clip.bits === 16 && clip.channels === 1)
+      assert(clip.samples.length === MultimodalOps.wavSampleCount(id))
+      clip.samples.zipWithIndex.foreach { case (v, i) =>
+        assert(v === MultimodalOps.wavSample(id, i), s"doc $id sample $i")
+      }
+      // negative samples actually occur — the sign path is exercised
+      if (id == 0L) assert(clip.samples.exists(_ < 0))
+    }
+    // undecodable bytes fail loudly, never fabricate samples
+    intercept[Exception] {
+      MultimodalOps.decodeWav(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("WAV features match a hand-computed window on a known clip") {
+    import spark.implicits._
+    val media = MultimodalOps.withWavPayload(spark,
+      Seq(3L).toDF("doc_id"))
+    val rows = MultimodalOps.wavFeatures(spark, media)
+      .orderBy("win_idx").collect()
+    val n = MultimodalOps.wavSampleCount(3L)
+    assert(rows.map(_.getAs[Int]("win_len")).sum === n)
+    val first = rows.head
+    var ss = 0L
+    (0 until 16).foreach { i =>
+      val v = MultimodalOps.wavSample(3L, i).toLong; ss += v * v
+    }
+    assert(first.getAs[Long]("sum_sq") === ss)
+    assert(first.getAs[Int]("sample_rate") === 8000)
+    assert(first.getAs[Int]("n_samples") === n)
+    assert(math.abs(first.getAs[Double]("rms") - math.sqrt(ss / 16.0)) < 1e-12)
+  }
 }

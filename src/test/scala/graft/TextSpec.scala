@@ -78,4 +78,39 @@ class TextSpec extends AnyFunSuite {
       assert(over === est - truth)
     }
   }
+
+  test("log-histogram sketch is mergeable: hist(A ++ B) == bucket-wise sum of parts") {
+    import graft.operators.Sketches
+    val a = Seq(1L, 2L, 3L, 7L, 8L, 100L).toDF("v")
+    val b = Seq(4L, 9L, 1000L, 0L).toDF("v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sketches.logHistogram(df).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = (m(a).keySet ++ m(b).keySet).map(k =>
+      k -> (m(a).getOrElse(k, 0L) + m(b).getOrElse(k, 0L))).toMap
+    assert(m(a.unionAll(b)) === merged)
+    // bucket index is floor(log2): 1->0, 2,3->1, 7->2, 8->3, 100->6, 0->-1
+    assert(m(a) === Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L, 6 -> 1L))
+    assert(m(b) === Map(-1 -> 1L, 2 -> 1L, 3 -> 1L, 9 -> 1L))
+  }
+
+  test("sketch quantile envelopes contain the exact quantiles (t9 cross-check)") {
+    import graft.operators.Sketches
+    val sf = "/root/testdata/sf0.001"
+    val vals = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS v")
+    val sorted = vals.collect().map(_.getLong(0)).sorted
+    val qs = Seq((1, 2), (9, 10), (99, 100))
+    val got = Sketches.histQuantiles(Sketches.logHistogram(vals), qs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    qs.foreach { case (nu, de) =>
+      val (rank, lo, hi) = got((nu, de))
+      val exact = sorted((rank - 1).toInt) // rank is 1-based ceil(q*n)
+      assert(rank === (nu.toLong * sorted.length + de - 1) / de)
+      assert(exact >= lo && exact <= hi,
+        s"q=$nu/$de exact $exact outside envelope [$lo, $hi]")
+      assert(hi < 2 * exact.max(1L) * 2, "2x relative-error envelope")
+    }
+  }
 }
