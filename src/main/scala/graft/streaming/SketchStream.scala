@@ -107,4 +107,45 @@ object SketchStream {
     cells.groupBy("r", "idx").agg(sum("c").as("c"))
       .select("r", "idx", "c")
   }
+
+  /** STREAMING quantile sketch (t14's log2 histogram over a document
+    * stream). Histogram counts are SUMS like the count-min cells, so
+    * the streaming form is the SAME partial-partition machine: each
+    * batch lands its ≤64-bucket histogram as a `_batch_id` partial in
+    * the generic (r, idx, c) cell shape (r = 0, idx = bucket — marker
+    * rows use r = −1, so the v≤0 bucket's idx = −1 never collides),
+    * replay overwrites itself, `mergedCounters` is the reader and
+    * `Compaction.compactSketch` folds committed partials UNCHANGED.
+    * One compaction machine, three sketches (CM, histogram, and any
+    * future additive cell sketch).
+    */
+  def histStream(docs: DataFrame, outDir: String, checkpointDir: String,
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        Sketches.logHistogram(
+            batch.selectExpr(s"CAST(size(split($textCol, ' ')) AS BIGINT) AS v"))
+          .select(lit(0).as("r"), col("bucket").cast("long").as("idx"),
+            col("cnt").as("c"))
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+
+  /** The stream's current histogram in `Sketches.histQuantiles` shape —
+    * `mergedCounters` plus the cell→bucket projection, so everything
+    * written there (compaction markers, crash-window exclusions,
+    * empty-dir behavior) holds verbatim.
+    */
+  def mergedHistogram(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    mergedCounters(spark, dir)
+      .select(org.apache.spark.sql.functions.col("idx").cast("int").as("bucket"),
+        org.apache.spark.sql.functions.col("c").as("cnt"))
 }

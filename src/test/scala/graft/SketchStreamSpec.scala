@@ -214,4 +214,44 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(viaStream.getDouble(1) === t10.getDouble(1), "sum_inv differs")
     assert(viaStream.getDouble(3) === t10.getDouble(3), "estimate differs")
   }
+
+  test("streamed histogram: merged partials equal batch; quantiles match t14; compaction folds it too") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+    val vals = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS v")
+    val batchHist = Sketches.logHistogram(vals)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val waves = Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
+    val srcDir = Files.createTempDirectory("graft_hist_src").toString
+    val base = Files.createTempDirectory("graft_hist").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = SketchStream.histStream(src, s"$base/out", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def merged() = SketchStream.mergedHistogram(spark, s"$base/out")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged() === batchHist,
+      "merged streamed histogram diverges from the batch sketch")
+    // quantile answers from the streamed state equal the batch path
+    val qs = Seq((1, 2), (9, 10), (99, 100))
+    def quant(h: org.apache.spark.sql.DataFrame) =
+      Sketches.histQuantiles(h, qs).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(quant(SketchStream.mergedHistogram(spark, s"$base/out"))
+      === quant(Sketches.logHistogram(vals)))
+    // the shared compaction machine folds histogram partials unchanged
+    val folded = graft.operators.Compaction.compactSketch(spark, s"$base/out")
+    assert(folded.nonEmpty, "expected at least one partial folded")
+    assert(merged() === batchHist, "compaction changed the histogram")
+  }
 }
