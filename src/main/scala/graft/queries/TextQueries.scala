@@ -469,6 +469,47 @@ object TextQueries extends QueryPack {
                  ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi
              FROM pick ORDER BY q_den, q_num""")),
 
+    // Bigram language-model scoring — the CCNet shape (Wenzek et al.
+    // 2020: partition a crawl by LM score) as a pure query
+    // (operators/NgramLm): the model is a bigram/prefix count table
+    // trained on sp1's deterministic 80% split INSIDE the engine,
+    // inference is a join, and the score is the fixed-point
+    // arithmetic-mean transition probability (log-free — ln is
+    // libm-private and the per-bigram value population is too large
+    // for b3's guarded-floor projection; NgramLm's doc has the full
+    // argument). Add-one smoothing over the train vocabulary, OOV
+    // bigrams counted explicitly. Every number is integer arithmetic;
+    // the oracle replays training AND scoring end to end.
+    Q("t15_lm_score",
+      (s, d) => graft.operators.NgramLm
+        .lmScore(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+               FROM documents),
+             bg AS (SELECT doc_id, b, ts[i] AS w1, ts[i + 1] AS w2
+               FROM (SELECT doc_id, b, ts, unnest(range(1, len(ts))) AS i FROM t)),
+             cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+               FROM bg WHERE b < 80 GROUP BY 1, 2),
+             cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+             v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+               FROM (SELECT unnest(ts) AS tok FROM t WHERE b < 80)),
+             p AS (SELECT bg.doc_id,
+               ((COALESCE(cb.cb, 0) + 1) * 1000000) // (COALESCE(cu.cu, 0) + v.v) AS p_e6,
+               CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oov
+               FROM bg LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+               LEFT JOIN cu ON bg.w1 = cu.w1 CROSS JOIN v),
+             sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+               CAST(sum(oov) AS INTEGER) AS n_oov,
+               CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
+               FROM p GROUP BY doc_id)
+             SELECT t.doc_id,
+               CAST(COALESCE(sc.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+               CAST(COALESCE(sc.n_oov, 0) AS INTEGER) AS n_oov,
+               CAST(COALESCE(sc.mean_p_e6, -1) AS BIGINT) AS mean_p_e6
+             FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""")),
+
     // Hashed-feature linear model inference (QualityModel): the
     // fastText-style quality-classifier shape as a pure query — tokens
     // hash to buckets (sp1's md5 idiom), integer micro-unit weights,

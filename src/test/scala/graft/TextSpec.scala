@@ -113,4 +113,52 @@ class TextSpec extends AnyFunSuite {
       assert(hi < 2 * exact.max(1L) * 2, "2x relative-error envelope")
     }
   }
+
+  test("bigram LM scoring matches hand-computed fixed-point values") {
+    import graft.operators.NgramLm
+    // model: cb = {(a,b)->3, (b,a)->1}, cu derived, V = 2
+    val cb = Seq(("a", "b", 3L), ("b", "a", 1L)).toDF("w1", "w2", "cb")
+    val cu = Seq(("a", 3L), ("b", 1L)).toDF("w1", "cu")
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    val got = NgramLm.scoreDocs(docs, "doc_id", "text", cb, cu, v = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // doc 1: (a,b) -> (3+1)*1e6 div (3+2) = 800000; (b,a) -> (1+1)*1e6
+    // div (1+2) = 666666; mean = 733333
+    assert(got(1L) === ((2, 0, 733333L)))
+    // doc 2: (a,c) unseen -> (0+1)*1e6 div (3+2) = 200000, oov = 1
+    assert(got(2L) === ((1, 1, 200000L)))
+    // doc 3: no bigram
+    assert(got(3L) === ((0, 0, -1L)))
+  }
+
+  test("LM score orders predictable text above token soup (the CCNet filter property)") {
+    import graft.operators.NgramLm
+    // The driver corpus is UNIFORM random words (measured: every
+    // transition ~ 1/31, which equals the 1/V smoothing floor), so it
+    // has no sequence structure an LM could prefer — the ordering
+    // property needs a corpus with real transitions. Plant one: 50
+    // training docs of a strict two-token alternation, then probe with
+    // an in-distribution doc vs unseen-token soup.
+    // 40-token deterministic chain: every transition has probability 1
+    // in train, and the add-one smoothing floor for OOV soup is
+    // 1e6/V = 25000 — small because V is 40, not 2 (with a two-token
+    // vocabulary the floor itself is 500000 and nothing can dwarf it)
+    val chain = (0 until 40).map(i => s"w$i").mkString(" ")
+    val train = (1L to 50L).map(i => (i, Seq.fill(3)(chain).mkString(" ")))
+    val probes = Seq(
+      (900001L, chain),
+      (900002L, (1 to 20).map(i => s"zq$i").mkString(" ")))
+    val corpus = (train ++ probes).toDF("doc_id", "text")
+    val scores = NgramLm.lmScore(corpus, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 900001L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    val (predOov, pred) = scores(900001L)
+    val (soupOov, soup) = scores(900002L)
+    assert(predOov === 0, "in-distribution bigrams must all be known")
+    assert(soupOov === 19 || soupOov === 0,
+      "soup is fully OOV unless its own doc landed in the 80% train split")
+    assert(pred > 10L * soup.max(1L),
+      s"predictable $pred should dwarf soup $soup")
+  }
 }
