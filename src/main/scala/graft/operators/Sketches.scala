@@ -150,4 +150,43 @@ object Sketches {
         "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket) END AS lo",
         "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1 END AS hi")
   }
+
+  /** Per-group log2 histogram over `values(keys..., v)` — ≤64 buckets
+    * PER KEY, still one partial-agg shuffle.
+    */
+  def logHistogramBy(values: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "use logHistogram for the global sketch")
+    values
+      .withColumn("bucket",
+        expr("CASE WHEN v <= 0 THEN -1 ELSE CAST(length(bin(v)) - 1 AS INT) END"))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile envelopes — `histQuantiles` with the rank
+    * window partitioned by the keys: state stays ≤64 rows per key, so
+    * the sort inside each window partition is O(buckets) no matter the
+    * corpus (contrast t9's exact ranks, which sort every row of every
+    * group).
+    */
+  def histQuantilesBy(hist: DataFrame, keys: Seq[String],
+      qs: Seq[(Int, Int)]): DataFrame = {
+    require(keys.nonEmpty, "use histQuantiles for the global sketch")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val totals = hist.groupBy(keys.map(col): _*).agg(sum("cnt").as("n"))
+    val ranks = totals.crossJoin(qs.toDF("q_num", "q_den"))
+      .selectExpr(keys ++ Seq("q_num", "q_den",
+        "(q_num * n + q_den - 1) div q_den AS rank"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    ranks.join(cum, keys).filter(col("cum") >= col("rank"))
+      .groupBy((keys ++ Seq("q_num", "q_den", "rank")).map(col): _*)
+      .agg(min("bucket").as("bucket"))
+      .selectExpr(keys ++ Seq("q_num", "q_den", "rank", "bucket",
+        "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket) END AS lo",
+        "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1 END AS hi"): _*)
+  }
 }

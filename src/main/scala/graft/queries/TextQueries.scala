@@ -23,6 +23,33 @@ object TextQueries extends QueryPack {
   private val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB twin of NgramLm's train-and-score chain, shared by the t15
+    * entry and x5's per-source gate: ends with `t` (docs + filtered
+    * tokens + split bucket) and `sc` (per-doc n_bigrams / n_oov /
+    * mean_p_e6; docs with < 2 tokens absent — COALESCE at use sites).
+    */
+  private val LmScoreSql =
+    """t AS (SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+         FROM documents),
+       bg AS (SELECT doc_id, b, ts[i] AS w1, ts[i + 1] AS w2
+         FROM (SELECT doc_id, b, ts, unnest(range(1, len(ts))) AS i FROM t)),
+       cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+         FROM bg WHERE b < 80 GROUP BY 1, 2),
+       cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+       v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         FROM (SELECT unnest(ts) AS tok FROM t WHERE b < 80)),
+       p AS (SELECT bg.doc_id,
+         ((COALESCE(cb.cb, 0) + 1) * 1000000) // (COALESCE(cu.cu, 0) + v.v) AS p_e6,
+         CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oov
+         FROM bg LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+         LEFT JOIN cu ON bg.w1 = cu.w1 CROSS JOIN v),
+       sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+         CAST(sum(oov) AS INTEGER) AS n_oov,
+         CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
+         FROM p GROUP BY doc_id)"""
+
   /** Intra-document repetition metrics — the Gopher-style repetition
     * quality filters (Rae et al. 2021 §A1.1: "fraction of characters in
     * the most common n-gram" / "in duplicate n-grams"). Per document:
@@ -484,31 +511,99 @@ object TextQueries extends QueryPack {
       (s, d) => graft.operators.NgramLm
         .lmScore(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS ts,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
-               FROM documents),
-             bg AS (SELECT doc_id, b, ts[i] AS w1, ts[i + 1] AS w2
-               FROM (SELECT doc_id, b, ts, unnest(range(1, len(ts))) AS i FROM t)),
-             cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
-               FROM bg WHERE b < 80 GROUP BY 1, 2),
-             cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
-             v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-               FROM (SELECT unnest(ts) AS tok FROM t WHERE b < 80)),
-             p AS (SELECT bg.doc_id,
-               ((COALESCE(cb.cb, 0) + 1) * 1000000) // (COALESCE(cu.cu, 0) + v.v) AS p_e6,
-               CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oov
-               FROM bg LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
-               LEFT JOIN cu ON bg.w1 = cu.w1 CROSS JOIN v),
-             sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
-               CAST(sum(oov) AS INTEGER) AS n_oov,
-               CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_p_e6
-               FROM p GROUP BY doc_id)
+      Some(s"""WITH $LmScoreSql
              SELECT t.doc_id,
                CAST(COALESCE(sc.n_bigrams, 0) AS INTEGER) AS n_bigrams,
                CAST(COALESCE(sc.n_oov, 0) AS INTEGER) AS n_oov,
                CAST(COALESCE(sc.mean_p_e6, -1) AS BIGINT) AS mean_p_e6
              FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""")),
+
+    // Per-SOURCE quantile sketch (t14 grouped): the same additive
+    // histogram keyed by source — ≤64 buckets per key, one shuffle,
+    // window state O(buckets) per source regardless of corpus (t9's
+    // exact ranks sort every row of every group instead).
+    Q("t16_source_quantile_sketch",
+      (s, d) => {
+        import graft.operators.Sketches
+        val vals = Tables.load(s, d, "documents")
+          .selectExpr("source", "CAST(size(split(text, ' ')) AS BIGINT) AS v")
+        Sketches.histQuantilesBy(
+            Sketches.logHistogramBy(vals, Seq("source")), Seq("source"),
+            Seq((1, 2), (9, 10)))
+          .orderBy("source", "q_den", "q_num")
+      },
+      Some("""WITH vals AS (SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+             b AS (SELECT source, CASE WHEN v <= 0 THEN -1
+               ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS bucket FROM vals),
+             h AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM b GROUP BY 1, 2),
+             tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) v(q_num, q_den)),
+             r AS (SELECT source, q_num, q_den,
+               CAST((q_num * n + q_den - 1) // q_den AS BIGINT) AS rank
+               FROM qs CROSS JOIN tot),
+             c AS (SELECT source, bucket,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum
+               FROM h),
+             pick AS (SELECT r.source, r.q_num, r.q_den, r.rank,
+               min(c.bucket) AS bucket
+               FROM r JOIN c ON c.source = r.source AND c.cum >= r.rank
+               GROUP BY 1, 2, 3, 4)
+             SELECT source, CAST(q_num AS INTEGER) AS q_num,
+               CAST(q_den AS INTEGER) AS q_den, rank, bucket,
+               CASE WHEN bucket < 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << bucket) END AS lo,
+               CASE WHEN bucket < 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi
+             FROM pick ORDER BY source, q_den, q_num""")),
+
+    // The CCNet partition, per source, at sketch cost (x5): gate each
+    // source on its own sketch-p90 of the t15 LM score — keep docs
+    // whose score BUCKET reaches the p90 bucket. Bucket-level
+    // comparison makes the gate pure integer arithmetic, and it
+    // provably keeps a SUPERSET of the exact ≥p90 gate (the exact p90
+    // lies inside the picked bucket's envelope, so nothing above it is
+    // below the cut) while reading the corpus twice and sorting only
+    // ≤64-row sketch states — x3 is the exact-rank twin of this gate.
+    Q("x5_lm_quantile_gate",
+      (s, d) => {
+        import graft.operators.{NgramLm, Sketches}
+        val docs = Tables.load(s, d, "documents")
+        val scored = NgramLm.lmScore(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .selectExpr("source", "mean_p_e6 AS v",
+            "CASE WHEN mean_p_e6 <= 0 THEN -1 ELSE CAST(length(bin(mean_p_e6)) - 1 AS INT) END AS b")
+        val cut = Sketches.histQuantilesBy(
+            Sketches.logHistogramBy(scored.select("source", "v"), Seq("source")),
+            Seq("source"), Seq((9, 10)))
+          .select(col("source"), col("bucket").as("cut_bucket"))
+        scored.join(broadcast(cut), Seq("source"))
+          .groupBy("source", "cut_bucket")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("b") >= col("cut_bucket"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $LmScoreSql,
+             scored AS (SELECT t.doc_id, t.source,
+               CAST(COALESCE(sc.mean_p_e6, -1) AS BIGINT) AS v
+               FROM t LEFT JOIN sc USING (doc_id)),
+             bk AS (SELECT source, v, CASE WHEN v <= 0 THEN -1
+               ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS b FROM scored),
+             h AS (SELECT source, b AS bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM bk GROUP BY 1, 2),
+             tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             r AS (SELECT source, CAST((9 * n + 9) // 10 AS BIGINT) AS rank FROM tot),
+             c AS (SELECT source, bucket,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum
+               FROM h),
+             pick AS (SELECT r.source, min(c.bucket) AS cut_bucket
+               FROM r JOIN c ON c.source = r.source AND c.cum >= r.rank GROUP BY 1)
+             SELECT bk.source, pick.cut_bucket,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN bk.b >= pick.cut_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             FROM bk JOIN pick ON bk.source = pick.source
+             GROUP BY 1, 2 ORDER BY bk.source""")),
 
     // Hashed-feature linear model inference (QualityModel): the
     // fastText-style quality-classifier shape as a pure query — tokens

@@ -161,4 +161,34 @@ class TextSpec extends AnyFunSuite {
     assert(pred > 10L * soup.max(1L),
       s"predictable $pred should dwarf soup $soup")
   }
+
+  test("sketch-p90 gate keeps a superset of the exact p90 gate, per source") {
+    import graft.operators.{NgramLm, Sketches}
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val scored = NgramLm.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("mean_p_e6").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySource = scored.groupBy(_._1).map { case (s, rows) =>
+      val vs = rows.map(_._2).sorted
+      s -> (vs, vs((((9L * vs.length + 9) / 10) - 1).toInt)) // exact p90
+    }
+    val cuts = Sketches.histQuantilesBy(
+        Sketches.logHistogramBy(
+          scored.toSeq.toDF("source", "v"), Seq("source")),
+        Seq("source"), Seq((9, 10)))
+      .collect().map(r => r.getString(0) -> r.getInt(4)).toMap
+    def bucket(v: Long): Int =
+      if (v <= 0) -1 else 63 - java.lang.Long.numberOfLeadingZeros(v)
+    bySource.foreach { case (s, (vs, p90)) =>
+      val cut = cuts(s)
+      // everything at or above the exact p90 survives the sketch gate
+      vs.filter(_ >= p90).foreach(v =>
+        assert(bucket(v) >= cut, s"source $s: v=$v above exact p90=$p90 but gated out"))
+      // and the gate keeps at least the exact decile count
+      val kept = vs.count(bucket(_) >= cut)
+      assert(kept >= (vs.length + 9) / 10, s"source $s kept too few: $kept")
+    }
+  }
 }
