@@ -605,6 +605,38 @@ object TextQueries extends QueryPack {
              FROM bk JOIN pick ON bk.source = pick.source
              GROUP BY 1, 2 ORDER BY bk.source""")),
 
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): rightmost-minimum hash per sliding w-window over
+    // token-4-gram hashes — positional fingerprints with the paper's
+    // guarantee (any shared >=7-token run shares a fingerprint) at
+    // ~2/(w+1) the index density of the full gram index. Pure
+    // per-document array arithmetic (no shuffle, no UDF); the oracle
+    // replays gram hashing, window minima, the rightmost tie rule, and
+    // the dedup.
+    Q("t17_winnowing",
+      (s, d) => graft.operators.Winnowing
+        .fingerprints(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+               FROM documents),
+             h AS (SELECT doc_id,
+               list_transform(
+                 CASE WHEN len(ts) >= 4 THEN range(0, len(ts) - 3) ELSE [] END,
+                 i -> CAST(('0x' || substr(md5(array_to_string(ts[i + 1 : i + 4], ' ')), 1, 8)) AS BIGINT)) AS hs
+               FROM t),
+             ends AS (SELECT doc_id, hs, unnest(
+               CASE WHEN len(hs) = 0 THEN []
+                    WHEN len(hs) < 4 THEN [len(hs) - 1]
+                    ELSE range(3, len(hs)) END) AS e FROM h),
+             sel AS (SELECT doc_id, hs,
+               list_max(list_filter(range(s0, e + 1),
+                 p -> hs[p + 1] = list_min(hs[s0 + 1 : e + 1]))) AS pos
+               FROM (SELECT doc_id, hs, e, greatest(e - 3, 0) AS s0 FROM ends)),
+             fp AS (SELECT DISTINCT doc_id, pos, hs[pos + 1] AS fp_hash FROM sel)
+             SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp_hash
+             FROM fp ORDER BY doc_id, pos""")),
+
     // Hashed-feature linear model inference (QualityModel): the
     // fastText-style quality-classifier shape as a pure query — tokens
     // hash to buckets (sp1's md5 idiom), integer micro-unit weights,

@@ -191,4 +191,62 @@ class TextSpec extends AnyFunSuite {
       assert(kept >= (vs.length + 9) / 10, s"source $s kept too few: $kept")
     }
   }
+
+  // independent from-first-principles winnowing (Schleimer et al. fig. 5
+  // shape) to cross-check the SQL-expression implementation
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    def h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ts = text.split(" ").filter(_.nonEmpty)
+    if (ts.length < k) return Set.empty
+    val hs = (0 to ts.length - k).map(i => h(ts.slice(i, i + k).mkString(" ")))
+    val ends = if (hs.length < w) Seq(hs.length - 1) else (w - 1 until hs.length)
+    ends.map { e =>
+      val s0 = math.max(e - w + 1, 0)
+      val m = (s0 to e).map(hs).min
+      val pos = (s0 to e).filter(p => hs(p) == m).max // rightmost tie rule
+      (pos, hs(pos))
+    }.toSet
+  }
+
+  test("winnowing matches an independent reference implementation") {
+    import graft.operators.Winnowing
+    val texts = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "x y z w"), // exactly one gram
+      (3L, "q r s t u v"), // fewer grams than the window
+      (4L, ""), (5L, "solo"))
+    val got = Winnowing.fingerprints(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    texts.foreach { case (id, tx) =>
+      assert(got.getOrElse(id, Set.empty) === winnowRef(tx, 4, 4), s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared 7-token run always shares a fingerprint; density ~2/(w+1)") {
+    import graft.operators.Winnowing
+    // two otherwise-different docs share exactly one w+k-1 = 7 token run
+    val run = "p1 p2 p3 p4 p5 p6 p7"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta eta"),
+      (2L, s"one two three four five $run six seven"),
+      (3L, "unrelated words entirely disjoint from both documents here"))
+      .toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(docs, "doc_id", "text")
+    val pairs = Winnowing.overlaps(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"expected exactly the planted pair, got $pairs")
+    // density on the real corpus: expected 2/(w+1) = 0.4 of grams selected
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val nFps = Winnowing.fingerprints(corpus, "doc_id", "text").count().toDouble
+    val nGrams = corpus
+      .selectExpr("greatest(size(filter(split(text, ' '), x -> x != '')) - 3, 0) AS g")
+      .agg(org.apache.spark.sql.functions.sum("g")).collect().head.getLong(0).toDouble
+    val density = nFps / nGrams
+    assert(density > 0.2 && density < 0.6, s"density $density far from 2/(w+1)=0.4")
+  }
 }
