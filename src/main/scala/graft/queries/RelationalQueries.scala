@@ -407,6 +407,104 @@ object RelationalQueries extends QueryPack {
                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              ORDER BY c_custkey""")),
 
+    // CUBE — all four grouping combinations in one Expand + one aggregate
+    // (rollup's lattice completion; the OLAP report shape). Same COALESCE
+    // sentinel discipline as a6 so grouped-out nulls never reach the
+    // driver's stringified compare.
+    Q("a8_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // GROUPING SETS — two independent one-dimension reports in ONE scan
+    // (neither rollup nor cube: no grand total, no cross combination).
+    // The grouping_id-style disambiguation rides the same COALESCE
+    // sentinels; one Expand(2) + one aggregate, a single pass over the
+    // fact at any scale.
+    Q("a9_grouping_sets", sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag, l_linestatus"""),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             count(*) AS n, sum(l_quantity) AS sum_qty
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // INTERSECT — set intersection (distinct semantics on both engines);
+    // Spark plans a left-semi join over distincts. Nations that have
+    // BOTH customers and suppliers.
+    Q("u2_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    // EXCEPT — set difference (left-anti over distincts): customers who
+    // placed an URGENT order but are not in the BUILDING segment. Both
+    // sides restricted so the difference is non-empty on this data.
+    Q("u3_except",
+      (s, d) => t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("ck"))
+        .except(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("ck")))
+        .orderBy("ck"),
+      Some("""SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+             EXCEPT
+             SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+             ORDER BY ck""")),
+
+    // Window-function family over event streams — per-user running
+    // analytics in ONE user-partitioned sort (row_number / running sum /
+    // previous-event gap / quartile), the sessionization-adjacent shape
+    // e2 uses, exposed as a direct relational entry. Frames are pinned
+    // ROWS-based with a unique (ts, event_id) order so RANGE-peer
+    // semantics can't differ between engines; the gap is exact epoch-
+    // microsecond arithmetic (unix_micros / epoch_us), not unit-counting
+    // date_diff whose boundary conventions diverge cross-engine. At
+    // scale this is one hash-partition-by-user shuffle, then per-
+    // partition sorted evaluation — no global sort until the final
+    // presentation ORDER BY.
+    Q("w1_window_running",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events").filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            row_number().over(w).as("rn"),
+            sum(dec(col("value"))).over(wr).cast("double").as("running_value"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+              .as("gap_us"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+             ntile(4) OVER w AS quartile
+             FROM events WHERE user_id < 10
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             ORDER BY user_id, rn""")),
+
     // ---- §2.9 subqueries ------------------------------------------------
     // Q1/Q2: the 10-scalar-subquery "pipeline dashboard" (dp_demo.sql:127-142)
     // — uncorrelated ScalarSubquery nodes, each planned as an independent
