@@ -189,4 +189,49 @@ object Sketches {
         "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket) END AS lo",
         "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1 END AS hi"): _*)
   }
+
+  // ------------------------------------------------------------------
+  // Grouped HLL (t10's register arithmetic keyed by caller columns —
+  // the per-source vocabulary face; K groups cost K·M rows of state,
+  // still fixed-size at any corpus)
+  // ------------------------------------------------------------------
+
+  /** `gramRegisters` with caller key columns carried through: input
+    * `(keys..., shingle)` → `(keys..., bucket, rho)`.
+    */
+  def gramRegistersBy(grams: DataFrame, keys: Seq[String]): DataFrame =
+    grams
+      .selectExpr(keys ++ Seq(
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h"): _*)
+      .selectExpr(keys ++ Seq(s"pmod(h, $M) AS bucket",
+        s"${60 - B} - length(trim(LEADING '0' FROM bin(h div $M))) + 1 AS rho"): _*)
+
+  /** Dense per-group register table: every (group, bucket) cell present,
+    * untouched cells at rho = 0 — the groups × M cross join is tiny
+    * (groups are a small dimension by construction).
+    */
+  def registerTableBy(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "use registerTable for the global sketch")
+    regs.select(keys.map(col): _*).distinct()
+      .crossJoin(regs.sparkSession.range(M).selectExpr("id AS bucket"))
+      .join(regs.groupBy((keys :+ "bucket").map(col): _*)
+          .agg(max("rho").as("rho")),
+        keys :+ "bucket", "left")
+      .selectExpr(keys ++ Seq("bucket", "coalesce(rho, 0) AS rho"): _*)
+  }
+
+  /** Per-group raw HLL estimate — `estimate` partitioned by the keys;
+    * the register sum stays exact-dyadic per group, so the grouped
+    * estimates hash cross-engine exactly like the global one.
+    */
+  def estimateBy(registers: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "use estimate for the global sketch")
+    registers.groupBy(keys.map(col): _*)
+      .agg(
+        expr("sum(1e0 / shiftleft(CAST(1 AS BIGINT), rho))").as("sum_inv"),
+        expr("CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("empty_registers"))
+      .selectExpr(keys ++ Seq(s"$M AS m", "sum_inv", "empty_registers",
+        s"0.7213e0 / (1e0 + 1.079e0 / ${M}e0) * ${M * M}e0 / sum_inv AS hll_estimate"): _*)
+  }
 }

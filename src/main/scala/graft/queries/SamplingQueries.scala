@@ -174,6 +174,36 @@ object SamplingQueries extends QueryPack {
                FROM q)
              SELECT doc_id, source, n_tokens, quality, cum_before
              FROM c WHERE cum_before < 5000
-             ORDER BY source, cum_before, doc_id"""))
+             ORDER BY source, cum_before, doc_id""")),
+
+    // Deterministic global shuffle into training shards — the last-mile
+    // step before a training run: every doc gets a shard (independent
+    // md5 with a 'shard#' salt — NOT sp1's bucket, 100 % 8 would skew)
+    // and a position inside it (row_number over an md5 rank with a
+    // different 'shuf#' salt), giving a reproducible pseudo-random
+    // permutation with no RNG, no coordination, and no global sort:
+    // one shard-keyed shuffle, then per-shard O(n/S log n/S) sorts —
+    // at 100 TB each shard sorts independently and writes its own
+    // file set (partitionBy("shard")).
+    Q("sp7_shuffle_shards",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("rk"), col("doc_id"))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            expr("pmod(CAST(conv(substring(md5(concat('shard#', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT), 8)")
+              .as("shard"),
+            md5(concat(lit("shuf#"), col("doc_id").cast("string"))).as("rk"))
+          .withColumn("pos", row_number().over(w))
+          .select("shard", "pos", "doc_id")
+          .orderBy("shard", "pos")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+               md5('shuf#' || CAST(doc_id AS VARCHAR)) AS rk
+               FROM documents)
+             SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS pos,
+               doc_id
+             FROM a ORDER BY shard, pos"""))
   )
 }

@@ -23,6 +23,21 @@ object TextQueries extends QueryPack {
   private val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
+  /** C4-style text normalization: case fold, collapse all whitespace
+    * runs (space/tab/newline) to one space, trim. Pure builtins —
+    * codegen'd, engine-portable (the regex is RE2-compatible).
+    * Public so TextSpec can pin planted mixed-case/tabbed strings.
+    */
+  def normalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "[ \\t\\n\\r]+", " "))
+
+  /** GPT-2-ish pre-tokenizer: space-prefixed letter runs, digit runs,
+    * punctuation runs, residual space runs. Deliberately RE2-compatible
+    * (no `(?!\\S)` lookahead from the original) so DuckDB replays it;
+    * alternation is leftmost-first in BOTH java.util.regex and RE2.
+    */
+  val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
   /** DuckDB twin of NgramLm's train-and-score chain, shared by the t15
     * entry and x5's per-source gate: ends with `t` (docs + filtered
     * tokens + split bucket) and `sc` (per-doc n_bigrams / n_oov /
@@ -705,6 +720,116 @@ object TextQueries extends QueryPack {
                CAST(len(regexp_extract_all(s3, '[0-9]{7,}')) AS INTEGER) AS n_numbers,
                md5(regexp_replace(s3, '[0-9]{7,}', '<NUMBER>', 'g')) AS redacted_md5,
                CAST(length(regexp_replace(s3, '[0-9]{7,}', '<NUMBER>', 'g')) AS INTEGER) AS n_chars_redacted
-             FROM s ORDER BY doc_id"""))
+             FROM s ORDER BY doc_id""")),
+
+    // Text normalization — the C4/CCNet preprocessing step every corpus
+    // pass assumes (case folding + whitespace collapse + trim), pinned
+    // cross-engine over a CONSTRUCTED dirty twin of each document
+    // (uppercased, space-tripled, padded): the corpus itself is already
+    // normal-form, so normalize(dirty) == text is a non-trivial
+    // round-trip that exercises the whole chain, and `roundtrip_ok`
+    // proves it row by row. Narrow per-row projection — embarrassingly
+    // parallel, stays in whole-stage codegen at any scale.
+    Q("t18_normalize_text",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          concat(lit("  "), upper(expr("replace(text, ' ', '   ')")), lit("  "))
+            .as("dirty"))
+        .select(col("doc_id"), length(col("dirty")).as("n_dirty_chars"),
+          normalize(col("dirty")).as("norm"), col("text"))
+        .select(col("doc_id"), col("n_dirty_chars"),
+          length(col("norm")).as("n_norm_chars"),
+          (col("norm") === col("text")).as("roundtrip_ok"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH dd AS (SELECT doc_id, text,
+               '  ' || upper(replace(text, ' ', '   ')) || '  ' AS dirty
+               FROM documents),
+             n AS (SELECT doc_id, text, dirty,
+               trim(regexp_replace(lower(dirty), '[ \t\n\r]+', ' ', 'g')) AS norm
+               FROM dd)
+             SELECT doc_id, CAST(length(dirty) AS INTEGER) AS n_dirty_chars,
+               CAST(length(norm) AS INTEGER) AS n_norm_chars,
+               norm = text AS roundtrip_ok, md5(norm) AS norm_md5
+             FROM n ORDER BY doc_id""")),
+
+    // BPE-style pre-tokenization — the GPT-2 pre-tokenizer shape
+    // (space-prefixed letter runs / digit runs / punctuation runs) as an
+    // RE2-compatible regex (no lookahead — Redaction's portability
+    // discipline), counted AND sequence-pinned (pieces_md5 hashes the
+    // exact piece list, so a greedy-vs-lazy or alternation-order
+    // divergence cannot pass). Runs over a punctuation/digit-enriched
+    // twin of each document because the corpus itself is bare lowercase
+    // words — on it the whitespace count and the BPE count coincide and
+    // would pin nothing.
+    Q("t19_bpe_pretokenize",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("replace(replace(text, ' the ', ', the! '), ' value', ' value42')")
+            .as("dirty"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(dirty, '$BpePat', 0)")).as("n_bpe"),
+          size(split(col("dirty"), " ")).as("n_ws"),
+          md5(concat_ws("|", expr(s"regexp_extract_all(dirty, '$BpePat', 0)")))
+            .as("pieces_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH dd AS (SELECT doc_id,
+               replace(replace(text, ' the ', ', the! '), ' value', ' value42') AS dirty
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(dirty, '$BpePat')) AS INTEGER) AS n_bpe,
+               CAST(len(string_split(dirty, ' ')) AS INTEGER) AS n_ws,
+               md5(array_to_string(regexp_extract_all(dirty, '$BpePat'), '|')) AS pieces_md5
+             FROM dd ORDER BY doc_id""")),
+
+    // Per-source distinct-vocabulary sketch — t10's 256-register HLL
+    // keyed by source (the corpus-diversity dashboard: which sources
+    // actually add novel 3-grams?). Same exact-dyadic register
+    // arithmetic, so the grouped estimates still hash cross-engine;
+    // state is sources × 256 rows — fixed-size at any corpus. The
+    // true_distinct column is oracle scaffolding (t10's pattern); a
+    // 100 TB run keeps only the register pass.
+    Q("t20_source_distinct_sketch",
+      (s, d) => {
+        import graft.operators.Sketches
+        val docs = Tables.load(s, d, "documents")
+        val grams = graft.operators.DedupOps.shingles(docs, "doc_id", "text", 3)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select("source", "shingle").distinct()
+        Sketches.estimateBy(
+            Sketches.registerTableBy(
+              Sketches.gramRegistersBy(grams, Seq("source")), Seq("source")),
+            Seq("source"))
+          .join(grams.groupBy("source").agg(count(lit(1)).as("true_distinct")),
+            Seq("source"))
+          .selectExpr("source", "m", "sum_inv", "empty_registers",
+            "hll_estimate", "true_distinct",
+            "abs(hll_estimate - true_distinct) / true_distinct AS rel_error")
+          .orderBy("source")
+      },
+      Some("""WITH sp AS (SELECT source, string_split(text, ' ') AS ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+             gr AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+               FROM (SELECT source, ts, unnest(range(1, len(ts) - 1)) AS i FROM sp)),
+             h AS (SELECT source, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM gr),
+             b AS (SELECT source, h % 256 AS bucket,
+               52 - length(trim(LEADING '0' FROM bin(h // 256))) + 1 AS rho FROM h
+               GROUP BY 1, 2, 3),
+             r2 AS (SELECT source, bucket, max(rho) AS rho FROM b GROUP BY 1, 2),
+             dense AS (SELECT s.source, sp2.bucket, COALESCE(r2.rho, 0) AS rho
+               FROM (SELECT DISTINCT source FROM gr) s
+               CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) sp2
+               LEFT JOIN r2 ON r2.source = s.source AND r2.bucket = sp2.bucket),
+             agg AS (SELECT source, sum(1e0 / (CAST(1 AS BIGINT) << rho)) AS sum_inv,
+               CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_registers
+               FROM dense GROUP BY source),
+             t AS (SELECT source, count(*) AS true_distinct FROM gr GROUP BY source)
+             SELECT agg.source, 256 AS m, sum_inv, empty_registers,
+               0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv AS hll_estimate,
+               true_distinct,
+               abs(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv - true_distinct)
+                 / true_distinct AS rel_error
+             FROM agg JOIN t ON agg.source = t.source
+             ORDER BY agg.source"""))
   )
 }

@@ -49,6 +49,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",
+    // t14/t16/x5: histQuantiles crosses the ≤64-row histogram's 1-row
+    // total against the literal quantile-spec rows (and x5 carries the
+    // same shape per source) — every side is sketch-sized by
+    // construction, the scalar-dashboard shape again
+    "t14_quantile_sketch", "t16_source_quantile_sketch", "x5_lm_quantile_gate",
+    // t20: the dense register table crosses the distinct-source dim
+    // against the 256-row bucket range — both sides fixed-size
+    "t20_source_distinct_sketch",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {

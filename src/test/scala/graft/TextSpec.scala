@@ -249,4 +249,85 @@ class TextSpec extends AnyFunSuite {
     val density = nFps / nGrams
     assert(density > 0.2 && density < 0.6, s"density $density far from 2/(w+1)=0.4")
   }
+
+  test("normalize: case fold + whitespace collapse + trim on planted dirty strings") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("  Hello\t WORLD  ", "hello world"),
+      ("a\n\nb\r\nc", "a b c"),              // newlines and CRLF collapse
+      ("already clean", "already clean"),     // idempotent on normal form
+      ("\t \t", ""),                          // whitespace-only -> empty
+      ("MiXeD   CaSe", "mixed case"))
+      .toDF("dirty", "want")
+      .withColumn("got", TextQueries.normalize(col("dirty")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"normalize(${r.getAs[String]("dirty")})")
+    }
+  }
+
+  test("BPE pre-tokenizer splits punctuation and digit runs like the GPT-2 shape") {
+    import org.apache.spark.sql.functions.expr
+    val got = Seq("hello, world! v2.0 has 42 bugs")
+      .toDF("dirty")
+      .select(expr(s"regexp_extract_all(dirty, '${TextQueries.BpePat}', 0)").as("p"))
+      .collect().head.getSeq[String](0)
+    // space-prefixed letter runs; punctuation its own piece; digits split
+    // from letters ("v2" -> " v", "2"); "2.0" -> "2", ".", "0"
+    assert(got === Seq("hello", ",", " world", "!", " v", "2", ".", "0",
+      " has", " 42", " bugs"), got.mkString("[", "|", "]"))
+    // round trip: concatenating the pieces reproduces the input exactly
+    assert(got.mkString === "hello, world! v2.0 has 42 bugs")
+  }
+
+  test("grouped HLL: per-source estimates within 3 sigma; registers match the global sketch on one group") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DedupOps, Sketches}
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val grams = DedupOps.shingles(docs, "doc_id", "text", 3)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("source", "shingle").distinct()
+    val est = Sketches.estimateBy(
+      Sketches.registerTableBy(
+        Sketches.gramRegistersBy(grams, Seq("source")), Seq("source")),
+      Seq("source"))
+      .join(grams.groupBy("source").agg(count(lit(1)).as("td")), Seq("source"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (e, t) = (r.getAs[Double]("hll_estimate"), r.getAs[Long]("td"))
+      // sigma = 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+      assert(math.abs(e - t) / t < 0.20, s"${r.getString(0)}: est $e vs true $t")
+    }
+    // restricting the corpus to ONE source must reproduce the global
+    // sketch's registers exactly (grouping changes keying, not hashing)
+    val one = grams.filter(col("source") === est.head.getString(0))
+    val grouped = Sketches.registerTableBy(
+        Sketches.gramRegistersBy(one, Seq("source")), Seq("source"))
+      .select("bucket", "rho")
+    val global = Sketches.registerTable(
+      Sketches.gramRegisters(one.select("shingle")))
+    assert(grouped.exceptAll(global).isEmpty && global.exceptAll(grouped).isEmpty)
+  }
+
+  test("shuffle shards: deterministic, near-uniform, and a permutation of the corpus") {
+    val q = SparkEntry.queries("sp7_shuffle_shards")
+    val a = q(spark, "/root/testdata/sf0.001").collect()
+    val b = q(spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq) // stable
+    val n = a.length
+    val byShard = a.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length)
+    assert(byShard.keys.toSet.subsetOf((0L until 8L).toSet))
+    // near-uniform: each shard within 2.5x of fair share (60 docs/shard
+    // at sf0.001 -> binomial noise is real but bounded)
+    byShard.foreach { case (s, c) =>
+      assert(c < 2.5 * n / 8.0 && c > n / (8.0 * 2.5), s"shard $s count $c")
+    }
+    // every doc appears exactly once, positions are 1..count per shard
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length === n)
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq === (1 to rows.length))
+    }
+  }
 }
