@@ -872,4 +872,61 @@ object DedupOps {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  // ------------------------------------------------------------------
+  // Paragraph/segment-level dedup — the C4 / RefinedWeb granularity:
+  // docs split into consecutive fixed token windows ("paragraphs" —
+  // this corpus has no newline structure, so the window IS the
+  // paragraph boundary), each occurrence of a repeated segment except
+  // ONE owner copy is dropped, and documents are reassembled from
+  // their kept segments. Sits between d1 (whole-doc) and d10 (gram
+  // spans): coarser than Lee et al.'s cut lists, so it removes
+  // repeated boilerplate blocks without d10's positional gram index.
+  // ------------------------------------------------------------------
+
+  /** Per-occurrence segment table: (doc_id, seg_idx, seg, okey) where
+    * okey = min(doc_id·1e6 + seg_idx) over all occurrences of the
+    * segment's text — the owner-occurrence encoding (doc ids in the
+    * testdata are < 1e12 and segment counts < 1e6, so the packed key
+    * is collision-free; a general deployment would use a struct min).
+    * One segment-keyed shuffle; everything else is narrow.
+    */
+  def segmentOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val seg = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(ts) + ${segTokens - 1}) div $segTokens - 1)"))
+          .as("seg_idx"), col("ts"))
+      .select(col("doc_id"), col("seg_idx"),
+        concat_ws(" ",
+          expr(s"slice(ts, seg_idx * $segTokens + 1, $segTokens)")).as("seg"))
+    val owner = seg.groupBy(md5(col("seg")).as("h"))
+      .agg(min(col("doc_id") * 1000000L + col("seg_idx")).as("okey"))
+    seg.join(owner, md5(col("seg")) === col("h"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"), col("okey"))
+  }
+
+  /** The rewrite face: every non-owner occurrence of a repeated segment
+    * is cut (within-doc repeats collapse too); cleaned docs are
+    * reassembled in segment order. Output: (doc_id, n_segs, n_kept,
+    * text_clean) — docs whose every segment was cut keep a row with
+    * empty text (the d10b LEFT-join discipline).
+    */
+  def paragraphDedupRewrite(docs: DataFrame, idCol: String,
+      textCol: String, segTokens: Int = 10): DataFrame = {
+    val occ = segmentOccurrences(docs, idCol, textCol, segTokens)
+    val kept = occ
+      .filter(col("doc_id") * 1000000L + col("seg_idx") === col("okey"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(named_struct('i', seg_idx, 's', seg))), x -> x.s)"),
+          " ").as("text_clean"))
+    occ.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -541,6 +541,38 @@ object DedupQueries extends QueryPack {
                CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
                CAST(len(t.ts) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
                COALESCE(text_clean, '') AS text_clean
-             FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""))
+             FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
+
+    // Paragraph/segment-level dedup rewrite — the C4 / RefinedWeb
+    // granularity between d1 (whole doc) and d10 (gram spans): docs cut
+    // into consecutive 10-token segments, every non-owner occurrence of
+    // a repeated segment dropped (owner = lexicographically first
+    // (doc, idx) occurrence; within-doc repeats collapse too), docs
+    // reassembled from kept segments. One segment-keyed shuffle + one
+    // doc-keyed reassembly — linear at any corpus; exact-duplicate docs
+    // lose ALL their segments to the lower-id copy, which the planted
+    // dup pairs in this corpus exercise.
+    Q("d12_paragraph_dedup",
+      (s, d) => graft.operators.DedupOps.paragraphDedupRewrite(
+          Tables.load(s, d, "documents"), "doc_id", "text", segTokens = 10)
+        .withColumn("clean_md5", md5(col("text_clean")))
+        .drop("text_clean")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+               array_to_string(ts[(i * 10 + 1) : (i * 10 + 10)], ' ') AS seg
+               FROM (SELECT doc_id, ts, unnest(range(0, (len(ts) + 9) // 10)) AS i FROM t)),
+             own AS (SELECT md5(seg) AS h, min(doc_id * 1000000 + seg_idx) AS okey
+               FROM seg GROUP BY 1),
+             occ AS (SELECT doc_id, seg_idx, seg, okey
+               FROM seg JOIN own ON md5(seg) = own.h),
+             kept AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+               FROM occ WHERE doc_id * 1000000 + seg_idx = okey GROUP BY doc_id),
+             tot AS (SELECT doc_id, count(*) AS n_segs FROM occ GROUP BY doc_id)
+             SELECT tot.doc_id, n_segs,
+               CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               md5(COALESCE(text_clean, '')) AS clean_md5
+             FROM tot LEFT JOIN kept USING (doc_id) ORDER BY tot.doc_id"""))
   )
 }

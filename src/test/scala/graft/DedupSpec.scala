@@ -369,4 +369,27 @@ class DedupSpec extends AnyFunSuite {
       (3L, 16, 16L, 0L, doc3),
       (4L, 24, 8L, 16L, "g1 g2 g3 g4 g5 g6 g7 g8")))
   }
+
+  test("paragraph dedup: owner keeps, exact-dup doc empties, within-doc repeat collapses") {
+    import spark.implicits._
+    // 4-token segments for hand-checkable cases
+    val blockA = "a1 a2 a3 a4"          // shared boilerplate block
+    val blockB = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"$blockA $blockB"),          // owner of both blocks
+      (2L, s"$blockA $blockB"),          // exact dup -> everything cut
+      (3L, s"$blockA c1 c2 c3 c4"),      // shares blockA only
+      (4L, s"d1 d2 d3 d4 d1 d2 d3 d4"),  // within-doc repeat: second cut
+      (5L, "e1 e2 e3"))                  // short tail segment, unique
+      .toDF("doc_id", "text")
+    val got = DedupOps.paragraphDedupRewrite(docs, "doc_id", "text", segTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, s"$blockA $blockB"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, "c1 c2 c3 c4"),
+      (4L, 2L, 1L, "d1 d2 d3 d4"),
+      (5L, 1L, 1L, "e1 e2 e3")))
+  }
 }
