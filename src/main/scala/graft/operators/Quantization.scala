@@ -50,4 +50,105 @@ object Quantization {
     */
   def dequantize(q: DataFrame): DataFrame =
     q.select(col("vec_id"), dequantizeExpr.as("embedding"))
+
+  // ------------------------------------------------------------------
+  // Scalar-quantile codebook quantization (the PQ/ADC storage tier):
+  // a per-DIMENSION 16-level equal-frequency codebook (the product-
+  // quantization table with deterministic rank-derived anchors instead
+  // of k-means — anchors are exact data values picked by integer rank
+  // arithmetic, so the whole build/encode/decode/search chain is
+  // engine-exact and oracle-replayable, which float k-means can never
+  // be). 4 bits/dim packed two-per-byte = 0.5 byte/dim — 8× over
+  // float32, twice int8's ratio; asymmetric-distance search (ADC)
+  // keeps the query side exact and scans only codes + the 256-row
+  // codebook.
+  // ------------------------------------------------------------------
+
+  /** Codebook levels per dimension (4 bits). */
+  val SqLevels = 16
+
+  /** (dim, l, anchor): per-dimension equal-frequency anchors — anchor_l
+    * is the component value at exact 0-based rank
+    * ⌊(2l+1)·n / (2·levels)⌋ of that dimension's sorted values (the
+    * median of the l-th equal-frequency bucket; t9's integer rank
+    * arithmetic, no float quantile estimation). Building sorts each
+    * dimension once (dim-keyed shuffle); a 100 TB deployment fits the
+    * codebook on a bounded deterministic sample (the
+    * IvfIndex.assign(maxTrainRows) contract) — the encode/decode
+    * contract is unchanged.
+    */
+  def sqCodebook(emb: DataFrame, levels: Int = SqLevels,
+      embCol: String = "embedding"): DataFrame = {
+    val comps = emb.select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+    val ranked = comps.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("dim").orderBy("v")))
+    val counts = comps.groupBy("dim").agg(count(lit(1)).as("n"))
+    val targets = counts.crossJoin(
+        emb.sparkSession.range(levels).selectExpr("CAST(id AS INT) AS l"))
+      .selectExpr("dim", "l", s"((2 * l + 1) * n) div ${2 * levels} AS target")
+    targets.join(ranked.withColumnRenamed("dim", "rdim"),
+        col("rdim") === col("dim") && col("rn") - 1 === col("target"))
+      .select(col("dim"), col("l"), col("v").as("anchor"))
+  }
+
+  /** (vec_id, codes): 4-bit codes packed two-per-byte into a tinyint
+    * array (byte i = code[2i]·16 + code[2i+1] − 128, shifted into the
+    * signed range). Encoding is a narrow pass: each component joins
+    * the BROADCAST 16-anchor array of its dimension and left-folds an
+    * argmin (strict `<`, so ties keep the LOWER level — both engines
+    * agree bit-wise because every difference is an exact IEEE double
+    * subtraction of float32-exact values).
+    */
+  def sqEncode(emb: DataFrame, codebook: DataFrame,
+      levels: Int = SqLevels, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val arr = codebook.groupBy("dim").agg(
+      expr("transform(array_sort(collect_list(named_struct('l', l, 'a', anchor))), x -> x.a)")
+        .as("anchors"))
+    emb.select(col(idCol).as("vec_id"), posexplode(col(embCol)).as(Seq("dim", "v")))
+      .join(broadcast(arr), "dim")
+      .select(col("vec_id"), col("dim"),
+        expr(s"""aggregate(sequence(0, ${levels - 1}),
+          named_struct('d', CAST('Infinity' AS DOUBLE), 'l', -1),
+          (acc, l) -> IF(abs(CAST(v AS DOUBLE) - element_at(anchors, l + 1)) < acc.d,
+            named_struct('d', abs(CAST(v AS DOUBLE) - element_at(anchors, l + 1)), 'l', l),
+            acc),
+          acc -> acc.l)""").as("code"))
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(named_struct('dim', dim, 'c', code))), x -> x.c)")
+        .as("cs"))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, size(cs) div 2 - 1),
+          i -> CAST(element_at(cs, CAST(2 * i + 1 AS INT)) * $levels
+                    + element_at(cs, CAST(2 * i + 2 AS INT)) - 128 AS TINYINT))""")
+          .as("codes"))
+  }
+
+  /** Codes back to a float32 `embedding` of anchors — the ADC corpus
+    * side. Unpack is exact integer arithmetic ((b+128) div/mod 16);
+    * reconstruction joins the broadcast codebook and reassembles in
+    * dimension order.
+    */
+  def sqDecode(codes: DataFrame, codebook: DataFrame,
+      levels: Int = SqLevels): DataFrame = {
+    val unpacked = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("bi", "b")))
+      .select(col("vec_id"),
+        explode(expr(s"""array(
+          named_struct('dim', bi * 2,     'code', (CAST(b AS INT) + 128) div $levels),
+          named_struct('dim', bi * 2 + 1, 'code', (CAST(b AS INT) + 128) % $levels))"""))
+          .as("u"))
+      .select(col("vec_id"), col("u.dim").as("dim"), col("u.code").as("code"))
+    unpacked.join(broadcast(codebook),
+        unpacked("dim") === codebook("dim") && col("code") === col("l"))
+      .select(col("vec_id"), unpacked("dim").as("d"),
+        col("anchor").cast("float").as("a_f"))
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(named_struct('d', d, 'a', a_f))), x -> x.a)")
+        .as("embedding"))
+  }
 }

@@ -78,6 +78,24 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Brute top-k of an explicit query frame against an explicit corpus
+    * frame (the ADC shape: queries stay exact while the corpus is a
+    * reconstruction). `queries` = (query_id, qe), `corpus` =
+    * (vec_id, embedding); self-pairs excluded by id.
+    */
+  def topKCosineAgainst(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    c.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSqlExpr("qe", "ne").as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
   /** Tier 2: exact top-k with per-partition bounded heaps — no corpus
     * shuffle; only partitions·|queries|·k candidates reach the merge.
     */

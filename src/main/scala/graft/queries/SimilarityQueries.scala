@@ -270,7 +270,67 @@ object SimilarityQueries extends QueryPack {
               lit(K.toDouble)).as("recall"))
           .orderBy("query_id")
       },
-      Some(ivfRecallOracle))
+      Some(ivfRecallOracle)),
+
+    // Scalar-quantile-codebook ADC top-k (n9) — the PQ storage tier:
+    // per-dim 16-level equal-frequency codebooks (anchors are exact
+    // data values at integer ranks — no float k-means, so the ENTIRE
+    // build → encode → pack → unpack → reconstruct → cosine → top-k
+    // chain replays bit-for-bit in DuckDB), codes packed two-per-byte
+    // (0.5 byte/dim, 8× over float32, 2× beyond n7's int8), query side
+    // exact (asymmetric distance). The codebook build sorts each dim
+    // once; at 100 TB it fits on a bounded sample (the
+    // IvfIndex.assign(maxTrainRows) contract) while encode stays a
+    // narrow broadcast-join pass. Neighborhood fidelity vs the exact
+    // path is spec-pinned (QuantizationSpec).
+    Q("n9_sq_adc_topk",
+      (s, d) => {
+        import graft.operators.Quantization
+        val emb = Tables.load(s, d, "embeddings")
+        val cb = Quantization.sqCodebook(emb)
+        val rec = Quantization.sqDecode(Quantization.sqEncode(emb, cb), cb)
+        val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        SimilarityOps.topKCosineAgainst(rec, queries, K)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH comps AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS v
+               FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+             rk AS (SELECT dim, v,
+               row_number() OVER (PARTITION BY dim ORDER BY v) AS rn FROM comps),
+             cnt AS (SELECT dim, count(*) AS n FROM comps GROUP BY dim),
+             lv AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS l),
+             anch AS (SELECT cnt.dim, lv.l, rk.v AS anchor
+               FROM cnt CROSS JOIN lv
+               JOIN rk ON rk.dim = cnt.dim
+                 AND rk.rn - 1 = ((2 * lv.l + 1) * cnt.n) // 32),
+             enc AS (SELECT vec_id, dim, l AS code FROM (
+               SELECT c.vec_id, c.dim, a.l,
+                 row_number() OVER (PARTITION BY c.vec_id, c.dim
+                   ORDER BY abs(c.v - a.anchor), a.l) AS r
+               FROM comps c JOIN anch a ON a.dim = c.dim) WHERE r = 1),
+             pk AS (SELECT vec_id, dim // 2 AS bi,
+               sum(CASE WHEN dim % 2 = 0 THEN code * 16 ELSE code END) - 128 AS b
+               FROM enc GROUP BY vec_id, dim // 2),
+             unp AS (SELECT vec_id, bi * 2 AS dim, (b + 128) // 16 AS code FROM pk
+               UNION ALL
+               SELECT vec_id, bi * 2 + 1, (b + 128) % 16 FROM pk),
+             rec AS (SELECT u.vec_id,
+               list(CAST(a.anchor AS FLOAT) ORDER BY u.dim) AS ne
+               FROM unp u JOIN anch a ON a.dim = u.dim AND a.l = u.code
+               GROUP BY u.vec_id),
+             q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+             sims AS (SELECT query_id, rec.vec_id AS neighbor_id,
+               (${dot("qe", "ne")}) / (sqrt(${dot("qe", "qe")}) * sqrt(${dot("ne", "ne")})) AS sim
+               FROM q, rec WHERE rec.vec_id <> query_id),
+             ranked AS (SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM sims)
+             SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+             FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""))
   )
 
 }

@@ -94,4 +94,60 @@ class QuantizationSpec extends AnyFunSuite {
     assert(quantBytes * 2 < floatBytes,
       s"quantized $quantBytes vs float $floatBytes")
   }
+
+  // ---- scalar-quantile codebook (n9's PQ tier) ----------------------
+
+  private lazy val nDims =
+    emb.select(size(col("embedding"))).first().getInt(0)
+
+  test("sq codebook: 16 sorted anchors per dim, each an actual data value") {
+    val cb = Quantization.sqCodebook(emb).collect()
+    val dims = cb.map(_.getInt(0)).distinct.sorted
+    assert(dims.length === nDims && cb.length === nDims * 16)
+    val vals = emb.select(explode(col("embedding")).as("v"))
+      .select(col("v").cast("double"))
+      .collect().map(_.getDouble(0)).toSet
+    cb.foreach(r => assert(vals.contains(r.getDouble(2)),
+      s"anchor ${r.getDouble(2)} is not a data value"))
+    // per dim, anchors nondecreasing in level (equal-frequency order)
+    cb.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val byL = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byL.zip(byL.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("sq encode/decode: packed bytes round-trip, anchors encode to themselves") {
+    val cb = Quantization.sqCodebook(emb)
+    val codes = Quantization.sqEncode(emb, cb)
+    // dims/2 bytes per vector (0.5 byte/dim; 32 for this 64-dim table)
+    assert(codes.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(nDims / 2))
+    val rec = Quantization.sqDecode(codes, cb)
+    // decoding and re-encoding is a fixed point (codes are stable)
+    val codes2 = Quantization.sqEncode(rec, cb)
+    assert(codes.join(codes2.withColumnRenamed("codes", "c2"), "vec_id")
+      .filter(expr("codes <> c2")).count() === 0L)
+    // every reconstructed component is an anchor of its dimension
+    val anchors = cb.collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => r.getDouble(2).toFloat).toSet).toMap
+    rec.select(posexplode(col("embedding"))).collect().foreach { r =>
+      assert(anchors(r.getInt(0)).contains(r.getFloat(1)))
+    }
+  }
+
+  test("sq ADC neighborhoods overlap the exact top-10 (>= 0.5 at 8x compression)") {
+    val ids = (0L until 10L)
+    val cb = Quantization.sqCodebook(emb)
+    val rec = Quantization.sqDecode(Quantization.sqEncode(emb, cb), cb)
+    val queries = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val adc = SimilarityOps.topKCosineAgainst(rec, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilarityOps.topKCosineWindow(emb, ids, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & adc).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"ADC overlap $overlap")
+  }
 }
