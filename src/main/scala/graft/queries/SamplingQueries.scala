@@ -204,6 +204,48 @@ object SamplingQueries extends QueryPack {
                FROM documents)
              SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS pos,
                doc_id
-             FROM a ORDER BY shard, pos"""))
+             FROM a ORDER BY shard, pos""")),
+
+    // Leakage-free split — sp1's assignment keyed by the NEAR-DUP
+    // CLUSTER representative instead of the doc id, so two near-
+    // duplicate documents can never straddle train and test (the
+    // contamination d8 then has to detect after the fact; this split
+    // prevents it by construction — the standard fix after Lee et al.
+    // 2022's dedup analyses). Clusters are literally d9's components
+    // over the shared session-cached pair relation, so the cluster
+    // definition cannot drift from d2/d9/x4; unclustered docs (the
+    // overwhelming majority) key by themselves. Scale: the pair+CC
+    // relations are the documented d2/d9 machinery; the assignment
+    // itself stays a narrow projection + one broadcast-sized left join
+    // (clustered docs are a tiny fraction of any deduped corpus).
+    Q("sp8_cluster_split",
+      (s, d) => {
+        import graft.operators.SplitAssign
+        val docs = Tables.load(s, d, "documents").select("doc_id")
+        val cc = graft.operators.DedupOps
+          .connectedComponents(DedupQueries.nearDupPairs(s, d))
+        docs.join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+          .withColumn("bucket", SplitAssign.bucket(col("rep")))
+          .withColumn("split", SplitAssign.split(col("bucket")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+             e AS (SELECT d1 u, d2 v FROM jp UNION SELECT d2, d1 FROM jp),
+             reach AS (SELECT u, v FROM e
+               UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+             lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+               FROM reach GROUP BY u),
+             rp AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep
+               FROM documents d LEFT JOIN lab USING (doc_id)),
+             a AS (SELECT doc_id, rep,
+               CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+               FROM rp)
+             SELECT doc_id, rep, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM a ORDER BY doc_id"""))
   )
 }

@@ -38,6 +38,36 @@ object TextQueries extends QueryPack {
     */
   val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
 
+  /** DuckDB twin of `repetitionMetrics`, ending in `rep` (one row per
+    * doc: n_chars, top2_cnt/gram/frac, dup5_chars/frac) — shared by t8
+    * and x6's gate so the filter cannot drift from the metrics.
+    */
+  private val RepetitionCte =
+    """t AS (SELECT doc_id, length(text) AS n_chars,
+               string_split(text, ' ') AS ts FROM documents),
+             g2 AS (SELECT doc_id, array_to_string(ts[i : i + 1], ' ') AS gram,
+               count(*) AS cnt
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t)
+               GROUP BY doc_id, gram),
+             g5 AS (SELECT doc_id, array_to_string(ts[i : i + 4], ' ') AS gram,
+               count(*) AS cnt
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t)
+               GROUP BY doc_id, gram),
+             m2 AS (SELECT doc_id, cnt, gram,
+               max(cnt) OVER (PARTITION BY doc_id) AS max_cnt FROM g2),
+             top2 AS (SELECT doc_id, max(cnt) AS top2_cnt, min(gram) AS top2_gram
+               FROM m2 WHERE cnt = max_cnt GROUP BY doc_id),
+             dup5 AS (SELECT doc_id,
+               sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup5_chars
+               FROM g5 GROUP BY doc_id),
+             rep AS (SELECT b.doc_id, CAST(b.n_chars AS INTEGER) AS n_chars,
+               CAST(COALESCE(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+               COALESCE(top2_gram, '') AS top2_gram,
+               CAST(COALESCE(top2_cnt * length(top2_gram), 0) AS DOUBLE) / b.n_chars AS top2_frac,
+               CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+               CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / b.n_chars AS dup5_frac
+             FROM t b LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id))"""
+
   /** DuckDB twin of NgramLm's train-and-score chain, shared by the t15
     * entry and x5's per-source gate: ends with `t` (docs + filtered
     * tokens + split bucket) and `sc` (per-doc n_bigrams / n_oov /
@@ -315,31 +345,41 @@ object TextQueries extends QueryPack {
     Q("t8_repetition",
       (s, d) => repetitionMetrics(Tables.load(s, d, "documents"))
         .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, length(text) AS n_chars,
-               string_split(text, ' ') AS ts FROM documents),
-             g2 AS (SELECT doc_id, array_to_string(ts[i : i + 1], ' ') AS gram,
-               count(*) AS cnt
-               FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t)
-               GROUP BY doc_id, gram),
-             g5 AS (SELECT doc_id, array_to_string(ts[i : i + 4], ' ') AS gram,
-               count(*) AS cnt
-               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t)
-               GROUP BY doc_id, gram),
-             m2 AS (SELECT doc_id, cnt, gram,
-               max(cnt) OVER (PARTITION BY doc_id) AS max_cnt FROM g2),
-             top2 AS (SELECT doc_id, max(cnt) AS top2_cnt, min(gram) AS top2_gram
-               FROM m2 WHERE cnt = max_cnt GROUP BY doc_id),
-             dup5 AS (SELECT doc_id,
-               sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup5_chars
-               FROM g5 GROUP BY doc_id)
-             SELECT b.doc_id, CAST(b.n_chars AS INTEGER) AS n_chars,
-               CAST(COALESCE(top2_cnt, 0) AS BIGINT) AS top2_cnt,
-               COALESCE(top2_gram, '') AS top2_gram,
-               CAST(COALESCE(top2_cnt * length(top2_gram), 0) AS DOUBLE) / b.n_chars AS top2_frac,
-               CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
-               CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / b.n_chars AS dup5_frac
-             FROM t b LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
-             ORDER BY doc_id""")),
+      Some(s"""WITH $RepetitionCte
+             SELECT * FROM rep ORDER BY doc_id""")),
+
+    // The repetition gate — t8's Gopher-style metrics APPLIED as a
+    // corpus filter (the report→act pattern of d8c/x3): drop docs whose
+    // most-common-2-gram coverage exceeds 0.2 or whose duplicate-5-gram
+    // coverage exceeds 0.6, and report kept/total docs + kept tokens
+    // per source (the mixture accounting a pipeline run needs). The
+    // oracle replays METRICS + GATE + REPORT as one chain, so the gate
+    // can't drift from t8's numbers. Same scale shape as t8 — all
+    // doc-keyed — plus one small per-source aggregate.
+    Q("x6_repetition_gate",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val m = repetitionMetrics(docs)
+          .select(col("doc_id"), col("top2_frac"), col("dup5_frac"))
+        val keep = col("top2_frac") <= 0.2 && col("dup5_frac") <= 0.6
+        docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .join(m, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(keep, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $RepetitionCte,
+             src AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+               FROM documents)
+             SELECT source, count(*) AS n_docs,
+               CAST(COALESCE(count(*) FILTER (top2_frac <= 0.2 AND dup5_frac <= 0.6), 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(sum(n_tokens) FILTER (top2_frac <= 0.2 AND dup5_frac <= 0.6), 0) AS BIGINT) AS kept_tokens
+             FROM rep JOIN src USING (doc_id)
+             GROUP BY source ORDER BY source""")),
 
     // Corpus shape report — per-source token-count distribution
     // (docs, totals, min/max/mean, EXACT median and p90). The

@@ -183,4 +183,24 @@ class PropertiesSpec extends AnyFunSuite {
         assert(expected(k) === v, s"trial $trial at $k") }
     }
   }
+
+  test("cluster split: near-dup pairs never straddle splits; unclustered docs keep sp1's assignment") {
+    val sf = "/root/testdata/sf0.001"
+    val sp8 = SparkEntry.queries("sp8_cluster_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // every near-dup pair shares a rep, hence a split — the entry's point
+    val pairs = SparkEntry.queries("d2_near_dup_pairs")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(sp8(a)._2 === sp8(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // docs outside any cluster key by themselves == sp1's assignment
+    val sp1 = SparkEntry.queries("sp1_split_assign")(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sp8.foreach { case (id, (rep, split)) =>
+      if (rep == id) assert(split === sp1(id), s"doc $id diverged from sp1")
+    }
+  }
 }
