@@ -891,9 +891,14 @@ object DedupOps {
     * is collision-free; a general deployment would use a struct min).
     * One segment-keyed shuffle; everything else is narrow.
     */
-  def segmentOccurrences(docs: DataFrame, idCol: String, textCol: String,
-      segTokens: Int = 10): DataFrame = {
-    val seg = docs
+  /** The bare segment explode: (doc_id, seg_idx, seg) — consecutive
+    * `segTokens`-token windows, last one partial. Shared by the batch
+    * rewrite and the streaming face so the boundary arithmetic exists
+    * once.
+    */
+  def segments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
       .select(col("doc_id"),
         explode(expr(s"sequence(0, (size(ts) + ${segTokens - 1}) div $segTokens - 1)"))
@@ -901,6 +906,10 @@ object DedupOps {
       .select(col("doc_id"), col("seg_idx"),
         concat_ws(" ",
           expr(s"slice(ts, seg_idx * $segTokens + 1, $segTokens)")).as("seg"))
+
+  def segmentOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val seg = segments(docs, idCol, textCol, segTokens)
     val owner = seg.groupBy(md5(col("seg")).as("h"))
       .agg(min(col("doc_id") * 1000000L + col("seg_idx")).as("okey"))
     seg.join(owner, md5(col("seg")) === col("h"))

@@ -151,4 +151,24 @@ object Quantization {
         "transform(array_sort(collect_list(named_struct('d', d, 'a', a_f))), x -> x.a)")
         .as("embedding"))
   }
+
+  /** Persist the SQ tier: `dir/codebook` (dims × levels rows) +
+    * `dir/codes` (0.5 byte/dim per vector) — what a 100 TB corpus
+    * actually keeps on disk for the ADC scan.
+    */
+  def saveSq(emb: DataFrame, dir: String, levels: Int = SqLevels): Unit = {
+    val cb = sqCodebook(emb, levels).localCheckpoint()
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    sqEncode(emb, cb, levels).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The served corpus side: codes + codebook off disk, reconstructed
+    * lazily in the scan (IvfIndex.load's quantized-store discipline).
+    * Decoding is deterministic, so served search is bit-identical to
+    * the ad-hoc n9 path.
+    */
+  def loadSq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      levels: Int = SqLevels): DataFrame =
+    sqDecode(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"), levels)
 }

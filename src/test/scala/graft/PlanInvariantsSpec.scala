@@ -49,9 +49,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",
-    // n9 is the same deliberate shape over the SQ-reconstructed corpus
-    // (ADC keeps the query side exact and broadcast-tiny)
-    "n9_sq_adc_topk",
+    // n9/n10 are the same deliberate shape over the SQ-reconstructed
+    // corpus (ADC keeps the query side exact and broadcast-tiny)
+    "n9_sq_adc_topk", "n10_sq_adc_served",
     // t14/t16/x5: histQuantiles crosses the ≤64-row histogram's 1-row
     // total against the literal quantile-spec rows (and x5 carries the
     // same shape per source) — every side is sketch-sized by

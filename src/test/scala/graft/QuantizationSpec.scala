@@ -150,4 +150,18 @@ class QuantizationSpec extends AnyFunSuite {
     val overlap = (exact & adc).size.toDouble / exact.size
     assert(overlap >= 0.5, s"ADC overlap $overlap")
   }
+
+  test("served SQ store reconstructs bit-identically to the ad-hoc chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq_spec").toString
+    Quantization.saveSq(emb, dir)
+    val served = Quantization.loadSq(spark, dir)
+    val cb = Quantization.sqCodebook(emb)
+    val adhoc = Quantization.sqDecode(Quantization.sqEncode(emb, cb), cb)
+    // exact frame equality both ways (embedding arrays compare element-wise)
+    assert(served.exceptAll(adhoc).isEmpty && adhoc.exceptAll(served).isEmpty)
+    // and the persisted codes really are the compact tier: dims/2 tinyints
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(nDims / 2))
+  }
 }
