@@ -13,14 +13,23 @@ import org.apache.spark.sql.functions._
   * single global-min fingerprint detects only whole-doc equality;
   * winnowing localizes overlap.
   *
-  * The whole selection is PER-DOCUMENT array arithmetic (builtin
-  * higher-order functions — no shuffle, no UDF): grams → md5 hashes →
-  * rightmost-argmin per window end via a last-write-wins `aggregate`
-  * fold → `array_distinct`. Cost is n·w² integer ops per doc with w a
-  * small constant; the downstream overlap join is a d2-shape inverted
-  * index over the SELECTED hashes only, i.e. ~2/(w+1) the index size
-  * the unwinnowed gram join (d8) pays — that density factor is the
-  * operator's 100 TB argument.
+  * Selection runs as WINDOW FUNCTIONS over exploded gram rows (one
+  * doc-keyed shuffle, codegen'd): per window end, the rightmost
+  * minimum is `max(struct(-hash, pos))` over a `ROWS w-1 PRECEDING`
+  * frame — min hash under the negation, ties resolved to the larger
+  * pos, exactly the paper's rule. An earlier array-lambda
+  * implementation kept the per-doc hash array in a projection and
+  * relied on an exchange as a materialization barrier; the barrier was
+  * porous — the optimizer pushed the explode's inferred
+  * `size(sel) > 0` filter (with the WHOLE selection expression
+  * inlined, md5s re-evaluated per element access) below it, an
+  * O(n²·w²) interpreted blowup that hung the sf0.1 bench. Window
+  * functions cannot be inlined into a pushed predicate, so the shape
+  * is structurally immune, and WindowExec is codegen-adjacent rather
+  * than interpreted. The downstream overlap join is a d2-shape
+  * inverted index over the SELECTED hashes only, i.e. ~2/(w+1) the
+  * index size the unwinnowed gram join (d8) pays — that density
+  * factor is the operator's 100 TB argument.
   *
   * Docs with fewer than w grams winnow their single short window
   * (rightmost min of all grams); docs with no k-gram emit nothing.
@@ -32,34 +41,33 @@ object Winnowing {
     * the match inside each document.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 4): DataFrame =
-    docs
+      k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split($textCol, ' '), x -> x != '')").as("ts"))
-      .withColumn("hs", expr(
+      .select(col("doc_id"), posexplode(expr(
         s"""transform(
               IF(size(ts) >= $k, sequence(0, size(ts) - $k), array()),
               i -> CAST(conv(substring(md5(array_join(slice(ts, i + 1, $k), ' ')), 1, 8), 16, 10) AS BIGINT))"""))
-      // MATERIALIZATION BARRIER — load-bearing: without it,
-      // CollapseProject inlines the md5-transform expression above into
-      // every `hs[...]` reference inside the selection lambdas, and the
-      // interpreter then re-hashes the WHOLE gram array per element
-      // access — O(n²·w²) md5 calls per document (measured: sf0.1
-      // went from a hang to sub-second). The exchange materializes
-      // `hs` once per row; one narrow doc-keyed shuffle is the price.
-      .repartition(col("doc_id"))
-      .withColumn("sel", expr(
-        // window ends: one short window when 1 <= |hs| < w
-        s"""array_distinct(transform(
-              IF(size(hs) = 0, array(),
-                 IF(size(hs) < $w, array(size(hs) - 1),
-                    sequence($w - 1, size(hs) - 1))),
-              e -> aggregate(
-                sequence(greatest(e - $w + 1, 0), e), CAST(-1 AS INT),
-                (acc, p) -> IF(hs[p] = array_min(slice(hs, greatest(e - $w + 1, 0) + 1, e - greatest(e - $w + 1, 0) + 1)),
-                              CAST(p AS INT), acc))))"""))
-      .select(col("doc_id"), explode(col("sel")).as("pos"),
-        expr("element_at(hs, pos + 1)").as("fp_hash"))
+        .as(Seq("pos", "h")))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    val whole = Window.partitionBy("doc_id")
+    grams
+      // rightmost min of the trailing w hashes: hashes are < 2^32, so
+      // the negation cannot overflow and struct max = (min h, max pos)
+      .withColumn("best",
+        max(struct((-col("h")).as("nh"), col("pos"))).over(frame))
+      .withColumn("n", count(lit(1)).over(whole))
+      // window ends: every pos >= w-1, plus the single short window
+      // (its frame clips to the whole doc at the partition start)
+      .filter(col("pos") >= w - 1 ||
+        (col("n") < w && col("pos") === col("n") - 1))
+      .select(col("doc_id"), col("best.pos").as("pos"),
+        (-col("best.nh")).as("fp_hash"))
+      .distinct()
+  }
 
   /** Overlap report over the winnowed index: document pairs sharing
     * selected hashes, with the shared-fingerprint count — the d2
