@@ -38,6 +38,32 @@ object TextQueries extends QueryPack {
     */
   val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
 
+  /** DuckDB twin of `Winnowing.fingerprints`, ending in `fp`
+    * (doc_id, pos, fp_hash) — replays gram hashing + the rightmost-
+    * window-min selection with list arithmetic (a deliberately
+    * DIFFERENT algorithmic shape than the engine's window functions:
+    * agreement pins the semantics, not the plan). Shared by t17 and
+    * d13's pair search.
+    */
+  private lazy val WinnowCte =
+    """t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+               FROM documents),
+             h AS (SELECT doc_id,
+               list_transform(
+                 CASE WHEN len(ts) >= 4 THEN range(0, len(ts) - 3) ELSE [] END,
+                 i -> CAST(('0x' || substr(md5(array_to_string(ts[i + 1 : i + 4], ' ')), 1, 8)) AS BIGINT)) AS hs
+               FROM t),
+             ends AS (SELECT doc_id, hs, unnest(
+               CASE WHEN len(hs) = 0 THEN []
+                    WHEN len(hs) < 4 THEN [len(hs) - 1]
+                    ELSE range(3, len(hs)) END) AS e FROM h),
+             sel AS (SELECT doc_id, hs,
+               list_max(list_filter(range(s0, e + 1),
+                 p -> hs[p + 1] = list_min(hs[s0 + 1 : e + 1]))) AS pos
+               FROM (SELECT doc_id, hs, e, greatest(e - 3, 0) AS s0 FROM ends)),
+             fp AS (SELECT DISTINCT doc_id, pos, hs[pos + 1] AS fp_hash FROM sel)"""
+
   /** DuckDB twin of `repetitionMetrics`, ending in `rep` (one row per
     * doc: n_chars, top2_cnt/gram/frac, dup5_chars/frac) — shared by t8
     * and x6's gate so the filter cannot drift from the metrics.
@@ -672,25 +698,27 @@ object TextQueries extends QueryPack {
       (s, d) => graft.operators.Winnowing
         .fingerprints(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id", "pos"),
-      Some("""WITH t AS (SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS ts
-               FROM documents),
-             h AS (SELECT doc_id,
-               list_transform(
-                 CASE WHEN len(ts) >= 4 THEN range(0, len(ts) - 3) ELSE [] END,
-                 i -> CAST(('0x' || substr(md5(array_to_string(ts[i + 1 : i + 4], ' ')), 1, 8)) AS BIGINT)) AS hs
-               FROM t),
-             ends AS (SELECT doc_id, hs, unnest(
-               CASE WHEN len(hs) = 0 THEN []
-                    WHEN len(hs) < 4 THEN [len(hs) - 1]
-                    ELSE range(3, len(hs)) END) AS e FROM h),
-             sel AS (SELECT doc_id, hs,
-               list_max(list_filter(range(s0, e + 1),
-                 p -> hs[p + 1] = list_min(hs[s0 + 1 : e + 1]))) AS pos
-               FROM (SELECT doc_id, hs, e, greatest(e - 3, 0) AS s0 FROM ends)),
-             fp AS (SELECT DISTINCT doc_id, pos, hs[pos + 1] AS fp_hash FROM sel)
+      Some(s"""WITH $WinnowCte
              SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp_hash
              FROM fp ORDER BY doc_id, pos""")),
+
+    // Winnow-overlap pair search — the MOSS use of t17's fingerprints:
+    // document pairs sharing selected hashes, with the shared count.
+    // The d2 inverted-index shape at ~2/(w+1) the index size (only the
+    // SELECTED grams join), and by the paper's guarantee any pair
+    // sharing a ≥ w+k−1 = 7-token run appears. Oracle composes t17's
+    // replayed selection with the pair join — shared WinnowCte, so the
+    // index this searches can't drift from the fingerprints t17 pins.
+    Q("d13_winnow_pairs",
+      (s, d) => graft.operators.Winnowing.overlaps(
+          graft.operators.Winnowing.fingerprints(
+            Tables.load(s, d, "documents"), "doc_id", "text"))
+        .orderBy("d1", "d2"),
+      Some(s"""WITH $WinnowCte,
+             fpp AS (SELECT DISTINCT doc_id, fp_hash FROM fp)
+             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fps
+             FROM fpp a JOIN fpp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 ORDER BY d1, d2""")),
 
     // Hashed-feature linear model inference (QualityModel): the
     // fastText-style quality-classifier shape as a pure query — tokens
