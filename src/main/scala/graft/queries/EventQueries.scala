@@ -195,6 +195,70 @@ object EventQueries extends QueryPack {
             col("click_value"))
           .orderBy("view_id", "click_id")
       },
-      Some(intervalJoinOracle))
+      Some(intervalJoinOracle)),
+
+    // Funnel analysis — the ORDER-DEPENDENT sequential conversion
+    // report (signup → view → click → purchase, each step's event
+    // strictly after AND within 24 h of the previous step's): the
+    // product-analytics shape plain grouped counts can't express, and
+    // the step window is what makes it discriminate (unbounded, every
+    // user in this uniform fixture completes all four steps; at 24 h
+    // the four stage counts are 150→39→16→5 at sf0.01). Each stage is
+    // a conditional min per user chained through a join — four
+    // user-keyed shuffles that all reuse one hash partitioning, no
+    // window over the whole event log; conversion fractions are single
+    // IEEE divisions of exact counts.
+    Q("e8_funnel",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def stage(prev: org.apache.spark.sql.DataFrame, tcol: String,
+            typ: String, out: String) =
+          e.join(prev, "user_id")
+            .filter(col("event_type") === typ && col("ts") > col(tcol) &&
+              col("ts") <= col(tcol) + expr("INTERVAL 24 HOURS"))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = stage(s1, "t1", "view", "t2")
+        val s3 = stage(s2, "t2", "click", "t3")
+        val s4 = stage(s3, "t3", "purchase", "t4")
+        e.select("user_id").distinct()
+          .join(s1.select("user_id", "t1"), Seq("user_id"), "left")
+          .join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+          .join(s4.select("user_id", "t4"), Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t1")).as("n_signup"),
+            count(col("t2")).as("n_view"),
+            count(col("t3")).as("n_click"),
+            count(col("t4")).as("n_purchase"))
+          .select(col("n_users"), col("n_signup"), col("n_view"),
+            col("n_click"), col("n_purchase"),
+            (col("n_signup").cast("double") / col("n_users")).as("conv_signup"),
+            (col("n_view").cast("double") / col("n_signup")).as("conv_view"),
+            (col("n_click").cast("double") / col("n_view")).as("conv_click"),
+            (col("n_purchase").cast("double") / col("n_click")).as("conv_purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts FROM events),
+             s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND e.ts > t1 AND e.ts <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'click' AND e.ts > t2 AND e.ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+             s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN s3 USING (user_id)
+               WHERE event_type = 'purchase' AND e.ts > t3 AND e.ts <= t3 + INTERVAL 24 HOUR GROUP BY e.user_id),
+             lab AS (SELECT u.user_id, t1, t2, t3, t4
+               FROM (SELECT DISTINCT user_id FROM e) u
+               LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id))
+             SELECT count(*) AS n_users, count(t1) AS n_signup,
+               count(t2) AS n_view, count(t3) AS n_click,
+               count(t4) AS n_purchase,
+               CAST(count(t1) AS DOUBLE) / count(*) AS conv_signup,
+               CAST(count(t2) AS DOUBLE) / count(t1) AS conv_view,
+               CAST(count(t3) AS DOUBLE) / count(t2) AS conv_click,
+               CAST(count(t4) AS DOUBLE) / count(t3) AS conv_purchase
+             FROM lab"""))
   )
 }

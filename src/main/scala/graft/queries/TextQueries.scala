@@ -850,6 +850,32 @@ object TextQueries extends QueryPack {
                md5(array_to_string(regexp_extract_all(dirty, '$BpePat'), '|')) AS pieces_md5
              FROM dd ORDER BY doc_id""")),
 
+    // Content-defined chunking — the storage-dedup boundary rule over
+    // tokens (LBFS): a position ends a chunk when its trailing-4-gram
+    // hash ≡ 0 mod 8, so boundaries depend only on LOCAL content and
+    // an edit re-cuts at most its own chunk (TextSpec pins exactly
+    // that, against t7/d12's shifting fixed windows). Window functions
+    // over exploded tokens — one doc-keyed shuffle, no array folds.
+    Q("t21_cdc_chunks",
+      (s, d) => graft.operators.Chunker.cdcChunks(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS tok, ts
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t)),
+             g AS (SELECT doc_id, pos, tok,
+               CASE WHEN pos >= 4 THEN CAST(('0x' || substr(md5(array_to_string(ts[pos - 3 : pos], ' ')), 1, 8)) AS BIGINT) % 8 END AS gm
+               FROM toks),
+             c AS (SELECT doc_id, pos, tok,
+               CAST(COALESCE(SUM(CASE WHEN gm = 0 THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+               FROM g)
+             SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+             FROM c GROUP BY doc_id, chunk_idx
+             ORDER BY doc_id, chunk_idx""")),
+
     // Per-source distinct-vocabulary sketch — t10's 256-register HLL
     // keyed by source (the corpus-diversity dashboard: which sources
     // actually add novel 3-grams?). Same exact-dyadic register
