@@ -33,7 +33,9 @@ object R12bProbe {
     val names = Seq("w1_window_running", "t18_normalize_text",
       "t19_bpe_pretokenize", "t20_source_distinct_sketch",
       "sp7_shuffle_shards", "sp8_cluster_split", "d12_paragraph_dedup",
-      "x6_repetition_gate", "n9_sq_adc_topk")
+      "x6_repetition_gate", "n9_sq_adc_topk",
+      "n10_sq_adc_served", "d13_winnow_pairs", "t17_winnowing",
+      "e8_funnel", "t21_cdc_chunks")
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
       if (new java.io.File(s"$dir/documents.parquet").exists())
         names.foreach(n => time(s"dir=$dir $n",
