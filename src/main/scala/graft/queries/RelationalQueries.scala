@@ -505,6 +505,64 @@ object RelationalQueries extends QueryPack {
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              ORDER BY user_id, rn""")),
 
+    // Correlated SCALAR subquery — one aggregate per outer row,
+    // decorrelated by Catalyst into a left outer join + grouped
+    // aggregate (never per-row re-execution): the §2.9 surface q1's
+    // uncorrelated dashboard doesn't touch. COALESCE pins the
+    // no-orders case to 0 in both engines.
+    Q("q6_correlated_scalar", sql(
+      """SELECT c_custkey,
+           COALESCE((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     FROM orders WHERE o_custkey = c_custkey), 0e0) AS max_order
+         FROM customer ORDER BY c_custkey"""),
+      Some("""SELECT c_custkey,
+             COALESCE((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       FROM orders WHERE o_custkey = c_custkey), 0e0) AS max_order
+             FROM customer ORDER BY c_custkey""")),
+
+    // ANALYZE-style per-column statistics — the catalog-stats report a
+    // cost-based optimizer feeds on (row count, null count, exact
+    // distinct count, min/max), computed in ONE pass over the fact
+    // (every stat is a plain aggregate; the distincts are exact here —
+    // the sketch path is t10/t20). One row per profiled column via a
+    // union of per-column aggregates over the same cached scan.
+    Q("a10_column_stats",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def statRow(c: String) = li.agg(
+          lit(c).as("column_name"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+          .map(statRow).reduce(_.unionByName(_))
+          .orderBy("column_name")
+      },
+      Some("""SELECT column_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+             SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT l_orderkey) AS n_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+             UNION ALL
+             SELECT 'l_quantity', count(*),
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT l_quantity),
+               CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+             UNION ALL
+             SELECT 'l_returnflag', count(*),
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT l_returnflag),
+               CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+             UNION ALL
+             SELECT 'l_shipdate', count(*),
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT l_shipdate),
+               CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem)
+             ORDER BY column_name""")),
+
     // ---- §2.9 subqueries ------------------------------------------------
     // Q1/Q2: the 10-scalar-subquery "pipeline dashboard" (dp_demo.sql:127-142)
     // — uncorrelated ScalarSubquery nodes, each planned as an independent

@@ -148,4 +148,62 @@ object SketchStream {
     mergedCounters(spark, dir)
       .select(org.apache.spark.sql.functions.col("idx").cast("int").as("bucket"),
         org.apache.spark.sql.functions.col("c").as("cnt"))
+
+  /** GROUPED streaming histogram — t16's per-source quantile sketch
+    * maintained continuously. Layout is the key design move: each
+    * group's partials live under their own `g=<group>/` subtree
+    * (partitionBy("g", "_batch_id")), so every group's store IS a
+    * plain (r, idx, c) sketch directory and the whole single-sketch
+    * machine — `mergedCounters`' replay/marker semantics and
+    * `Compaction.compactSketch`'s fold — applies PER GROUP verbatim,
+    * with zero new cell logic. Groups are a small dimension by
+    * construction (the registerTableBy argument); per-batch state is
+    * ≤64 buckets × touched groups.
+    */
+  def histStreamBy(docs: DataFrame, outDir: String, checkpointDir: String,
+      keyCol: String = "source", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        Sketches.logHistogramBy(
+            batch.selectExpr(s"$keyCol AS g",
+              s"CAST(size(split($textCol, ' ')) AS BIGINT) AS v"),
+            Seq("g"))
+          .select(col("g"), lit(0).as("r"), col("bucket").cast("long").as("idx"),
+            col("cnt").as("c"))
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("g", "_batch_id").parquet(outDir)
+        ()
+      }
+
+  /** Current per-group histograms: one `mergedCounters` read per group
+    * subtree (groups enumerated off the filesystem), unioned with the
+    * group column restored — `Sketches.histQuantilesBy` consumes the
+    * result exactly as it consumes the batch `logHistogramBy`.
+    */
+  def mergedHistogramBy(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groups: Seq[String] =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g="))
+        .map(_.getPath.getName.stripPrefix("g="))
+    if (groups.isEmpty)
+      spark.range(0).selectExpr("CAST('' AS STRING) AS g",
+        "CAST(0 AS INT) AS bucket", "CAST(0 AS BIGINT) AS cnt")
+    else
+      groups.map { g =>
+        mergedCounters(spark, s"$dir/g=$g")
+          .select(lit(g).as("g"), col("idx").cast("int").as("bucket"),
+            col("c").as("cnt"))
+      }.reduce(_.unionByName(_))
+  }
 }

@@ -254,4 +254,51 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(folded.nonEmpty, "expected at least one partial folded")
     assert(merged() === batchHist, "compaction changed the histogram")
   }
+
+  test("grouped streamed histogram: per-source partials equal batch; per-group compaction applies verbatim") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text").limit(200).cache()
+    val batchBy = Sketches.logHistogramBy(
+        docs.selectExpr("source AS g",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS v"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val waves = Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
+    val srcDir = Files.createTempDirectory("graft_histby_src").toString
+    val base = Files.createTempDirectory("graft_histby").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = SketchStream.histStreamBy(src, s"$base/out", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def merged() = SketchStream.mergedHistogramBy(spark, s"$base/out")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged() === batchBy,
+      "grouped streamed histogram diverges from the batch sketch")
+    // grouped quantile answers equal the batch per-source path (t16's)
+    val qs = Seq((1, 2), (9, 10))
+    def quant(h: org.apache.spark.sql.DataFrame) =
+      Sketches.histQuantilesBy(h, Seq("g"), qs).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getInt(4)).toMap
+    assert(quant(SketchStream.mergedHistogramBy(spark, s"$base/out")
+        .select(col("g"), col("bucket"), col("cnt")))
+      === quant(Sketches.logHistogramBy(
+        docs.selectExpr("source AS g",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS v"), Seq("g"))))
+    // each group subtree is a plain sketch store: compaction per group
+    val g0 = merged().keys.map(_._1).head
+    val folded = graft.operators.Compaction.compactSketch(spark, s"$base/out/g=$g0")
+    assert(folded.nonEmpty, "expected the group's partials folded")
+    assert(merged() === batchBy, "per-group compaction changed the histogram")
+  }
 }
