@@ -247,5 +247,42 @@ object SamplingQueries extends QueryPack {
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split
              FROM a ORDER BY doc_id"""))
+  ) ++ Seq(
+
+    // Temperature-scaled mixture weights — the training-mixture math
+    // (sample source s with weight ∝ n_s^α, α < 1 upsampling small
+    // sources): α = 1/2 so the power is ONE IEEE sqrt (correctly
+    // rounded by mandate — no libm variance; published α≈0.7 needs
+    // exp/ln, the b2/t15 log-free trade again), then everything is
+    // fixed-point BIGINT: w_e6 = ⌊√n·10⁶⌋, total = Σw_e6 (integer —
+    // ORDER-INDEPENDENT, no float-summation fold to pin), allocation =
+    // budget·w_e6 div total, epochs_e6 = alloc·10⁶ div n. One
+    // source-keyed aggregate + a broadcast-scalar join; trivially flat
+    // at any corpus.
+    Q("sp9_temperature_mix",
+      (s, d) => {
+        val per = Tables.load(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .withColumn("w_e6",
+            expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+        per.crossJoin(broadcast(per.agg(sum("w_e6").as("total_e6"))))
+          .select(col("source"), col("n_tokens"), col("w_e6"),
+            expr("(100000L * w_e6) div total_e6").as("alloc_tokens"),
+            expr("((100000L * w_e6) div total_e6 * 1000000L) div n_tokens")
+              .as("epochs_e6"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             w AS (SELECT source, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_e6
+               FROM per),
+             t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS total_e6 FROM w)
+             SELECT source, n_tokens, w_e6,
+               (100000 * w_e6) // total_e6 AS alloc_tokens,
+               ((100000 * w_e6) // total_e6 * 1000000) // n_tokens AS epochs_e6
+             FROM w, t ORDER BY source"""))
   )
 }

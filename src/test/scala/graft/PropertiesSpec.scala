@@ -203,4 +203,16 @@ class PropertiesSpec extends AnyFunSuite {
       if (rep == id) assert(split === sp1(id), s"doc $id diverged from sp1")
     }
   }
+
+  test("temperature mix upsamples small sources: epochs non-increasing in source size") {
+    val rows = SparkEntry.queries("sp9_temperature_mix")(spark, "/root/testdata/sf0.001")
+      .select("n_tokens", "epochs_e6", "alloc_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length > 1)
+    rows.zip(rows.tail).foreach { case ((na, ea, _), (nb, eb, _)) =>
+      assert(ea >= eb, s"source with $na tokens got fewer epochs than one with $nb")
+    }
+    // allocations stay within the stated budget
+    assert(rows.map(_._3).sum <= 100000L)
+  }
 }
