@@ -449,4 +449,37 @@ object Bm25 {
       .select("term", "doc_id", "tf", "doc_len").distinct()
     scoreAndRank(p, stats, qTerms, k)
   }
+
+  /** Exact PHRASE search — the positional face BM25's bag-of-words
+    * scoring cannot express: a phrase of n tokens matches where a
+    * positional word n-gram equals it verbatim
+    * (`DedupOps.positionalGrams`, d10's index base — consecutive
+    * positions by construction, no position-arithmetic self-joins).
+    * Per phrase: matching docs ranked by occurrence count (tie →
+    * doc_id), with the first match position for snippeting. The
+    * phrase set is BROADCAST against the gram explode, so only
+    * matching grams ever shuffle — the query-term semi-join discipline
+    * of `topK` applied positionally; phrases of different lengths each
+    * scan their own gram width.
+    */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], k: Int): DataFrame = {
+    require(phrases.nonEmpty, "phraseTopK needs at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val matches = phrases.distinct.groupBy(_.split(" ").length).toSeq
+      .sortBy(_._1)
+      .map { case (n, ps) =>
+        DedupOps.positionalGrams(docs, idCol, textCol, n)
+          .join(broadcast(ps.toDF("phrase")), col("gram") === col("phrase"))
+          .select("phrase", "doc_id", "i")
+      }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phrase").orderBy(col("n_hits").desc, col("doc_id"))
+    matches.groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("i").cast("long").as("first_pos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("phrase", "doc_id", "n_hits", "first_pos", "rnk")
+  }
 }

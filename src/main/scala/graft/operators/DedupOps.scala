@@ -750,7 +750,11 @@ object DedupOps {
     * positions (and duplicates: the same gram at two positions is two
     * rows, each a distinct span witness).
     */
-  private def positionalGrams(docs: DataFrame, idCol: String,
+  /** (doc_id, i, gram): 1-based positional word n-grams — d10's index
+    * base, also the positional-postings face Bm25.phraseTopK matches
+    * phrases against (public since r12).
+    */
+  def positionalGrams(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
       .filter(size(col("ts")) >= n)

@@ -394,6 +394,36 @@ object RetrievalQueries extends QueryPack {
            SELECT c.doc_id, c.cell,
              CAST(CASE WHEN dr.witness IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
              CAST(COALESCE(dr.witness, -1) AS BIGINT) AS witness
-           FROM cells c LEFT JOIN dropped dr USING (doc_id) ORDER BY c.doc_id"""))
+           FROM cells c LEFT JOIN dropped dr USING (doc_id) ORDER BY c.doc_id""")),
+
+    // Exact PHRASE search (b7) — the positional face bag-of-words BM25
+    // cannot express: a phrase matches where a positional word n-gram
+    // equals it verbatim (consecutive positions by construction), docs
+    // ranked per phrase by occurrence count with the first match
+    // position. Phrases broadcast against the gram explode — only
+    // matching grams shuffle (topK's query-term semi-join discipline,
+    // positionally). The two fixture phrases are corpus-frequent and of
+    // DIFFERENT lengths, exercising the per-length gram widths.
+    Q("b7_phrase_search",
+      (s, d) => Bm25.phraseTopK(Tables.load(s, d, "documents"),
+          "doc_id", "text", Seq("table hash", "slow hash batch"), k = 10)
+        .orderBy("phrase", "rnk"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             g2 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ts[i] || ' ' || ts[i+1] AS gram
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t)),
+             g3 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM t)),
+             m AS (SELECT 'table hash' AS phrase, doc_id, pos FROM g2 WHERE gram = 'table hash'
+               UNION ALL
+               SELECT 'slow hash batch', doc_id, pos FROM g3 WHERE gram = 'slow hash batch'),
+             c AS (SELECT phrase, doc_id, count(*) AS n_hits, min(pos) AS first_pos
+               FROM m GROUP BY 1, 2),
+             r AS (SELECT phrase, doc_id, n_hits, first_pos,
+               row_number() OVER (PARTITION BY phrase ORDER BY n_hits DESC, doc_id) AS rnk
+               FROM c)
+             SELECT phrase, doc_id, n_hits, first_pos, CAST(rnk AS INTEGER) AS rnk
+             FROM r WHERE rnk <= 10 ORDER BY phrase, rnk"""))
   )
 }

@@ -257,4 +257,22 @@ class Bm25Spec extends AnyFunSuite {
     // n_lists=1 row floor for the same best rank
     assert(fused.forall(_.getLong(3) >= 1L))
   }
+
+  test("phrase search: consecutive-position semantics, overlap counting, per-length widths") {
+    val docs = Seq(
+      (1L, "a b c x a b c"),        // "a b c" twice, first at pos 1
+      (2L, "a b x b c"),            // has the words but never the phrase
+      (3L, "b c a b c"),            // once, at pos 3
+      (4L, "z z z z"),              // overlapping "z z": positions 1,2,3
+      (5L, "c b a"))                // reversed — no match
+      .toDF("doc_id", "text")
+    val got = graft.operators.Bm25
+      .phraseTopK(docs, "doc_id", "text", Seq("a b c", "z z"), k = 10)
+      .orderBy("phrase", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      ("a b c", 1L, 2L, 1L, 1),     // two hits outranks one
+      ("a b c", 3L, 1L, 3L, 2),
+      ("z z", 4L, 3L, 1L, 1)))     // overlapping occurrences all count
+  }
 }
