@@ -60,6 +60,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // t20: the dense register table crosses the distinct-source dim
     // against the 256-row bucket range — both sides fixed-size
     "t20_source_distinct_sketch",
+    // sp9: per-source weights cross the ONE-ROW integer total — the
+    // scalar-dashboard shape again
+    "sp9_temperature_mix",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
