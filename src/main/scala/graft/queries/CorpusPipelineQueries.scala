@@ -15,6 +15,12 @@ import graft.operators.CorpusPipeline
   */
 object CorpusPipelineQueries extends QueryPack {
 
+  /** x7's trusted slice (the DSIR "target" distribution) and how many
+    * raw docs it selects.
+    */
+  private val DsirTargetSources = Seq("src0", "src1")
+  private val DsirSelK = 50
+
   /** The t12 logit chain as SQL, shared by both entries. */
   private val CleanSql =
     """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -166,6 +172,67 @@ object CorpusPipelineQueries extends QueryPack {
                FROM m)
            SELECT k.cluster_id, CAST(cs.csize AS BIGINT) AS cluster_size,
              k.doc_id AS keeper_id, k.logit AS keeper_logit
-           FROM k JOIN cs USING (cluster_id) WHERE rn = 1 ORDER BY cluster_id"""))
+           FROM k JOIN cs USING (cluster_id) WHERE rn = 1 ORDER BY cluster_id""")),
+
+    // DSIR-shaped importance selection (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // hashed-unigram bag features (t12's 1024-bucket idiom), a
+    // TARGET distribution fit on the trusted sources and a RAW
+    // distribution on the rest (add-1 smoothed), and a per-raw-doc
+    // importance score summed over token occurrences. The paper's
+    // log-ratio is replaced by the fixed-point LINEAR surrogate
+    // w_e6[b] = p_target_e6[b] − p_raw_e6[b] (exact BIGINTs — all
+    // operands positive before the subtraction, so Spark `div` ≡
+    // DuckDB `//`): it prefers exactly the buckets the target
+    // over-represents, and keeps the whole chain replayable with no
+    // transcendental. Ranking is by the raw SUM (the length-biased
+    // form; the mean variant is one division away) — docs with zero
+    // tokens carry no evidence and are excluded by construction.
+    // Scale: the weight table is FIXED-SIZE (1024 rows, broadcast);
+    // the corpus pays one token-bucket map + one doc-keyed agg; the
+    // top-N rides TakeOrderedAndProject so only SelK rows ever see
+    // the rank window.
+    Q("x7_dsir_importance",
+      (s, d) => {
+        val sc = graft.operators.Dsir.importanceScores(
+            Tables.load(s, d, "documents"), "doc_id", "text",
+            "source", DsirTargetSources)
+          .orderBy(col("score_e6").desc, col("doc_id"))
+          .limit(DsirSelK)
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id"))
+        sc.withColumn("rnk", row_number().over(win).cast("int"))
+          .select("rnk", "doc_id", "score_e6", "n_toks")
+          .orderBy("rnk")
+      },
+      Some {
+        val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, source,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+               FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               WHERE tok <> ''),
+             c AS (SELECT b,
+               sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN source IN ($tgt) THEN 0 ELSE 1 END) AS cr
+               FROM tk GROUP BY 1),
+             tot AS (SELECT
+               sum(CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END) AS tt,
+               sum(CASE WHEN source IN ($tgt) THEN 0 ELSE 1 END) AS tr
+               FROM tk),
+             w AS (SELECT b,
+               ((ct + 1) * 1000000) // (tt + 1024) -
+               ((cr + 1) * 1000000) // (tr + 1024) AS w_e6
+               FROM c CROSS JOIN tot),
+             sc AS (SELECT doc_id, CAST(sum(w_e6) AS BIGINT) AS score_e6,
+               CAST(count(*) AS INTEGER) AS n_toks
+               FROM tk JOIN w USING (b)
+               WHERE source NOT IN ($tgt) GROUP BY 1),
+             r AS (SELECT doc_id, score_e6, n_toks,
+               row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk
+               FROM sc)
+           SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score_e6, n_toks
+           FROM r WHERE rnk <= $DsirSelK ORDER BY rnk"""
+      })
   )
 }

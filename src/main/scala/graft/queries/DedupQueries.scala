@@ -573,6 +573,56 @@ object DedupQueries extends QueryPack {
              SELECT tot.doc_id, n_segs,
                CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
                md5(COALESCE(text_clean, '')) AS clean_md5
-             FROM tot LEFT JOIN kept USING (doc_id) ORDER BY tot.doc_id"""))
+             FROM tot LEFT JOIN kept USING (doc_id) ORDER BY tot.doc_id""")),
+
+    // Cross-source overlap matrix — the contamination dashboard a
+    // data team reads before mixing sources: pairwise Jaccard of each
+    // source pair's DISTINCT 3-gram sets (d2's shingle relation
+    // collapsed to source granularity). The gram-keyed self-join
+    // explodes at most |sources|² rows PER GRAM — bounded by the
+    // source count, not the corpus — and the output is |sources|²/2
+    // rows total; jaccard_e6 is exact integer fixed point (positive
+    // operands, so Spark `div` ≡ DuckDB `//`). At 100 TB the only
+    // growing cost is the (source, gram) distinct — a map-side-
+    // combining aggregation keyed by gram; a df cap (d2's knob)
+    // drops universal boilerplate grams if the source count is huge.
+    Q("d14_cross_source_overlap",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val sg = graft.operators.DedupOps.shingles(docs, "doc_id", "text", 3)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select("source", "shingle").distinct()
+        val n = sg.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = sg.as("a").join(sg.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(n.select(col("source").as("s1"), col("n").as("n1"))),
+            Seq("s1"))
+          .join(broadcast(n.select(col("source").as("s2"), col("n").as("n2"))),
+            Seq("s2"))
+          .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+            expr("(n_common * 1000000) div (n1 + n2 - n_common)")
+              .as("jaccard_e6"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH toksv AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+             idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toksv),
+             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
+             sg AS (SELECT DISTINCT d.source, sh.shingle
+               FROM sh JOIN documents d USING (doc_id)),
+             nn AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+             it AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+               FROM sg a JOIN sg b
+                 ON a.shingle = b.shingle AND a.source < b.source
+               GROUP BY 1, 2)
+           SELECT s1, s2, n_common, na.n AS n1, nb.n AS n2,
+             (n_common * 1000000) // (na.n + nb.n - n_common) AS jaccard_e6
+           FROM it JOIN nn na ON na.source = it.s1
+             JOIN nn nb ON nb.source = it.s2
+           ORDER BY s1, s2"""))
   )
 }

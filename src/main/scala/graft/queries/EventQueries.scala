@@ -259,6 +259,53 @@ object EventQueries extends QueryPack {
                CAST(count(t2) AS DOUBLE) / count(t1) AS conv_view,
                CAST(count(t3) AS DOUBLE) / count(t2) AS conv_click,
                CAST(count(t4) AS DOUBLE) / count(t3) AS conv_purchase
-             FROM lab"""))
+             FROM lab""")),
+
+    // Cohort retention — the product-analytics staple: users cohorted
+    // by the ISO week of their FIRST event, retention = the fraction
+    // of each cohort active again k weeks later. Week truncation is
+    // Monday-aligned in both engines (Spark date_trunc('week') ≡
+    // DuckDB date_trunc('week')); the offset is exact integer
+    // arithmetic (day deltas between week-truncs are multiples of 7,
+    // so the division is lossless before the int cast). Scale: two
+    // user-keyed aggregations that reuse one hash partitioning, a
+    // broadcast of the tiny (cohort, size) table, and a final
+    // (cohort, offset)-keyed agg whose cardinality is weeks², not
+    // events — no window over the event log anywhere.
+    Q("e9_retention_cohorts",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+        val sizes = first.groupBy("cohort_week")
+          .agg(count(lit(1)).as("cohort_size"))
+        e.distinct()
+          .join(first, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("wk"), col("cohort_week")) / lit(7))
+              .cast("int").as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("cohort_week"))
+          .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+            col("week_offset"), col("n_active"), col("cohort_size"),
+            (col("n_active").cast("double") / col("cohort_size"))
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+             f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+             sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+             a AS (SELECT DISTINCT user_id, wk FROM e),
+             j AS (SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset
+               FROM a JOIN f USING (user_id)),
+             r AS (SELECT cohort_week, week_offset, count(*) AS n_active
+               FROM j GROUP BY 1, 2)
+           SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+             n_active, cohort_size,
+             CAST(n_active AS DOUBLE) / cohort_size AS retention
+           FROM r JOIN sz USING (cohort_week)
+           ORDER BY cohort_week, week_offset"""))
   )
 }

@@ -34,6 +34,8 @@ object RetrievalQueries extends QueryPack {
   /** Terms drawn from the synthetic corpus vocabulary. */
   private val QueryTerms = Seq("spark", "vector", "merge")
   private val BK = 5
+  /** b8's candidate pool depth (pre-diversification). */
+  private val CandK = 15
   private val Queries: Seq[(Long, String)] = Seq(
     (0L, "spark table merge"),
     (1L, "vector data window batch"),
@@ -97,12 +99,12 @@ object RetrievalQueries extends QueryPack {
     * chain surfaces as a value diff on THIS corpus, not a fingerprint
     * sentinel.
     */
-  private val FullTopKOracle: String = {
+  private val ScoreCtes: String = {
     val qtVals = Queries.flatMap { case (qid, text) =>
       text.split(" ").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
-    s"""WITH $OracleProlog,
+    s"""$OracleProlog,
        qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
          FROM (VALUES $qtVals) AS v(query_id, term)),
        qp AS (SELECT p.term, p.doc_id, p.tf FROM p
@@ -119,11 +121,14 @@ object RetrievalQueries extends QueryPack {
        sc AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_e15,
          count(*) AS n_matched_terms FROM con GROUP BY 1, 2),
        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         ORDER BY score_e15 DESC, doc_id) AS rnk FROM sc)
+         ORDER BY score_e15 DESC, doc_id) AS rnk FROM sc)"""
+  }
+
+  private val FullTopKOracle: String =
+    s"""WITH $ScoreCtes
      SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_e15,
        n_matched_terms
      FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
-  }
 
   /** One persisted BM25 inverted index per (session, dataset) — built on
     * first use, reused by every later b4 invocation (bench reps, verify,
@@ -264,6 +269,46 @@ object RetrievalQueries extends QueryPack {
            CAST(best_chunk_idx AS INTEGER) AS best_chunk_idx, n_matching_chunks
          FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
       }),
+
+    // Source-diversified top-k — the web-search host-collapse rule
+    // applied to retrieval for training-data curation: from the b3
+    // candidate pool (top CandK by full BM25 fixed-point score), keep
+    // at most ONE doc per (query, source) — the best-ranked — then
+    // re-rank and return BK. Diversification is two rank windows over
+    // an ALREADY candidate-bounded relation (≤ queries × CandK rows;
+    // the corpus never reaches a window), and the candidate pool
+    // itself is b3's semi-join-before-state plan — so the whole entry
+    // inherits b3's scale shape. Shares b3's ScoreCtes verbatim: the
+    // candidate scoring cannot drift between the plain and
+    // diversified faces.
+    Q("b8_diversified_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val cand = Bm25.topK(docs, "doc_id", "text", Queries, CandK)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val perSrc = Window.partitionBy("query_id", "source").orderBy("rnk")
+        val reRank = Window.partitionBy("query_id").orderBy("rnk")
+        cand.withColumn("rn", row_number().over(perSrc))
+          .filter(col("rn") === 1)
+          .withColumn("drnk", row_number().over(reRank).cast("int"))
+          .filter(col("drnk") <= BK)
+          .select("query_id", "drnk", "doc_id", "source", "score_e15")
+          .orderBy("query_id", "drnk")
+      },
+      Some(s"""WITH $ScoreCtes,
+             c AS (SELECT query_id, rnk, doc_id, score_e15 FROM r
+               WHERE rnk <= $CandK),
+             cs AS (SELECT c.*, d.source,
+               row_number() OVER (PARTITION BY query_id, d.source
+                 ORDER BY rnk) AS rn
+               FROM c JOIN documents d USING (doc_id)),
+             dv AS (SELECT query_id, doc_id, source, score_e15,
+               row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS drnk
+               FROM cs WHERE rn = 1)
+           SELECT query_id, CAST(drnk AS INTEGER) AS drnk, doc_id, source,
+             score_e15
+           FROM dv WHERE drnk <= $BK ORDER BY query_id, drnk""")),
 
     // Feature-hashed doc embeddings (HashedEmbedding): text → dim-16
     // integer vector as a pure query. The entry pins each vector via

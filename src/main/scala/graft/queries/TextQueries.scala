@@ -21,6 +21,9 @@ object TextQueries extends QueryPack {
 
   // A small English stopword list (the heuristic's signal).
   private val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** How many merge candidates t22 reports. */
+  private val MergeTopK = 20
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
   /** C4-style text normalization: case fold, collapse all whitespace
@@ -875,6 +878,48 @@ object TextQueries extends QueryPack {
                string_agg(tok, ' ' ORDER BY pos) AS chunk_text
              FROM c GROUP BY doc_id, chunk_idx
              ORDER BY doc_id, chunk_idx""")),
+
+    // One BPE merge-induction step (Sennrich et al. 2016): over the
+    // t19 pre-tokenized pieces, count adjacent CHARACTER pairs
+    // weighted by piece frequency — the argmax pair is the first
+    // merge a tokenizer trainer would add to its vocabulary. Pure
+    // integer counts; the top-k rides TakeOrderedAndProject (only
+    // MergeTopK rows reach the rank window, the b1 shape). Scale:
+    // the piece-frequency table is vocabulary-sized (Zipf-bounded,
+    // shrinks relative to the corpus as it grows), and the pair
+    // explode runs over THAT table, not the corpus — a 100 TB run
+    // pays one corpus-sized map + two vocabulary-sized aggregations.
+    Q("t22_bpe_merge",
+      (s, d) => {
+        val pieces = Tables.load(s, d, "documents")
+          .select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+            .as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("wf"))
+        val top = pieces.filter(length(col("piece")) >= 2)
+          .select(col("wf"), explode(expr(
+            "transform(sequence(1, length(piece) - 1), i -> substring(piece, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("wf").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(MergeTopK)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))
+        top.withColumn("rnk", row_number().over(w).cast("int"))
+          .select("pair", "cnt", "rnk")
+          .orderBy("rnk")
+      },
+      Some(s"""WITH pc AS (SELECT piece, count(*) AS wf
+               FROM (SELECT unnest(regexp_extract_all(text, '$BpePat')) AS piece
+                     FROM documents)
+               GROUP BY 1),
+             pr AS (SELECT substr(piece, CAST(i AS INTEGER), 2) AS pair, wf
+               FROM (SELECT piece, wf, unnest(range(1, length(piece))) AS i
+                     FROM pc WHERE length(piece) >= 2)),
+             ag AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM pr GROUP BY 1),
+             r AS (SELECT pair, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pair) AS rnk FROM ag)
+           SELECT pair, cnt, CAST(rnk AS INTEGER) AS rnk
+           FROM r WHERE rnk <= $MergeTopK ORDER BY rnk""")),
 
     // Per-source distinct-vocabulary sketch — t10's 256-register HLL
     // keyed by source (the corpus-diversity dashboard: which sources
