@@ -623,6 +623,40 @@ object DedupQueries extends QueryPack {
              (n_common * 1000000) // (na.n + nb.n - n_common) AS jaccard_e6
            FROM it JOIN nn na ON na.source = it.s1
              JOIN nn nb ON nb.source = it.s2
-           ORDER BY s1, s2"""))
+           ORDER BY s1, s2""")),
+
+    // Graph centrality over the SHARED d2 pair relation (nearDupPairs
+    // — the x4/d9 anti-drift discipline): 3 rounds of exact-integer
+    // PageRank ranking each dup-graph member by how central its
+    // duplication neighborhood is — a canonical-selection signal
+    // orthogonal to x4's quality argmax (hub docs vs fringe docs).
+    // The oracle unrolls the SAME three steps; every number is a
+    // BIGINT, so partial-agg order cannot perturb the hash (see
+    // operators/PageRank.scala for the arithmetic contract and the
+    // Pregel-shaped scale argument).
+    Q("d15_dup_pagerank",
+      (s, d) => graft.operators.PageRank
+        .pagerank(nearDupPairs(s, d).select("d1", "d2"), iters = 3)
+        .orderBy("doc_id"),
+      Some {
+        def step(prev: String, out: String) =
+          s"""s$out AS (SELECT ed.dst AS doc_id,
+               CAST(sum(r$prev.pr_e9 // r$prev.deg) AS BIGINT) AS s
+               FROM ed JOIN r$prev ON ed.src = r$prev.doc_id GROUP BY 1),
+             r$out AS (SELECT dg.src AS doc_id, dg.deg,
+               150000000 + (85 * COALESCE(s$out.s, 0)) // 100 AS pr_e9
+               FROM dg LEFT JOIN s$out ON s$out.doc_id = dg.src)"""
+        s"""WITH $pairsCte,
+             ed AS (SELECT d1 AS src, d2 AS dst FROM jp
+               UNION ALL SELECT d2, d1 FROM jp),
+             dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+             r0 AS (SELECT src AS doc_id, deg,
+               CAST(1000000000 AS BIGINT) AS pr_e9 FROM dg),
+             ${step("0", "1")},
+             ${step("1", "2")},
+             ${step("2", "3")}
+           SELECT doc_id, deg, CAST(pr_e9 AS BIGINT) AS pr_e9
+           FROM r3 ORDER BY doc_id"""
+      })
   )
 }

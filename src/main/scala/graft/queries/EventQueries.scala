@@ -306,6 +306,62 @@ object EventQueries extends QueryPack {
              n_active, cohort_size,
              CAST(n_active AS DOUBLE) / cohort_size AS retention
            FROM r JOIN sz USING (cohort_week)
-           ORDER BY cohort_week, week_offset"""))
+           ORDER BY cohort_week, week_offset""")),
+
+    // SCD Type-2 dimension history from an event log — the warehouse
+    // shape the reference's MERGE-based dims stop short of: per user,
+    // consecutive events with the SAME state collapse into one
+    // version row carrying [valid_from, valid_to) and is_current
+    // (gaps-and-islands: change flag → running version index → one
+    // group per version → lead() closes each interval). Determinism:
+    // ordering ties broken by event_id everywhere. Scale: all four
+    // steps are windows/aggs over ONE user-keyed partitioning — a
+    // single shuffle of the event log, no self-join (the naive SCD2
+    // build joins each event against the next; lead() is that join
+    // for free).
+    Q("e10_scd2_intervals",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("state"))
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("state"), 1).over(wOrd)
+        val flagged = e
+          .withColumn("chg",
+            when(prev.isNull || prev =!= col("state"), 1L).otherwise(0L))
+          .withColumn("version_idx", sum("chg").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wV = Window.partitionBy("user_id").orderBy("version_idx")
+        flagged.groupBy("user_id", "version_idx")
+          .agg(max("state").as("state"), min("ts").as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wV))
+          .select(col("user_id"), col("version_idx"), col("state"),
+            col("valid_from").cast("timestamp_ntz").as("valid_from"),
+            col("valid_to").cast("timestamp_ntz").as("valid_to"),
+            col("n_events"),
+            when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+          .orderBy("user_id", "version_idx")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts,
+               event_type AS state FROM events),
+             l AS (SELECT *, lag(state) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS pstate FROM e),
+             f AS (SELECT *, CASE WHEN pstate IS NULL OR pstate <> state
+               THEN 1 ELSE 0 END AS chg FROM l),
+             v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version_idx
+               FROM f),
+             g AS (SELECT user_id, version_idx, max(state) AS state,
+               min(ts) AS valid_from, count(*) AS n_events
+               FROM v GROUP BY 1, 2),
+             o AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY version_idx) AS valid_to FROM g)
+           SELECT user_id, CAST(version_idx AS BIGINT) AS version_idx, state,
+             valid_from, valid_to, n_events,
+             CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+           FROM o ORDER BY user_id, version_idx"""))
   )
 }

@@ -98,4 +98,48 @@ class WaveFourSpec extends AnyFunSuite {
     assert(rows.forall(r =>
       pool((r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))))
   }
+
+  test("d15: star-graph center outranks leaves; mass stays within floor-rounding of n") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("d1", "d2")
+    val pr = graft.operators.PageRank.pagerank(star, iters = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pr_e9"))
+      .toMap
+    assert(pr.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => pr(1L) > pr(l)))
+    // every node has deg >= 1, so no dangling leakage: total mass is
+    // n*1e9 minus only integer-floor crumbs
+    val total = pr.values.sum
+    assert(total <= 5L * 1000000000L)
+    assert(total > (5L * 1000000000L * 99L) / 100L)
+    val entry = SparkEntry.queries("d15_dup_pagerank")(spark, sf).collect()
+    assert(entry.nonEmpty)
+    assert(entry.forall(_.getAs[Long]("pr_e9") >= 150000000L))
+  }
+
+  test("e10: SCD2 versions tile each user's history with alternating states") {
+    val rows = SparkEntry.queries("e10_scd2_intervals")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version_idx"))
+      assert(sorted.head.getAs[Long]("version_idx") === 1L, s"user $u")
+      // exactly one open (current) version, and it is the last
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) === 1, s"user $u")
+      assert(sorted.last.getAs[Int]("is_current") === 1, s"user $u")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals tile: each version closes where the next opens
+          assert(a.getAs[java.time.LocalDateTime]("valid_to") ===
+            b.getAs[java.time.LocalDateTime]("valid_from"), s"user $u")
+          // a version only exists because the state CHANGED
+          assert(a.getAs[String]("state") !== b.getAs[String]("state"),
+            s"user $u")
+        case _ => ()
+      }
+    }
+    val nEvents = rows.map(_.getAs[Long]("n_events")).sum
+    val total = graft.Tables.load(spark, sf, "events").count()
+    assert(nEvents === total)
+  }
 }
