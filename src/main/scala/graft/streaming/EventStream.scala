@@ -130,6 +130,54 @@ object EventStream {
       }
   }
 
+  final case class TypedEvent(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+  final case class OpenVersion(
+      state: String, valid_from: Timestamp, idx: Long, n: Long)
+  final case class ClosedVersion(
+      user_id: Long, version_idx: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+
+  /** Streaming SCD Type-2 — the in-flight twin of the e10 batch entry
+    * (EventQueries): per user, consecutive events with the same
+    * `event_type` extend the open version; a state CHANGE closes it
+    * (valid_to = the changing event's ts) and emits the closed row.
+    * Only the single open version per user lives in state — O(users),
+    * no timeout dependence — and a version is emitted exactly once,
+    * when the change that closes it arrives (the sessionize contract:
+    * the open tail is in state, not in the output). Within-batch
+    * ordering replays the batch plan's (ts, event_id) order at FULL
+    * timestamp precision (getNanos refines the ms-truncated getTime),
+    * so the stream's closed rows equal the batch entry's closed rows
+    * whatever the micro-batch boundaries (StreamingSpec pins it).
+    */
+  def scd2Stream(spark: SparkSession, events: DataFrame): Dataset[ClosedVersion] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenVersion, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TypedEvent], state: GroupState[OpenVersion]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
+          var open = state.getOption
+          evs.foreach { e =>
+            open match {
+              case Some(v) if v.state == e.event_type =>
+                open = Some(v.copy(n = v.n + 1))
+              case Some(v) =>
+                closed += ClosedVersion(user, v.idx, v.state, v.valid_from, e.ts, v.n)
+                open = Some(OpenVersion(e.event_type, e.ts, v.idx + 1, 1))
+              case None =>
+                open = Some(OpenVersion(e.event_type, e.ts, 1L, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, with state bounded by the event-time watermark — the
     * in-flight analogue of the d1 content-hash dedup for a continuously

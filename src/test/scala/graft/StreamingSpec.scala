@@ -81,6 +81,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SCD2 closed versions equal the e10 batch entry's closed rows") {
+    val q = EventStream
+      .scd2Stream(spark, EventStream.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("scd2")
+      .select("user_id", "version_idx", "state", "valid_from", "valid_to",
+        "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSet
+    // the batch entry emits the open tail too (is_current = 1, null
+    // valid_to); the stream keeps it in state — compare closed rows
+    val expected = SparkEntry.queries("e10_scd2_intervals")(spark, sf)
+      .filter(col("is_current") === 0)
+      .select(col("user_id"), col("version_idx"), col("state"),
+        col("valid_from").cast("timestamp"),
+        col("valid_to").cast("timestamp"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming SCD2 carries the open version across delivery waves") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft_scd2_waves").toString
+    val ckpt = Files.createTempDirectory("graft_scd2_ckpt").toString
+    val out = Files.createTempDirectory("graft_scd2_out").toString
+    val ev = Tables.load(spark, sf, "events")
+    val cut = "2024-01-15 00:00:00"
+    // the memory sink cannot recover a checkpoint; a parquet sink can —
+    // closed versions accumulate in `out` across the two runs
+    def run(): Set[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      val q = EventStream
+        .scd2Stream(spark, EventStream.readEvents(spark, dir))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+        .select("user_id", "version_idx", "state", "valid_from", "valid_to",
+          "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSet
+    }
+    ev.filter(col("ts") < lit(cut)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val wave1 = run()
+    ev.filter(col("ts") >= lit(cut)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val wave2 = run()
+    val expected = SparkEntry.queries("e10_scd2_intervals")(spark, sf)
+      .filter(col("is_current") === 0)
+      .select(col("user_id"), col("version_idx"), col("state"),
+        col("valid_from").cast("timestamp"),
+        col("valid_to").cast("timestamp"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSet
+    // versions straddling the wave boundary close in wave 2 with the
+    // SAME version_idx/n_events the batch plan assigns — state carried
+    assert(wave2 === expected)
+    assert(wave1.nonEmpty && wave1.subsetOf(wave2) && (wave2 -- wave1).nonEmpty)
+  }
+
   test("native session_window sessionization equals the window-function sessions, boundaries included") {
     import spark.implicits._
     // full-table parity: the engine-native face must reproduce
