@@ -46,6 +46,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // side, the scalar-dashboard shape again
     "b2_bm25_term_topk", "b3_bm25_topk", "b4_bm25_served", "b5_rrf_fusion",
     "b6_passage_topk",
+    // b8 diversifies b3's candidates, so it carries b3's one-row
+    // corpus-stats cross; x7 crosses the bucket counts against the
+    // ONE-ROW token-total aggregate — the scalar-dashboard shape
+    "b8_diversified_topk", "x7_dsir_importance",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",
