@@ -657,6 +657,55 @@ object DedupQueries extends QueryPack {
              ${step("2", "3")}
            SELECT doc_id, deg, CAST(pr_e9 AS BIGINT) AS pr_e9
            FROM r3 ORDER BY doc_id"""
-      })
+      }),
+
+    // Triangle census of the dup graph — how CLIQUE-LIKE is the
+    // duplication structure (boilerplate families form near-cliques;
+    // chain-shaped clusters don't): triangles via the oriented
+    // wedge-close join on the a<b<c edge orientation (each triangle
+    // counted exactly once), wedges from the degree table, global
+    // clustering coefficient = 3·T/wedges in exact fixed point. The
+    // id orientation is the compact-forward shape; a production run
+    // orients low-degree → high-degree instead, bounding join fan-out
+    // by graph arboricity rather than max id-order degree — same
+    // plan, different orientation column. The three 1-row aggregates
+    // cross at the end (the scalar-dashboard shape).
+    Q("d16_triangle_stats",
+      (s, d) => {
+        val e = nearDupPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))
+        val deg = e.select(col("a").as("v"))
+          .union(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("ta"), col("e2.b").as("tc"))
+          .join(e.as("e3"),
+            col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        nodes.crossJoin(edges).crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            expr("CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 1000000) div n_wedges ELSE 0 END")
+              .as("clustering_e6"))
+      },
+      Some(s"""WITH $pairsCte,
+             e AS (SELECT d1 AS a, d2 AS b FROM jp),
+             dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+               GROUP BY 1),
+             tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+               FROM e e1 JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM dg),
+             ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+           SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges > 0
+               THEN (3 * n_triangles * 1000000) // n_wedges ELSE 0 END
+               AS clustering_e6
+           FROM nd CROSS JOIN ne CROSS JOIN tri"""))
   )
 }

@@ -362,6 +362,81 @@ object EventQueries extends QueryPack {
            SELECT user_id, CAST(version_idx AS BIGINT) AS version_idx, state,
              valid_from, valid_to, n_events,
              CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-           FROM o ORDER BY user_id, version_idx"""))
+           FROM o ORDER BY user_id, version_idx""")),
+
+    // Daily-volume anomaly flags WITHOUT any transcendental: the
+    // 3-sigma test |c − μ| > 3σ is algebraically equivalent to
+    // (n·c − S)² > 9·(n·SS − S²) over the exact integer daily counts
+    // (multiply both sides by n²), so the whole detector is BIGINT
+    // arithmetic that hash-replays cross-engine — where a
+    // stddev_pop-based filter would be at the mercy of each engine's
+    // sqrt. Scale: one (type, day) count agg + a per-type 1-row
+    // moment agg broadcast back; days×types output rows.
+    Q("e11_count_anomalies",
+      (s, d) => {
+        val daily = Tables.load(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val mom = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sv"),
+            sum(col("c") * col("c")).as("ss"))
+        daily.join(broadcast(mom), Seq("event_type"))
+          .select(col("event_type"),
+            col("day").cast("timestamp_ntz").as("day"), col("c"),
+            expr("(n * c - sv) * (n * c - sv)").as("dev2"),
+            expr("9 * (n * ss - sv * sv)").as("thr"),
+            when(expr("(n * c - sv) * (n * c - sv) > 9 * (n * ss - sv * sv)"),
+              1).otherwise(0).as("is_anomaly"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+             m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sv, CAST(sum(c * c) AS BIGINT) AS ss
+               FROM daily GROUP BY 1)
+           SELECT daily.event_type, day, c,
+             (n * c - sv) * (n * c - sv) AS dev2,
+             9 * (n * ss - sv * sv) AS thr,
+             CASE WHEN (n * c - sv) * (n * c - sv) > 9 * (n * ss - sv * sv)
+               THEN 1 ELSE 0 END AS is_anomaly
+           FROM daily JOIN m USING (event_type)
+           ORDER BY event_type, day""")),
+
+    // Event-type transition matrix — the user-journey Markov view:
+    // per user, adjacent event pairs (lag over the e10 ordering),
+    // counted per (prev, next) with fixed-point row-normalized
+    // probabilities (exact integer division). One user-keyed window +
+    // one types²-cardinality agg; the matrix is types², independent
+    // of event count.
+    Q("e12_transition_matrix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("next_type"))
+          .withColumn("prev_type", lag(col("next_type"), 1).over(wOrd))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "next_type").agg(count(lit(1)).as("cnt"))
+        val tot = pairs.groupBy("prev_type").agg(sum("cnt").as("tot"))
+        pairs.join(broadcast(tot), Seq("prev_type"))
+          .select(col("prev_type"), col("next_type"), col("cnt"),
+            expr("(cnt * 1000000) div tot").as("p_e6"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts,
+               event_type AS next_type FROM events),
+             l AS (SELECT *, lag(next_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type FROM e),
+             p AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+               FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             t AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS tot
+               FROM p GROUP BY 1)
+           SELECT prev_type, next_type, cnt, (cnt * 1000000) // tot AS p_e6
+           FROM p JOIN t USING (prev_type)
+           ORDER BY prev_type, next_type"""))
   )
 }

@@ -283,6 +283,39 @@ object SamplingQueries extends QueryPack {
              SELECT source, n_tokens, w_e6,
                (100000 * w_e6) // total_e6 AS alloc_tokens,
                ((100000 * w_e6) // total_e6 * 1000000) // n_tokens AS epochs_e6
-             FROM w, t ORDER BY source"""))
+             FROM w, t ORDER BY source""")),
+
+    // Deterministic WEIGHTED sampling without replacement — the
+    // Efraimidis–Spirakis priority-sample shape with the repo's
+    // no-RNG discipline: the "random" key is the doc's md5-derived
+    // 32-bit integer (uniform, reproducible), the priority is
+    // key·10⁶ div weight (weight = n_chars), and the sample is the
+    // k SMALLEST priorities — so a doc's selection odds scale with
+    // its weight while the whole draw replays bit-for-bit in any
+    // engine (the paper's u^(1/w) key needs pow; the integer
+    // surrogate preserves the same weight-monotone selection
+    // pressure, documented as such). TakeOrderedAndProject carries
+    // the top-k; only k rows reach the rank window.
+    Q("sp10_weighted_priority_sample",
+      (s, d) => {
+        val prio = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").as("weight"),
+            expr("(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) * 1000000) div n_chars")
+              .as("priority"))
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(100)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority"), col("doc_id"))
+        prio.withColumn("rnk", row_number().over(w).cast("int"))
+          .select("rnk", "doc_id", "weight", "priority")
+          .orderBy("rnk")
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars AS weight,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 1000000) // n_chars AS priority
+               FROM documents),
+             r AS (SELECT doc_id, weight, priority,
+               row_number() OVER (ORDER BY priority, doc_id) AS rnk FROM p)
+           SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, weight, priority
+           FROM r WHERE rnk <= 100 ORDER BY rnk"""))
   )
 }

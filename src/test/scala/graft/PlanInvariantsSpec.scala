@@ -50,6 +50,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // corpus-stats cross; x7 crosses the bucket counts against the
     // ONE-ROW token-total aggregate — the scalar-dashboard shape
     "b8_diversified_topk", "x7_dsir_importance",
+    // d16 crosses its three 1-row census aggregates at the end —
+    // the scalar-dashboard shape
+    "d16_triangle_stats",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",

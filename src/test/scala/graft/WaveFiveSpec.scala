@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the fifth-wave entries (e11 integer-exact
+  * anomaly flags, e12 transition matrix, d16 triangle census, sp10
+  * weighted priority sample). The strong gate is the DuckDB oracle.
+  */
+class WaveFiveSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("e11: the flag IS the integer inequality, and daily counts conserve the totals") {
+    val rows = SparkEntry.queries("e11_count_anomalies")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = if (r.getAs[Long]("dev2") > r.getAs[Long]("thr")) 1 else 0
+      assert(r.getAs[Int]("is_anomaly") === expect)
+      assert(r.getAs[Long]("thr") >= 0) // 9·n·Var ≥ 0 always
+    }
+    val total = rows.map(_.getAs[Long]("c")).sum
+    assert(total === graft.Tables.load(spark, sf, "events").count())
+  }
+
+  test("e12: rows of the transition matrix are floor-normalized distributions") {
+    val rows = SparkEntry.queries("e12_transition_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (pt, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_e6")).sum
+      // each of the ≤5 next-type divisions floors away < 1 unit
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length, s"prev=$pt sum=$pSum")
+    }
+  }
+
+  test("d16: triangle census respects the wedge bound and the [0,1] coefficient range") {
+    val r = SparkEntry.queries("d16_triangle_stats")(spark, sf).collect().head
+    val (nodes, edges, wedges, tris) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(nodes > 0 && edges > 0)
+    assert(edges <= nodes.toLong * (nodes - 1) / 2)
+    // every triangle closes 3 wedges
+    assert(wedges >= 3 * tris)
+    val c = r.getAs[Long]("clustering_e6")
+    assert(c >= 0 && c <= 1000000L)
+  }
+
+  test("sp10: the sample is exactly the 100 smallest md5-priority rows (independent recompute)") {
+    val rows = SparkEntry.queries("sp10_weighted_priority_sample")(spark, sf)
+      .collect()
+    assert(rows.length === 100)
+    val prios = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("priority"))
+    assert(prios.zip(prios.tail).forall { case (a, b) => a <= b })
+    // independent recompute of every doc's priority with java's md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prio(docId: Long, w: Long): Long = {
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) * 1000000L) / w
+    }
+    val all = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.map { case (id, w) => (prio(id, w), id) }
+      .sorted.take(100).map(_._2).toSeq
+    val got = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(got === expected)
+  }
+}
