@@ -28,7 +28,9 @@ object WaveFourProbe {
 
     val names = Seq("e9_retention_cohorts", "e10_scd2_intervals",
       "t22_bpe_merge", "d14_cross_source_overlap", "x7_dsir_importance",
-      "b8_diversified_topk", "d15_dup_pagerank")
+      "b8_diversified_topk", "d15_dup_pagerank",
+      "e11_count_anomalies", "e12_transition_matrix",
+      "d16_triangle_stats", "sp10_weighted_priority_sample")
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
       if (new java.io.File(s"$dir/documents.parquet").exists())
         names.foreach(n => time(s"dir=$dir $n",
