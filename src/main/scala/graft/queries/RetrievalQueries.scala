@@ -310,6 +310,54 @@ object RetrievalQueries extends QueryPack {
              score_e15
            FROM dv WHERE drnk <= $BK ORDER BY query_id, drnk""")),
 
+    // Late-interaction MaxSim re-ranking (ColBERT shape): lexical
+    // recall (the b3 candidate semantics) + per-query-term best soft
+    // match over the candidates' PER-TOKEN hashed vectors, summed.
+    // Exact BIGINT dot products end to end, so DuckDB replays the
+    // full interaction (LateInteraction's scaladoc has the scale
+    // argument: broadcast query side, candidate-bounded fan-out, sim
+    // as one codegen'd expression — no vector arrays materialize).
+    Q("b9_maxsim_topk",
+      (s, d) => graft.operators.LateInteraction.maxSimTopK(
+          Tables.load(s, d, "documents"), "doc_id", "text", Queries, BK)
+        .orderBy("query_id", "rnk"),
+      Some {
+        val qtVals = Queries.flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct
+            .map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        def wSql(d: Int, b: String) =
+          s"((CAST(('0x' || substr(md5('e:$d:' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        val simSql = (0 until 16)
+          .map(d => s"${wSql(d, "qb")} * ${wSql(d, "db")}").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+             tk AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+             qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+               FROM (VALUES $qtVals) AS v(query_id, term)),
+             cand AS (SELECT DISTINCT tk.doc_id, qt.query_id
+               FROM tk JOIN qt USING (term)),
+             dt AS (SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS db
+               FROM tk WHERE doc_id IN (SELECT doc_id FROM cand)),
+             qvb AS (SELECT query_id, term,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS qb
+               FROM qt),
+             sim AS (SELECT c.query_id, c.doc_id, q.term,
+               CAST($simSql AS BIGINT) AS s
+               FROM cand c JOIN dt ON dt.doc_id = c.doc_id
+               JOIN qvb q ON q.query_id = c.query_id),
+             mx AS (SELECT query_id, doc_id, term, max(s) AS ms
+               FROM sim GROUP BY 1, 2, 3),
+             sc AS (SELECT query_id, doc_id, CAST(sum(ms) AS BIGINT) AS score,
+               count(*) AS n_terms FROM mx GROUP BY 1, 2),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk FROM sc)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score,
+             n_terms
+           FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
+      }),
+
     // Feature-hashed doc embeddings (HashedEmbedding): text → dim-16
     // integer vector as a pure query. The entry pins each vector via
     // its first two components + the exact BIGINT squared norm (an

@@ -53,6 +53,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // d16 crosses its three 1-row census aggregates at the end —
     // the scalar-dashboard shape
     "d16_triangle_stats",
+    // b9's similarity table IS a deliberate cross of two bounded-tiny
+    // frames (|q-terms| × ≤dims occurring buckets) — the point of the
+    // bucket-pair precompute (LateInteraction's scale note)
+    "b9_maxsim_topk",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",

@@ -66,4 +66,37 @@ class WaveFiveSpec extends AnyFunSuite {
     val got = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
     assert(got === expected)
   }
+
+  test("b9: lexical recall bounds candidates; an exact term match floors the per-term max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val res = graft.operators.LateInteraction
+      .maxSimTopK(docs, "doc_id", "text", Seq((0L, "alpha")), k = 5)
+      .collect()
+    // doc 2 shares no lexical term -> never a candidate
+    assert(res.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    val r = res.head
+    assert(r.getAs[Long]("n_terms") === 1L)
+    // the term itself is among doc 1's tokens, so the per-term max is
+    // at least the term's self-dot (sum of squared dim weights)
+    val selfDot = Seq(graft.operators.QualityModel
+        .tokenBucket(lit("alpha"), 1024))
+      .map { b =>
+        (0 until 16).map(d =>
+          graft.operators.HashedEmbedding.dimWeight(b, d) *
+            graft.operators.HashedEmbedding.dimWeight(b, d))
+          .reduce(_ + _)
+      }.head
+    val sd = docs.sparkSession.range(1).select(selfDot.as("sd"))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("score") >= sd)
+    assert(sd > 0)
+
+    // the full entry: every row carries the query's full term count
+    val entry = SparkEntry.queries("b9_maxsim_topk")(spark, sf).collect()
+    assert(entry.nonEmpty)
+    val q0 = entry.filter(_.getAs[Long]("query_id") == 0L)
+    assert(q0.forall(_.getAs[Long]("n_terms") === 3L))
+  }
 }

@@ -30,7 +30,8 @@ object WaveFourProbe {
       "t22_bpe_merge", "d14_cross_source_overlap", "x7_dsir_importance",
       "b8_diversified_topk", "d15_dup_pagerank",
       "e11_count_anomalies", "e12_transition_matrix",
-      "d16_triangle_stats", "sp10_weighted_priority_sample")
+      "d16_triangle_stats", "sp10_weighted_priority_sample",
+      "b9_maxsim_topk")
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
       if (new java.io.File(s"$dir/documents.parquet").exists())
         names.foreach(n => time(s"dir=$dir $n",
