@@ -589,6 +589,89 @@ object RelationalQueries extends QueryPack {
              (SELECT min(o_orderdate) FROM orders) AS first_order,
              (SELECT max(o_orderdate) FROM orders) AS last_order,
              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) AS gross,
-             (SELECT count(*) FROM events) AS events_rows"""))
+             (SELECT count(*) FROM events) AS events_rows""")),
+
+    // ---- TPC-H classics beyond the reference surface -------------------
+    // h3 = TPC-H Q3 (shipping priority): selective predicates on BOTH
+    // fact sides + a broadcast dim filter, revenue agg per order,
+    // top-10. The shape the optimizer must get right at 100 TB:
+    // date/segment predicates push into all three parquet scans, the
+    // filtered customer side broadcasts, and the top-10 rides
+    // TakeOrderedAndProject so only 10 rows cross the final wire.
+    Q("h3_shipping_priority",
+      (s, d) => {
+        val cut = "1998-01-01"
+        val c = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = t(s, d, "orders").filter(col("o_orderdate") < lit(cut))
+        val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit(cut))
+        val top = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+        top.withColumn("rnk", row_number().over(w).cast("int"))
+          .select(col("rnk"), col("l_orderkey"),
+            col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy("rnk")
+      },
+      Some("""WITH rev AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               WHERE c_mktsegment = 'BUILDING'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+                 AND l_shipdate > TIMESTAMP '1998-01-01'
+               GROUP BY 1, 2, 3),
+             r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rnk
+               FROM rev)
+           SELECT CAST(rnk AS INTEGER) AS rnk, l_orderkey, o_orderdate,
+             o_orderpriority, revenue
+           FROM r WHERE rnk <= 10 ORDER BY rnk""")),
+
+    // h5 = TPC-H Q5 (local-supplier volume): the region-restricted
+    // 6-way join where customer and supplier must share a nation —
+    // the equality restriction happens on the JOIN GRAPH, not a
+    // filter. All dims broadcast; the only shuffles are the two fact
+    // keys (l_orderkey, then nothing — supplier/nation/region ride
+    // broadcasts). Exact decimal revenue per nation.
+    Q("h5_local_supplier",
+      (s, d) => {
+        val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, d, "nation")
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        val su = t(s, d, "supplier")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(nation), su("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             count(*) AS n_lineitems
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+             GROUP BY n_name ORDER BY n_name"""))
   )
 }
