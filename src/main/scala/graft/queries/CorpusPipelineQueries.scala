@@ -21,8 +21,10 @@ object CorpusPipelineQueries extends QueryPack {
   private val DsirTargetSources = Seq("src0", "src1")
   private val DsirSelK = 50
 
-  /** The t12 logit chain as SQL, shared by both entries. */
-  private val CleanSql =
+  /** The t12 logit chain as SQL, shared by the x1/x2/x3 entries and
+    * (via the `sm` CTE it carries) the x8 data card.
+    */
+  private[queries] val CleanSql =
     """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
        wv AS (SELECT doc_id,
@@ -233,6 +235,67 @@ object CorpusPipelineQueries extends QueryPack {
                FROM sc)
            SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score_e6, n_toks
            FROM r WHERE rnk <= $DsirSelK ORDER BY rnk"""
-      })
+      }),
+
+    // Per-source DATA CARD — the one-page report a data team publishes
+    // per source before mixing (datasheets-for-datasets shape): size
+    // (docs/chars/tokens), quality (t12 logit sum + gated count),
+    // duplication exposure (members of the SHARED d2 pair relation),
+    // and language mix (t2's exact stop-ratio rule — shared stopSql,
+    // so the column cannot drift from the t2 entry). Every column is
+    // a sum/count over per-doc integers: one doc-keyed scoring pass +
+    // one source-keyed agg; the dup join is against the session-cached
+    // pair relation. The oracle replays ALL feeder chains (CleanSql's
+    // sm + pairsCte) — a regression in any feeder surfaces here too.
+    Q("x8_source_datacard",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val scored = graft.operators.QualityModel
+          .scoreDerived(docs, "doc_id", "text", dims = 1024)
+        val dup = DedupQueries.nearDupPairs(s, d)
+        val dupDocs = dup.select(col("d1").as("doc_id"))
+          .union(dup.select(col("d2").as("doc_id"))).distinct()
+          .withColumn("is_dup", lit(1L))
+        docs.select(col("doc_id"), col("source"),
+            length(col("text")).as("n_chars"),
+            expr("size(filter(split(text, ' '), t -> t <> ''))").as("n_toks"),
+            expr(s"size(filter(split(text, ' '), t -> t IN (${TextQueries.stopSql})))")
+              .as("stop_hits"),
+            expr("size(split(text, ' '))").as("n_raw"))
+          .join(scored, Seq("doc_id"))
+          .join(dupDocs, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum("n_toks").as("sum_tokens"),
+            sum("logit").as("sum_logit"),
+            sum(when(col("logit") < 0, 1L).otherwise(0L)).as("n_gated"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_members"),
+            sum(when(col("stop_hits").cast("double") / col("n_raw") >= 0.05,
+              1L).otherwise(0L)).as("n_en"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $CleanSql,
+             ${DedupQueries.pairsCte},
+             dd AS (SELECT DISTINCT doc_id FROM
+               (SELECT d1 AS doc_id FROM jp UNION ALL SELECT d2 FROM jp)),
+             b AS (SELECT d.doc_id, d.source,
+               length(d.text) AS n_chars,
+               len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_toks,
+               len(list_filter(string_split(d.text, ' '), t -> t IN (${TextQueries.stopSql}))) AS stop_hits,
+               len(string_split(d.text, ' ')) AS n_raw,
+               COALESCE(sm.logit, 0) AS logit,
+               CASE WHEN dd.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+               FROM documents d LEFT JOIN sm USING (doc_id)
+               LEFT JOIN dd ON dd.doc_id = d.doc_id)
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+             CAST(sum(logit) AS BIGINT) AS sum_logit,
+             CAST(sum(CASE WHEN logit < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+             CAST(sum(is_dup) AS BIGINT) AS n_dup_members,
+             CAST(sum(CASE WHEN CAST(stop_hits AS DOUBLE) / n_raw >= 0.05
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+           FROM b GROUP BY source ORDER BY source"""))
   )
 }

@@ -672,6 +672,32 @@ object RelationalQueries extends QueryPack {
              JOIN nation ON s_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
              WHERE r_name = 'ASIA'
-             GROUP BY n_name ORDER BY n_name"""))
+             GROUP BY n_name ORDER BY n_name""")),
+
+    // Order-independent table fingerprint — Snowflake's HASH_AGG use
+    // case (replication / migration verification: do two copies hold
+    // the same rows, regardless of layout?): per-row md5 → 60-bit
+    // integer, folded with XOR (order- and partition-independent,
+    // overflow-free) plus a mod-prime sum as a second independent
+    // fold (XOR alone is blind to an even number of identical
+    // changes). One narrow scan + a 1-row aggregate — the cheapest
+    // possible full-table integrity check at any scale. Key/flag
+    // columns only: float and timestamp columns would need a
+    // canonical string form first (engine formatting differs), which
+    // is exactly what production fingerprinting does too.
+    Q("s13_hash_agg",
+      (s, d) => t(s, d, "lineitem")
+        .select(expr(
+          "CAST(conv(substring(md5(concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), l_returnflag, l_linestatus)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_hash"),
+          expr("CAST(sum(h % 1000000007) AS BIGINT)").as("sum_hash_mod")),
+      Some("""SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
+             CAST(sum(h % 1000000007) AS BIGINT) AS sum_hash_mod
+             FROM (SELECT CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+               || '|' || l_returnflag || '|' || l_linestatus), 1, 15)) AS BIGINT) AS h
+               FROM lineitem)"""))
   )
 }

@@ -24,7 +24,9 @@ object TextQueries extends QueryPack {
 
   /** How many merge candidates t22 reports. */
   private val MergeTopK = 20
-  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+  // shared with x8's data card so the en-share column cannot drift
+  // from t2's language rule
+  private[queries] val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
   /** C4-style text normalization: case fold, collapse all whitespace
     * runs (space/tab/newline) to one space, trim. Pure builtins —

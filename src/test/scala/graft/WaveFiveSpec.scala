@@ -99,4 +99,46 @@ class WaveFiveSpec extends AnyFunSuite {
     val q0 = entry.filter(_.getAs[Long]("query_id") == 0L)
     assert(q0.forall(_.getAs[Long]("n_terms") === 3L))
   }
+
+  test("x8: data-card columns conserve corpus totals and stay bounded by n_docs") {
+    val rows = SparkEntry.queries("x8_source_datacard")(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_dup_members") <= n)
+      assert(r.getAs[Long]("n_gated") <= n)
+      assert(r.getAs[Long]("n_en") <= n)
+    }
+    // the dup-member total IS the pair graph's vertex count
+    val d2 = SparkEntry.queries("d2_near_dup_pairs")(spark, sf)
+      .select("d1", "d2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_.getAs[Long]("n_dup_members")).sum === d2.size.toLong)
+  }
+
+  test("s13: the fingerprint is row-order independent but flips on any single-row change") {
+    import org.apache.spark.sql.functions._
+    val hExpr = "CAST(conv(substring(md5(concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), l_returnflag, l_linestatus)), 1, 15), 16, 10) AS BIGINT)"
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.select(expr(hExpr).as("h"))
+        .agg(expr("bit_xor(h)").as("x"),
+          expr("CAST(sum(h % 1000000007) AS BIGINT)").as("s"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    val base = fp(li)
+    assert(fp(li.orderBy(col("l_orderkey").desc)) === base)
+    val target = li.orderBy("l_orderkey", "l_linenumber").collect().head
+    val mutated = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === lit(target.get(0)) &&
+        col("l_linenumber") === lit(target.get(1)),
+        lit("Z")).otherwise(col("l_returnflag")))
+    assert(fp(mutated) !== base)
+    val entry = SparkEntry.queries("s13_hash_agg")(spark, sf).collect().head
+    assert(entry.getAs[Long]("n_rows") === li.count())
+    assert((entry.getAs[Long]("xor_hash"), entry.getAs[Long]("sum_hash_mod")) === base)
+  }
 }
