@@ -437,6 +437,36 @@ object EventQueries extends QueryPack {
                FROM p GROUP BY 1)
            SELECT prev_type, next_type, cnt, (cnt * 1000000) // tot AS p_e6
            FROM p JOIN t USING (prev_type)
-           ORDER BY prev_type, next_type"""))
+           ORDER BY prev_type, next_type""")),
+
+    // Grouped top-k — the "top spenders per day" dashboard: exact
+    // decimal per-(day, user) sums, rank window WITHIN each day (the
+    // partition bounds the window: no global sort, no single-partition
+    // WindowExec), top 3 per day. Output days×3 regardless of volume.
+    Q("e13_daily_top_users",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"), count(lit(1)).as("n_events"))
+        val w = Window.partitionBy("day")
+          .orderBy(col("sum_value").desc, col("user_id"))
+        daily.withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 3)
+          .select(col("day").cast("timestamp_ntz").as("day"), col("rnk"),
+            col("user_id"), col("sum_value"), col("n_events"))
+          .orderBy("day", "rnk")
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+             r AS (SELECT *, row_number() OVER (PARTITION BY day
+               ORDER BY sum_value DESC, user_id) AS rnk FROM daily)
+           SELECT day, CAST(rnk AS INTEGER) AS rnk, user_id, sum_value,
+             n_events
+           FROM r WHERE rnk <= 3 ORDER BY day, rnk"""))
   )
 }

@@ -923,6 +923,64 @@ object TextQueries extends QueryPack {
            SELECT pair, cnt, CAST(rnk AS INTEGER) AS rnk
            FROM r WHERE rnk <= $MergeTopK ORDER BY rnk""")),
 
+    // Heaps-law vocabulary growth — does the corpus still add NEW
+    // types as it grows (healthy diversity) or has vocabulary
+    // saturated (template/boilerplate mass)? Docs land in 10
+    // deterministic md5 deciles; the cumulative vocabulary at decile
+    // k is counted WITHOUT re-scanning prefixes: each type's MIN
+    // decile is computed once, and a 10-row running sum over
+    // (new types per decile) yields every prefix's exact vocab — one
+    // token-keyed agg + one 10-row window instead of 10 distinct
+    // counts. All integers; type_token_e6 is exact fixed point.
+    Q("t23_vocab_growth",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .withColumn("b", expr(
+            "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 10)"))
+        val toks = docs.select(col("b"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val newTypes = toks.groupBy("tok").agg(min("b").as("bmin"))
+          .groupBy("bmin").agg(count(lit(1)).as("new_types"))
+        val occ = toks.groupBy("b").agg(count(lit(1)).as("n_toks"))
+        val dcnt = docs.groupBy("b").agg(count(lit(1)).as("n_docs"))
+        val frame = s.range(10).select(col("id").as("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("b").rowsBetween(Long.MinValue, 0)
+        frame
+          .join(newTypes.withColumnRenamed("bmin", "b"), Seq("b"), "left")
+          .join(occ, Seq("b"), "left").join(dcnt, Seq("b"), "left")
+          .select(col("b"),
+            sum(coalesce(col("n_docs"), lit(0L))).over(w).as("docs_cum"),
+            sum(coalesce(col("n_toks"), lit(0L))).over(w).as("tokens_cum"),
+            sum(coalesce(col("new_types"), lit(0L))).over(w).as("vocab_cum"))
+          .select(col("b"), col("docs_cum"), col("tokens_cum"), col("vocab_cum"),
+            expr("(vocab_cum * 1000000) div tokens_cum").as("type_token_e6"))
+          .orderBy("b")
+      },
+      Some("""WITH dd AS (SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+               FROM documents),
+             toks AS (SELECT b, unnest(string_split(text, ' ')) AS tok FROM dd),
+             tk AS (SELECT b, tok FROM toks WHERE tok <> ''),
+             nt AS (SELECT bmin AS b, CAST(count(*) AS BIGINT) AS new_types
+               FROM (SELECT tok, min(b) AS bmin FROM tk GROUP BY 1) GROUP BY 1),
+             oc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_toks FROM tk GROUP BY 1),
+             dc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs FROM dd GROUP BY 1),
+             f AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS b),
+             j AS (SELECT f.b, COALESCE(n_docs, 0) AS n_docs,
+               COALESCE(n_toks, 0) AS n_toks, COALESCE(new_types, 0) AS new_types
+               FROM f LEFT JOIN nt USING (b) LEFT JOIN oc USING (b)
+               LEFT JOIN dc USING (b)),
+             c AS (SELECT b,
+               CAST(sum(n_docs) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_cum,
+               CAST(sum(n_toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+               CAST(sum(new_types) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+               FROM j)
+           SELECT b, docs_cum, tokens_cum, vocab_cum,
+             (vocab_cum * 1000000) // tokens_cum AS type_token_e6
+           FROM c ORDER BY b""")),
+
     // Per-source distinct-vocabulary sketch — t10's 256-register HLL
     // keyed by source (the corpus-diversity dashboard: which sources
     // actually add novel 3-grams?). Same exact-dyadic register

@@ -141,4 +141,33 @@ class WaveFiveSpec extends AnyFunSuite {
     assert(entry.getAs[Long]("n_rows") === li.count())
     assert((entry.getAs[Long]("xor_hash"), entry.getAs[Long]("sum_hash_mod")) === base)
   }
+
+  test("t23: growth curves are monotone and land exactly on the corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("t23_vocab_growth")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("b"))
+    assert(rows.length === 10)
+    Seq("docs_cum", "tokens_cum", "vocab_cum").foreach { c =>
+      val v = rows.map(_.getAs[Long](c))
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, c)
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    assert(rows.last.getAs[Long]("docs_cum") === docs.count())
+    assert(rows.last.getAs[Long]("tokens_cum") === toks.count())
+    assert(rows.last.getAs[Long]("vocab_cum") === toks.distinct().count())
+  }
+
+  test("e13: at most 3 ranked users per day, ordered by their exact daily sums") {
+    val rows = SparkEntry.queries("e13_daily_top_users")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.time.LocalDateTime]("day")).foreach { case (day, rs) =>
+      assert(rs.length <= 3, s"$day")
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to rs.length))
+      val sums = sorted.map(_.getAs[Double]("sum_value"))
+      assert(sums.zip(sums.tail).forall { case (a, b) => a >= b }, s"$day")
+    }
+  }
 }
