@@ -108,6 +108,42 @@ object SketchStream {
       .select("r", "idx", "c")
   }
 
+  /** TIME-TRAVEL read of a partial-partition store: the sketch AS OF
+    * batch `upTo` — fold only the partials with `_batch_id` ≤ `upTo`.
+    * The `_batch_id` layout makes every historical prefix of the
+    * stream a first-class readable state for free (what a
+    * snapshot-isolation table format calls an as-of query): auditing
+    * "what did the monitor know when it fired at batch k" replays
+    * exactly, because later batches live in partitions the read never
+    * touches. Only valid on an UNCOMPACTED store — compaction folds
+    * absorbed batches into the base irreversibly, collapsing history
+    * by design — so marker rows make this throw rather than return a
+    * silently wrong prefix.
+    */
+  def countersAsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, upTo: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw =
+      try spark.read.parquet(dir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).selectExpr("CAST(0 AS INT) AS r",
+            "CAST(0 AS BIGINT) AS idx", "CAST(0 AS BIGINT) AS c",
+            "CAST(0 AS BIGINT) AS _batch_id")
+      }
+    if (raw.columns.contains("_batch_id") &&
+        raw.filter(col("r") === -1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        "as-of reads require an uncompacted store: compaction has " +
+          "folded absorbed batches into the base, collapsing history")
+    val cells =
+      if (raw.columns.contains("_batch_id"))
+        raw.filter(col("_batch_id") <= upTo && col("r") >= 0)
+      else raw
+    cells.groupBy("r", "idx").agg(sum("c").as("c"))
+      .select("r", "idx", "c")
+  }
+
   /** STREAMING quantile sketch (t14's log2 histogram over a document
     * stream). Histogram counts are SUMS like the count-min cells, so
     * the streaming form is the SAME partial-partition machine: each

@@ -301,4 +301,44 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(folded.nonEmpty, "expected the group's partials folded")
     assert(merged() === batchBy, "per-group compaction changed the histogram")
   }
+
+  test("as-of reads replay every historical prefix exactly; compaction makes them refuse") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val waves = Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
+    val srcDir = Files.createTempDirectory("graft_asof_src").toString
+    val base = Files.createTempDirectory("graft_asof").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = SketchStream.counterStream(src, s"$base/out", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def cm(ws: Seq[Seq[(Long, String)]]): Map[(Int, Long), Long] =
+      Sketches.cmCounters(
+          ws.flatten.toDF("doc_id", "text")
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .filter(col("tok") =!= ""))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def asOf(k: Long): Map[(Int, Long), Long] =
+      SketchStream.countersAsOf(spark, s"$base/out", k)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // each prefix of the stream is a first-class readable state
+    assert(asOf(0) === cm(waves.take(1)))
+    assert(asOf(1) === cm(waves.take(2)))
+    assert(asOf(2) === cm(waves))
+    // compaction collapses history by design: as-of must refuse, not
+    // return a silently wrong prefix
+    assert(graft.operators.Compaction.compactSketch(spark, s"$base/out").nonEmpty)
+    intercept[IllegalStateException] {
+      SketchStream.countersAsOf(spark, s"$base/out", 1)
+    }
+  }
 }
