@@ -296,6 +296,75 @@ object CorpusPipelineQueries extends QueryPack {
              CAST(sum(is_dup) AS BIGINT) AS n_dup_members,
              CAST(sum(CASE WHEN CAST(stop_hits AS DOUBLE) / n_raw >= 0.05
                THEN 1 ELSE 0 END) AS BIGINT) AS n_en
-           FROM b GROUP BY source ORDER BY source"""))
+           FROM b GROUP BY source ORDER BY source""")),
+
+    // The RELEASE MANIFEST — the one-row record published with a
+    // training-corpus release: the full chain gate → exact dedup →
+    // split (CorpusPipeline.clean, x1's relation) → decontaminate the
+    // train split against the test split (d8c's 8-gram rule ON THE
+    // CLEANED corpus) → final doc count + the s13-shaped
+    // order-independent id fingerprint, so two re-runs (or two
+    // clusters) can prove they shipped the SAME corpus with one row
+    // compare. The oracle replays the ENTIRE chain — any feeder
+    // regression, or drift in how the stages compose, flips the
+    // fingerprint. Scale: each stage is its own documented plan; the
+    // manifest adds one candidate-bounded gram join and scalar aggs.
+    Q("x9_release_manifest",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val cleaned = CorpusPipeline.clean(docs)
+        val withText = cleaned.select("doc_id", "split")
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+        val train = withText.filter(col("split") === "train")
+        val test = withText.filter(col("split") === "test")
+        val bad = graft.operators.DedupOps
+          .crossSplitOverlap(train, test, "doc_id", "text", n = 8)
+          .filter(col("overlap_frac") >= 0.5)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val finalTrain = train.select("doc_id").join(bad, Seq("doc_id"), "left_anti")
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        docs.agg(count(lit(1)).as("n_raw"))
+          .crossJoin(cleaned.agg(count(lit(1)).as("n_clean")))
+          .crossJoin(train.agg(count(lit(1)).as("n_train")))
+          .crossJoin(bad.agg(count(lit(1)).as("n_decont_dropped")))
+          .crossJoin(finalTrain.select(h.as("h"))
+            .agg(count(lit(1)).as("n_train_final"),
+              expr("bit_xor(h)").as("xor_id_hash"),
+              expr("CAST(sum(h % 1000000007) AS BIGINT)").as("sum_id_hash_mod")))
+      },
+      Some(s"""WITH $CleanSql,
+             ct AS (SELECT c.doc_id, c.split, d2.text
+               FROM cleaned c JOIN documents d2 USING (doc_id)),
+             ztoks AS (SELECT doc_id, split, string_split(text, ' ') ts FROM ct
+               WHERE len(string_split(text, ' ')) >= 8
+                 AND split IN ('train', 'test')),
+             zidx AS (SELECT doc_id, split, ts, unnest(range(1, len(ts) - 6)) AS i
+               FROM ztoks),
+             zsh AS (SELECT DISTINCT doc_id, split,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM zidx),
+             zsizes AS (SELECT doc_id, count(*) AS n FROM zsh
+               WHERE split = 'test' GROUP BY 1),
+             zpairs AS (SELECT a.doc_id AS train_doc, t.doc_id AS test_doc,
+               count(*) AS shared
+               FROM zsh a JOIN zsh t ON a.shingle = t.shingle
+                 AND a.split = 'train' AND t.split = 'test'
+               GROUP BY 1, 2),
+             zbad AS (SELECT DISTINCT p.train_doc AS doc_id FROM zpairs p
+               JOIN zsizes s ON p.test_doc = s.doc_id
+               WHERE CAST(p.shared AS DOUBLE) / s.n >= 0.5),
+             ftr AS (SELECT c.doc_id FROM cleaned c WHERE c.split = 'train'
+               AND c.doc_id NOT IN (SELECT doc_id FROM zbad)),
+             fh AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+               FROM ftr)
+           SELECT (SELECT count(*) FROM documents) AS n_raw,
+             (SELECT count(*) FROM cleaned) AS n_clean,
+             (SELECT count(*) FROM cleaned WHERE split = 'train') AS n_train,
+             (SELECT count(*) FROM zbad) AS n_decont_dropped,
+             (SELECT count(*) FROM fh) AS n_train_final,
+             (SELECT bit_xor(h) FROM fh) AS xor_id_hash,
+             (SELECT CAST(sum(h % 1000000007) AS BIGINT) FROM fh) AS sum_id_hash_mod"""))
   )
 }

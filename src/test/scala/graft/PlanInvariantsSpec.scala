@@ -57,6 +57,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // frames (|q-terms| × ≤dims occurring buckets) — the point of the
     // bucket-pair precompute (LateInteraction's scale note)
     "b9_maxsim_topk",
+    // x9's manifest crosses five 1-row aggregates — the
+    // scalar-dashboard shape
+    "x9_release_manifest",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",

@@ -159,6 +159,19 @@ class WaveFiveSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("vocab_cum") === toks.distinct().count())
   }
 
+  test("x9: the release manifest's counts are internally consistent and reproducible") {
+    def row() = SparkEntry.queries("x9_release_manifest")(spark, sf)
+      .collect().head
+    val r = row()
+    assert(r.getAs[Long]("n_clean") <= r.getAs[Long]("n_raw"))
+    assert(r.getAs[Long]("n_train") <= r.getAs[Long]("n_clean"))
+    assert(r.getAs[Long]("n_train_final") ===
+      r.getAs[Long]("n_train") - r.getAs[Long]("n_decont_dropped"))
+    assert(r.getAs[Long]("n_train_final") > 0)
+    // the release is reproducible: a second run publishes the SAME row
+    assert(row() === r)
+  }
+
   test("e13: at most 3 ranked users per day, ordered by their exact daily sums") {
     val rows = SparkEntry.queries("e13_daily_top_users")(spark, sf).collect()
     assert(rows.nonEmpty)
