@@ -86,4 +86,64 @@ object LateInteraction {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "doc_id", "score", "n_terms")
   }
+
+  /** Persist the corpus's DISTINCT (doc, token-bucket) pairs
+    * partitioned on `_idb = pmod(doc_id, nBuckets)` — the IVF
+    * pointer-store layout: a candidate-id fetch reads only the
+    * candidates' id-bucket partitions, never the corpus. The store is
+    * query-INDEPENDENT (buckets, not similarities), so one build
+    * serves every future query and re-ranker weight set.
+    */
+  def buildTokenStore(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, dims: Int = 1024, nBuckets: Int = 64): Unit =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), QualityModel.tokenBucket(col("term"), dims).as("db"))
+      .distinct()
+      .withColumn("_idb", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("_idb").parquet(dir)
+
+  /** SERVED MaxSim re-ranking: `candidates` is a bounded
+    * (query_id, doc_id) pool (e.g. the served BM25 top-CandK); token
+    * bucket sets for exactly those docs are fetched PARTITION-PRUNED
+    * from the store (the candidate ids are already on the driver by
+    * construction — they came out of a top-k — so the id-bucket list
+    * costs nothing extra), then the same broadcast bucket-pair
+    * similarity machinery as `maxSimTopK` re-ranks. Per-query cost is
+    * the pruned read + candidate-bounded joins — independent of
+    * corpus size.
+    */
+  def servedRerank(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, candidates: DataFrame,
+      queries: Seq[(Long, String)], k: Int, nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qt = queries.toDF("query_id", "q_text")
+      .select(col("query_id"),
+        explode(array_distinct(split(col("q_text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val ids = candidates.select("doc_id").distinct()
+      .collect().map(_.getLong(0))
+    val idbs = ids.map(id => (id % nBuckets + nBuckets) % nBuckets).distinct
+    val dt = spark.read.parquet(storeDir)
+      .filter(col("_idb").isin(idbs.map(Long.box): _*))
+      .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
+      .select("doc_id", "db")
+    val simTable = qt.select(col("term"),
+        QualityModel.tokenBucket(col("term"), 1024).as("qb")).distinct()
+      .crossJoin(dt.select("db").distinct())
+      .select(col("term"), col("db"), simExpr(col("qb"), col("db")).as("s"))
+    val m = dt.join(broadcast(simTable), Seq("db"))
+      .groupBy("doc_id", "term").agg(max("s").as("ms"))
+    val scored = candidates.select("query_id", "doc_id")
+      .join(broadcast(qt), Seq("query_id"))
+      .join(m, Seq("doc_id", "term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("ms").as("score"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "score", "n_terms")
+  }
 }

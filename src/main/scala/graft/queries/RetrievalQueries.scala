@@ -140,6 +140,27 @@ object RetrievalQueries extends QueryPack {
   private val bm25DirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** One persisted MaxSim token store per (session, dataset) — the
+    * bm25DirCache build-once contract for b10's serving face.
+    */
+  private val tokenStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def servedTokenStoreDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    tokenStoreCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_b10")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      graft.operators.LateInteraction.buildTokenStore(
+        Tables.load(s, d, "documents"), "doc_id", "text", dir.toString)
+      dir.toString
+    })
+
   private def servedBm25Dir(s: org.apache.spark.sql.SparkSession, d: String): String =
     bm25DirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_b4")
@@ -356,6 +377,53 @@ object RetrievalQueries extends QueryPack {
            SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score,
              n_terms
            FROM r WHERE rnk <= $BK ORDER BY query_id, rnk"""
+      }),
+
+    // The SERVED two-stage retrieval stack end to end: candidates
+    // from the persisted BM25 index (b4's pruned read, top CandK),
+    // re-ranked by MaxSim over token bucket sets fetched
+    // PARTITION-PRUNED from the persisted token store
+    // (LateInteraction.buildTokenStore / servedRerank — the IVF
+    // pointer-fetch layout). Per-query cost: two pruned reads +
+    // candidate-bounded joins, independent of corpus size. The
+    // oracle replays BOTH stages from scratch (ScoreCtes candidates →
+    // bucket-set MaxSim → re-rank): a divergence in either persisted
+    // round-trip, either pruned read, or the re-ranking arithmetic
+    // flips the hash.
+    Q("b10_maxsim_served",
+      (s, d) => graft.operators.LateInteraction.servedRerank(s,
+          servedTokenStoreDir(s, d),
+          Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, CandK)
+            .select("query_id", "doc_id"),
+          Queries, BK)
+        .orderBy("query_id", "rnk"),
+      Some {
+        def wSql(d: Int, b: String) =
+          s"((CAST(('0x' || substr(md5('e:$d:' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        val simSql = (0 until 16)
+          .map(d => s"${wSql(d, "qb")} * ${wSql(d, "db")}").mkString(" + ")
+        s"""WITH $ScoreCtes,
+             cand AS (SELECT query_id, doc_id FROM r WHERE rnk <= $CandK),
+             dt2 AS (SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS db
+               FROM toks WHERE term <> ''
+                 AND doc_id IN (SELECT doc_id FROM cand)),
+             qvb AS (SELECT DISTINCT term,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS qb
+               FROM qt),
+             mx AS (SELECT dt2.doc_id, qvb.term,
+               max(CAST($simSql AS BIGINT)) AS ms
+               FROM dt2 CROSS JOIN qvb GROUP BY 1, 2),
+             sc2 AS (SELECT c.query_id, c.doc_id,
+               CAST(sum(mx.ms) AS BIGINT) AS score, count(*) AS n_terms
+               FROM cand c JOIN qt ON qt.query_id = c.query_id
+               JOIN mx ON mx.doc_id = c.doc_id AND mx.term = qt.term
+               GROUP BY 1, 2),
+             r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk FROM sc2)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score,
+             n_terms
+           FROM r2 WHERE rnk <= $BK ORDER BY query_id, rnk"""
       }),
 
     // Feature-hashed doc embeddings (HashedEmbedding): text → dim-16

@@ -60,6 +60,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // x9's manifest crosses five 1-row aggregates — the
     // scalar-dashboard shape
     "x9_release_manifest",
+    // b10 carries b4's one-row corpus-stats cross (candidate stage)
+    // and b9's bounded similarity-table cross (re-rank stage)
+    "b10_maxsim_served",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",

@@ -159,6 +159,27 @@ class WaveFiveSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("vocab_cum") === toks.distinct().count())
   }
 
+  test("b10: the served re-rank fetches candidate buckets partition-pruned from the token store") {
+    val df = SparkEntry.queries("b10_maxsim_served")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_idb".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length))
+    }
+    // every pick comes from the BM25 candidate pool it re-ranks
+    val pool = graft.operators.Bm25.topK(
+        graft.Tables.load(spark, sf, "documents"), "doc_id", "text",
+        Seq((0L, "spark table merge"), (1L, "vector data window batch"),
+          (2L, "customer query slow")), 15)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r =>
+      pool((r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))))
+  }
+
   test("x9: the release manifest's counts are internally consistent and reproducible") {
     def row() = SparkEntry.queries("x9_release_manifest")(spark, sf)
       .collect().head
