@@ -31,7 +31,8 @@ object WaveFourProbe {
       "b8_diversified_topk", "d15_dup_pagerank",
       "e11_count_anomalies", "e12_transition_matrix",
       "d16_triangle_stats", "sp10_weighted_priority_sample",
-      "b9_maxsim_topk", "x8_source_datacard")
+      "b9_maxsim_topk", "x8_source_datacard", "b10_maxsim_served",
+      "x9_release_manifest", "t23_vocab_growth", "e13_daily_top_users")
     // h3/h5/s13 are lineitem-shaped: no sf1-equivalent exists; they
     // ride the ordinary sf0.01→sf0.1 bench decade (R12bProbe note)
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
