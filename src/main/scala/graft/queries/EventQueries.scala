@@ -467,6 +467,47 @@ object EventQueries extends QueryPack {
                ORDER BY sum_value DESC, user_id) AS rnk FROM daily)
            SELECT day, CAST(rnk AS INTEGER) AS rnk, user_id, sum_value,
              n_events
-           FROM r WHERE rnk <= 3 ORDER BY day, rnk"""))
+           FROM r WHERE rnk <= 3 ORDER BY day, rnk""")),
+
+    // DAU / rolling-7-day WAU / stickiness — the engagement dashboard.
+    // A windowed COUNT DISTINCT doesn't exist, and a days×activity
+    // range join would plan a nested loop; instead each (day, user)
+    // activity row EXPLODES into the ≤7 future report days it
+    // contributes to (sequence over timestamps), is deduped per
+    // (report day, user), and counted — plain hash aggregation at
+    // every step, 7× the activity rows at worst. Report days are
+    // restricted to days that actually have events (both engines).
+    // Stickiness is exact fixed point.
+    Q("e14_rolling_active",
+      (s, d) => {
+        val da = Tables.load(s, d, "events")
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = da.select(col("day")).distinct()
+        val dau = da.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = da.select(col("user_id"),
+            explode(expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)"))
+              .as("day"))
+          .distinct()
+          .join(days, Seq("day"))
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day").cast("timestamp_ntz").as("day"),
+            col("dau"), col("wau"),
+            expr("(dau * 1000000) div wau").as("stickiness_e6"))
+          .orderBy("day")
+      },
+      Some("""WITH da AS (SELECT DISTINCT
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+               FROM events),
+             days AS (SELECT DISTINCT day FROM da),
+             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+               FROM da GROUP BY 1),
+             sp AS (SELECT DISTINCT user_id, unnest(generate_series(
+               day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day FROM da),
+             wau AS (SELECT sp.day, CAST(count(*) AS BIGINT) AS wau
+               FROM sp JOIN days USING (day) GROUP BY 1)
+           SELECT day, dau, wau, (dau * 1000000) // wau AS stickiness_e6
+           FROM dau JOIN wau USING (day) ORDER BY day"""))
   )
 }

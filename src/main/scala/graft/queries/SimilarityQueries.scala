@@ -22,19 +22,23 @@ object SimilarityQueries extends QueryPack {
 
   /** DuckDB cosine with the identical fold order (list_reduce is a left
     * fold; double accumulation) — bit-identical to the Spark expression.
+    * The CTE chain is shared by n1 and n11 (anti-drift: one ranking,
+    * two faces).
     */
-  private def oracle: String = {
-    s"""WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5),
+  private def knnCtes: String =
+    s"""q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5),
        c AS (SELECT vec_id neighbor_id, embedding ne FROM embeddings),
        sims AS (SELECT query_id, neighbor_id,
          (${dot("qe", "ne")}) / (sqrt(${dot("qe", "qe")}) * sqrt(${dot("ne", "ne")})) AS sim
         FROM q, c WHERE neighbor_id <> query_id),
        ranked AS (SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        FROM sims)
+        FROM sims)"""
+
+  private def oracle: String =
+    s"""WITH $knnCtes
        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
        FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""
-  }
 
   /** deriveBits yields 8 for every testdata scale (n ≤ 2^8·4096 ≈ 1M
     * rows), so the static oracle text fixes 8; the Spark side derives
@@ -142,6 +146,48 @@ object SimilarityQueries extends QueryPack {
         .topKCosineWindow(Tables.load(s, d, "embeddings"), QueryIds, K)
         .orderBy("query_id", "rnk"),
       Some(oracle)),
+
+    // kNN CLASSIFICATION — the evaluation face of the n-family: each
+    // query vector's label predicted by majority vote over its n1
+    // top-K neighborhood (tie → smaller label id, deterministic).
+    // Shares n1's exact ranking (same operator call; the oracle
+    // shares knnCtes verbatim), so the prediction face can never
+    // drift from the search face. Votes and flags are pure integers.
+    // Scale: K·|queries| vote rows after the n1 search — the
+    // classification itself costs nothing beyond the search.
+    Q("n11_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, d, "embeddings")
+        val labels = emb.select(col("vec_id"), col("label"))
+        val votes = SimilarityOps.topKCosineWindow(emb, QueryIds, K)
+          .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+          .join(labels.select(col("vec_id").as("query_id"),
+            col("label").as("true_label")), Seq("query_id"))
+          .select(col("query_id"), col("true_label"), col("pred_label"),
+            col("votes"),
+            when(col("true_label") === col("pred_label"), 1).otherwise(0)
+              .as("is_correct"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $knnCtes,
+             top AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $K),
+             v AS (SELECT query_id, e.label, count(*) AS votes
+               FROM top JOIN embeddings e ON e.vec_id = top.neighbor_id
+               GROUP BY 1, 2),
+             p AS (SELECT query_id, label AS pred_label, votes,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label) AS rn FROM v)
+           SELECT p.query_id, t.label AS true_label, pred_label, votes,
+             CASE WHEN t.label = pred_label THEN 1 ELSE 0 END AS is_correct
+           FROM p JOIN embeddings t ON t.vec_id = p.query_id
+           WHERE rn = 1 ORDER BY query_id""")),
 
     // Int8-quantized top-k (Quantization.quantize → dequantize →
     // exact cosine): the storage-lever path — the oracle replays the

@@ -63,6 +63,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // b10 carries b4's one-row corpus-stats cross (candidate stage)
     // and b9's bounded similarity-table cross (re-rank stage)
     "b10_maxsim_served",
+    // n11 rides n1's deliberate corpus × broadcast-query-side cross
+    "n11_knn_classify",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",

@@ -193,6 +193,30 @@ class WaveFiveSpec extends AnyFunSuite {
     assert(row() === r)
   }
 
+  test("n11: one prediction per query from its own neighborhood's labels") {
+    val rows = SparkEntry.queries("n11_knn_classify")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("query_id")).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 10)
+      val expect = if (r.getAs[Int]("true_label") == r.getAs[Int]("pred_label")) 1 else 0
+      assert(r.getAs[Int]("is_correct") === expect)
+    }
+  }
+
+  test("e14: WAU bounds DAU, and the first report day's trailing window is itself") {
+    val rows = SparkEntry.queries("e14_rolling_active")(spark, sf)
+      .collect().sortBy(_.getAs[java.time.LocalDateTime]("day").toString)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      assert(r.getAs[Long]("stickiness_e6") <= 1000000L)
+    }
+    val first = rows.head
+    assert(first.getAs[Long]("wau") === first.getAs[Long]("dau"))
+  }
+
   test("e13: at most 3 ranked users per day, ordered by their exact daily sums") {
     val rows = SparkEntry.queries("e13_daily_top_users")(spark, sf).collect()
     assert(rows.nonEmpty)
