@@ -468,6 +468,38 @@ object RelationalQueries extends QueryPack {
              SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
              ORDER BY ck""")),
 
+    // INTERSECT ALL — the MULTISET intersection (min of the two
+    // multiplicities per value), distinct semantics from u2's set
+    // form: a user with 7 clicks and 4 views contributes 4 rows.
+    Q("u4_intersect_all",
+      (s, d) => {
+        val e = t(s, d, "events")
+        e.filter(col("event_type") === "click").select(col("user_id"))
+          .intersectAll(e.filter(col("event_type") === "view")
+            .select(col("user_id")))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+             INTERSECT ALL
+             SELECT user_id FROM events WHERE event_type = 'view'
+             ORDER BY user_id""")),
+
+    // EXCEPT ALL — multiset difference (multiplicities subtract,
+    // clamped at zero): each user's clicks surviving after one is
+    // cancelled per purchase.
+    Q("u5_except_all",
+      (s, d) => {
+        val e = t(s, d, "events")
+        e.filter(col("event_type") === "click").select(col("user_id"))
+          .exceptAll(e.filter(col("event_type") === "purchase")
+            .select(col("user_id")))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+             EXCEPT ALL
+             SELECT user_id FROM events WHERE event_type = 'purchase'
+             ORDER BY user_id""")),
+
     // Window-function family over event streams — per-user running
     // analytics in ONE user-partitioned sort (row_number / running sum /
     // previous-event gap / quartile), the sessionization-adjacent shape

@@ -316,6 +316,37 @@ object SamplingQueries extends QueryPack {
              r AS (SELECT doc_id, weight, priority,
                row_number() OVER (ORDER BY priority, doc_id) AS rnk FROM p)
            SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, weight, priority
-           FROM r WHERE rnk <= 100 ORDER BY rnk"""))
+           FROM r WHERE rnk <= 100 ORDER BY rnk""")),
+
+    // k-fold cross-validation assignment, LEAKAGE-FREE: folds are
+    // keyed by the near-dup CLUSTER representative (sp8's rep — the
+    // shared d2/d9 relation), so near-duplicate documents can never
+    // land in different folds and leak eval into train. The fold hash
+    // is namespaced ("fold:") so it is independent of sp1's split
+    // buckets — re-foldings don't correlate with the train/val/test
+    // assignment. Deterministic, engine-replayable, no RNG.
+    Q("sp11_kfold_split",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id")
+        val cc = graft.operators.DedupOps
+          .connectedComponents(DedupQueries.nearDupPairs(s, d))
+        docs.join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+          .withColumn("fold", expr(
+            "CAST(pmod(CAST(conv(substring(md5(concat('fold:', CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT), 5) AS INT)"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+             e AS (SELECT d1 u, d2 v FROM jp UNION SELECT d2, d1 FROM jp),
+             reach AS (SELECT u, v FROM e
+               UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+             lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+               FROM reach GROUP BY u),
+             rp AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep
+               FROM documents d LEFT JOIN lab USING (doc_id))
+           SELECT doc_id, rep,
+             CAST(CAST(('0x' || substr(md5('fold:' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
+           FROM rp ORDER BY doc_id"""))
   )
 }

@@ -217,6 +217,38 @@ class WaveFiveSpec extends AnyFunSuite {
     assert(first.getAs[Long]("wau") === first.getAs[Long]("dau"))
   }
 
+  test("u4/u5: multiset semantics — min and clamped-subtract of per-user multiplicities") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sf, "events")
+    def cnt(t: String): Map[Long, Long] = e.filter(col("event_type") === t)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clicks = cnt("click"); val views = cnt("view"); val buys = cnt("purchase")
+    val u4 = SparkEntry.queries("u4_intersect_all")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.length.toLong }
+    val expect4 = clicks.keySet.intersect(views.keySet)
+      .map(u => u -> math.min(clicks(u), views(u))).filter(_._2 > 0).toMap
+    assert(u4 === expect4)
+    val u5 = SparkEntry.queries("u5_except_all")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.length.toLong }
+    val expect5 = clicks.map { case (u, c) =>
+      u -> math.max(0L, c - buys.getOrElse(u, 0L)) }.filter(_._2 > 0)
+    assert(u5 === expect5)
+  }
+
+  test("sp11: near-dup pair mates always share a fold; folds cover 0..4") {
+    val folds = SparkEntry.queries("sp11_kfold_split")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("fold")).toMap
+    assert(folds.values.toSet.subsetOf((0 to 4).toSet))
+    val pairs = SparkEntry.queries("d2_near_dup_pairs")(spark, sf)
+      .select("d1", "d2").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(folds(p.getLong(0)) === folds(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} straddles folds")
+    }
+  }
+
   test("e13: at most 3 ranked users per day, ordered by their exact daily sums") {
     val rows = SparkEntry.queries("e13_daily_top_users")(spark, sf).collect()
     assert(rows.nonEmpty)
