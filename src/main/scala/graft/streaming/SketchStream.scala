@@ -108,6 +108,28 @@ object SketchStream {
       .select("r", "idx", "c")
   }
 
+  /** STREAMING per-day distinct-user sketch — the engagement (DAU)
+    * dashboard maintained continuously: each event projects to
+    * (day, bucket, rho) and folds into per-day HLL registers by the
+    * SAME idempotent grouped max as the vocabulary sketch — so the
+    * state is batching-invariant and replay-safe with no `_batch_id`
+    * machinery, and is EXACTLY ≤ active-days × 256 rows (the day key
+    * grows by one group per day, not with event volume).
+    * `Sketches.registerTableBy`/`estimateBy` price the result
+    * identically to a batch per-day sketch (SketchStreamSpec pins
+    * register equality). Exact DAU stays the batch e14 entry; this is
+    * the always-on approximate face a 100 TB event stream can afford.
+    */
+  def engagementRegisterStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Sketches.gramRegistersBy(
+        events.select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("g"),
+          col("user_id").cast("string").as("shingle")),
+        Seq("g"))
+      .groupBy("g", "bucket").agg(max("rho").as("rho"))
+  }
+
   /** TIME-TRAVEL read of a partial-partition store: the sketch AS OF
     * batch `upTo` — fold only the partials with `_batch_id` ≤ `upTo`.
     * The `_batch_id` layout makes every historical prefix of the
