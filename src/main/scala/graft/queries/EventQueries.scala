@@ -508,6 +508,50 @@ object EventQueries extends QueryPack {
              wau AS (SELECT sp.day, CAST(count(*) AS BIGINT) AS wau
                FROM sp JOIN days USING (day) GROUP BY 1)
            SELECT day, dau, wau, (dau * 1000000) // wau AS stickiness_e6
-           FROM dau JOIN wau USING (day) ORDER BY day"""))
+           FROM dau JOIN wau USING (day) ORDER BY day""")),
+
+    // Time-weighted average value per user — the IoT/metrics estimator
+    // (each reading weighted by how long it was current): value →
+    // exact integer cents (round(v·100) — the column is 2-decimal by
+    // construction), interval → exact integer microseconds via
+    // lead(), so numerator and denominator are BIGINT sums
+    // (order-independent) and the final twa is two deterministic IEEE
+    // divisions. Headroom: cents ≤ 10⁴ × a month of µs ≈ 2.6e16 ≪ 2^53,
+    // so even the double casts are exact. Users with a single event
+    // have no current-interval and are excluded (documented contract).
+    Q("e15_time_weighted_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .filter(col("next_ts").isNotNull)
+          .withColumn("dur_us",
+            expr("unix_micros(next_ts) - unix_micros(ts)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("dur_us").as("total_us"),
+            sum(expr("cents * dur_us")).as("num"))
+          .select(col("user_id"), col("n_intervals"), col("total_us"),
+            (col("num").cast("double") / col("total_us").cast("double") /
+              lit(100.0)).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             l AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_ts FROM e),
+             iv AS (SELECT user_id, cents,
+               epoch_us(next_ts) - epoch_us(ts) AS dur_us
+               FROM l WHERE next_ts IS NOT NULL),
+             g AS (SELECT user_id, count(*) AS n_intervals,
+               CAST(sum(dur_us) AS BIGINT) AS total_us,
+               CAST(sum(cents * dur_us) AS BIGINT) AS num
+               FROM iv GROUP BY 1)
+           SELECT user_id, n_intervals, total_us,
+             CAST(num AS DOUBLE) / CAST(total_us AS DOUBLE) / 100.0 AS twa
+           FROM g ORDER BY user_id"""))
   )
 }

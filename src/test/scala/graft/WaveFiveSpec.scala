@@ -249,6 +249,24 @@ class WaveFiveSpec extends AnyFunSuite {
     }
   }
 
+  test("e15: the time-weighted average lies within each user's value range") {
+    val rows = SparkEntry.queries("e15_time_weighted_avg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val ranges = graft.Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = ranges(r.getAs[Long]("user_id"))
+      val twa = r.getAs[Double]("twa")
+      // a convex combination of readings can't escape their range
+      // (cents rounding moves each term by < half a cent)
+      assert(twa >= lo - 0.005 && twa <= hi + 0.005,
+        s"user ${r.getAs[Long]("user_id")} twa=$twa range=[$lo,$hi]")
+      assert(r.getAs[Long]("total_us") > 0)
+    }
+  }
+
   test("e13: at most 3 ranked users per day, ordered by their exact daily sums") {
     val rows = SparkEntry.queries("e13_daily_top_users")(spark, sf).collect()
     assert(rows.nonEmpty)
