@@ -552,6 +552,57 @@ object EventQueries extends QueryPack {
                FROM iv GROUP BY 1)
            SELECT user_id, n_intervals, total_us,
              CAST(num AS DOUBLE) / CAST(total_us AS DOUBLE) / 100.0 AS twa
-           FROM g ORDER BY user_id"""))
+           FROM g ORDER BY user_id""")),
+
+    // Co-occurrence mining (the market-basket shape): which event-type
+    // PAIRS happen inside the same (user, day) basket, with support
+    // and the fixed-point lift surrogate
+    // lift_e6 = (n_both · n_baskets · 1e6) div (n_a · n_b) — all
+    // exact integers. Baskets and per-type distincts reuse ONE
+    // (user, day)-keyed dedup; the pair join explodes ≤ types² per
+    // basket — bounded by the type-dimension, not event volume.
+    Q("e16_cooccurrence",
+      (s, d) => {
+        val b = Tables.load(s, d, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+          .distinct()
+        val nb = b.select("user_id", "day").distinct()
+          .agg(count(lit(1)).as("nb"))
+        val per = b.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+        val pairs = b.as("x").join(b.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.day") === col("y.day") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(per.select(col("event_type").as("t1"),
+            col("n_t").as("n_1"))), Seq("t1"))
+          .join(broadcast(per.select(col("event_type").as("t2"),
+            col("n_t").as("n_2"))), Seq("t2"))
+          .crossJoin(broadcast(nb))
+          .select(col("t1"), col("t2"), col("n_both"), col("n_1"), col("n_2"),
+            expr("(n_both * nb * 1000000) div (n_1 * n_2)").as("lift_e6"))
+          .orderBy("t1", "t2")
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type
+               FROM events),
+             nb AS (SELECT count(*) AS n FROM
+               (SELECT DISTINCT user_id, day FROM b)),
+             per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+               FROM b GROUP BY 1),
+             p AS (SELECT x.event_type AS t1, y.event_type AS t2,
+               CAST(count(*) AS BIGINT) AS n_both
+               FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+                 AND x.event_type < y.event_type
+               GROUP BY 1, 2)
+           SELECT t1, t2, n_both, a.n_t AS n_1, c.n_t AS n_2,
+             (n_both * nb.n * 1000000) // (a.n_t * c.n_t) AS lift_e6
+           FROM p JOIN per a ON a.event_type = p.t1
+             JOIN per c ON c.event_type = p.t2
+             CROSS JOIN nb
+           ORDER BY t1, t2"""))
   )
 }

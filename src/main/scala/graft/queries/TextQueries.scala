@@ -981,6 +981,81 @@ object TextQueries extends QueryPack {
              (vocab_cum * 1000000) // tokens_cum AS type_token_e6
            FROM c ORDER BY b""")),
 
+    // Language-ID CONFUSION MATRIX — the evaluation face of t2: the
+    // heuristic's guess cross-tabbed against the dataset's lang label,
+    // with per-cell counts and the row-normalized rate in exact fixed
+    // point. Shares t2's stop list and threshold verbatim (same
+    // stopSql), so the eval can never drift from the classifier.
+    // Output is |langs| × 2 cells regardless of corpus size.
+    Q("t24_langid_confusion",
+      (s, d) => {
+        val g = Tables.load(s, d, "documents")
+          .select(col("lang"),
+            when(expr(s"size(filter(split(text, ' '), t -> t IN ($stopSql)))")
+              .cast("double") / expr("size(split(text, ' '))") >= 0.05, "en")
+              .otherwise("other").as("lang_guess"))
+          .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        val tot = g.groupBy("lang").agg(sum("n").as("n_lang"))
+        g.join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"),
+            expr("(n * 1000000) div n_lang").as("rate_e6"))
+          .orderBy("lang", "lang_guess")
+      },
+      Some(s"""WITH g AS (SELECT lang,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ($stopSql))) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.05
+                 THEN 'en' ELSE 'other' END AS lang_guess,
+               count(*) AS n
+               FROM documents GROUP BY 1, 2),
+             t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+               FROM g GROUP BY 1)
+           SELECT lang, lang_guess, CAST(n AS BIGINT) AS n, n_lang,
+             (n * 1000000) // n_lang AS rate_e6
+           FROM g JOIN t USING (lang)
+           ORDER BY lang, lang_guess""")),
+
+    // Deterministic WORD-DROPOUT augmentation — the training-data
+    // augmentation op as a pure query: token at position p of doc d
+    // drops iff md5(d:p) % 10 == 0 (a reproducible 10% dropout — no
+    // RNG, so every re-run and every engine produces the IDENTICAL
+    // augmented corpus, and the oracle hash-pins the full rewrite).
+    // One token explode + one doc-keyed reassembly, the d10b shape.
+    Q("t25_word_dropout",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "tok")
+          .filter(col("tok") =!= "")
+        val kept = toks.filter(expr(
+          "pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING))), 1, 8), 16, 10) AS BIGINT), 10) != 0"))
+        toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+          .join(kept.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_kept"),
+              md5(concat_ws(" ",
+                expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
+                .as("aug_md5")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("aug_md5"), md5(lit(""))).as("aug_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t)
+               WHERE ts[i] <> ''),
+             kept AS (SELECT doc_id, pos, tok FROM tk
+               WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 10 <> 0),
+             a AS (SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS aug_md5
+               FROM kept GROUP BY 1),
+             n AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1)
+           SELECT n.doc_id, n.n_tokens,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             COALESCE(a.aug_md5, md5('')) AS aug_md5
+           FROM n LEFT JOIN a USING (doc_id) ORDER BY n.doc_id""")),
+
     // Per-source distinct-vocabulary sketch — t10's 256-register HLL
     // keyed by source (the corpus-diversity dashboard: which sources
     // actually add novel 3-grams?). Same exact-dyadic register

@@ -65,6 +65,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "b10_maxsim_served",
     // n11 rides n1's deliberate corpus × broadcast-query-side cross
     "n11_knn_classify",
+    // e16 crosses the ONE-ROW basket-count aggregate — the
+    // scalar-dashboard shape
+    "e16_cooccurrence",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",

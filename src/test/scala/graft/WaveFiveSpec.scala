@@ -267,6 +267,30 @@ class WaveFiveSpec extends AnyFunSuite {
     }
   }
 
+  test("t24/t25/e16: eval, augmentation, and co-occurrence invariants") {
+    val conf = SparkEntry.queries("t24_langid_confusion")(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(conf.map(_.getAs[Long]("n")).sum === docs.count())
+    conf.groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+      val s = rs.map(_.getAs[Long]("rate_e6")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+    }
+    val drop = SparkEntry.queries("t25_word_dropout")(spark, sf).collect()
+    drop.foreach(r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_tokens")))
+    val totTok = drop.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val totKept = drop.map(_.getAs[Long]("n_kept")).sum.toDouble
+    val rate = 1.0 - totKept / totTok
+    assert(rate > 0.05 && rate < 0.15, s"dropout rate $rate")
+    val co = SparkEntry.queries("e16_cooccurrence")(spark, sf).collect()
+    assert(co.nonEmpty)
+    co.foreach { r =>
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"))
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_1"), r.getAs[Long]("n_2")))
+    }
+  }
+
   test("e13: at most 3 ranked users per day, ordered by their exact daily sums") {
     val rows = SparkEntry.queries("e13_daily_top_users")(spark, sf).collect()
     assert(rows.nonEmpty)
