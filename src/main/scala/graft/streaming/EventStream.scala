@@ -178,6 +178,66 @@ object EventStream {
       }
   }
 
+  final case class FunnelEvent(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+  final case class FunnelState(
+      t1: Option[Timestamp], t2: Option[Timestamp],
+      t3: Option[Timestamp], t4: Option[Timestamp])
+  final case class StageReached(user_id: Long, stage: Int, ts: Timestamp)
+
+  /** Streaming funnel — e8's stateful twin: per user, the four stages
+    * (signup → view → click → purchase, each within 24 h of the
+    * previous stage's time) tracked in O(users) state; a StageReached
+    * row is emitted EXACTLY ONCE per (user, stage), when the first
+    * qualifying event arrives. Conversion counts are then a trivial
+    * downstream aggregation of the emitted rows.
+    *
+    * Ordering contract: within a batch, events are replayed in
+    * (ts, event_id) order at full precision (the scd2Stream
+    * discipline); ACROSS batches the source must deliver in event-time
+    * order (time-partitioned files, the pipe layout) — the batch
+    * plan's min-over-all-events semantics can't be replayed if a later
+    * batch may carry an EARLIER qualifying event, because the stage
+    * was already emitted (a watermark-delayed variant would buffer
+    * one lateness horizon before emitting; this face takes the
+    * in-order contract instead, and the spec feeds time-split waves).
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame): Dataset[StageReached] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+          var st = state.getOption.getOrElse(FunnelState(None, None, None, None))
+          // full microsecond precision (getTime is millis-truncated;
+          // the batch plan compares micros timestamps)
+          def us(t: Timestamp): Long =
+            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          val dayUs = 24L * 3600L * 1000000L
+          def within(prev: Timestamp, ts: Timestamp): Boolean =
+            us(ts) > us(prev) && us(ts) <= us(prev) + dayUs
+          evs.foreach { e =>
+            (e.event_type, st) match {
+              case ("signup", FunnelState(None, _, _, _)) =>
+                st = st.copy(t1 = Some(e.ts)); out += StageReached(user, 1, e.ts)
+              case ("view", FunnelState(Some(t1), None, _, _)) if within(t1, e.ts) =>
+                st = st.copy(t2 = Some(e.ts)); out += StageReached(user, 2, e.ts)
+              case ("click", FunnelState(_, Some(t2), None, _)) if within(t2, e.ts) =>
+                st = st.copy(t3 = Some(e.ts)); out += StageReached(user, 3, e.ts)
+              case ("purchase", FunnelState(_, _, Some(t3), None)) if within(t3, e.ts) =>
+                st = st.copy(t4 = Some(e.ts)); out += StageReached(user, 4, e.ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, with state bounded by the event-time watermark — the
     * in-flight analogue of the d1 content-hash dedup for a continuously

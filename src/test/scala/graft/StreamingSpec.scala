@@ -150,6 +150,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(wave1.nonEmpty && wave1.subsetOf(wave2) && (wave2 -- wave1).nonEmpty)
   }
 
+  test("streaming funnel emits each stage exactly once, matching the batch min-qualifying times") {
+    import org.apache.spark.sql.types._
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    // time-split waves — the funnel's documented in-order delivery
+    // contract (cross-batch event-time order)
+    val dir = Files.createTempDirectory("graft_funnel_src").toString
+    val cut = "2024-01-15 00:00:00"
+    Seq(ev.filter(col("ts") < lit(cut)), ev.filter(col("ts") >= lit(cut)))
+      .zipWithIndex.foreach { case (w, i) =>
+        w.coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+        new java.io.File(s"$dir/f$i").listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$dir/*")
+    val q = EventStream.funnelStream(spark, src)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+
+    // batch truth: e8's min-qualifying chain
+    def stage(prev: org.apache.spark.sql.DataFrame, tcol: String,
+        typ: String, out: String) =
+      ev.join(prev, "user_id")
+        .filter(col("event_type") === typ && col("ts") > col(tcol) &&
+          col("ts") <= col(tcol) + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stage(s1, "t1", "view", "t2")
+    val s3 = stage(s2, "t2", "click", "t3")
+    val s4 = stage(s3, "t3", "purchase", "t4")
+    val expected =
+      s1.collect().map(r => (r.getLong(0), 1, r.getTimestamp(1))).toSet ++
+      s2.collect().map(r => (r.getLong(0), 2, r.getTimestamp(1))).toSet ++
+      s3.collect().map(r => (r.getLong(0), 3, r.getTimestamp(1))).toSet ++
+      s4.collect().map(r => (r.getLong(0), 4, r.getTimestamp(1))).toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+    // exactly-once: no (user, stage) appears twice
+    val keys = spark.table("funnel").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(keys.length === keys.distinct.length)
+  }
+
   test("native session_window sessionization equals the window-function sessions, boundaries included") {
     import spark.implicits._
     // full-table parity: the engine-native face must reproduce
