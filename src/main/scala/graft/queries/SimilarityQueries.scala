@@ -189,6 +189,47 @@ object SimilarityQueries extends QueryPack {
            FROM p JOIN embeddings t ON t.vec_id = p.query_id
            WHERE rn = 1 ORDER BY query_id""")),
 
+    // Per-label QUANTIZED centroid report — exact class statistics
+    // over the int8 store: float components can't centroid exactly
+    // (parallel float summation is order-dependent), but the
+    // quantized CODES are integers, so per-label code sums commute
+    // and the fixed-point means hash cross-engine. The report a team
+    // reads to sanity-check cluster separation in the compressed
+    // store (labels × dims cells; first three dims pinned here).
+    Q("n12_label_centroids",
+      (s, d) => {
+        import graft.operators.Quantization
+        val q = Quantization.quantize(Tables.load(s, d, "embeddings"))
+          .join(Tables.load(s, d, "embeddings").select("vec_id", "label"),
+            Seq("vec_id"))
+        q.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(element_at(qvec, 1) AS BIGINT)")).as("s0"),
+            sum(expr("CAST(element_at(qvec, 2) AS BIGINT)")).as("s1"),
+            sum(expr("CAST(element_at(qvec, 3) AS BIGINT)")).as("s2"))
+          .select(col("label"), col("n"),
+            expr("(s0 * 1000000) div n").as("c0_e6"),
+            expr("(s1 * 1000000) div n").as("c1_e6"),
+            expr("(s2 * 1000000) div n").as("c2_e6"))
+          .orderBy("label")
+      },
+      Some("""WITH sc AS (SELECT vec_id, label,
+               greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale,
+               embedding FROM embeddings),
+             q AS (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qvec
+               FROM sc),
+             g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qvec[1]) AS BIGINT) AS s0,
+               CAST(sum(qvec[2]) AS BIGINT) AS s1,
+               CAST(sum(qvec[3]) AS BIGINT) AS s2
+               FROM q GROUP BY 1)
+           SELECT label, n,
+             (s0 * 1000000) // n AS c0_e6,
+             (s1 * 1000000) // n AS c1_e6,
+             (s2 * 1000000) // n AS c2_e6
+           FROM g ORDER BY label""")),
+
     // Int8-quantized top-k (Quantization.quantize → dequantize →
     // exact cosine): the storage-lever path — the oracle replays the
     // IDENTICAL scale/floor/cast arithmetic in DuckDB, so the hash
