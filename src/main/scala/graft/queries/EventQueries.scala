@@ -603,6 +603,37 @@ object EventQueries extends QueryPack {
            FROM p JOIN per a ON a.event_type = p.t1
              JOIN per c ON c.event_type = p.t2
              CROSS JOIN nb
-           ORDER BY t1, t2"""))
+           ORDER BY t1, t2""")),
+
+    // Inter-event latency distribution — per event type, the log2
+    // histogram of microsecond gaps between a user's consecutive
+    // events of that type (t14's engine-portable bucket rule:
+    // bucket = bit-length − 1, no log()). The latency-dashboard shape
+    // at fixed sketch size: state is types × ≤64 buckets whatever the
+    // event volume.
+    Q("e17_gap_histogram",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type", "user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.load(s, d, "events")
+          .select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .filter(col("prev_ts").isNotNull)
+          .selectExpr("event_type AS g",
+            "unix_micros(ts) - unix_micros(prev_ts) AS v")
+        graft.operators.Sketches.logHistogramBy(gaps, Seq("g"))
+          .orderBy("g", "bucket")
+      },
+      Some("""WITH e AS (SELECT event_type AS g, user_id, event_id,
+               CAST(ts AS TIMESTAMP) ts FROM events),
+             l AS (SELECT *, lag(ts) OVER (PARTITION BY g, user_id
+               ORDER BY ts, event_id) AS prev_ts FROM e),
+             v AS (SELECT g, epoch_us(ts) - epoch_us(prev_ts) AS v
+               FROM l WHERE prev_ts IS NOT NULL),
+             b AS (SELECT g, CASE WHEN v <= 0 THEN -1
+               ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS bucket FROM v)
+           SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY 1, 2 ORDER BY g, bucket"""))
   )
 }
