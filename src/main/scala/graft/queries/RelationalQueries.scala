@@ -706,6 +706,68 @@ object RelationalQueries extends QueryPack {
              WHERE r_name = 'ASIA'
              GROUP BY n_name ORDER BY n_name""")),
 
+    // h6 = TPC-H Q6 (forecast revenue change): the pure-scan
+    // aggregation — three conjunctive range predicates, all pushed to
+    // the parquet scan, one map-side-combined sum. The simplest
+    // query whose 100 TB cost is exactly one selective scan.
+    Q("h6_forecast_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+      ,
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+               AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""")),
+
+    // h10 = TPC-H Q10 (returned-item reporting): which customers
+    // returned the most revenue in a quarter — selective order-date
+    // window + returnflag filter, dims broadcast, per-customer
+    // revenue, top-20 via TakeOrderedAndProject.
+    Q("h10_returned_items",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1997-07-01"))
+        val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val top = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("revenue").desc, col("c_custkey"))
+        top.withColumn("rnk", row_number().over(w).cast("int"))
+          .select("rnk", "c_custkey", "c_name", "n_name", "revenue")
+          .orderBy("rnk")
+      },
+      Some("""WITH rev AS (SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               WHERE l_returnflag = 'R'
+                 AND o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-07-01'
+               GROUP BY 1, 2, 3),
+             r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+               FROM rev)
+           SELECT CAST(rnk AS INTEGER) AS rnk, c_custkey, c_name, n_name,
+             revenue
+           FROM r WHERE rnk <= 20 ORDER BY rnk""")),
+
     // Order-independent table fingerprint — Snowflake's HASH_AGG use
     // case (replication / migration verification: do two copies hold
     // the same rows, regardless of layout?): per-row md5 → 60-bit

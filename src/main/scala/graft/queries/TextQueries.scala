@@ -1056,6 +1056,37 @@ object TextQueries extends QueryPack {
              COALESCE(a.aug_md5, md5('')) AS aug_md5
            FROM n LEFT JOIN a USING (doc_id) ORDER BY n.doc_id""")),
 
+    // Code-vs-prose detection — the filter that routes source code
+    // out of (or into) a text corpus: symbol density over a planted
+    // twin (every 7th doc gets a code snippet appended, the t19
+    // dirty-twin discipline — the raw synthetic corpus has no code,
+    // so the plant is what makes the detector's positive path
+    // testable). Fixed-point density; DuckDB's regexp_replace needs
+    // the 'g' flag to match Spark's replace-all.
+    Q("t26_code_detect",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), expr(
+          "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' if (x == y) { return z; } var k = f(a);') ELSE text END")
+          .as("t"))
+        .select(col("doc_id"), length(col("t")).as("n_chars"),
+          (length(col("t")) -
+            length(expr("regexp_replace(t, '[{}();=<>]', '')"))).as("n_sym"))
+        .select(col("doc_id"), col("n_chars"), col("n_sym"),
+          expr("(n_sym * 1000000) div n_chars").as("sym_e6"),
+          when(expr("(n_sym * 1000000) div n_chars") >= 20000, 1)
+            .otherwise(0).as("is_code"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' if (x == y) { return z; } var k = f(a);' ELSE text END AS t
+               FROM documents),
+             m AS (SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars,
+               CAST(length(t) - length(regexp_replace(t, '[{}();=<>]', '', 'g')) AS INTEGER) AS n_sym
+               FROM d)
+           SELECT doc_id, n_chars, n_sym,
+             (n_sym * 1000000) // n_chars AS sym_e6,
+             CASE WHEN (n_sym * 1000000) // n_chars >= 20000 THEN 1 ELSE 0 END AS is_code
+           FROM m ORDER BY doc_id""")),
+
     // Per-source distinct-vocabulary sketch — t10's 256-register HLL
     // keyed by source (the corpus-diversity dashboard: which sources
     // actually add novel 3-grams?). Same exact-dyadic register
