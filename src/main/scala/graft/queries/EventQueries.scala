@@ -634,6 +634,47 @@ object EventQueries extends QueryPack {
              b AS (SELECT g, CASE WHEN v <= 0 THEN -1
                ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS bucket FROM v)
            SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt
-           FROM b GROUP BY 1, 2 ORDER BY g, bucket"""))
+           FROM b GROUP BY 1, 2 ORDER BY g, bucket""")),
+
+    // Exponentially-decayed lifetime value WITHOUT floats: a one-day
+    // half-life decay is exactly `cents >> age_days` (each elapsed
+    // day halves the contribution — integer shift, no pow/exp), so
+    // the whole decayed-LTV ranking is BIGINT arithmetic that
+    // hash-replays cross-engine. Age is measured against the corpus
+    // max timestamp (one-row broadcast scalar). The recency-weighted
+    // user-value dashboard; contributions older than 63 days shift
+    // to exactly 0.
+    Q("e18_decayed_ltv",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val mx = e.agg(max(date_trunc("day", col("ts"))).as("max_day"))
+        e.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            expr("CAST(datediff(max_day, date_trunc('day', ts)) AS INT)")
+              .as("age"),
+            col("cents"))
+          .select(col("user_id"),
+            expr("CASE WHEN age >= 63 THEN 0L ELSE shiftright(cents, age) END")
+              .as("dc"), col("cents"))
+          .groupBy("user_id")
+          .agg(sum("dc").as("decayed_cents"),
+            sum("cents").as("total_cents"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             m AS (SELECT max(date_trunc('day', ts)) AS max_day FROM e),
+             a AS (SELECT user_id,
+               CAST(date_diff('day', date_trunc('day', ts), max_day) AS INTEGER) AS age,
+               cents FROM e CROSS JOIN m),
+             dcv AS (SELECT user_id,
+               CASE WHEN age >= 63 THEN 0 ELSE cents // (CAST(1 AS BIGINT) << age) END AS dc,
+               cents FROM a)
+           SELECT user_id, CAST(sum(dc) AS BIGINT) AS decayed_cents,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             count(*) AS n_events
+           FROM dcv GROUP BY 1 ORDER BY user_id"""))
   )
 }

@@ -68,6 +68,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // e16 crosses the ONE-ROW basket-count aggregate — the
     // scalar-dashboard shape
     "e16_cooccurrence",
+    // e18 crosses the ONE-ROW max-day scalar
+    "e18_decayed_ltv",
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",
