@@ -36,7 +36,8 @@ object WaveFourProbe {
       "n11_knn_classify", "e14_rolling_active", "u4_intersect_all",
       "u5_except_all", "sp11_kfold_split", "e15_time_weighted_avg",
       "t24_langid_confusion", "t25_word_dropout", "e16_cooccurrence",
-      "n12_label_centroids", "e17_gap_histogram")
+      "n12_label_centroids", "e17_gap_histogram", "t26_code_detect",
+      "e18_decayed_ltv")
     // h3/h5/s13 are lineitem-shaped: no sf1-equivalent exists; they
     // ride the ordinary sf0.01→sf0.1 bench decade (R12bProbe note)
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
