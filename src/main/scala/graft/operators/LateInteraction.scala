@@ -116,7 +116,8 @@ object LateInteraction {
     */
   def servedRerank(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, candidates: DataFrame,
-      queries: Seq[(Long, String)], k: Int, nBuckets: Int = 64): DataFrame = {
+      queries: Seq[(Long, String)], k: Int, nBuckets: Int = 64,
+      dims: Int = 1024): DataFrame = {
     import spark.implicits._
     val qt = queries.toDF("query_id", "q_text")
       .select(col("query_id"),
@@ -129,8 +130,11 @@ object LateInteraction {
       .filter(col("_idb").isin(idbs.map(Long.box): _*))
       .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
       .select("doc_id", "db")
+    // query-term buckets MUST come from the same hash space as the
+    // store's: `dims` here must equal the `dims` buildTokenStore was
+    // called with, or scores silently mix bucket spaces (ADVICE r12)
     val simTable = qt.select(col("term"),
-        QualityModel.tokenBucket(col("term"), 1024).as("qb")).distinct()
+        QualityModel.tokenBucket(col("term"), dims).as("qb")).distinct()
       .crossJoin(dt.select("db").distinct())
       .select(col("term"), col("db"), simExpr(col("qb"), col("db")).as("s"))
     val m = dt.join(broadcast(simTable), Seq("db"))

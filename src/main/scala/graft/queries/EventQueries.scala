@@ -583,7 +583,14 @@ object EventQueries extends QueryPack {
             col("n_t").as("n_2"))), Seq("t2"))
           .crossJoin(broadcast(nb))
           .select(col("t1"), col("t2"), col("n_both"), col("n_1"), col("n_2"),
-            expr("(n_both * nb * 1000000) div (n_1 * n_2)").as("lift_e6"))
+            // 128-bit numerator/denominator: n_both·nb·1e6 overflows
+            // BIGINT once n_both·nb > ~9.2e12 — plausible at the 100 TB
+            // target where nb = distinct (user, day) baskets. DECIMAL(38)
+            // here and HUGEINT in the oracle keep the value exact and
+            // identical to the 64-bit form, with ~1e38 headroom.
+            expr("CAST((CAST(n_both AS DECIMAL(38,0)) * nb * 1000000)" +
+              " div (CAST(n_1 AS DECIMAL(38,0)) * n_2) AS BIGINT)")
+              .as("lift_e6"))
           .orderBy("t1", "t2")
       },
       Some("""WITH b AS (SELECT DISTINCT user_id,
@@ -599,7 +606,8 @@ object EventQueries extends QueryPack {
                  AND x.event_type < y.event_type
                GROUP BY 1, 2)
            SELECT t1, t2, n_both, a.n_t AS n_1, c.n_t AS n_2,
-             (n_both * nb.n * 1000000) // (a.n_t * c.n_t) AS lift_e6
+             CAST((CAST(n_both AS HUGEINT) * nb.n * 1000000)
+               // (CAST(a.n_t AS HUGEINT) * c.n_t) AS BIGINT) AS lift_e6
            FROM p JOIN per a ON a.event_type = p.t1
              JOIN per c ON c.event_type = p.t2
              CROSS JOIN nb
@@ -637,10 +645,15 @@ object EventQueries extends QueryPack {
            FROM b GROUP BY 1, 2 ORDER BY g, bucket""")),
 
     // Exponentially-decayed lifetime value WITHOUT floats: a one-day
-    // half-life decay is exactly `cents >> age_days` (each elapsed
-    // day halves the contribution — integer shift, no pow/exp), so
-    // the whole decayed-LTV ranking is BIGINT arithmetic that
-    // hash-replays cross-engine. Age is measured against the corpus
+    // half-life decay is exactly `cents div 2^age_days` (each elapsed
+    // day halves the contribution — integer division by a shifted
+    // power of two, no pow/exp), so the whole decayed-LTV ranking is
+    // BIGINT arithmetic that hash-replays cross-engine. `div` is used
+    // rather than `shiftright` deliberately: Spark's shiftright is an
+    // arithmetic (flooring) shift while DuckDB's `//` truncates toward
+    // zero, so negative cents (refunds/adjustments) would diverge
+    // under a shift; truncating division matches `//` for all signs.
+    // Age is measured against the corpus
     // max timestamp (one-row broadcast scalar). The recency-weighted
     // user-value dashboard; contributions older than 63 days shift
     // to exactly 0.
@@ -656,7 +669,7 @@ object EventQueries extends QueryPack {
               .as("age"),
             col("cents"))
           .select(col("user_id"),
-            expr("CASE WHEN age >= 63 THEN 0L ELSE shiftright(cents, age) END")
+            expr("CASE WHEN age >= 63 THEN 0L ELSE cents div shiftleft(1L, age) END")
               .as("dc"), col("cents"))
           .groupBy("user_id")
           .agg(sum("dc").as("decayed_cents"),

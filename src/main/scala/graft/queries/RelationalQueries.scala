@@ -637,8 +637,11 @@ object RelationalQueries extends QueryPack {
           .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
         val o = t(s, d, "orders").filter(col("o_orderdate") < lit(cut))
         val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit(cut))
+        // customer scales with SF (fact-scale at 100 TB) — no explicit
+        // broadcast hint; Catalyst/AQE broadcasts it while it fits the
+        // threshold and shuffle-joins on o_custkey once it doesn't
         val top = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast("double").as("revenue"))
@@ -670,9 +673,13 @@ object RelationalQueries extends QueryPack {
     // h5 = TPC-H Q5 (local-supplier volume): the region-restricted
     // 6-way join where customer and supplier must share a nation —
     // the equality restriction happens on the JOIN GRAPH, not a
-    // filter. All dims broadcast; the only shuffles are the two fact
-    // keys (l_orderkey, then nothing — supplier/nation/region ride
-    // broadcasts). Exact decimal revenue per nation.
+    // filter. Only the FIXED-SIZE dims (nation 25 rows, region 5) get
+    // explicit broadcast hints; customer and supplier SCALE WITH SF
+    // (~15%/1% of lineitem rows — fact-scale at 100 TB, a broadcast
+    // build side would OOM), so they carry no hint and the planner
+    // broadcasts them only while they fit the threshold, falling back
+    // to shuffle joins on o_custkey / l_suppkey at scale. Exact
+    // decimal revenue per nation.
     Q("h5_local_supplier",
       (s, d) => {
         val region = t(s, d, "region").filter(col("r_name") === "ASIA")
@@ -684,8 +691,8 @@ object RelationalQueries extends QueryPack {
         val li = t(s, d, "lineitem")
         val su = t(s, d, "supplier")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
             c("c_nationkey") === su("s_nationkey"))
           .join(broadcast(nation), su("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
@@ -738,8 +745,10 @@ object RelationalQueries extends QueryPack {
         val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
         val c = t(s, d, "customer")
         val n = t(s, d, "nation")
+        // customer un-hinted for the same scale reason as h5; nation
+        // (25 rows) keeps its hint
         val top = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))

@@ -44,24 +44,14 @@ object AnomalyStream {
         ()
       }
 
-  /** Current folded daily counts: (event_type, idx, c). */
-  def mergedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val groups: Seq[String] =
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g="))
-        .map(_.getPath.getName.stripPrefix("g="))
-    if (groups.isEmpty)
-      spark.range(0).selectExpr("CAST('' AS STRING) AS event_type",
-        "CAST(0 AS BIGINT) AS idx", "CAST(0 AS BIGINT) AS c")
-    else
-      groups.map { g =>
-        SketchStream.mergedCounters(spark, s"$dir/g=$g")
-          .select(lit(g).as("event_type"), col("idx"), col("c"))
-      }.reduce(_.unionByName(_))
-  }
+  /** Current folded daily counts: (event_type, idx, c). One
+    * partitioned read of the whole grouped store
+    * (`SketchStream.mergedCountersBy`) — the plan no longer grows with
+    * the number of event-type subtrees.
+    */
+  def mergedDailyCounts(spark: SparkSession, dir: String): DataFrame =
+    SketchStream.mergedCountersBy(spark, dir)
+      .select(col("g").as("event_type"), col("idx"), col("c"))
 
   /** The e11 detector over the stream's current state — the identical
     * integer arithmetic and output shape as the batch entry.
@@ -73,7 +63,13 @@ object AnomalyStream {
         sum(col("c") * col("c")).as("ss"))
     daily.join(broadcast(mom), Seq("event_type"))
       .select(col("event_type"),
-        expr("timestamp_seconds(idx * 86400)").cast("timestamp_ntz").as("day"),
+        // day rebuilt WITHOUT a timezone round-trip: timestamp_seconds
+        // passes through the session timezone, so stream/batch parity
+        // with e11's TIMESTAMP_NTZ date_trunc would only hold under
+        // spark.sql.session.timeZone=UTC; date_add over the epoch DATE
+        // is calendar arithmetic, timezone-free (ADVICE r12)
+        expr("CAST(date_add(DATE '1970-01-01', CAST(idx AS INT)) AS TIMESTAMP_NTZ)")
+          .as("day"),
         col("c"),
         expr("(n * c - sv) * (n * c - sv)").as("dev2"),
         expr("9 * (n * ss - sv * sv)").as("thr"),

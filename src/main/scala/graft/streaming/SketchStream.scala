@@ -130,6 +130,48 @@ object SketchStream {
       .groupBy("g", "bucket").agg(max("rho").as("rho"))
   }
 
+  /** GROUP-SCALABLE read of a GROUPED partial-partition store
+    * (`partitionBy("g", "_batch_id")` subtrees): ONE partitioned read
+    * of the whole tree with `mergedCounters`' marker/crash-window
+    * semantics applied PER GROUP inside the plan — a group-keyed
+    * anti-join of live cells against each group's r = −1 marker rows.
+    * The per-group driver listing + `unionByName` this replaces built
+    * a plan linear in group count (a 3-year daily-keyed stream =
+    * ~1,100 unioned subplans); here the plan is one scan + one
+    * anti-join + one aggregate whatever the group count, Spark's
+    * partition discovery carries `g` as a partition column (pruned
+    * scans stay available to callers filtering on it), and escaped
+    * partition values round-trip correctly (the manual listing's
+    * `stripPrefix` did not unescape). Semantics are otherwise
+    * `mergedCounters` verbatim: absorbed `_batch_id`s excluded per
+    * group even through a compaction crash window, empty/nonexistent
+    * store reads as the empty sketch.
+    */
+  def mergedCountersBy(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw =
+      try spark.read.parquet(dir)
+        .withColumn("g", col("g").cast("string"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).selectExpr("CAST('' AS STRING) AS g",
+            "CAST(0 AS INT) AS r", "CAST(0 AS BIGINT) AS idx",
+            "CAST(0 AS BIGINT) AS c")
+      }
+    val cells =
+      if (raw.columns.contains("_batch_id")) {
+        val folded = raw.filter(col("r") === -1)
+          .select(col("g").as("_folded_g"), col("idx").as("_folded_id"))
+          .distinct()
+        raw.filter(col("r") >= 0)
+          .join(folded, col("g") === col("_folded_g") &&
+            col("_batch_id") === col("_folded_id"), "left_anti")
+      } else raw
+    cells.groupBy("g", "r", "idx").agg(sum("c").as("c"))
+      .select("g", "r", "idx", "c")
+  }
+
   /** TIME-TRAVEL read of a partial-partition store: the sketch AS OF
     * batch `upTo` — fold only the partials with `_batch_id` ≤ `upTo`.
     * The `_batch_id` layout makes every historical prefix of the
@@ -239,29 +281,17 @@ object SketchStream {
         ()
       }
 
-  /** Current per-group histograms: one `mergedCounters` read per group
-    * subtree (groups enumerated off the filesystem), unioned with the
-    * group column restored — `Sketches.histQuantilesBy` consumes the
-    * result exactly as it consumes the batch `logHistogramBy`.
+  /** Current per-group histograms: the single-read `mergedCountersBy`
+    * plus the cell→bucket projection — `Sketches.histQuantilesBy`
+    * consumes the result exactly as it consumes the batch
+    * `logHistogramBy`, and the plan stays one scan whatever the group
+    * count.
     */
   def mergedHistogramBy(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val groups: Seq[String] =
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g="))
-        .map(_.getPath.getName.stripPrefix("g="))
-    if (groups.isEmpty)
-      spark.range(0).selectExpr("CAST('' AS STRING) AS g",
-        "CAST(0 AS INT) AS bucket", "CAST(0 AS BIGINT) AS cnt")
-    else
-      groups.map { g =>
-        mergedCounters(spark, s"$dir/g=$g")
-          .select(lit(g).as("g"), col("idx").cast("int").as("bucket"),
-            col("c").as("cnt"))
-      }.reduce(_.unionByName(_))
+    mergedCountersBy(spark, dir)
+      .select(col("g"), col("idx").cast("int").as("bucket"),
+        col("c").as("cnt"))
   }
 }
