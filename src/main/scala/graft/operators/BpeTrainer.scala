@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full BPE merge-table trainer + corpus tokenizer (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the K-round extension of the single merge-induction step
+  * (t22), using the same fixed-iteration integer discipline as
+  * `PageRank`: a bounded driver loop over K rounds, `localCheckpoint`
+  * truncating lineage each round, and VOCABULARY-SIZED state only.
+  *
+  * Representation: a piece's symbol sequence is one string with every
+  * symbol wrapped in sentinel delimiters, `<STX>sym<ETX>` concatenated
+  * (STX/ETX = U+0002/U+0003 — outside any text alphabet; documented
+  * precondition). This makes the merge application a plain string
+  * `replace`: replacing `<STX>s1<ETX><STX>s2<ETX>` by
+  * `<STX>s1s2<ETX>` is EXACTLY BPE's greedy left-to-right
+  * non-overlapping merge, because a standard `replace` resumes
+  * scanning after each replacement and adjacent matches share no
+  * characters (both boundaries are explicit, so a symbol that merely
+  * prefixes a longer one can never match). DuckDB's `replace` has the
+  * same contract, so the oracle replays the whole K-round chain with
+  * the identical primitive and hashes bit-for-bit.
+  *
+  * Scale: the corpus is touched ONCE (the piece-frequency count); all
+  * K rounds run over the piece table, which is Zipf-bounded vocabulary
+  * — it shrinks relative to the corpus as the corpus grows. Pair
+  * counting per round is one vocabulary-sized explode + aggregate; the
+  * argmax is a 1-row `TakeOrderedAndProject` with a total (cnt desc,
+  * s1, s2) tie-break; the merge application is one codegen'd `replace`
+  * over the vocabulary. A 100 TB run therefore pays one corpus map +
+  * K · O(vocab) — the standard reason BPE trainers run on word counts,
+  * not raw text.
+  */
+object BpeTrainer {
+
+  /** Symbol delimiters — must not occur in piece text. */
+  val L = "\u0002"
+  val R = "\u0003"
+  private val symRegex = s"$L([^$R]*)$R"
+
+  /** Wrap a piece string into the delimited symbol representation,
+    * one initial symbol per character ((?s). so no byte of the piece
+    * is ever dropped).
+    */
+  private def initRep(piece: Column): Column =
+    concat(lit(L),
+      array_join(regexp_extract_all(piece, lit("(?s)."), lit(0)), R + L),
+      lit(R))
+
+  private def symbols(rep: Column): Column =
+    regexp_extract_all(rep, lit(symRegex), lit(1))
+
+  /** One training run: returns (final state (wf, rep), per-round
+    * 1-row merge DataFrames (rnk, s1, s2, cnt)). `pieces` is the
+    * (piece, wf) frequency table. Precondition: the corpus supports at
+    * least `k` merges (some piece of length ≥ 2 survives every round)
+    * and piece text contains neither U+0002 nor U+0003.
+    */
+  def trainState(pieces: DataFrame, k: Int): (DataFrame, Seq[DataFrame]) = {
+    var st = pieces
+      .select(col("wf"), initRep(col("piece")).as("rep"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to k) {
+      val pairs = st
+        .select(col("wf"), symbols(col("rep")).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS s1," +
+            " element_at(syms, i + 1) AS s2))")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("wf").as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(r).cast("int").as("rnk"),
+        col("s1"), col("s2"), col("cnt"))
+      st = st
+        .crossJoin(broadcast(best.select(col("s1"), col("s2"))))
+        .select(col("wf"),
+          replace(col("rep"),
+            concat(lit(L), col("s1"), lit(R + L), col("s2"), lit(R)),
+            concat(lit(L), col("s1"), col("s2"), lit(R))).as("rep"))
+        .localCheckpoint()
+    }
+    (st, merges.result())
+  }
+
+  /** The learned merge table: (rnk, s1, s2, cnt), one row per round in
+    * induction order.
+    */
+  def trainMerges(pieces: DataFrame, k: Int): DataFrame =
+    trainState(pieces, k)._2.reduce(_.unionByName(_)).orderBy("rnk")
+
+  /** Tokenize the corpus with the learned merges: the final state's
+    * symbols ARE the subword tokens; exploding them weighted by piece
+    * frequency prices the whole corpus at vocabulary cost. Returns the
+    * top-`topK` token-frequency table (rnk, token, cnt).
+    */
+  def tokenize(pieces: DataFrame, k: Int, topK: Int): DataFrame = {
+    val (st, _) = trainState(pieces, k)
+    val tf = st.select(col("wf"), explode(symbols(col("rep"))).as("token"))
+      .groupBy("token").agg(sum("wf").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    tf.withColumn("rnk", row_number().over(w).cast("int"))
+      .select("rnk", "token", "cnt")
+      .orderBy("rnk")
+  }
+
+  /** The shared K-round DuckDB CTE chain: piece counting (the given
+    * pre-tokenizer regex over `documents.text`), then per round the
+    * pair count, the 1-row argmax `m{r}`, and the replaced state
+    * `st{r}` — the Spark implementation unrolled symbol-for-symbol
+    * with the same `replace` primitive. Raw U+0002/U+0003 appear in
+    * the SQL string; Verify's JSON writer escapes all control chars.
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and each round references its predecessor twice, so
+    * an un-materialized chain re-expands st0 exponentially (2^K scans
+    * of the corpus — observed as a too-many-open-files blowup at
+    * K = 8); materialization makes the replay linear in K like the
+    * Spark side's localCheckpoint.
+    */
+  private def chainSql(bpePat: String, k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val p = r - 1
+      s"""sy$r AS MATERIALIZED (SELECT wf, regexp_extract_all(rep, '$symRegex', 1) AS syms FROM st$p),
+             pp$r AS MATERIALIZED (SELECT syms[i] AS s1, syms[i + 1] AS s2,
+               CAST(sum(wf) AS BIGINT) AS cnt
+               FROM (SELECT wf, syms, unnest(range(1, len(syms))) AS i
+                     FROM sy$r WHERE len(syms) >= 2)
+               GROUP BY 1, 2),
+             m$r AS MATERIALIZED (SELECT s1, s2, cnt FROM pp$r ORDER BY cnt DESC, s1, s2 LIMIT 1),
+             st$r AS MATERIALIZED (SELECT wf, replace(rep,
+                 '$L' || (SELECT s1 FROM m$r) || '$R$L' || (SELECT s2 FROM m$r) || '$R',
+                 '$L' || (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) || '$R') AS rep
+               FROM st$p)"""
+    }.mkString(",\n             ")
+    s"""WITH pc AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS wf
+               FROM (SELECT unnest(regexp_extract_all(text, '$bpePat')) AS piece
+                     FROM documents)
+               GROUP BY 1),
+             st0 AS MATERIALIZED (SELECT wf,
+               '$L' || array_to_string(regexp_extract_all(piece, '(?s).'), '$R$L') || '$R' AS rep
+               FROM pc),
+             $rounds"""
+  }
+
+  /** DuckDB replay of `trainMerges` over `documents`. */
+  def trainOracleSql(bpePat: String, k: Int): String = {
+    val union = (1 to k)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS rnk, s1, s2, cnt FROM m$r")
+      .mkString("\n             UNION ALL ")
+    s"""${chainSql(bpePat, k)}
+           SELECT rnk, s1, s2, cnt FROM (
+             $union
+           ) ORDER BY rnk"""
+  }
+
+  /** DuckDB replay of `tokenize` over `documents`. */
+  def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =
+    s"""${chainSql(bpePat, k)},
+             tok AS (SELECT wf, unnest(regexp_extract_all(rep, '$symRegex', 1)) AS token
+               FROM st$k),
+             tf AS (SELECT token, CAST(sum(wf) AS BIGINT) AS cnt
+               FROM tok GROUP BY 1),
+             rr AS (SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM tf)
+           SELECT CAST(rnk AS INTEGER) AS rnk, token, cnt
+           FROM rr WHERE rnk <= $topK ORDER BY rnk"""
+}

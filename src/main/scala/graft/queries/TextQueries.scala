@@ -24,6 +24,9 @@ object TextQueries extends QueryPack {
 
   /** How many merge candidates t22 reports. */
   private val MergeTopK = 20
+
+  /** How many merge rounds the full trainer (t27/t28) runs. */
+  private val BpeK = 8
   // shared with x8's data card so the en-share column cannot drift
   // from t2's language rule
   private[queries] val stopSql = stop.map(s => s"'$s'").mkString(", ")
@@ -1135,6 +1138,39 @@ object TextQueries extends QueryPack {
                abs(0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv - true_distinct)
                  / true_distinct AS rel_error
              FROM agg JOIN t ON agg.source = t.source
-             ORDER BY agg.source"""))
+             ORDER BY agg.source""")),
+
+    // FULL BPE trainer (the K-round extension of t22's single merge
+    // step): K = 8 merge inductions over the piece-frequency table —
+    // pair argmax, greedy merge application, repeat — emitting the
+    // learned merge table in induction order. The oracle replays the
+    // ENTIRE 8-round chain unrolled (one CTE pair per round, same
+    // argmax tie-break, same string-replace merge primitive), so the
+    // hash match certifies every intermediate state, not just the
+    // final table. State is vocabulary-sized throughout; the corpus
+    // is scanned once (BpeTrainer scaladoc has the 100 TB argument).
+    Q("t27_bpe_train",
+      (s, d) => graft.operators.BpeTrainer.trainMerges(
+        Tables.load(s, d, "documents")
+          .select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+            .as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("wf")),
+        BpeK),
+      Some(graft.operators.BpeTrainer.trainOracleSql(BpePat, BpeK))),
+
+    // The APPLY face: tokenize the corpus with the learned merges.
+    // The final training state's symbols ARE the subword tokens of
+    // every distinct piece, so exploding them weighted by piece
+    // frequency prices the whole corpus at vocabulary cost — the
+    // same count-don't-rescan move as the trainer itself. Output:
+    // the top-30 subword-token frequency table after 8 merges.
+    Q("t28_bpe_tokenize",
+      (s, d) => graft.operators.BpeTrainer.tokenize(
+        Tables.load(s, d, "documents")
+          .select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+            .as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("wf")),
+        BpeK, 30),
+      Some(graft.operators.BpeTrainer.tokenizeOracleSql(BpePat, BpeK, 30)))
   )
 }

@@ -364,4 +364,41 @@ class TextSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq === (1 to rows.length))
     }
   }
+
+  test("BPE trainer: merge order, counts, and greedy application on a planted corpus") {
+    import graft.operators.BpeTrainer
+    // pieces "aaab"x3 + "ab"x1. Round 1: (a,a) appears twice per
+    // "aaab" -> 6, (a,b) -> 3+1 = 4 -> merge (a,a). Round 2 state
+    // [aa,a,b] / [a,b]: (aa,a) -> 3, (a,b) -> 3+1 = 4 -> merge (a,b).
+    // Round 3 state [aa,ab] / [ab]: (aa,ab) -> 3 -> merge (aa,ab).
+    val pieces = Seq(("aaab", 3L), ("ab", 1L)).toDF("piece", "wf")
+    val merges = BpeTrainer.trainMerges(pieces, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 4L), (3, "aa", "ab", 3L)))
+    // after all 3 merges every piece is a single token
+    val toks = BpeTrainer.tokenize(pieces, 3, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(toks.toSeq === Seq((1, "aaab", 3L), (2, "ab", 1L)))
+  }
+
+  test("BPE merge application is greedy left-to-right non-overlapping") {
+    import graft.operators.BpeTrainer
+    // "aaaa": round-1 pairs (a,a) x3; applying (a,a) greedily must
+    // yield [aa, aa] (positions 0-1 then 2-3), NOT [aa, a, a] — the
+    // replace-resumes-after-replacement contract the scaladoc claims
+    val pieces = Seq(("aaaa", 1L)).toDF("piece", "wf")
+    val toks = BpeTrainer.tokenize(pieces, 1, 10).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(toks.toSeq === Seq(("aa", 2L)))
+  }
+
+  test("BPE argmax tie-break is (cnt desc, s1, s2) — deterministic cross-engine") {
+    import graft.operators.BpeTrainer
+    // (a,b) and (c,d) both count 1 -> lexicographically smaller s1 wins
+    val pieces = Seq(("ab", 1L), ("cd", 1L)).toDF("piece", "wf")
+    val merges = BpeTrainer.trainMerges(pieces, 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(("a", "b", 1L)))
+  }
 }
