@@ -776,4 +776,241 @@ object MultimodalOps {
       .toDF("doc_id", "sample_rate", "n_samples", "win_idx", "win_len",
         "sum_sq", "rms")
   }
+
+  // ======== fixture: real animated GIF via javax.imageio ========
+
+  /** Gray level of pixel p in frame f of the GIF fixture. r = g = b,
+    * so a 256-entry gray palette holds every color the raster can use
+    * and GIF's palette-indexed LZW encoding is LOSSLESS on it — the
+    * property that lets the m11 oracle replay the decode exactly
+    * (the m9 contract, extended to a real multi-frame container).
+    */
+  def gifFramePixel(docId: Long, frame: Int, p: Long): Int =
+    ((docId * 31L + frame * 17L + p * 7L) % 256L).toInt
+
+  // one shared identity-gray palette: index i -> (i, i, i)
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** An ANIMATED GIF payload written by the JDK's own GIF writer
+    * (`javax.imageio` sequence API): `videoFrameCount(id)` full-size
+    * frames of the gray fixture raster, sharing the document's (w, h)
+    * geometry. A real multi-frame container — frame boundaries live in
+    * GIF image descriptors the reader must genuinely parse, unlike the
+    * synthetic concatenated-P6 stream of m2/m6.
+    */
+  def gifBytes(docId: Long): Array[Byte] = {
+    val w = imageWidth(docId); val h = imageHeight(docId)
+    encodeGifGray((0 until videoFrameCount(docId)).map { f =>
+      val px = new Array[Byte](3 * w * h)
+      var p = 0
+      while (p < w * h) {
+        val v = gifFramePixel(docId, f, p).toByte
+        px(3 * p) = v; px(3 * p + 1) = v; px(3 * p + 2) = v
+        p += 1
+      }
+      PpmImage(w, h, 255, px)
+    })
+  }
+
+  /** Encode gray rasters (r = g = b; the red channel is the palette
+    * index) as one animated GIF via the JDK sequence writer. Public so
+    * MultimodalSpec can plant re-cut copies frame-for-frame.
+    */
+  def encodeGifGray(frames: Seq[PpmImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { fr =>
+        val img = new BufferedImage(fr.width, fr.height,
+          BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var p = 0
+        while (p < fr.width * fr.height) {
+          raster.setSample(p % fr.width, p / fr.width, 0,
+            fr.pixels(3 * p) & 0xFF)
+          p += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** One animated-GIF payload per document row (narrow, no shuffle). */
+  def withGifPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, "image/gif", gifBytes(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Decode every frame of a GIF payload with the JDK reader — real
+    * container parse (logical screen descriptor, per-frame image
+    * descriptors, LZW) into the `PpmImage` shape the whole image
+    * family consumes. Frames are written full-size by `gifBytes`, so
+    * no disposal compositing is involved; throws on undecodable bytes.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[PpmImage] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](3 * w * h)
+        var p = 0
+        while (p < w * h) {
+          val v = rgb(p)
+          out(3 * p) = ((v >> 16) & 0xFF).toByte
+          out(3 * p + 1) = ((v >> 8) & 0xFF).toByte
+          out(3 * p + 2) = (v & 0xFF).toByte
+          p += 1
+        }
+        PpmImage(w, h, 255, out)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** The m11 face: per-frame geometry, exact gray mean, and the aHash
+    * fingerprint over a real GIF decode. Lossless palette round-trip →
+    * the oracle replays every column from the pixel formula; the
+    * hashes feed the UNCHANGED m6 near-dup band machinery
+    * (`gifNearDups`, MultimodalSpec's planted re-cut).
+    */
+  def gifFrameFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        decodeGifFrames(bytes).zipWithIndex.map { case (img, f) =>
+          val npx = img.width * img.height
+          var sv = 0L
+          var p = 0
+          while (p < npx) { sv += img.pixels(3 * p) & 0xFF; p += 1 }
+          (id, f, img.width, img.height, sv.toDouble / npx, aHash64(img))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "mean_v",
+        "frame_hash")
+  }
+
+  /** GIF near-dup pairs: `videoNearDups`' inverted-index shape over
+    * the GIF frame hashes — shared-distinct-hash count per pair,
+    * never all-pairs.
+    */
+  def gifNearDups(spark: SparkSession, media: DataFrame,
+      minSharedFrames: Long = 2L): DataFrame = {
+    val fh = gifFrameFeatures(spark, media)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+    fh.as("a")
+      .join(fh.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  // ======== fixture: real big-endian AIFF via javax.sound ========
+
+  /** AIFF sample formula — same signed 16-bit slice shape as the WAV
+    * fixture but a DIFFERENT multiplier pair, and crucially values
+    * whose two bytes differ, so a byte-swap (endianness slip) can
+    * never reproduce the formula.
+    */
+  def aiffSampleCount(docId: Long): Int = 64 + (docId % 32).toInt
+  def aiffSample(docId: Long, i: Long): Int =
+    (((docId * 19 + i * 23) % 4096) - 2048).toInt
+
+  /** A real AIFF payload written by the JDK's own encoder
+    * (`javax.sound.sampled.AudioSystem.write`, Type.AIFF): 16-bit
+    * signed BIG-endian mono PCM at 8 kHz — the endianness-sensitive
+    * twin of the m10 WAV round trip (AIFF stores PCM big-endian where
+    * RIFF/WAVE stores it little-endian; the container dictates the
+    * byte order, the decoder must honor it).
+    */
+  def aiffBytes(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val n = aiffSampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = aiffSample(docId, i)
+      pcm(2 * i) = ((v >> 8) & 0xFF).toByte   // big-endian high byte
+      pcm(2 * i + 1) = (v & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, true)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, baos)
+    baos.toByteArray
+  }
+
+  /** One AIFF payload per document row (narrow, no shuffle). */
+  def withAiffPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, "audio/aiff", aiffBytes(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Decode an AIFF payload with the JDK reader: container parse
+    * (FORM/COMM/SSND chunks), then BIG-endian signed 16-bit frame
+    * reassembly. Requires big-endian 16-bit mono — the inverse
+    * endianness contract of `decodeWav`; a little-endian reassembly
+    * here would produce byte-swapped samples and fail the oracle hash
+    * (MultimodalSpec pins the negative case).
+    */
+  def decodeAiff(bytes: Array[Byte]): WavClip = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        fmt.isBigEndian, s"unsupported AIFF format: $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((raw(2 * i).toInt << 8) | (raw(2 * i + 1) & 0xFF))
+        i += 1
+      }
+      WavClip(fmt.getSampleRate, fmt.getSampleSizeInBits, fmt.getChannels, out)
+    } finally ais.close()
+  }
+
+  /** The m12 face: m10's windowed-energy features over the AIFF
+    * decode — integer sum of squares, one IEEE division, one
+    * correctly-rounded sqrt, fully oracle-replayed from the sample
+    * formula.
+    */
+  def aiffFeatures(spark: SparkSession, media: DataFrame,
+      window: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        val clip = decodeAiff(bytes)
+        clip.samples.grouped(window).zipWithIndex.map { case (w, wi) =>
+          var ss = 0L
+          w.foreach { v => ss += v.toLong * v }
+          (id, clip.rate.toInt, clip.samples.length, wi, w.length, ss,
+            math.sqrt(ss.toDouble / w.length))
+        }
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "win_idx", "win_len",
+        "sum_sq", "rms")
+  }
 }

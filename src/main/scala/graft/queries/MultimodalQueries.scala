@@ -310,6 +310,73 @@ object MultimodalQueries extends QueryPack {
              SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
                n_samples, win_idx, win_len, sum_sq,
                sqrt(CAST(sum_sq AS DOUBLE) / win_len) AS rms
+             FROM agg ORDER BY doc_id, win_idx""")),
+
+    // REAL multi-frame container decode via javax.imageio: each
+    // document carries an ANIMATED GIF written by the JDK's own GIF
+    // writer (2-5 full-size frames of a gray raster). The gray
+    // fixture fits GIF's 256-entry palette exactly, so the LZW
+    // round-trip is LOSSLESS and the oracle replays geometry, exact
+    // per-frame gray means, and the per-frame aHash from the pixel
+    // formula — m9's full-replay contract extended to a container
+    // whose frame boundaries live in real image descriptors (unlike
+    // the synthetic concatenated-P6 stream of m2/m6). The hashes feed
+    // the unchanged m6 near-dup machinery (MultimodalSpec plants a
+    // re-cut GIF and finds it via gifNearDups).
+    Q("m11_decode_gif",
+      (s, d) => MultimodalOps
+        .gifFrameFeatures(s,
+          MultimodalOps.withGifPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h, 2 + doc_id % 4 AS n_frames FROM documents),
+             fr AS (SELECT doc_id, w, h, unnest(range(0, n_frames)) AS f FROM dims),
+             px AS (SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS p FROM fr),
+             mv AS (SELECT doc_id, f, w, h,
+               sum((doc_id*31 + f*17 + p*7) % 256) AS sv
+               FROM px GROUP BY 1, 2, 3, 4),
+             opx AS (SELECT doc_id, w, h, f, unnest(range(0, 64)) AS o FROM fr),
+             mapped AS (SELECT doc_id, f, o,
+               ((o // 8) * h // 8) * w + ((o % 8) * w // 8) AS src FROM opx),
+             gray AS (SELECT doc_id, f, o,
+               3 * ((doc_id*31 + f*17 + src*7) % 256) AS g FROM mapped),
+             tot AS (SELECT doc_id, f, sum(g) AS sg FROM gray GROUP BY 1, 2),
+             hsh AS (SELECT gray.doc_id, gray.f,
+               CAST(sum(CASE WHEN g * 64 > sg THEN
+                 (CASE WHEN o = 63 THEN -9223372036854775808
+                       ELSE CAST(power(2, o) AS BIGINT) END)
+                 ELSE 0 END) AS BIGINT) AS frame_hash
+              FROM gray JOIN tot ON gray.doc_id = tot.doc_id AND gray.f = tot.f
+              GROUP BY 1, 2)
+             SELECT mv.doc_id, CAST(mv.f AS INTEGER) AS frame_idx,
+               CAST(mv.w AS INTEGER) AS width, CAST(mv.h AS INTEGER) AS height,
+               CAST(sv AS DOUBLE) / (mv.w * mv.h) AS mean_v, frame_hash
+             FROM mv JOIN hsh ON mv.doc_id = hsh.doc_id AND mv.f = hsh.f
+             ORDER BY mv.doc_id, frame_idx""")),
+
+    // REAL big-endian AIFF decode via javax.sound — the
+    // endianness-sensitive twin of m10: AIFF stores PCM big-endian
+    // where RIFF/WAVE stores it little-endian, and the fixture's
+    // sample values have distinct high/low bytes, so a byte-swap in
+    // the decoder produces different samples and cannot hash-match.
+    // Signed-PCM formula fully replayed, the m10 contract.
+    Q("m12_decode_aiff",
+      (s, d) => MultimodalOps
+        .aiffFeatures(s,
+          MultimodalOps.withAiffPayload(s, Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "win_idx"),
+      Some("""WITH dims AS (SELECT doc_id,
+               64 + doc_id % 32 AS n FROM documents),
+             sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims),
+             v AS (SELECT doc_id, n, i, CAST(i // 16 AS INTEGER) AS win_idx,
+               (doc_id*19 + i*23) % 4096 - 2048 AS v FROM sm),
+             agg AS (SELECT doc_id, CAST(max(n) AS INTEGER) AS n_samples,
+               win_idx,
+               CAST(count(*) AS INTEGER) AS win_len,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq FROM v GROUP BY 1, 3)
+             SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+               n_samples, win_idx, win_len, sum_sq,
+               sqrt(CAST(sum_sq AS DOUBLE) / win_len) AS rms
              FROM agg ORDER BY doc_id, win_idx"""))
   )
 }

@@ -366,4 +366,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(first.getAs[Int]("n_samples") === n)
     assert(math.abs(first.getAs[Double]("rms") - math.sqrt(ss / 16.0)) < 1e-12)
   }
+
+  test("animated GIF via ImageIO round-trips the gray raster formula byte-for-byte") {
+    val id = 7L
+    val frames = MultimodalOps.decodeGifFrames(MultimodalOps.gifBytes(id))
+    assert(frames.length === MultimodalOps.videoFrameCount(id))
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width === MultimodalOps.imageWidth(id))
+      assert(img.height === MultimodalOps.imageHeight(id))
+      (0 until img.width * img.height).foreach { p =>
+        val v = MultimodalOps.gifFramePixel(id, f, p)
+        assert((img.pixels(3 * p) & 0xFF) === v, s"frame $f pixel $p R")
+        assert((img.pixels(3 * p + 1) & 0xFF) === v, s"frame $f pixel $p G")
+        assert((img.pixels(3 * p + 2) & 0xFF) === v, s"frame $f pixel $p B")
+      }
+    }
+  }
+
+  test("GIF near-dup: planted re-cut found by shared frame hashes, disjoint GIF not") {
+    import spark.implicits._
+    val base = 11L
+    val w = MultimodalOps.imageWidth(base); val h = MultimodalOps.imageHeight(base)
+    def frame(f: Int): MultimodalOps.PpmImage = {
+      val px = new Array[Byte](3 * w * h)
+      (0 until w * h).foreach { p =>
+        val v = MultimodalOps.gifFramePixel(base, f, p).toByte
+        px(3 * p) = v; px(3 * p + 1) = v; px(3 * p + 2) = v
+      }
+      MultimodalOps.PpmImage(w, h, 255, px)
+    }
+    def flat(g: Int): MultimodalOps.PpmImage =
+      MultimodalOps.PpmImage(w, h, 255,
+        Array.fill(3 * w * h)(g.toByte))
+    // doc 1: frames 0-2; doc 2: a RE-CUT — frames 2,1 kept, new tail;
+    // doc 3: fully disjoint flat frames
+    val media = Seq(
+      (1L, "image/gif", MultimodalOps.encodeGifGray(Seq(frame(0), frame(1), frame(2)))),
+      (2L, "image/gif", MultimodalOps.encodeGifGray(Seq(frame(2), frame(1), flat(200)))),
+      (3L, "image/gif", MultimodalOps.encodeGifGray(Seq(flat(10), flat(90)))))
+      .toDF("doc_id", "media_type", "payload")
+    val pairs = MultimodalOps.gifNearDups(spark, media, minSharedFrames = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 2L)))
+  }
+
+  test("AIFF via javax.sound round-trips the signed PCM formula; byte-swap fails loud") {
+    val id = 5L
+    val clip = MultimodalOps.decodeAiff(MultimodalOps.aiffBytes(id))
+    val n = MultimodalOps.aiffSampleCount(id)
+    assert(clip.samples.length === n)
+    assert(clip.bits === 16 && clip.channels === 1)
+    (0 until n).foreach { i =>
+      assert(clip.samples(i) === MultimodalOps.aiffSample(id, i), s"sample $i")
+    }
+    // the endianness negative: reassembling the same 16-bit samples
+    // little-endian (a WAV-style decoder misapplied to AIFF bytes)
+    // yields byte-swapped values that do NOT reproduce the formula
+    def swap16(v: Int): Int = (((v & 0xFF) << 8) | ((v >> 8) & 0xFF)).toShort.toInt
+    val swapped = clip.samples.map(swap16)
+    assert(swapped.zipWithIndex.exists { case (v, i) =>
+      v !== MultimodalOps.aiffSample(id, i)
+    })
+    // and the decoder refuses a little-endian (WAV) payload outright
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeAiff(MultimodalOps.wavBytes(id))
+    }
+  }
 }
