@@ -128,4 +128,56 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin.*LeftOuter".r.findAllIn(p).size >= 2,
       s"hot-set assignment not broadcast on both sides:\n${p.take(1500)}")
   }
+
+  test("h5 broadcasts its un-hinted sides at test scale — the planner, not a hint, decides") {
+    // customer and supplier carry NO broadcast() hint (they are
+    // fact-scale at 100 TB and must be free to shuffle); at test SF the
+    // size estimates put them under the threshold, so the planner still
+    // broadcasts every non-fact side. Losing these would mean the
+    // planner stopped seeing the sizes — a regression worth failing on.
+    val p = plan("h5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"h5 expected >=4 planner-chosen broadcasts:\n${p.take(1500)}")
+  }
+
+  test("ANALYZE-fed column stats drive a broadcast the file-size estimate alone would miss") {
+    // The CBO path for catalog tables: without statistics a FILTERED
+    // dimension is sized at its full file size (Filter passes the
+    // child's sizeInBytes through), so a selective filter cannot
+    // rescue a dimension that is over the broadcast threshold; with
+    // `ANALYZE TABLE ... FOR COLUMNS` + spark.sql.cbo.enabled the
+    // filter's selectivity (1/ndv on an equality) shrinks the
+    // estimate and the SAME un-hinted query plans a BroadcastHashJoin.
+    // This is the production-grade form of the h-family's "no hint on
+    // scaling dims" rule: statistics, not hints, pick the build side.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    // threshold chosen between the two estimates: the no-stats path
+    // sizes the pruned scan at file size × column ratio (~12 KB here —
+    // Project scales by width even without CBO), while the stats path
+    // sizes the filtered output at ~60 rows × avg row width (~3 KB)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (4 * 1024).toString)
+    val sf01 = "/root/testdata/sf0.01"
+    Tables.load(s, sf01, "customer").write.mode("overwrite")
+      .saveAsTable("cbo_customer")
+    Tables.load(s, sf01, "orders").write.mode("overwrite")
+      .saveAsTable("cbo_orders")
+    try {
+      val q = """SELECT o.o_orderkey, c.c_name
+                 FROM cbo_orders o JOIN cbo_customer c
+                   ON o.o_custkey = c.c_custkey
+                 WHERE c.c_nationkey = 3"""
+      val before = s.sql(q).queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        s"filtered dim broadcast WITHOUT stats — threshold not exercised:\n${before.take(1500)}")
+      s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS")
+      s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
+      val after = s.sql(q).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"stats + CBO did not produce a broadcast:\n${after.take(1500)}")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS cbo_customer")
+      s.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
+  }
 }
