@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   * Failures are reported per query (`"err"`), excluded from the total,
   * and make the process exit nonzero — a regression can only make the
   * bench worse, never better (VERDICT round 1 #1).
+  *
+  * RUN ALONE: never overlap a Bench run with a Verify dump (or any
+  * other Spark main) on the same host — both saturate the local[32]
+  * cores and the contended record shows up as canary_warn: true with
+  * inflated per-query times (the r11/r12 drift clusters were exactly
+  * this). Sequence: Verify first, let it exit, then Bench.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
