@@ -60,7 +60,7 @@ object BpeTrainer {
     */
   def trainState(pieces: DataFrame, k: Int): (DataFrame, Seq[DataFrame]) = {
     var st = pieces
-      .select(col("wf"), initRep(col("piece")).as("rep"))
+      .select(col("piece"), col("wf"), initRep(col("piece")).as("rep"))
       .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {
@@ -81,7 +81,7 @@ object BpeTrainer {
         col("s1"), col("s2"), col("cnt"))
       st = st
         .crossJoin(broadcast(best.select(col("s1"), col("s2"))))
-        .select(col("wf"),
+        .select(col("piece"), col("wf"),
           replace(col("rep"),
             concat(lit(L), col("s1"), lit(R + L), col("s2"), lit(R)),
             concat(lit(L), col("s1"), col("s2"), lit(R))).as("rep"))
@@ -114,6 +114,14 @@ object BpeTrainer {
       .orderBy("rnk")
   }
 
+  /** Per-piece subword length under the learned merges:
+    * (piece, n_tokens) — the lookup table that prices a tokenization
+    * without touching the corpus (t29's join key).
+    */
+  def tokenLengths(pieces: DataFrame, k: Int): DataFrame =
+    trainState(pieces, k)._1
+      .select(col("piece"), size(symbols(col("rep"))).as("n_tokens"))
+
   /** The shared K-round DuckDB CTE chain: piece counting (the given
     * pre-tokenizer regex over `documents.text`), then per round the
     * pair count, the 1-row argmax `m{r}`, and the replaced state
@@ -137,7 +145,7 @@ object BpeTrainer {
                      FROM sy$r WHERE len(syms) >= 2)
                GROUP BY 1, 2),
              m$r AS MATERIALIZED (SELECT s1, s2, cnt FROM pp$r ORDER BY cnt DESC, s1, s2 LIMIT 1),
-             st$r AS MATERIALIZED (SELECT wf, replace(rep,
+             st$r AS MATERIALIZED (SELECT piece, wf, replace(rep,
                  '$L' || (SELECT s1 FROM m$r) || '$R$L' || (SELECT s2 FROM m$r) || '$R',
                  '$L' || (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) || '$R') AS rep
                FROM st$p)"""
@@ -146,7 +154,7 @@ object BpeTrainer {
                FROM (SELECT unnest(regexp_extract_all(text, '$bpePat')) AS piece
                      FROM documents)
                GROUP BY 1),
-             st0 AS MATERIALIZED (SELECT wf,
+             st0 AS MATERIALIZED (SELECT piece, wf,
                '$L' || array_to_string(regexp_extract_all(piece, '(?s).'), '$R$L') || '$R' AS rep
                FROM pc),
              $rounds"""
@@ -162,6 +170,27 @@ object BpeTrainer {
              $union
            ) ORDER BY rnk"""
   }
+
+  /** DuckDB replay of the t29 per-source token budget: the K-round
+    * chain, a per-(source, piece) count, and the join of the two —
+    * corpus priced entirely at vocabulary cost on both engines.
+    */
+  def sourceTokensOracleSql(bpePat: String, k: Int): String =
+    s"""${chainSql(bpePat, k)},
+             lens AS (SELECT piece,
+               CAST(len(regexp_extract_all(rep, '$symRegex', 1)) AS INTEGER) AS n_tokens
+               FROM st$k),
+             ps AS (SELECT source, piece, CAST(count(*) AS BIGINT) AS wf_s
+               FROM (SELECT source, unnest(regexp_extract_all(text, '$bpePat')) AS piece
+                     FROM documents)
+               GROUP BY 1, 2)
+           SELECT source,
+             CAST(sum(wf_s * n_tokens) AS BIGINT) AS bpe_tokens,
+             CAST(sum(wf_s) AS BIGINT) AS n_pieces,
+             (CAST(sum(wf_s * n_tokens) AS BIGINT) * 1000000)
+               // CAST(sum(wf_s) AS BIGINT) AS tokens_per_piece_e6
+           FROM ps JOIN lens USING (piece)
+           GROUP BY source ORDER BY source"""
 
   /** DuckDB replay of `tokenize` over `documents`. */
   def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =

@@ -673,7 +673,13 @@ object IvfIndex {
     // The training set is bounded (maxTrainRows ≈ 25 MB at dim 64), so
     // one partition costs nothing at any corpus scale and makes the
     // quantizer a pure function of (data, seed) — which is what lets
-    // n4's recall be pinned as oracle data.
+    // n4's recall be pinned as oracle data. The single task IS the
+    // contract: fit cost is bounded by maxTrainRows, never by the
+    // corpus, and stays a one-executor, seconds-scale job at 100 TB.
+    // It would only bind if nlist grew past ~1e5 (train rows must
+    // comfortably exceed centroids); at that point switch to a
+    // partitioned mini-batch fit and accept that the model becomes a
+    // function of the partitioning — a documented trade, not a cliff.
     val train = train0.coalesce(1)
     fitCount.incrementAndGet()
     val model = new KMeans()

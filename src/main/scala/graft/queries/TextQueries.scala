@@ -1171,6 +1171,34 @@ object TextQueries extends QueryPack {
             .as("piece"))
           .groupBy("piece").agg(count(lit(1)).as("wf")),
         BpeK, 30),
-      Some(graft.operators.BpeTrainer.tokenizeOracleSql(BpePat, BpeK, 30)))
+      Some(graft.operators.BpeTrainer.tokenizeOracleSql(BpePat, BpeK, 30))),
+
+    // TOKEN-BUDGET planning: how many subword tokens does each SOURCE
+    // contribute under the learned 8-merge tokenizer, and at what
+    // tokens-per-piece compression? The question every pretraining mix
+    // starts with — priced WITHOUT tokenizing the corpus: the trainer's
+    // final state already holds each distinct piece's subword length
+    // (`BpeTrainer.tokenLengths`), so the answer is a per-(source,
+    // piece) count joined to that vocabulary-sized lookup. Exact
+    // integers end to end; the ratio is e6 fixed point.
+    Q("t29_bpe_source_tokens",
+      (s, d) => {
+        val ps = Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+              .as("piece"))
+          .groupBy("source", "piece").agg(count(lit(1)).as("wf_s"))
+        val global = ps.groupBy("piece").agg(sum("wf_s").as("wf"))
+        val lens = graft.operators.BpeTrainer.tokenLengths(global, BpeK)
+        ps.join(broadcast(lens), Seq("piece"))
+          .groupBy("source")
+          .agg(sum(col("wf_s") * col("n_tokens")).as("bpe_tokens"),
+            sum("wf_s").as("n_pieces"))
+          .select(col("source"), col("bpe_tokens"), col("n_pieces"),
+            expr("(bpe_tokens * 1000000) div n_pieces")
+              .as("tokens_per_piece_e6"))
+          .orderBy("source")
+      },
+      Some(graft.operators.BpeTrainer.sourceTokensOracleSql(BpePat, BpeK)))
   )
 }
