@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed fixed-point k-means over the embedding column — Lloyd's
+  * algorithm re-expressed so every step is exact integer arithmetic and
+  * therefore (a) independent of partitioning / aggregation order and
+  * (b) bit-replayable in the DuckDB oracle as K unrolled CTE rounds
+  * (the `PageRank` / `BpeTrainer` fixed-iteration discipline).
+  *
+  * Vectors are first quantized to e6 fixed point (`floor(x·10⁶)` per
+  * dimension — float→double is exact, one IEEE multiply, one floor:
+  * identical in any IEEE engine). From then on:
+  *
+  *  - assignment: argmin over k centroids of the integer squared L2
+  *    distance, computed per row against an INLINED centroid literal
+  *    (the centroids are k·dims longs — driver-held between rounds, the
+  *    fixed-size-model-state idiom of `QualityModel`): a pure map-side
+  *    codegen'd expression, NO join and NO shuffle; ties break to the
+  *    smaller cluster id via lexicographic `array_min` on
+  *    (dist2, cluster) structs.
+  *  - update: one `groupBy(cluster)` with per-dimension BIGINT sums +
+  *    a count — a k-row shuffle with map-side partial aggregation; the
+  *    k result rows come to the driver (bounded by k — the documented
+  *    bounded-collect contract) and the new centroid is `sum / n` in
+  *    Long division (truncates toward zero, matching DuckDB `//`).
+  *    A cluster that loses all members keeps its previous centroid.
+  *
+  * Per round the corpus is scanned once (quantized input is
+  * `localCheckpoint`ed first) and the only exchange is the k-row
+  * partial agg — this IS the distributed fit the single-task
+  * `IvfIndex` fit (bounded by its maxTrainRows sampling contract)
+  * deliberately is not: state never exceeds k·dims longs on any node,
+  * so the same loop runs unchanged on a 1000-executor 100 TB corpus.
+  *
+  * Seeding: the k rows with the smallest (md5(vec_id), vec_id) — the
+  * repo-wide deterministic-sampling idiom (`SplitAssign`), replayable
+  * verbatim in DuckDB.
+  *
+  * Overflow headroom (BIGINT, documented like e15/e16): with |x| ≤ 8
+  * the quantized components are ≤ 8·10⁶, so a per-dimension update sum
+  * stays exact through ~10¹¹ members per cluster and a per-row dist2
+  * through any dims ≤ 10⁴; the summary's wcss = Σ dist2 stays exact
+  * while n·dims·(2·8·10⁶)² < 2⁶³ — ~5·10⁵ vectors at dims = 64. Past
+  * that, report mean dist2 per cluster (already exact at any n) and
+  * drop the raw sum; DuckDB would widen to HUGEINT while Spark wraps,
+  * so the guard matters cross-engine.
+  */
+object KMeans {
+
+  /** e6 fixed-point quantization of the float embedding. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+        .as("qv"))
+
+  private def distStruct(cent: Array[Long], cluster: Int): Column = {
+    val arr = cent.mkString("array(", "L, ", "L)")
+    struct(
+      expr(s"aggregate(zip_with(qv, $arr, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)").as("dist2"),
+      lit(cluster).cast("int").as("cluster"))
+  }
+
+  /** (vec_id, qv, cluster, dist2): map-side argmin against driver-held
+    * centroids — no join, no shuffle.
+    */
+  private def withBest(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val best = array_min(array(
+      cents.zipWithIndex.map { case (c, i) => distStruct(c, i) }: _*))
+    q.select(col("vec_id"), col("qv"), best.as("best"))
+      .select(col("vec_id"), col("qv"),
+        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+  }
+
+  /** Map-side argmin assignment: (vec_id, cluster, dist2). */
+  def assign(q: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    withBest(q, cents).drop("qv")
+
+  /** `iters` Lloyd rounds from the md5 seeding; returns the final
+    * centroids (cluster index = position). `dims` is asserted against
+    * the data (fail loud, not silently wrong distances).
+    */
+  def fit(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): Seq[Array[Long]] = {
+    val q = quantized(emb).localCheckpoint()
+    val seedRows = q
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select("qv")
+      .collect()
+    var cents: Seq[Array[Long]] =
+      seedRows.map(_.getSeq[Long](0).toArray).toSeq
+    require(cents.nonEmpty && cents.head.length == dims,
+      s"expected $dims-dim embeddings, got ${cents.headOption.map(_.length)}")
+    for (_ <- 1 to iters) {
+      val sums = (0 until dims).map(d =>
+        sum(element_at(col("qv"), d + 1)).as(s"s$d"))
+      val rows = withBest(q, cents)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = cents.map(_.clone).toArray
+      rows.foreach { r =>
+        val c = r.getAs[Int]("cluster")
+        val n = r.getAs[Long]("n")
+        next(c) = Array.tabulate(dims)(d => r.getAs[Long](s"s$d") / n)
+      }
+      cents = next.toSeq
+    }
+    cents
+  }
+
+  /** fit + final assignment in one call. */
+  def fitAssign(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): DataFrame =
+    assign(quantized(emb), fit(emb, k, iters, dims))
+
+  /** Per-cluster report over the final assignment: member count, within-
+    * cluster sum of squares, and the exact centroid norm² — every
+    * cluster reports (an emptied cluster keeps its centroid, n = 0).
+    */
+  def summary(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = fit(emb, k, iters, dims)
+    val agg = assign(quantized(emb), cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist2").as("wcss"))
+    val norms = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(v => v * v).sum) }
+      .toDF("cluster", "cent_norm2")
+    norms.join(agg, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("wcss"), lit(0L)).as("wcss"),
+        col("cent_norm2"))
+      .orderBy("cluster")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The shared DuckDB CTE chain: quantization, the per-dimension
+    * explode, md5 seeding, then per round the distance join, the argmin
+    * assignment, and the coalescing centroid update — the Spark loop
+    * unrolled arithmetic-for-arithmetic. MATERIALIZED for the same
+    * reason as `BpeTrainer.chainSql`: each round references its
+    * predecessor more than once.
+    */
+  def chainSql(k: Int, iters: Int, dims: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""dist$t AS MATERIALIZED (SELECT e.vec_id, c.cluster,
+             CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
+             FROM ev e JOIN ct$p c USING (d) GROUP BY 1, 2),
+           asg$t AS MATERIALIZED (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+             FROM dist$t) WHERE rn = 1),
+           ct$t AS MATERIALIZED (SELECT p.cluster, p.d,
+             COALESCE(CAST(u.s AS BIGINT) // u.n, p.c) AS c
+             FROM ct$p p LEFT JOIN (
+               SELECT a.cluster, e.d, sum(e.v) AS s, CAST(count(*) AS BIGINT) AS n
+               FROM asg$t a JOIN ev e USING (vec_id) GROUP BY 1, 2) u
+             ON u.cluster = p.cluster AND u.d = p.d)"""
+    }.mkString(",\n           ")
+    val f = iters + 1
+    s"""q AS MATERIALIZED (SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           FROM embeddings),
+         ev AS MATERIALIZED (SELECT vec_id, d, qv[d] AS v
+           FROM q, (SELECT unnest(range(1, ${dims + 1})) AS d)),
+         seeds AS MATERIALIZED (SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cluster
+           FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         ct0 AS MATERIALIZED (SELECT s.cluster, e.d, e.v AS c
+           FROM seeds s JOIN ev e USING (vec_id)),
+         $rounds,
+         dist$f AS MATERIALIZED (SELECT e.vec_id, c.cluster,
+           CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
+           FROM ev e JOIN ct$iters c USING (d) GROUP BY 1, 2),
+         asgF AS MATERIALIZED (SELECT vec_id, cluster, dist2 FROM (
+           SELECT vec_id, cluster, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+           FROM dist$f) WHERE rn = 1)"""
+  }
+
+  /** DuckDB replay of `fitAssign`. */
+  def assignOracleSql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${chainSql(k, iters, dims)}
+       SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist2
+       FROM asgF ORDER BY vec_id"""
+
+  /** DuckDB replay of `summary`. */
+  def summaryOracleSql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${chainSql(k, iters, dims)},
+         g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dist2) AS BIGINT) AS wcss FROM asgF GROUP BY 1),
+         nrm AS (SELECT cluster, CAST(sum(c * c) AS BIGINT) AS cent_norm2
+           FROM ct$iters GROUP BY 1)
+       SELECT nrm.cluster, COALESCE(g.n, 0) AS n, COALESCE(g.wcss, 0) AS wcss,
+         nrm.cent_norm2
+       FROM nrm LEFT JOIN g USING (cluster) ORDER BY nrm.cluster"""
+
+  /** Cluster-balanced coreset selection: the `quota` smallest
+    * (md5(vec_id), vec_id) members of every final cluster — the
+    * semantic-diversity sampling step of cluster-then-sample corpus
+    * curation (the SemDeDup / cluster-based selection family): a
+    * k-means pass groups the corpus by content region, then a bounded
+    * per-region quota keeps the sample from collapsing onto the densest
+    * region. One window over the final assignment; determinism from the
+    * md5 idiom, no RNG.
+    */
+  def coreset(emb: DataFrame, k: Int, iters: Int, quota: Int,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("h"), col("vec_id"))
+    fitAssign(emb, k, iters, dims)
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= quota)
+      .select(col("vec_id"), col("cluster"), col("rn"))
+      .orderBy("cluster", "rn")
+  }
+
+  /** DuckDB replay of `coreset`. */
+  def coresetOracleSql(k: Int, iters: Int, quota: Int, dims: Int): String =
+    s"""WITH ${chainSql(k, iters, dims)},
+         r AS (SELECT vec_id, cluster,
+           CAST(row_number() OVER (PARTITION BY cluster
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rn
+           FROM asgF)
+       SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, rn
+       FROM r WHERE rn <= $quota ORDER BY cluster, rn"""
+}

@@ -16,6 +16,11 @@ object SimilarityQueries extends QueryPack {
   private val K = 10
   private val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmDims = 64
+  private val KmQuota = 5
+
   /** DuckDB left-fold dot product — bit-identical to the Spark fold. */
   private def dot(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -400,8 +405,85 @@ object SimilarityQueries extends QueryPack {
         SimilarityOps.topKCosineAgainst(rec, queries, K)
           .orderBy("query_id", "rnk")
       },
-      Some(sqAdcOracle))
+      Some(sqAdcOracle)),
+
+    // Distributed fixed-point k-means (operators/KMeans): Lloyd over
+    // e6-quantized vectors, every step exact integer arithmetic, so the
+    // DuckDB oracle replays ALL the rounds (seeding included) and the
+    // hash match pins the whole trajectory — not a tolerance. The fit
+    // is cached per (session, dataset) so the three faces share one
+    // training run (the n5/n10 build-once discipline). Scale: per round
+    // one corpus scan + a k-row partial-agg shuffle; assignment is a
+    // map-side codegen'd argmin against an inlined centroid literal —
+    // the distributed fit the IVF single-task sampler deliberately
+    // is not.
+    Q("n13_kmeans_assign",
+      (s, d) => {
+        import graft.operators.KMeans
+        KMeans.assign(
+            KMeans.quantized(Tables.load(s, d, "embeddings")),
+            fittedCents(s, d))
+          .orderBy("vec_id")
+      },
+      Some(graft.operators.KMeans.assignOracleSql(KmK, KmIters, KmDims))),
+
+    // Per-cluster fit report: sizes, within-cluster sum of squares,
+    // exact centroid norm² — the quality face (an elbow/occupancy
+    // report a curation pipeline reads before trusting the clusters).
+    Q("n14_kmeans_summary",
+      (s, d) => {
+        import graft.operators.KMeans
+        val spark = s
+        import spark.implicits._
+        val cents = fittedCents(s, d)
+        val agg = KMeans.assign(
+            KMeans.quantized(Tables.load(s, d, "embeddings")), cents)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"), sum("dist2").as("wcss"))
+        cents.zipWithIndex
+          .map { case (c, i) => (i, c.map(v => v * v).sum) }
+          .toDF("cluster", "cent_norm2")
+          .join(agg, Seq("cluster"), "left")
+          .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("wcss"), lit(0L)).as("wcss"), col("cent_norm2"))
+          .orderBy("cluster")
+      },
+      Some(graft.operators.KMeans.summaryOracleSql(KmK, KmIters, KmDims))),
+
+    // Cluster-balanced coreset: a bounded md5-deterministic quota per
+    // final cluster — the semantic-diversity sampling step of
+    // cluster-then-sample curation (keeps a sample from collapsing
+    // onto the densest content region). One window over the final
+    // assignment.
+    Q("n15_cluster_coreset",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.KMeans
+        val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
+        KMeans.assign(
+            KMeans.quantized(Tables.load(s, d, "embeddings")),
+            fittedCents(s, d))
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= KmQuota)
+          .select(col("vec_id"), col("cluster"), col("rn"))
+          .orderBy("cluster", "rn")
+      },
+      Some(graft.operators.KMeans.coresetOracleSql(KmK, KmIters, KmQuota, KmDims)))
   )
+
+  /** One k-means fit per (session, dataset) — the centroids are k·dims
+    * longs, trivially driver-held; same immutable-dataset assumption as
+    * the IVF/SQ dir caches.
+    */
+  private val kmCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Array[Long]]]()
+
+  private def fittedCents(s: org.apache.spark.sql.SparkSession, d: String): Seq[Array[Long]] =
+    kmCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.operators.KMeans.fit(
+        Tables.load(s, d, "embeddings"), KmK, KmIters, KmDims)
+    })
 
   /** One persisted SQ store per (session, dataset) — n5's dir-cache
     * discipline (temp dir, deleted on JVM exit, immutable-dataset
