@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+import graft.streaming.ClusterStream
+
+/** Streaming cluster-routing parity: vectors streamed against a frozen
+  * k-means fit — one micro-batch or chopped — must land exactly where
+  * the batch assignment puts them, and crash replay must be invisible.
+  */
+class ClusterStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    .select("vec_id", "embedding")
+
+  private lazy val cents = KMeans.fit(emb, k = 4, iters = 2)
+
+  private lazy val rows: Seq[(Long, Array[Float])] =
+    emb.collect().toSeq.sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def results(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.select("vec_id", "cluster", "dist2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private val schema = StructType(Seq(StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def run(files: Seq[Seq[(Long, Array[Float])]], onePer: Boolean) = {
+    val srcDir = Files.createTempDirectory("graft_cs_src").toString
+    val base = Files.createTempDirectory("graft_cs").toString
+    files.zipWithIndex.foreach { case (rs, i) =>
+      rs.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src0 = spark.readStream.schema(schema)
+    val src = (if (onePer) src0.option("maxFilesPerTrigger", "1") else src0)
+      .option("latestFirst", "false").parquet(s"$srcDir/*")
+    val q = ClusterStream.route(src, cents, s"$base/out", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (base, results(spark.read.parquet(s"$base/out")))
+  }
+
+  test("streamed routing equals batch assignment under any chopping") {
+    val expected = results(KMeans.assign(KMeans.quantized(emb), cents))
+    assert(expected.size === rows.size)
+    assert(run(Seq(rows), onePer = false)._2 === expected,
+      "single-batch stream diverged from batch assignment")
+    assert(run(Seq(rows.take(100), rows.slice(100, 350), rows.drop(350)),
+      onePer = true)._2 === expected,
+      "chopped stream diverged from batch assignment")
+    // at-least-once delivery within a batch: duplicates collapse
+    assert(run(Seq(rows ++ rows.take(7)), onePer = false)._2 === expected,
+      "duplicated vectors leaked extra rows")
+  }
+
+  test("crash replay overwrites its own batch partition") {
+    val (base, first) = run(Seq(rows.take(50)), onePer = false)
+    // simulate replay of batch 0: re-run the same foreachBatch body
+    KMeans.assign(KMeans.quantized(rows.take(50).toDF("vec_id", "embedding")),
+        cents)
+      .withColumn("_batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(s"$base/out")
+    assert(results(spark.read.parquet(s"$base/out")) === first,
+      "replaying batch 0 changed the stored rows")
+  }
+}
