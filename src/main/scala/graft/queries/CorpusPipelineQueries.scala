@@ -365,6 +365,85 @@ object CorpusPipelineQueries extends QueryPack {
              (SELECT count(*) FROM zbad) AS n_decont_dropped,
              (SELECT count(*) FROM fh) AS n_train_final,
              (SELECT bit_xor(h) FROM fh) AS xor_id_hash,
-             (SELECT CAST(sum(h % 1000000007) AS BIGINT) FROM fh) AS sum_id_hash_mod"""))
+             (SELECT CAST(sum(h % 1000000007) AS BIGINT) FROM fh) AS sum_id_hash_mod""")),
+
+    // SNAPSHOT DIFF — dataset versioning for a released corpus: given
+    // two snapshots keyed by doc_id with a content fingerprint, report
+    // per source what the next release did (added / removed / changed /
+    // unchanged docs + the net token delta). The v2 snapshot is a
+    // DETERMINISTIC derived twin of the corpus (md5-selected tenths:
+    // one dropped, one edited, one cloned under new ids — the t18
+    // dirty-twin discipline; the corpus itself has no second version),
+    // so the classification exercises every branch of the diff on both
+    // engines. Shape: fingerprints are computed map-side, the diff is
+    // ONE doc_id-keyed full-outer join, the report a per-source partial
+    // agg — at 100 TB this is the standard two-snapshot reconcile, no
+    // all-pairs anywhere, and the fingerprint column means text never
+    // shuffles.
+    Q("x10_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val sel = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 10")
+        val m = docs.select(col("doc_id"), col("source"), col("text"),
+          sel.as("m"))
+        val v2 = m.filter(col("m") =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("m") === 1, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(m.filter(col("m") === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              concat(lit("new release doc "), col("text")).as("text")))
+        def fp(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.select(col("doc_id").as(s"id$tag"), col("source").as(s"src$tag"),
+            md5(col("text")).as(s"fp$tag"),
+            expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
+              .as(s"nt$tag"))
+        val j = fp(docs, "1").join(fp(v2, "2"),
+            col("id1") === col("id2"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("id1").isNull, "added")
+              .when(col("id2").isNull, "removed")
+              .when(col("fp1") =!= col("fp2"), "changed")
+              .otherwise("unchanged").as("status"),
+            (coalesce(col("nt2"), lit(0L)) - coalesce(col("nt1"), lit(0L)))
+              .as("dt"))
+        j.groupBy("source")
+          .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+            sum(col("dt")).as("token_delta"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT doc_id, source, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS m
+               FROM documents),
+             v2 AS (SELECT doc_id, source,
+               CASE WHEN m = 1 THEN text || ' rev2' ELSE text END AS text
+               FROM m WHERE m <> 0
+               UNION ALL
+               SELECT doc_id + 1000000, source, 'new release doc ' || text
+               FROM m WHERE m = 2),
+             f1 AS (SELECT doc_id, source, md5(text) AS fp,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+               FROM documents),
+             f2 AS (SELECT doc_id, source, md5(text) AS fp,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+               FROM v2),
+             j AS (SELECT COALESCE(f1.source, f2.source) AS source,
+               CASE WHEN f1.doc_id IS NULL THEN 'added'
+                    WHEN f2.doc_id IS NULL THEN 'removed'
+                    WHEN f1.fp <> f2.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(f2.nt, 0) - COALESCE(f1.nt, 0) AS dt
+               FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+           SELECT source,
+             CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             CAST(sum(dt) AS BIGINT) AS token_delta
+           FROM j GROUP BY source ORDER BY source"""))
   )
 }

@@ -777,6 +777,42 @@ object RelationalQueries extends QueryPack {
              revenue
            FROM r WHERE rnk <= 20 ORDER BY rnk""")),
 
+    // h18 = TPC-H Q18 (large-volume customers): the group-by-HAVING
+    // semi-join shape — find orders whose lineitems sum past a quantity
+    // threshold, then re-join the winners to customer/orders/lineitem
+    // for the report. Plan: the HAVING subquery is ONE map-side-combined
+    // aggregation of lineitem (no raw-row shuffle beyond the orderkey
+    // partial agg); its tiny survivor set broadcasts into the re-join,
+    // so at 100 TB lineitem is scanned twice but shuffled never —
+    // customer stays un-hinted (fact-scale, h5's rule) and joins the
+    // survivor-pruned orders.
+    Q("h18_large_orders",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("bo_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+          .filter(col("qty") > 300)
+        val o = t(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("bo_orderkey"))
+        val c = t(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            col("qty").cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+               FROM lineitem GROUP BY 1
+               HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+           SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             total_qty
+           FROM big
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // Order-independent table fingerprint — Snowflake's HASH_AGG use
     // case (replication / migration verification: do two copies hold
     // the same rows, regardless of layout?): per-row md5 → 60-bit

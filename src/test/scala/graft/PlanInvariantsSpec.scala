@@ -140,6 +140,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"h5 expected >=4 planner-chosen broadcasts:\n${p.take(1500)}")
   }
 
+  test("h18's HAVING survivors broadcast into the re-join; the lineitem agg is map-side partial") {
+    // the survivor set (orders past the quantity threshold) is tiny by
+    // construction and carries an explicit hint — if it ever shuffles,
+    // the query degenerates to a fact×fact join at 100 TB
+    val p = plan("h18_large_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"h18 survivor set not broadcast:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"h18 lineitem aggregation lost its partial (map-side) phase:\n${p.take(1500)}")
+  }
+
   test("ANALYZE-fed column stats drive a broadcast the file-size estimate alone would miss") {
     // The CBO path for catalog tables: without statistics a FILTERED
     // dimension is sized at its full file size (Filter passes the
