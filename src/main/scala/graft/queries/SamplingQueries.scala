@@ -347,6 +347,60 @@ object SamplingQueries extends QueryPack {
                FROM documents d LEFT JOIN lab USING (doc_id))
            SELECT doc_id, rep,
              CAST(CAST(('0x' || substr(md5('fold:' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
-           FROM rp ORDER BY doc_id"""))
+           FROM rp ORDER BY doc_id""")),
+
+    // Quality-driven DOMAIN REWEIGHTING — the DoReMi shape (Xie et al.
+    // 2023: learn domain mixture weights from a proxy signal instead of
+    // raw token counts) with the repo's no-float discipline: the proxy
+    // is t12's integer quality logit, per-source mean in e6 fixed point
+    // (sum·10⁶ div n — truncation matches DuckDB //), shifted by the
+    // global minimum so every source keeps a positive floor weight
+    // (min-quality source gets exactly the floor, 10⁶), then normalized
+    // and priced against sp9's 100k-token budget. The REAL DoReMi runs
+    // a reference/proxy model excess-loss loop; this is its one-shot
+    // integer surrogate — the mixture math is identical once the proxy
+    // scores exist, and the whole chain (scoring included) replays in
+    // DuckDB. Scale: t12's doc-keyed partial agg, then a source-keyed
+    // k-row agg + two broadcast scalars — flat at any corpus.
+    Q("sp12_domain_reweight",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val logits = graft.operators.QualityModel
+          .scoreDerived(docs, "doc_id", "text", dims = 1024, bias = 0L)
+        val per = docs.select("doc_id", "source")
+          .join(logits, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("logit").as("sum_logit"))
+          .withColumn("m_e6", expr("(sum_logit * 1000000L) div n_docs"))
+        val shifted = per
+          .crossJoin(broadcast(per.agg(min("m_e6").as("min_e6"))))
+          .withColumn("w_raw", col("m_e6") - col("min_e6") + lit(1000000L))
+        shifted
+          .crossJoin(broadcast(shifted.agg(sum("w_raw").as("total"))))
+          .select(col("source"), col("n_docs"), col("m_e6"),
+            expr("(w_raw * 1000000L) div total").as("w_e6"),
+            expr("(100000L * w_raw) div total").as("alloc_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+             wv AS (SELECT doc_id,
+               (CAST(('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+               FROM t),
+             sm AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit FROM wv GROUP BY doc_id),
+             dl AS (SELECT d.doc_id, d.source, COALESCE(sm.logit, 0) AS logit
+               FROM documents d LEFT JOIN sm USING (doc_id)),
+             per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(logit) AS BIGINT) AS sum_logit FROM dl GROUP BY 1),
+             m AS (SELECT source, n_docs,
+               (sum_logit * 1000000) // n_docs AS m_e6 FROM per),
+             mn AS (SELECT min(m_e6) AS min_e6 FROM m),
+             w AS (SELECT source, n_docs, m_e6,
+               m_e6 - min_e6 + 1000000 AS w_raw FROM m, mn),
+             tt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS total FROM w)
+           SELECT source, n_docs, m_e6,
+             (w_raw * 1000000) // total AS w_e6,
+             (100000 * w_raw) // total AS alloc_tokens
+           FROM w, tt ORDER BY source"""))
   )
 }

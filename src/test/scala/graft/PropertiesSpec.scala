@@ -215,4 +215,23 @@ class PropertiesSpec extends AnyFunSuite {
     // allocations stay within the stated budget
     assert(rows.map(_._3).sum <= 100000L)
   }
+
+  test("domain reweighting: weights follow mean quality, floor at the minimum, budget respected") {
+    val rows = SparkEntry.queries("sp12_domain_reweight")(spark, "/root/testdata/sf0.001")
+      .select("source", "m_e6", "w_e6", "alloc_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length > 1)
+    // weight order is the quality order (strictly monotone in m_e6 up
+    // to integer-division ties)
+    rows.sortBy(_._2).zip(rows.sortBy(_._2).tail).foreach {
+      case ((sa, ma, wa, _), (sb, mb, wb, _)) =>
+        assert(wa <= wb, s"$sa (m=$ma) outweighs $sb (m=$mb)")
+    }
+    // normalization: weights sum to 1e6 within one truncation per source
+    val ws = rows.map(_._3)
+    assert(ws.sum <= 1000000L && ws.sum >= 1000000L - rows.length)
+    // every source keeps a positive floor; the budget is never exceeded
+    assert(ws.forall(_ > 0L))
+    assert(rows.map(_._4).sum <= 100000L)
+  }
 }
