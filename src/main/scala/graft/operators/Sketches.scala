@@ -220,6 +220,44 @@ object Sketches {
       .selectExpr(keys ++ Seq("bucket", "coalesce(rho, 0) AS rho"): _*)
   }
 
+  /** HLL SET ALGEBRA over per-group dense register tables: the pairwise
+    * union sketch is the bucket-wise register MAX (the defining HLL
+    * mergeability property — a union's registers equal the max of its
+    * parts' registers, exactly), and the intersection is estimated by
+    * inclusion–exclusion. Input: `registerTableBy(.., Seq(key))` rows
+    * (key, bucket, rho); output one row per unordered pair (a < b) with
+    * the three raw estimates, the inclusion–exclusion intersection, and
+    * the derived Jaccard.
+    *
+    * This is the SKETCH path to cross-group overlap: groups² · M rows
+    * total, never re-touching the corpus — against the exact gram join
+    * (d14) that shuffles every shared shingle. σ ≈ 1.04/√M per estimate
+    * (≈6.5% at M = 256); inclusion–exclusion compounds it, so small
+    * true overlaps can estimate negative — reported raw (the caller
+    * clamps), because clamping here would hide the variance the
+    * estimator actually has.
+    */
+  def pairOverlap(registers: DataFrame, key: String): DataFrame = {
+    val ra = registers.select(col(key).as("src_a"), col("bucket"),
+      col("rho").as("rho_a"))
+    val rb = registers.select(col(key).as("src_b"), col("bucket"),
+      col("rho").as("rho_b"))
+    val unions = ra.join(rb, Seq("bucket"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        greatest(col("rho_a"), col("rho_b")).as("rho"))
+    val estU = estimateBy(unions, Seq("src_a", "src_b"))
+      .selectExpr("src_a", "src_b", "hll_estimate AS est_union")
+    val singles = estimateBy(registers, Seq(key))
+      .selectExpr(s"$key AS k", "hll_estimate AS est")
+    estU
+      .join(singles.selectExpr("k AS src_a", "est AS est_a"), Seq("src_a"))
+      .join(singles.selectExpr("k AS src_b", "est AS est_b"), Seq("src_b"))
+      .selectExpr("src_a", "src_b", "est_a", "est_b", "est_union",
+        "est_a + est_b - est_union AS est_inter",
+        "(est_a + est_b - est_union) / est_union AS jaccard_est")
+  }
+
   /** Per-group raw HLL estimate — `estimate` partitioned by the keys;
     * the register sum stays exact-dyadic per group, so the grouped
     * estimates hash cross-engine exactly like the global one.

@@ -1199,6 +1199,71 @@ object TextQueries extends QueryPack {
               .as("tokens_per_piece_e6"))
           .orderBy("source")
       },
-      Some(graft.operators.BpeTrainer.sourceTokensOracleSql(BpePat, BpeK)))
+      Some(graft.operators.BpeTrainer.sourceTokensOracleSql(BpePat, BpeK))),
+
+    // HLL SET ALGEBRA — pairwise cross-source overlap from the SKETCHES
+    // ALONE (`Sketches.pairOverlap`): the union sketch is the exact
+    // bucket-wise register max (HLL's defining mergeability), the
+    // intersection is inclusion–exclusion, Jaccard falls out. This is
+    // the 100 TB path d14's exact gram join backs off to: per-source
+    // state is M = 256 registers REGARDLESS of corpus size, the overlap
+    // matrix costs sources²·M rows and never re-touches the corpus.
+    // Estimates carry HLL's σ ≈ 6.5% (compounded by the subtraction —
+    // negative intersections are reported raw; the accuracy bound vs
+    // the d14 exact truth is SketchOverlapSpec's claim). Oracle replays
+    // the whole register algebra — same dyadic sums, same double
+    // expression order — so even the ESTIMATES hash bit-for-bit.
+    Q("t30_sketch_overlap",
+      (s, d) => {
+        import graft.operators.Sketches
+        val docs = Tables.load(s, d, "documents")
+        val grams = graft.operators.DedupOps.shingles(docs, "doc_id", "text", 3)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select("source", "shingle").distinct()
+        Sketches.pairOverlap(
+            Sketches.registerTableBy(
+              Sketches.gramRegistersBy(grams, Seq("source")), Seq("source")),
+            "source")
+          .filter(col("src_a").isin("src0", "src1", "src2", "src3", "src4"))
+          .filter(col("src_b").isin("src0", "src1", "src2", "src3", "src4"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH sp AS (SELECT source, string_split(text, ' ') AS ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+             gr AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+               FROM (SELECT source, ts, unnest(range(1, len(ts) - 1)) AS i FROM sp)
+               WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+             h AS (SELECT source, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM gr),
+             b AS (SELECT source, h % 256 AS bucket,
+               52 - length(trim(LEADING '0' FROM bin(h // 256))) + 1 AS rho FROM h
+               GROUP BY 1, 2, 3),
+             r2 AS (SELECT source, bucket, max(rho) AS rho FROM b GROUP BY 1, 2),
+             dense AS (SELECT s.source, sp2.bucket, COALESCE(r2.rho, 0) AS rho
+               FROM (SELECT DISTINCT source FROM gr) s
+               CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) sp2
+               LEFT JOIN r2 ON r2.source = s.source AND r2.bucket = sp2.bucket),
+             sing AS (SELECT source, sum(1e0 / (CAST(1 AS BIGINT) << rho)) AS sum_inv
+               FROM dense GROUP BY source),
+             se AS (SELECT source,
+               0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv AS est
+               FROM sing),
+             pu AS (SELECT a.source AS src_a, b2.source AS src_b,
+               CASE WHEN a.rho >= b2.rho THEN a.rho ELSE b2.rho END AS rho
+               FROM dense a JOIN dense b2
+                 ON a.bucket = b2.bucket AND a.source < b2.source),
+             pe AS (SELECT src_a, src_b,
+               sum(1e0 / (CAST(1 AS BIGINT) << rho)) AS sum_inv
+               FROM pu GROUP BY 1, 2),
+             ue AS (SELECT src_a, src_b,
+               0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0 / sum_inv AS est_union
+               FROM pe)
+           SELECT ue.src_a, ue.src_b, ea.est AS est_a, eb.est AS est_b,
+             ue.est_union,
+             ea.est + eb.est - ue.est_union AS est_inter,
+             (ea.est + eb.est - ue.est_union) / ue.est_union AS jaccard_est
+           FROM ue
+           JOIN se ea ON ea.source = ue.src_a
+           JOIN se eb ON eb.source = ue.src_b
+           ORDER BY src_a, src_b"""))
   )
 }
