@@ -21,6 +21,36 @@ object CorpusPipelineQueries extends QueryPack {
   private val DsirTargetSources = Seq("src0", "src1")
   private val DsirSelK = 50
 
+  /** The derived second snapshot shared by x10 (diff) and x11 (drift):
+    * md5-selected tenths — one dropped, one edited, one cloned under
+    * new ids (the t18 dirty-twin discipline; the corpus has no real
+    * second version). One definition on each engine so the two entries
+    * cannot diverge on what "v2" means.
+    */
+  private def snapshotV2(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sel = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 10")
+    val m = docs.select(col("doc_id"), col("source"), col("text"), sel.as("m"))
+    m.filter(col("m") =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("m") === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(m.filter(col("m") === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(lit("new release doc "), col("text")).as("text")))
+  }
+
+  private[queries] val SnapshotV2Sql =
+    """m AS (SELECT doc_id, source, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS m
+               FROM documents),
+             v2 AS (SELECT doc_id, source,
+               CASE WHEN m = 1 THEN text || ' rev2' ELSE text END AS text
+               FROM m WHERE m <> 0
+               UNION ALL
+               SELECT doc_id + 1000000, source, 'new release doc ' || text
+               FROM m WHERE m = 2)"""
+
   /** The t12 logit chain as SQL, shared by the x1/x2/x3 entries and
     * (via the `sm` CTE it carries) the x8 data card.
     */
@@ -383,17 +413,7 @@ object CorpusPipelineQueries extends QueryPack {
     Q("x10_snapshot_diff",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val sel = expr(
-          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 10")
-        val m = docs.select(col("doc_id"), col("source"), col("text"),
-          sel.as("m"))
-        val v2 = m.filter(col("m") =!= 0)
-          .select(col("doc_id"), col("source"),
-            when(col("m") === 1, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(m.filter(col("m") === 2)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-              concat(lit("new release doc "), col("text")).as("text")))
+        val v2 = snapshotV2(docs)
         def fp(df: org.apache.spark.sql.DataFrame, tag: String) =
           df.select(col("doc_id").as(s"id$tag"), col("source").as(s"src$tag"),
             md5(col("text")).as(s"fp$tag"),
@@ -416,15 +436,7 @@ object CorpusPipelineQueries extends QueryPack {
             sum(col("dt")).as("token_delta"))
           .orderBy("source")
       },
-      Some("""WITH m AS (SELECT doc_id, source, text,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS m
-               FROM documents),
-             v2 AS (SELECT doc_id, source,
-               CASE WHEN m = 1 THEN text || ' rev2' ELSE text END AS text
-               FROM m WHERE m <> 0
-               UNION ALL
-               SELECT doc_id + 1000000, source, 'new release doc ' || text
-               FROM m WHERE m = 2),
+      Some(s"""WITH $SnapshotV2Sql,
              f1 AS (SELECT doc_id, source, md5(text) AS fp,
                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
                FROM documents),
@@ -444,6 +456,83 @@ object CorpusPipelineQueries extends QueryPack {
              CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
              CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
              CAST(sum(dt) AS BIGINT) AS token_delta
+           FROM j GROUP BY source ORDER BY source""")),
+
+    // DRIFT MONITOR — the distribution-shift face of the release diff:
+    // per source, the L1 distance between the two snapshots' doc-length
+    // histograms (log2 buckets, t14's sketch shape) in e6 fixed point —
+    // the release gate a data team alarms on when a new crawl or a
+    // changed filter shifts the length profile even where doc COUNTS
+    // look stable. PSI/KL need ln (libm-private, the b2/t15 trade
+    // again); total-variation-style L1 over the ≤64-bucket sketch is
+    // integer-exact and carries the same monotone drift signal. Scale:
+    // two corpus scans fold to ≤64 rows per source each; the compare
+    // never exceeds sources × buckets rows. Shares x10's v2 definition
+    // (one `snapshotV2`, so diff and drift can't disagree on what
+    // changed).
+    Q("x11_drift_report",
+      (s, d) => {
+        import graft.operators.Sketches
+        val docs = Tables.load(s, d, "documents")
+        def hist(df: org.apache.spark.sql.DataFrame) =
+          Sketches.logHistogramBy(
+            df.select(col("source"),
+              expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
+                .as("v")),
+            Seq("source"))
+        def norm(h: org.apache.spark.sql.DataFrame, tag: String) =
+          h.join(h.groupBy("source").agg(sum("cnt").as("total")), Seq("source"))
+            .select(col("source"), col("bucket"),
+              expr("(cnt * 1000000L) div total").as(s"p$tag"),
+              col("cnt").as(s"cnt$tag"))
+        val a = norm(hist(docs), "1")
+          .withColumnRenamed("source", "src_a").withColumnRenamed("bucket", "b_a")
+        val b = norm(hist(snapshotV2(docs)), "2")
+          .withColumnRenamed("source", "src_b").withColumnRenamed("bucket", "b_b")
+        a.join(b, col("src_a") === col("src_b") && col("b_a") === col("b_b"),
+            "full_outer")
+          .select(coalesce(col("src_a"), col("src_b")).as("source"),
+            coalesce(col("p1"), lit(0L)).as("p1"),
+            coalesce(col("p2"), lit(0L)).as("p2"),
+            coalesce(col("cnt1"), lit(0L)).as("cnt1"),
+            coalesce(col("cnt2"), lit(0L)).as("cnt2"))
+          .groupBy("source")
+          .agg(sum("cnt1").as("n1_docs"), sum("cnt2").as("n2_docs"),
+            sum(abs(col("p1") - col("p2"))).as("l1_e6"),
+            sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L))
+              .as("n_buckets_drifted"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $SnapshotV2Sql,
+             t1 AS (SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+               FROM documents),
+             t2 AS (SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+               FROM v2),
+             h1 AS (SELECT source,
+               CASE WHEN v <= 0 THEN -1 ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt FROM t1 GROUP BY 1, 2),
+             h2 AS (SELECT source,
+               CASE WHEN v <= 0 THEN -1 ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1, 2),
+             n1 AS (SELECT h1.source, h1.bucket,
+               (h1.cnt * 1000000) // tt.total AS p1, h1.cnt AS cnt1
+               FROM h1 JOIN (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+                 FROM h1 GROUP BY 1) tt USING (source)),
+             n2 AS (SELECT h2.source, h2.bucket,
+               (h2.cnt * 1000000) // tt.total AS p2, h2.cnt AS cnt2
+               FROM h2 JOIN (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+                 FROM h2 GROUP BY 1) tt USING (source)),
+             j AS (SELECT COALESCE(n1.source, n2.source) AS source,
+               COALESCE(p1, 0) AS p1, COALESCE(p2, 0) AS p2,
+               COALESCE(cnt1, 0) AS cnt1, COALESCE(cnt2, 0) AS cnt2
+               FROM n1 FULL OUTER JOIN n2
+                 ON n1.source = n2.source AND n1.bucket = n2.bucket)
+           SELECT source, CAST(sum(cnt1) AS BIGINT) AS n1_docs,
+             CAST(sum(cnt2) AS BIGINT) AS n2_docs,
+             CAST(sum(abs(p1 - p2)) AS BIGINT) AS l1_e6,
+             CAST(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_drifted
            FROM j GROUP BY source ORDER BY source"""))
   )
 }
