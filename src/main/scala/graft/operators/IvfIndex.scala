@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
+
+import graft.operators.{KMeans => KMeansOp}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,6 +65,33 @@ object IvfIndex {
     BuiltIvf(assigned0.localCheckpoint(),
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toArray.map(_.toFloat)) })
+  }
+
+  /** `build` with the DISTRIBUTED fit: centroids from
+    * `KMeans.fit` (the fixed-point Lloyd whose per-round cost is one
+    * corpus scan + a k-row partial-agg shuffle — state never exceeds
+    * nlist·dims longs on any node), assignment from its map-side
+    * integer argmin. This is the fit to reach for when nlist outgrows
+    * the bounded-sample single-task contract documented in `fitAssign`
+    * (~1e5 cells): no step depends on one executor, and the model is
+    * STILL a pure function of the data — the integer sums are
+    * partition-order-independent where spark.ml's k-means|| is not
+    * (KMeansSpec pins the invariance). Downstream (save / serve /
+    * append / drift) consumes the result unchanged: a BuiltIvf does not
+    * remember how it was fitted.
+    */
+  def buildDistributed(emb: DataFrame, nlist: Int, iters: Int = 3,
+      dims: Int = 64): BuiltIvf = {
+    val cents = KMeansOp.fit(emb, nlist, iters, dims)
+    val assigned = emb
+      .join(KMeansOp.assign(KMeansOp.quantized(emb), cents)
+          .select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+      .select("vec_id", "embedding", "cell")
+    BuiltIvf(assigned.localCheckpoint(),
+      cents.zipWithIndex.map { case (c, i) =>
+        (i, c.map(v => (v.toDouble / 1e6).toFloat))
+      })
   }
 
   /** Persist a built index: `dir/assigned` (vec_id, embedding, cell —

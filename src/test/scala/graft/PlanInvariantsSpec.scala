@@ -84,9 +84,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // t20: the dense register table crosses the distinct-source dim
     // against the 256-row bucket range — both sides fixed-size
     "t20_source_distinct_sketch",
+    // t30 densifies its per-source registers through t20's exact
+    // fixed-size cross (sources × 256 buckets) before the pair algebra
+    "t30_sketch_overlap",
     // sp9: per-source weights cross the ONE-ROW integer total — the
     // scalar-dashboard shape again
     "sp9_temperature_mix",
+    // sp12: per-source means cross the ONE-ROW global-min scalar, then
+    // the ONE-ROW weight total — sp9's scalar-dashboard shape twice
+    "sp12_domain_reweight",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
