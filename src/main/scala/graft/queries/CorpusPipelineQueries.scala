@@ -21,13 +21,17 @@ object CorpusPipelineQueries extends QueryPack {
   private val DsirTargetSources = Seq("src0", "src1")
   private val DsirSelK = 50
 
-  /** The derived second snapshot shared by x10 (diff) and x11 (drift):
-    * md5-selected tenths — one dropped, one edited, one cloned under
-    * new ids (the t18 dirty-twin discipline; the corpus has no real
-    * second version). One definition on each engine so the two entries
-    * cannot diverge on what "v2" means.
+  /** The derived second snapshot shared by x10 (diff), x11 (drift), and
+    * d17 (incremental dedup): md5-selected tenths — one dropped, one
+    * EDITED (" rev2" appended: still a near-dup of its predecessor, the
+    * case d17 must flag), one genuinely NEW doc per cloned row
+    * (word-REVERSED text under a fresh id: same length profile for x11,
+    * but sharing no word-8-gram with v1, the case d17 must admit). One
+    * definition on each engine so the three entries cannot diverge on
+    * what "v2" means (the t18 dirty-twin discipline; the corpus has no
+    * real second version).
     */
-  private def snapshotV2(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[queries] def snapshotV2(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sel = expr(
       "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 10")
     val m = docs.select(col("doc_id"), col("source"), col("text"), sel.as("m"))
@@ -37,7 +41,7 @@ object CorpusPipelineQueries extends QueryPack {
           .otherwise(col("text")).as("text"))
       .unionByName(m.filter(col("m") === 2)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-          concat(lit("new release doc "), col("text")).as("text")))
+          expr("array_join(reverse(split(text, ' ')), ' ')").as("text")))
   }
 
   private[queries] val SnapshotV2Sql =
@@ -48,7 +52,8 @@ object CorpusPipelineQueries extends QueryPack {
                CASE WHEN m = 1 THEN text || ' rev2' ELSE text END AS text
                FROM m WHERE m <> 0
                UNION ALL
-               SELECT doc_id + 1000000, source, 'new release doc ' || text
+               SELECT doc_id + 1000000, source,
+                 array_to_string(list_reverse(string_split(text, ' ')), ' ')
                FROM m WHERE m = 2)"""
 
   /** The t12 logit chain as SQL, shared by the x1/x2/x3 entries and

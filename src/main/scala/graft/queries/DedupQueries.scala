@@ -706,6 +706,72 @@ object DedupQueries extends QueryPack {
              CASE WHEN n_wedges > 0
                THEN (3 * n_triangles * 1000000) // n_wedges ELSE 0 END
                AS clustering_e6
-           FROM nd CROSS JOIN ne CROSS JOIN tri"""))
+           FROM nd CROSS JOIN ne CROSS JOIN tri""")),
+
+    // INCREMENTAL DEDUP — admit a release delta against the PREVIOUS
+    // release instead of re-deduping the world: the delta (docs added
+    // or changed in x10's v2 snapshot — same shared `snapshotV2`, so
+    // the delta definition cannot drift from the diff report) is
+    // checked against v1 with the d8 word-8-gram overlap machinery
+    // (train side = v1's df-capped inverted index, test side = the
+    // delta), and each source reports how much of its delta is a
+    // near-dup of something already shipped vs genuinely admissible.
+    // This is the 100 TB update pattern: per release the gram join is
+    // bounded by |delta|, never |corpus| — the previous release's index
+    // amortizes (in production it persists; here it rebuilds at test
+    // scale). Deltas derived from v1 text flag as dups BY CONSTRUCTION
+    // — exactly what the report must catch; docs under 8 tokens carry
+    // no grams and admit (the d8 contract).
+    Q("d17_incremental_dedup",
+      (s, d) => {
+        val v1 = Tables.load(s, d, "documents")
+        val v2 = CorpusPipelineQueries.snapshotV2(v1)
+        val f1 = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+        val delta = v2.join(f1, Seq("doc_id"), "left")
+          .filter(col("fp1").isNull || md5(col("text")) =!= col("fp1"))
+          .select("doc_id", "source", "text")
+          .localCheckpoint()
+        val dupIds = graft.operators.DedupOps
+          .crossSplitOverlap(v1, delta, "doc_id", "text", n = 8)
+          .filter(col("overlap_frac") >= 0.5)
+          .select(col("test_doc").as("doc_id")).distinct()
+        delta.join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_delta"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_of_prev"),
+            (count(lit(1)) - sum(coalesce(col("is_dup"), lit(0L))))
+              .as("n_admitted"),
+            min(when(col("is_dup").isNull, col("doc_id"))).as("first_admitted"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${CorpusPipelineQueries.SnapshotV2Sql},
+             f1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+             delta AS (SELECT v2.doc_id, v2.source, v2.text
+               FROM v2 LEFT JOIN f1 ON v2.doc_id = f1.doc_id
+               WHERE f1.fp1 IS NULL OR md5(v2.text) <> f1.fp1),
+             ttr AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 8),
+             gtr AS (SELECT DISTINCT doc_id AS train_doc,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM ttr)),
+             tte AS (SELECT doc_id, string_split(text, ' ') ts FROM delta
+               WHERE len(string_split(text, ' ')) >= 8),
+             gte AS (SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM tte)),
+             sizes AS (SELECT doc_id, count(*) AS n FROM gte GROUP BY doc_id),
+             pairs AS (SELECT g.train_doc, t.doc_id AS test_doc, count(*) AS shared
+               FROM gtr g JOIN gte t USING (shingle) GROUP BY 1, 2),
+             dup AS (SELECT DISTINCT p.test_doc AS doc_id FROM pairs p
+               JOIN sizes s ON p.test_doc = s.doc_id
+               WHERE CAST(p.shared AS DOUBLE) / s.n >= 0.5)
+           SELECT delta.source, CAST(count(*) AS BIGINT) AS n_delta,
+             CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_prev,
+             CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+             min(CASE WHEN dup.doc_id IS NULL THEN delta.doc_id END) AS first_admitted
+           FROM delta LEFT JOIN dup ON delta.doc_id = dup.doc_id
+           GROUP BY delta.source ORDER BY delta.source"""))
   )
 }
