@@ -537,6 +537,46 @@ object RelationalQueries extends QueryPack {
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              ORDER BY user_id, rn""")),
 
+    // The RANK-FAMILY window surface w1 doesn't touch, with REAL TIES:
+    // rank / dense_rank / percent_rank / cume_dist are ordered by
+    // l_quantity alone (quantities repeat heavily — tie-peer semantics
+    // are the point and are deterministic because peers share values);
+    // lead and first_value need a row, not a peer group, so they ride a
+    // second window with the full unique tie-break. percent_rank and
+    // cume_dist are single divisions of integer ranks — IEEE-identical
+    // cross-engine. Same scale shape as w1: one returnflag-partitioned
+    // shuffle, per-partition sorted evaluation.
+    Q("w2_window_ranks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wt = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+        val wu = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem").filter(col("l_orderkey") < 100)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("qty"),
+            rank().over(wt).as("rnk"),
+            dense_rank().over(wt).as("drnk"),
+            percent_rank().over(wt).as("prnk"),
+            cume_dist().over(wt).as("cd"),
+            lead(col("l_quantity").cast("double"), 1).over(wu).as("next_qty"),
+            first_value(col("l_orderkey")).over(wu).as("first_ok"))
+          .orderBy("l_returnflag", "qty", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(rank() OVER wt AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER wt AS INTEGER) AS drnk,
+             percent_rank() OVER wt AS prnk,
+             cume_dist() OVER wt AS cd,
+             lead(CAST(l_quantity AS DOUBLE), 1) OVER wu AS next_qty,
+             first_value(l_orderkey) OVER wu AS first_ok
+             FROM lineitem WHERE l_orderkey < 100
+             WINDOW wt AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+               wu AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber)
+             ORDER BY l_returnflag, qty, l_orderkey, l_linenumber""")),
+
     // Correlated SCALAR subquery — one aggregate per outer row,
     // decorrelated by Catalyst into a left outer join + grouped
     // aggregate (never per-row re-execution): the §2.9 surface q1's

@@ -1264,6 +1264,52 @@ object TextQueries extends QueryPack {
            FROM ue
            JOIN se ea ON ea.source = ue.src_a
            JOIN se eb ON eb.source = ue.src_b
-           ORDER BY src_a, src_b"""))
+           ORDER BY src_a, src_b""")),
+
+    // GRAM NOVELTY — the cross-corpus complement of t8's within-doc
+    // repetition: per doc, what fraction of its word-8-grams occurs
+    // NOWHERE else in the corpus (df = 1). Low novelty = boilerplate /
+    // near-dup residue; high novelty = unique content worth its tokens
+    // — the memorization-risk proxy a curation pass reads next to the
+    // dedup report. Fixed point (e6, div) as usual; docs under 8 tokens
+    // carry no grams and report zero. Scale: the d2 inverted-index
+    // shape — one gram-keyed partial-agg shuffle for df, one doc-keyed
+    // fold back; no pair joins at all.
+    Q("t31_gram_novelty",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val sh = graft.operators.DedupOps.shingles(docs, "doc_id", "text", 8)
+          .localCheckpoint()
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val per = sh.join(dfreq, Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        docs.select("doc_id", "source").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            expr("CASE WHEN coalesce(n_grams, 0L) > 0L THEN (coalesce(n_unique, 0L) * 1000000L) div coalesce(n_grams, 0L) ELSE 0L END")
+              .as("novelty_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+               WHERE len(string_split(text, ' ')) >= 8),
+             sh AS (SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM sp)),
+             dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+             per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+               FROM sh JOIN dfq USING (shingle) GROUP BY doc_id)
+           SELECT d.doc_id, d.source,
+             COALESCE(per.n_grams, 0) AS n_grams,
+             COALESCE(per.n_unique, 0) AS n_unique,
+             CASE WHEN COALESCE(per.n_grams, 0) > 0
+               THEN (COALESCE(per.n_unique, 0) * 1000000) // per.n_grams
+               ELSE 0 END AS novelty_e6
+           FROM documents d LEFT JOIN per USING (doc_id)
+           ORDER BY d.doc_id"""))
   )
 }
