@@ -635,6 +635,70 @@ object RelationalQueries extends QueryPack {
                CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem)
              ORDER BY column_name""")),
 
+    // DATA-QUALITY CONSTRAINT GATE — the expectations report a pipeline
+    // runs before publishing a table (the a10 stats' enforcement face):
+    // range rules, a non-null rule, a referential-integrity rule
+    // (anti-join count), and a uniqueness rule, each one row with
+    // checked/violation counts and a verdict. Every rule is a single
+    // map-side-combined aggregate or one key-partitioned anti-join —
+    // nothing here costs more than its table's scan at 100 TB, and a
+    // real deployment gates the publish step on `bool_and(passed)`.
+    Q("a11_constraint_gate",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        def rangeRule(id: String, df: org.apache.spark.sql.DataFrame,
+            pred: Column) =
+          df.agg(lit(id).as("rule_id"), count(lit(1)).as("n_checked"),
+            sum(when(!pred, 1L).otherwise(0L)).as("n_violations"))
+        val r1 = rangeRule("r1_quantity_range", li,
+          col("l_quantity") >= 1 && col("l_quantity") <= 50)
+        val r2 = rangeRule("r2_discount_range", li,
+          col("l_discount") >= 0 && col("l_discount") <= 0.1)
+        val r3 = rangeRule("r3_totalprice_positive", o,
+          col("o_totalprice") > 0)
+        val r4 = rangeRule("r4_orderdate_not_null", o,
+          col("o_orderdate").isNotNull)
+        val r5 = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(lit("r5_orderkey_fk").as("rule_id"),
+            lit(null).cast("long").as("n_checked"),
+            count(lit(1)).as("n_violations"))
+        val r6 = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .agg(lit("r6_orderkey_unique").as("rule_id"),
+            count(lit(1)).as("n_checked"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violations"))
+        Seq(r1, r2, r3, r4, r5, r6).reduce(_.unionByName(_))
+          .withColumn("passed", col("n_violations") === 0L)
+          .orderBy("rule_id")
+      },
+      Some("""SELECT rule_id, n_checked, n_violations, n_violations = 0 AS passed FROM (
+             SELECT 'r1_quantity_range' AS rule_id, count(*) AS n_checked,
+               CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+               FROM lineitem
+             UNION ALL
+             SELECT 'r2_discount_range', count(*),
+               CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+               FROM lineitem
+             UNION ALL
+             SELECT 'r3_totalprice_positive', count(*),
+               CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+               FROM orders
+             UNION ALL
+             SELECT 'r4_orderdate_not_null', count(*),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM orders
+             UNION ALL
+             SELECT 'r5_orderkey_fk', NULL,
+               CAST(count(*) AS BIGINT)
+               FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             UNION ALL
+             SELECT 'r6_orderkey_unique', count(*),
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1))
+             ORDER BY rule_id""")),
+
     // ---- §2.9 subqueries ------------------------------------------------
     // Q1/Q2: the 10-scalar-subquery "pipeline dashboard" (dp_demo.sql:127-142)
     // — uncorrelated ScalarSubquery nodes, each planned as an independent
