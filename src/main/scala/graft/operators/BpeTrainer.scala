@@ -184,13 +184,14 @@ object BpeTrainer {
                FROM (SELECT source, unnest(regexp_extract_all(text, '$bpePat')) AS piece
                      FROM documents)
                GROUP BY 1, 2)
-           SELECT source,
+           SELECT source, bpe_tokens, n_pieces,
+             (bpe_tokens // n_pieces) * 1000000
+               + ((bpe_tokens % n_pieces) * 1000000) // n_pieces AS tokens_per_piece_e6
+           FROM (SELECT source,
              CAST(sum(wf_s * n_tokens) AS BIGINT) AS bpe_tokens,
-             CAST(sum(wf_s) AS BIGINT) AS n_pieces,
-             (CAST(sum(wf_s * n_tokens) AS BIGINT) * 1000000)
-               // CAST(sum(wf_s) AS BIGINT) AS tokens_per_piece_e6
+             CAST(sum(wf_s) AS BIGINT) AS n_pieces
            FROM ps JOIN lens USING (piece)
-           GROUP BY source ORDER BY source"""
+           GROUP BY source) ORDER BY source"""
 
   /** DuckDB replay of `tokenize` over `documents`. */
   def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =

@@ -485,6 +485,8 @@ object CorpusPipelineQueries extends QueryPack {
               expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
                 .as("v")),
             Seq("source"))
+        // headroom: cnt ≤ total, so cnt·10⁶ stays in BIGINT while a
+        // source holds < 9.2·10¹² docs — past that, decompose as sp12
         def norm(h: org.apache.spark.sql.DataFrame, tag: String) =
           h.join(h.groupBy("source").agg(sum("cnt").as("total")), Seq("source"))
             .select(col("source"), col("bucket"),

@@ -367,11 +367,19 @@ object SamplingQueries extends QueryPack {
         val docs = Tables.load(s, d, "documents")
         val logits = graft.operators.QualityModel
           .scoreDerived(docs, "doc_id", "text", dims = 1024, bias = 0L)
+        // mean in e6 via the overflow-safe decomposition
+        // (a·K) div n = (a div n)·K + ((a % n)·K) div n — exact for
+        // truncating division with sign-of-dividend remainders (both
+        // engines), and the largest intermediate is (n−1)·10⁶ instead
+        // of sum_logit·10⁶, which at fact scale (10¹⁰ docs × 10⁴-token
+        // logits) would wrap BIGINT silently in Spark while DuckDB
+        // widens to HUGEINT — the e16 cross-engine divergence shape.
         val per = docs.select("doc_id", "source")
           .join(logits, Seq("doc_id"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("logit").as("sum_logit"))
-          .withColumn("m_e6", expr("(sum_logit * 1000000L) div n_docs"))
+          .withColumn("m_e6", expr(
+            "(sum_logit div n_docs) * 1000000L + ((sum_logit % n_docs) * 1000000L) div n_docs"))
         val shifted = per
           .crossJoin(broadcast(per.agg(min("m_e6").as("min_e6"))))
           .withColumn("w_raw", col("m_e6") - col("min_e6") + lit(1000000L))
@@ -393,7 +401,8 @@ object SamplingQueries extends QueryPack {
              per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(logit) AS BIGINT) AS sum_logit FROM dl GROUP BY 1),
              m AS (SELECT source, n_docs,
-               (sum_logit * 1000000) // n_docs AS m_e6 FROM per),
+               (sum_logit // n_docs) * 1000000
+                 + ((sum_logit % n_docs) * 1000000) // n_docs AS m_e6 FROM per),
              mn AS (SELECT min(m_e6) AS min_e6 FROM m),
              w AS (SELECT source, n_docs, m_e6,
                m_e6 - min_e6 + 1000000 AS w_raw FROM m, mn),

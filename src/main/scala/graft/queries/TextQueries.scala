@@ -1195,7 +1195,11 @@ object TextQueries extends QueryPack {
           .agg(sum(col("wf_s") * col("n_tokens")).as("bpe_tokens"),
             sum("wf_s").as("n_pieces"))
           .select(col("source"), col("bpe_tokens"), col("n_pieces"),
-            expr("(bpe_tokens * 1000000) div n_pieces")
+            // overflow-safe decomposition (sp12's identity): at 100 TB
+            // a source's bpe_tokens reaches ~10¹⁴ and ·10⁶ would wrap
+            // BIGINT in Spark while DuckDB widens — the e16 shape
+            expr("(bpe_tokens div n_pieces) * 1000000" +
+              " + ((bpe_tokens % n_pieces) * 1000000) div n_pieces")
               .as("tokens_per_piece_e6"))
           .orderBy("source")
       },

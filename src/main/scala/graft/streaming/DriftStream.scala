@@ -43,7 +43,10 @@ object DriftStream {
     ()
   }
 
-  /** Normalize a (g, bucket, cnt) histogram to e6 proportions. */
+  /** Normalize a (g, bucket, cnt) histogram to e6 proportions.
+    * Headroom: cnt ≤ total, so cnt·10⁶ stays in BIGINT while a source
+    * holds < 9.2·10¹² docs — past that, use sp12's decomposition.
+    */
   private def norm(h: DataFrame, tag: String): DataFrame =
     h.join(h.groupBy("g").agg(sum("cnt").as("total")), Seq("g"))
       .select(col("g"), col("bucket"),
