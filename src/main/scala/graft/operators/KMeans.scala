@@ -82,8 +82,16 @@ object KMeans {
     * centroids (cluster index = position). `dims` is asserted against
     * the data (fail loud, not silently wrong distances).
     */
-  def fit(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): Seq[Array[Long]] = {
-    val q = quantized(emb).localCheckpoint()
+  def fit(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): Seq[Array[Long]] =
+    fitQ(quantized(emb).localCheckpoint(), k, iters, dims)
+
+  /** The same fit over an already-quantized `(vec_id, qv)` relation —
+    * the entry point `PqIndex` uses to fit one codebook per subspace
+    * slice without re-quantizing the corpus per subspace. Callers
+    * should `localCheckpoint` the input once (as `fit` does) so the
+    * per-round scans don't recompute the lineage.
+    */
+  def fitQ(q: DataFrame, k: Int, iters: Int, dims: Int): Seq[Array[Long]] = {
     val seedRows = q
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))

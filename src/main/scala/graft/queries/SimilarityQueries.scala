@@ -21,6 +21,16 @@ object SimilarityQueries extends QueryPack {
   private val KmDims = 64
   private val KmQuota = 5
 
+  /** PQ shape: 4 subspaces × 16 dims, 4 codewords each, 2 Lloyd rounds
+    * — small enough that the oracle's 4 unrolled training chains stay
+    * readable; the production shape (m=8+, k=256) changes only these
+    * constants. Declared BEFORE `queries` (strict val) — the oracle
+    * strings bake them at object construction.
+    */
+  private val PqM = 4
+  private val PqK = 4
+  private val PqIters = 2
+
   /** DuckDB left-fold dot product — bit-identical to the Spark fold. */
   private def dot(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -469,8 +479,94 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_id"), col("cluster"), col("rn"))
           .orderBy("cluster", "rn")
       },
-      Some(graft.operators.KMeans.coresetOracleSql(KmK, KmIters, KmQuota, KmDims)))
+      Some(graft.operators.KMeans.coresetOracleSql(KmK, KmIters, KmQuota, KmDims))),
+
+    // Product quantization (operators/PqIndex; Jégou et al. 2011): the
+    // codes-only compression tier — m per-subspace codebooks trained by
+    // the SAME fixed-point Lloyd as n13, so the DuckDB oracle replays
+    // all m training chains AND the encoding; a hash match pins every
+    // codeword, not just the codes. Encoding is one map-side projection
+    // (no join, no shuffle — PqSpec plan-asserts it); err2 is the exact
+    // integer reconstruction error per vector.
+    Q("n16_pq_encode",
+      (s, d) => {
+        import graft.operators.PqIndex
+        PqIndex.encode(Tables.load(s, d, "embeddings"), fittedBooks(s, d))
+          .orderBy("vec_id")
+      },
+      Some(graft.operators.PqIndex.encodeOracleSql(PqM, PqK, PqIters, KmDims))),
+
+    // ADC search over the codes: per-(query, subspace) integer distance
+    // tables to every codeword are driver-computed (bounded:
+    // queries·m·k longs) and inlined, so pricing a corpus row is m
+    // element_at's + adds — the scan never touches a float vector. The
+    // only exchange is the final per-query top-k. Approximate by
+    // construction (that's PQ's contract); the oracle replays the SAME
+    // approximation exactly.
+    Q("n17_pq_adc_topk",
+      (s, d) => {
+        import graft.operators.{KMeans, PqIndex}
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = KMeans.quantized(emb)
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        PqIndex.adcTopK(
+          PqIndex.encode(emb, fittedBooks(s, d)), queries,
+          fittedBooks(s, d), K)
+      },
+      Some(graft.operators.PqIndex.adcOracleSql(
+        PqM, PqK, PqIters, KmDims, QueryIds.length, K))),
+
+    // The SAME search over the PERSISTED PQ tier — codes + codebooks
+    // written once per (session, dataset), reloaded columnar (no driver
+    // JSON), and searched identically; SHARES n17's ORACLE VERBATIM
+    // (the n10 build-once-serve-many contract: a hash mismatch means
+    // the persisted layout diverged from the in-memory one).
+    Q("n18_pq_served",
+      (s, d) => {
+        import graft.operators.{KMeans, PqIndex}
+        val (codes, books) = PqIndex.load(s, servedPqDir(s, d))
+        val queries = KMeans.quantized(Tables.load(s, d, "embeddings"))
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        PqIndex.adcTopK(codes, queries, books, K)
+      },
+      Some(graft.operators.PqIndex.adcOracleSql(
+        PqM, PqK, PqIters, KmDims, QueryIds.length, K)))
   )
+
+  /** One PQ fit per (session, dataset) — m·k·(dims/m) = dims·k longs,
+    * driver-held; the kmCache discipline.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[Seq[Array[Long]]]]()
+
+  private def fittedBooks(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Seq[Array[Long]]] =
+    pqCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.operators.PqIndex.fit(
+        Tables.load(s, d, "embeddings"), PqM, PqK, PqIters, KmDims)
+    })
+
+  /** One persisted PQ store per (session, dataset) — the sqDirCache
+    * discipline.
+    */
+  private val pqDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def servedPqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    pqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_n18")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      graft.operators.PqIndex.save(
+        Tables.load(s, d, "embeddings"), dir.toString, PqM, PqK, PqIters, KmDims)
+      dir.toString
+    })
 
   /** One k-means fit per (session, dataset) — the centroids are k·dims
     * longs, trivially driver-held; same immutable-dataset assumption as
