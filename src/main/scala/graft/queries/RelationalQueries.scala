@@ -917,6 +917,201 @@ object RelationalQueries extends QueryPack {
            JOIN customer ON o_custkey = c_custkey
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // h1 = TPC-H Q1 (pricing summary): THE map-side-combine benchmark —
+    // one selective scan, eight aggregates over four tiny groups, so at
+    // 100 TB the only exchange carries 4 rows of partials per task.
+    // Determinism: all sums in exact DECIMAL then one final CAST to
+    // DOUBLE; the charge product is staged (18,2)·(19,2) → (18,4)·(19,2)
+    // so no intermediate exceeds DECIMAL(38) in either engine (a single
+    // three-way (18,2)³ product would overflow Spark's 38-digit cap and
+    // round, diverging from DuckDB); the averages divide the exact
+    // decimal sum BY THE BIGINT count as one IEEE double op — identical
+    // operands, identical bits, both engines.
+    Q("h1_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(DecimalType(18, 4)) * (lit(1) + dec(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // h4 = TPC-H Q4 (order-priority checking), predicate adapted: the
+    // testdata lineitem carries no commit/receipt dates, so "order had
+    // a late item" becomes "order had a RETURNED item" — the PLAN
+    // SHAPE is what Q4 tests and it is preserved exactly: a quarter's
+    // orders LEFT-SEMI-joined against a filtered fact (EXISTS), then a
+    // tiny per-priority count. At 100 TB both sides are fact-scale, so
+    // the semi-join shuffles once on orderkey and the dedup happens
+    // inside the join (no DISTINCT pass over lineitem).
+    Q("h4_priority_returns",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1997-04-01"))
+        val ret = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey")
+        o.join(ret, o("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1997-04-01'
+               AND EXISTS (SELECT 1 FROM lineitem
+                 WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             GROUP BY 1 ORDER BY 1""")),
+
+    // h14 = TPC-H Q14 (promotion effect): conditional-aggregate ratio —
+    // one month of lineitem joined to part, CASE-summed by p_type
+    // prefix. part scales with SF (fact-scale at 100 TB) so it carries
+    // no broadcast hint; the month filter pushes into the lineitem
+    // scan, and the two sums ride one map-side-combined aggregate. The
+    // percentage is ONE IEEE divide of two exact-decimal-backed doubles
+    // — bit-identical cross-engine.
+    Q("h14_promo_revenue",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01") &&
+            col("l_shipdate") < lit("1997-10-01"))
+        val p = t(s, d, "part").select("p_partkey", "p_type")
+        li.join(p, li("l_partkey") === p("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"),
+              dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+              .cast("double").as("promo_revenue"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+              .as("promo_pct"))
+      },
+      Some("""WITH a AS (SELECT
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                 AND l_shipdate < TIMESTAMP '1997-10-01')
+           SELECT promo_revenue, total_revenue,
+             100.0 * promo_revenue / total_revenue AS promo_pct
+           FROM a""")),
+
+    // h21 = TPC-H Q21 (suppliers who kept orders waiting), predicate
+    // adapted to the reduced schema: "the supplier whose item was late
+    // while every co-supplier delivered" becomes "the supplier whose
+    // item was RETURNED on a finished multi-supplier order while no
+    // co-supplier's was". The plan shape — the hardest in TPC-H — is
+    // preserved exactly: a fact filtered twice, LEFT-SEMI self-joined
+    // (exists a co-supplier) then LEFT-ANTI self-joined (no co-supplier
+    // with the fault), both on orderkey with a suppkey inequality, so
+    // all three fact legs co-partition on ONE orderkey shuffle and AQE
+    // can reuse the exchange; supplier joins the tiny survivor set.
+    Q("h21_sole_blame",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+        val fOrders = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val otherFaults = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        val blamed = l1
+          .join(others, col("ok2") === col("l_orderkey") &&
+            col("sk2") =!= col("l_suppkey"), "left_semi")
+          .join(otherFaults, col("ok3") === col("l_orderkey") &&
+            col("sk3") =!= col("l_suppkey"), "left_anti")
+        val su = t(s, d, "supplier")
+        val top = blamed.join(su, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("numwait").desc, col("s_name"))
+        top.withColumn("rnk", row_number().over(w).cast("int"))
+          .select("rnk", "s_name", "numwait")
+          .orderBy("rnk")
+      },
+      Some("""WITH blamed AS (SELECT s_name, count(*) AS numwait
+               FROM lineitem l1
+               JOIN orders ON o_orderkey = l1.l_orderkey
+               JOIN supplier ON s_suppkey = l1.l_suppkey
+               WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+                 AND EXISTS (SELECT 1 FROM lineitem l2
+                   WHERE l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                   WHERE l3.l_orderkey = l1.l_orderkey
+                     AND l3.l_suppkey <> l1.l_suppkey
+                     AND l3.l_returnflag = 'R')
+               GROUP BY 1),
+             r AS (SELECT *, row_number() OVER (ORDER BY numwait DESC, s_name) AS rnk
+               FROM blamed)
+           SELECT CAST(rnk AS INTEGER) AS rnk, s_name, numwait
+           FROM r WHERE rnk <= 20 ORDER BY rnk""")),
+
+    // h22 = TPC-H Q22 (global sales opportunity), keyed by nation
+    // instead of the absent phone prefix, and "no orders" widened to
+    // "no orders since 1999" (this testdata gives every customer SOME
+    // order — a 0-row anti-join would be a trivial hash match). Two
+    // classic shapes in one plan: a 1-row scalar aggregate broadcast
+    // into the filter (the mean is compared as c_acctbal·n > total —
+    // EXACT decimal·bigint arithmetic, no cross-engine division), then
+    // a LEFT-ANTI join against the date-filtered orders (NOT EXISTS).
+    // At 100 TB the anti join shuffles customer once on custkey against
+    // orders' pushed-filter custkey projection; the scalar side is
+    // always 1 row.
+    Q("h22_idle_rich",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val pos = c.filter(col("c_acctbal") > 0)
+          .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+        val rich = c.crossJoin(broadcast(pos))
+          .filter(col("c_acctbal") > 0 && dec(col("c_acctbal")) * col("n") > col("s"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01")).select("o_custkey")
+        rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH pos AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+               count(*) AS n FROM customer WHERE c_acctbal > 0)
+           SELECT c_nationkey, count(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           FROM customer, pos
+           WHERE c_acctbal > 0
+             AND CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+             AND NOT EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey
+                 AND o_orderdate >= TIMESTAMP '1999-01-01')
+           GROUP BY 1 ORDER BY 1""")),
+
     // Order-independent table fingerprint — Snowflake's HASH_AGG use
     // case (replication / migration verification: do two copies hold
     // the same rows, regardless of layout?): per-row md5 → 60-bit

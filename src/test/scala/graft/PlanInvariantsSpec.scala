@@ -93,6 +93,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // sp12: per-source means cross the ONE-ROW global-min scalar, then
     // the ONE-ROW weight total — sp9's scalar-dashboard shape twice
     "sp12_domain_reweight",
+    // h22: rich-customer filter crosses the ONE-ROW positive-balance
+    // aggregate — the scalar-dashboard shape
+    "h22_idle_rich",
+    // n17/n18: the corpus codes cross the broadcast query-LUT frame
+    // (|queries| rows, driver-bounded) — n1/n7's deliberate
+    // tiny-query-side shape; pricing a row from codes is the point
+    "n17_pq_adc_topk", "n18_pq_served",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
@@ -155,6 +162,28 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"h18 survivor set not broadcast:\n${p.take(1500)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"h18 lineitem aggregation lost its partial (map-side) phase:\n${p.take(1500)}")
+  }
+
+  test("h1 is one selective scan: filter pushed, aggregation map-side partial") {
+    val p = plan("h1_pricing_summary")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"h1 shipdate filter not pushed:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"h1 lost its partial (map-side) aggregate phase:\n${p.take(1200)}")
+  }
+
+  test("h4/h21/h22 plan their EXISTS/NOT-EXISTS as semi/anti joins, never dedup-then-inner") {
+    assert("LeftSemi".r.findFirstIn(plan("h4_priority_returns")).isDefined,
+      "h4 EXISTS must plan as a left-semi join")
+    val p21 = plan("h21_sole_blame")
+    assert("LeftSemi".r.findFirstIn(p21).isDefined &&
+      "LeftAnti".r.findFirstIn(p21).isDefined,
+      s"h21 must carry BOTH a semi (co-supplier exists) and an anti (no co-fault) leg:\n${p21.take(1500)}")
+    val p22 = plan("h22_idle_rich")
+    assert("LeftAnti".r.findFirstIn(p22).isDefined,
+      s"h22 NOT EXISTS must plan as a left-anti join:\n${p22.take(1500)}")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p22).isDefined,
+      s"h22 order-date window must push into the orders scan:\n${p22.take(1500)}")
   }
 
   test("ANALYZE-fed column stats drive a broadcast the file-size estimate alone would miss") {
