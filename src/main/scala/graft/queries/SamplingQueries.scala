@@ -410,6 +410,37 @@ object SamplingQueries extends QueryPack {
            SELECT source, n_docs, m_e6,
              (w_raw * 1000000) // total AS w_e6,
              (100000 * w_raw) // total AS alloc_tokens
-           FROM w, tt ORDER BY source"""))
+           FROM w, tt ORDER BY source""")),
+
+    // Leakage-safe TEMPORAL split with an embargo gap — the split a
+    // time-series / recommendation training set needs where sp1's
+    // hash split would leak: train strictly before t1, test strictly
+    // from t2, and the [t1, t2) embargo absorbs any feature window
+    // that straddles the boundary (a model reading k-day history at
+    // test time never sees train-future rows). The report carries the
+    // integrity bounds (last train ts, first test ts) so the gap is
+    // ASSERTED by the output itself, plus per-split user reach —
+    // purely map-side tagging + one 3-row aggregate; at 100 TB the
+    // tag rides the events scan and the date predicates partition-
+    // prune a date-partitioned layout.
+    Q("sp13_temporal_split",
+      (s, d) => Tables.load(s, d, "events")
+        .withColumn("split",
+          when(col("ts") < lit("2024-01-20"), "train")
+            .when(col("ts") < lit("2024-01-22"), "embargo")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).cast("timestamp_ntz").as("first_ts"),
+          max(col("ts")).cast("timestamp_ntz").as("last_ts"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+                  WHEN ts < TIMESTAMP '2024-01-22' THEN 'embargo'
+                  ELSE 'test' END AS split,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             min(ts) AS first_ts, max(ts) AS last_ts
+             FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
