@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed cell-pruned, codes-only ANN index (Jégou et
+  * al. 2011 §V, the shape FAISS ships as `IndexIVFPQ`) — the 100 TB
+  * vector-search workhorse this library's two halves were built for:
+  *
+  *  - the COARSE quantizer is the distributed fixed-point `KMeans`
+  *    (n13): every vector belongs to one of `nlist` cells, and search
+  *    probes only the `nprobe` cells nearest the query — the
+  *    partition-pruning lever (`IvfIndex`'s contract, but with the
+  *    integer-replayable fit);
+  *  - WITHIN each cell, vectors store as PQ codes of their RESIDUAL
+  *    (vector − assigned centroid): residuals concentrate near zero,
+  *    so the same codebook budget quantizes them far tighter than raw
+  *    vectors — the reason IVF-PQ beats flat PQ at equal bytes;
+  *  - search prices candidates by ADC against per-(query, cell)
+  *    residual lookup tables — floats are never touched after encode.
+  *
+  * Everything stays in the `KMeans`/`PqIndex` exact-integer regime, so
+  * the DuckDB oracle replays the coarse fit, the residual computation,
+  * all m residual-codebook fits, the encoding, the probe selection,
+  * and the ADC ranking — a hash match pins the entire index build and
+  * search trajectory.
+  *
+  * Scale shape: encode is map-side (inlined coarse centroids → one
+  * `zip_with` subtraction → m inlined argmins; no join, no shuffle).
+  * Search broadcasts a (queries · nprobe)-row LUT frame and INNER-joins
+  * it on the cell id, so non-probed cells drop at the join — with the
+  * codes table written `partitionBy(cell)` (the `IvfIndex.save`
+  * layout) the probe set prunes at the FILE level too. The only
+  * exchange is the final per-query top-k.
+  */
+object IvfPq {
+
+  /** (vec_id, cell, qv = residual): coarse-assign and subtract the
+    * assigned centroid — map-side against inlined literals. The
+    * residual keeps the name `qv` so `PqIndex.encodeQ`/`fitQuantized`
+    * consume it unchanged.
+    */
+  def residuals(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val centsLit = cents
+      .map(_.mkString("array(", "L, ", "L)"))
+      .mkString("array(", ", ", ")")
+    KMeans.assignFull(q, cents)
+      .select(col("vec_id"), col("cluster").as("cell"),
+        expr(s"zip_with(qv, element_at($centsLit, cluster + 1), (a, b) -> a - b)")
+          .as("qv"))
+  }
+
+  /** Residual codebooks: `PqIndex.fitQuantized` over the residual
+    * relation (checkpointed once — m·iters scans of it, the `PqIndex`
+    * fit contract).
+    */
+  def fit(emb: DataFrame, cents: Seq[Array[Long]], m: Int, k: Int,
+      iters: Int, dims: Int = 64): Seq[Seq[Array[Long]]] =
+    PqIndex.fitQuantized(
+      residuals(KMeans.quantized(emb), cents).localCheckpoint(),
+      m, k, iters, dims)
+
+  /** (vec_id, cell, c0..c{m-1}, err2): one map-side projection — coarse
+    * argmin, residual subtraction, m code argmins, all inlined.
+    */
+  def encode(emb: DataFrame, cents: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]], dims: Int = 64): DataFrame =
+    PqIndex.encodeQ(residuals(KMeans.quantized(emb), cents), books, dims,
+      carry = Seq("cell"))
+
+  /** Cell-pruned ADC top-k. `queries` are (query_id, qv) EXACT
+    * quantized vectors, collected (bounded by the batch). Per query the
+    * driver picks the `nprobe` nearest coarse cells (the KMeans argmin
+    * order: dist2, then smaller cell id) and builds one residual LUT
+    * per probed cell — (queries · nprobe) rows × (m · k) longs,
+    * broadcast; the INNER join on `cell` prunes every non-probed cell's
+    * candidates before any distance math.
+    */
+  def search(codes: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      nprobe: Int, k: Int, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = codes.sparkSession
+    val m = books.length
+    val sub = dims / m
+    val qRows = queries.select("query_id", "qv").collect()
+    val lutRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Long](1).toArray
+      val probed = cents.zipWithIndex.map { case (c, cell) =>
+        var s = 0L
+        var d = 0
+        while (d < dims) { val diff = qv(d) - c(d); s += diff * diff; d += 1 }
+        (s, cell)
+      }.sorted.take(nprobe)
+      probed.map { case (_, cell) =>
+        val qres = Array.tabulate(dims)(d => qv(d) - cents(cell)(d))
+        val luts = books.zipWithIndex.map { case (book, i) =>
+          book.map { cw =>
+            var s = 0L
+            var d = 0
+            while (d < sub) {
+              val diff = qres(i * sub + d) - cw(d); s += diff * diff; d += 1
+            }
+            s
+          }.toSeq
+        }
+        org.apache.spark.sql.Row.fromSeq(qid +: cell +: luts)
+      }
+    }
+    val lutSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false)) ++
+        (0 until m).map(i => org.apache.spark.sql.types.StructField(
+          s"lut$i", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+    val lutDf = spark.createDataFrame(
+      java.util.Arrays.asList(lutRows.toSeq: _*), lutSchema)
+    val adist = (0 until m)
+      .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist2"), col("neighbor_id"))
+    codes.join(broadcast(lutDf), col("cell") === col("p_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), adist.as("adist2"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared oracle preamble: coarse chain + residuals + the m residual
+    * codebook chains.
+    */
+  private def buildChain(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int): String = {
+    val sub = dims / m
+    val subChains = PqIndex.subChainsSql(m, k, iters, dims, (lo, hi) =>
+      s"""SELECT vec_id, d - $lo AS d, v FROM rev
+             WHERE d > $lo AND d <= $hi""", seedsRel = "pqseeds")
+    s"""${KMeans.chainSql(nlist, coarseIters, dims)},
+         rev AS MATERIALIZED (SELECT e.vec_id, e.d, e.v - c.c AS v
+           FROM ev e JOIN asgF a USING (vec_id)
+           JOIN ct$coarseIters c ON c.cluster = a.cluster AND c.d = e.d),
+         pqseeds AS MATERIALIZED (SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cluster
+           FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         $subChains"""
+  }
+
+  /** DuckDB replay of `encode`. */
+  def encodeOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int): String = {
+    val joins = (1 until m)
+      .map(i => s"JOIN s${i}_asgF a$i USING (vec_id)").mkString(" ")
+    val cols = (0 until m)
+      .map(i => s"CAST(a$i.cluster AS INTEGER) AS c$i").mkString(", ")
+    val err = (0 until m).map(i => s"a$i.dist2").mkString(" + ")
+    s"""WITH ${buildChain(nlist, coarseIters, m, k, iters, dims)}
+       SELECT a0.vec_id, CAST(f.cluster AS INTEGER) AS cell, $cols,
+         $err AS err2
+       FROM s0_asgF a0 JOIN asgF f USING (vec_id) $joins
+       ORDER BY a0.vec_id"""
+  }
+
+  /** Full replay: the `KMeans` coarse chain (q, ev, seeds, ct, asgF), the
+    * residual relation, the m residual-codebook chains
+    * (`PqIndex.subChainsSql` fed from the residuals), the probe
+    * selection from the coarse final distances (`dist{iters+1}` holds
+    * EVERY (vec, cell) distance — nprobe = its per-query head), the
+    * per-(query, cell) residual LUTs, and the pruned ADC ranking.
+    */
+  def searchOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, nq: Int, nprobe: Int, topK: Int): String = {
+    val sub = dims / m
+    val fCoarse = coarseIters + 1
+    val luts = (0 until m).map { i =>
+      s"""lut$i AS MATERIALIZED (SELECT r.query_id, r.p_cell, c.cluster AS code,
+           CAST(sum((r.v - c.c) * (r.v - c.c)) AS BIGINT) AS d2
+           FROM qres r JOIN s${i}_ct$iters c ON c.d = r.d - ${i * sub}
+           WHERE r.d > ${i * sub} AND r.d <= ${(i + 1) * sub}
+           GROUP BY 1, 2, 3)"""
+    }.mkString(",\n         ")
+    val codeJoins = (1 until m)
+      .map(i => s"JOIN s${i}_asgF a$i USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(i => s"a$i.cluster AS c$i").mkString(", ")
+    val lutJoins = (0 until m).map { i =>
+      if (i == 0)
+        "JOIN lut0 l0 ON l0.p_cell = cd.cell AND l0.code = cd.c0"
+      else
+        s"JOIN lut$i l$i ON l$i.p_cell = cd.cell AND l$i.code = cd.c$i" +
+          s" AND l$i.query_id = l0.query_id"
+    }.mkString(" ")
+    val dsum = (0 until m).map(i => s"l$i.d2").mkString(" + ")
+    s"""WITH ${buildChain(nlist, coarseIters, m, k, iters, dims)},
+         probed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
+           FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS pr
+             FROM dist$fCoarse WHERE vec_id < $nq)
+           WHERE pr <= $nprobe),
+         qres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
+             e.v - c.c AS v
+           FROM probed p JOIN ev e ON e.vec_id = p.query_id
+           JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d),
+         $luts,
+         cd AS MATERIALIZED (SELECT a0.vec_id, f.cluster AS cell, $codeCols
+           FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins),
+         approx AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
+             CAST(cd.cell AS INTEGER) AS cell, $dsum AS adist2
+           FROM cd $lutJoins
+           WHERE cd.vec_id <> l0.query_id),
+         ranked AS (SELECT query_id, neighbor_id, cell, adist2,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist2, neighbor_id) AS INTEGER) AS rnk
+           FROM approx)
+       SELECT query_id, neighbor_id, cell, adist2, rnk
+       FROM ranked WHERE rnk <= $topK ORDER BY query_id, rnk"""
+  }
+}

@@ -78,6 +78,13 @@ object KMeans {
   def assign(q: DataFrame, cents: Seq[Array[Long]]): DataFrame =
     withBest(q, cents).drop("qv")
 
+  /** `assign` with the quantized vector retained — (vec_id, qv,
+    * cluster, dist2); the entry point residual quantizers (`IvfPq`)
+    * need to subtract the assigned centroid from.
+    */
+  def assignFull(q: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    withBest(q, cents)
+
   /** `iters` Lloyd rounds from the md5 seeding; returns the final
     * centroids (cluster index = position). `dims` is asserted against
     * the data (fail loud, not silently wrong distances).

@@ -64,10 +64,17 @@ object PqIndex {
     * then m independent `KMeans.fitQ` runs over the slices.
     */
   def fit(emb: DataFrame, m: Int, k: Int, iters: Int,
-      dims: Int = 64): Seq[Seq[Array[Long]]] = {
+      dims: Int = 64): Seq[Seq[Array[Long]]] =
+    fitQuantized(KMeans.quantized(emb).localCheckpoint(), m, k, iters, dims)
+
+  /** The same fit over an already-quantized `(vec_id, qv)` relation —
+    * the entry point residual quantizers (`IvfPq`) use. The caller is
+    * expected to have checkpointed the input (as `fit` does).
+    */
+  def fitQuantized(q: DataFrame, m: Int, k: Int, iters: Int,
+      dims: Int): Seq[Seq[Array[Long]]] = {
     require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
     val sub = dims / m
-    val q = KMeans.quantized(emb).localCheckpoint()
     (0 until m).map { i =>
       KMeans.fitQ(
         q.select(col("vec_id"),
@@ -83,18 +90,26 @@ object PqIndex {
     * pipeline reads before trusting the codes. No join, no shuffle.
     */
   def encode(emb: DataFrame, books: Seq[Seq[Array[Long]]],
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    encodeQ(KMeans.quantized(emb), books, dims)
+
+  /** `encode` over an already-quantized `(vec_id, qv, …)` relation;
+    * `carry` names extra input columns to pass through unchanged
+    * (`IvfPq` carries the coarse cell id alongside the codes).
+    */
+  def encodeQ(q: DataFrame, books: Seq[Seq[Array[Long]]],
+      dims: Int, carry: Seq[String] = Nil): DataFrame = {
     val m = books.length
     val sub = dims / m
-    val q = KMeans.quantized(emb)
     val bests = books.zipWithIndex.map { case (book, i) =>
       array_min(array(book.zipWithIndex.map { case (c, j) =>
         codeStruct(c, j, i * sub, sub)
       }: _*)).as(s"best$i")
     }
-    q.select(col("vec_id") +: bests: _*)
+    val carried = carry.map(col)
+    q.select((col("vec_id") +: carried) ++ bests: _*)
       .select(
-        col("vec_id") +:
+        (col("vec_id") +: carried) ++
           (0 until m).map(i => col(s"best$i.code").as(s"c$i")) :+
           (0 until m).map(i => col(s"best$i.dist2"))
             .reduce(_ + _).as("err2"): _*)
@@ -202,7 +217,28 @@ object PqIndex {
     */
   def chainSql(m: Int, k: Int, iters: Int, dims: Int): String = {
     val sub = dims / m
-    val subChains = (0 until m).map { i =>
+    s"""q AS MATERIALIZED (SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           FROM embeddings),
+         seeds AS MATERIALIZED (SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cluster
+           FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         ${subChainsSql(m, k, iters, dims, (lo, hi) =>
+      s"""SELECT vec_id, d - $lo AS d, qv[d] AS v
+             FROM q, (SELECT unnest(range(${lo + 1}, ${hi + 1})) AS d)""")}"""
+  }
+
+  /** The m per-subspace training chains alone, with the per-dim rows of
+    * subspace [lo, hi) supplied by `evSql` — `chainSql` feeds it from
+    * the raw quantized vectors; `IvfPq`'s oracle feeds it from the
+    * RESIDUAL relation. `seedsRel` names an in-scope k-row seeding CTE
+    * (vec_id, cluster) — it must have exactly THIS k's rows (`IvfPq`
+    * supplies its own, since its coarse chain's `seeds` has nlist rows).
+    */
+  def subChainsSql(m: Int, k: Int, iters: Int, dims: Int,
+      evSql: (Int, Int) => String, seedsRel: String = "seeds"): String = {
+    val sub = dims / m
+    (0 until m).map { i =>
       val lo = i * sub
       val p = s"s${i}_"
       val rounds = (1 to iters).map { t =>
@@ -222,10 +258,9 @@ object PqIndex {
                ON u.cluster = pc.cluster AND u.d = pc.d)"""
       }.mkString(",\n           ")
       val f = iters + 1
-      s"""${p}ev AS MATERIALIZED (SELECT vec_id, d - $lo AS d, qv[d] AS v
-             FROM q, (SELECT unnest(range(${lo + 1}, ${lo + sub + 1})) AS d)),
+      s"""${p}ev AS MATERIALIZED (${evSql(lo, lo + sub)}),
            ${p}ct0 AS MATERIALIZED (SELECT s.cluster, e.d, e.v AS c
-             FROM seeds s JOIN ${p}ev e USING (vec_id)),
+             FROM $seedsRel s JOIN ${p}ev e USING (vec_id)),
            $rounds,
            ${p}dist$f AS MATERIALIZED (SELECT e.vec_id, c.cluster,
              CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
@@ -235,13 +270,6 @@ object PqIndex {
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
              FROM ${p}dist$f) WHERE rn = 1)"""
     }.mkString(",\n         ")
-    s"""q AS MATERIALIZED (SELECT vec_id,
-           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-           FROM embeddings),
-         seeds AS MATERIALIZED (SELECT vec_id,
-           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cluster
-           FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-         $subChains"""
   }
 
   /** DuckDB replay of `encode`. */

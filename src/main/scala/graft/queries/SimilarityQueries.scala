@@ -532,7 +532,50 @@ object SimilarityQueries extends QueryPack {
         PqIndex.adcTopK(codes, queries, books, K)
       },
       Some(graft.operators.PqIndex.adcOracleSql(
-        PqM, PqK, PqIters, KmDims, QueryIds.length, K)))
+        PqM, PqK, PqIters, KmDims, QueryIds.length, K))),
+
+    // IVF-PQ (operators/IvfPq; Jégou et al. 2011 §V — the FAISS
+    // IndexIVFPQ shape): n13's coarse cells + PQ codes of the RESIDUAL
+    // within each cell, the composed index a 100 TB corpus actually
+    // serves ANN from. Encode is one map-side projection (coarse
+    // argmin → zip_with subtraction → m code argmins, all inlined);
+    // the oracle replays the coarse fit, the residuals, and all m
+    // residual-codebook fits — sharing n13's cached coarse centroids
+    // and pinning every trained value under one hash.
+    Q("n19_ivfpq_encode",
+      (s, d) => {
+        import graft.operators.IvfPq
+        IvfPq.encode(Tables.load(s, d, "embeddings"),
+            fittedCents(s, d), ivfpqBooks(s, d))
+          .orderBy("vec_id")
+      },
+      Some(graft.operators.IvfPq.encodeOracleSql(
+        KmK, KmIters, PqM, PqK, PqIters, KmDims))),
+
+    // Cell-pruned ADC search: per query the driver picks the nprobe
+    // nearest coarse cells and ships one residual LUT per probed cell
+    // (queries·nprobe rows, broadcast); the INNER join on the cell id
+    // drops every non-probed cell's candidates BEFORE any distance
+    // math — the partition-pruning lever that makes codes-only search
+    // sub-linear in cells at scale (with codes written partitionBy(cell)
+    // the pruning reaches the file level, the IvfIndex.save layout).
+    // The oracle replays probe selection from the coarse distance
+    // relation and the pruned ranking exactly.
+    Q("n20_ivfpq_topk",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans}
+        val emb = Tables.load(s, d, "embeddings")
+        val queries = KMeans.quantized(emb)
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.search(
+          IvfPq.encode(emb, fittedCents(s, d), ivfpqBooks(s, d)),
+          queries, fittedCents(s, d), ivfpqBooks(s, d),
+          nprobe = 3, k = K)
+      },
+      Some(graft.operators.IvfPq.searchOracleSql(
+        KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 3, topK = K)))
   )
 
   /** One PQ fit per (session, dataset) — m·k·(dims/m) = dims·k longs,
@@ -546,6 +589,20 @@ object SimilarityQueries extends QueryPack {
     pqCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.operators.PqIndex.fit(
         Tables.load(s, d, "embeddings"), PqM, PqK, PqIters, KmDims)
+    })
+
+  /** One residual-codebook fit per (session, dataset), over the coarse
+    * cells of `fittedCents` — the kmCache discipline.
+    */
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[Seq[Array[Long]]]]()
+
+  private def ivfpqBooks(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Seq[Array[Long]]] =
+    ivfpqCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.operators.IvfPq.fit(
+        Tables.load(s, d, "embeddings"), fittedCents(s, d),
+        PqM, PqK, PqIters, KmDims)
     })
 
   /** One persisted PQ store per (session, dataset) — the sqDirCache
