@@ -177,7 +177,8 @@ object IvfPq {
     * per-(query, cell) residual LUTs, and the pruned ADC ranking.
     */
   def searchOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
-      iters: Int, dims: Int, nq: Int, nprobe: Int, topK: Int): String = {
+      iters: Int, dims: Int, nq: Int, nprobe: Int, topK: Int,
+      candFilterSql: String = ""): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
     val luts = (0 until m).map { i =>
@@ -210,7 +211,8 @@ object IvfPq {
            JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d),
          $luts,
          cd AS MATERIALIZED (SELECT a0.vec_id, f.cluster AS cell, $codeCols
-           FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins),
+           FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins
+           $candFilterSql),
          approx AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
              CAST(cd.cell AS INTEGER) AS cell, $dsum AS adist2
            FROM cd $lutJoins

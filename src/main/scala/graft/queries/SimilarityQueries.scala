@@ -575,7 +575,67 @@ object SimilarityQueries extends QueryPack {
       },
       Some(graft.operators.IvfPq.searchOracleSql(
         KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
-        nprobe = 3, topK = K)))
+        nprobe = 3, topK = K))),
+
+    // Metadata-filtered vector search, PRE-filter semantics (the
+    // vector-DB "filtered ANN" feature): restrict the corpus to rows
+    // whose document attribute passes (lang = 'en'), THEN rank — the
+    // semantics post-filtering a fixed top-k can't give (with a
+    // selective filter, top-k-then-filter returns < k or misses
+    // passing neighbors entirely; FilteredSearchSpec plants the case).
+    // This exact face is the recall baseline; n22 is the indexed path.
+    // At scale the attribute lives with the vector (here it arrives by
+    // the shared-key join) and the filter prunes BEFORE any distance
+    // math.
+    Q("n21_filtered_knn",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val en = Tables.load(s, d, "documents")
+          .filter(col("lang") === "en").select("doc_id")
+        val corpus = emb.join(en, col("vec_id") === col("doc_id"), "left_semi")
+        val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        SimilarityOps.topKCosineAgainst(corpus, queries, K)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id neighbor_id, embedding ne FROM embeddings e
+             JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+           sims AS (SELECT query_id, neighbor_id,
+             (${dot("qe", "ne")}) / (sqrt(${dot("qe", "qe")}) * sqrt(${dot("ne", "ne")})) AS sim
+            FROM q, c WHERE neighbor_id <> query_id),
+           ranked AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+         SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+         FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""")),
+
+    // The same pre-filter pushed through the IVF-PQ index: the
+    // attribute semi-join prunes the CODES table before the LUT join,
+    // so candidates must pass filter ∧ probed-cell — no distance is
+    // ever priced for a row the filter rejects (composes with the
+    // cell-level file pruning; the post-filter alternative would rank
+    // first and lose recall). Same composed oracle as n20 with the
+    // filter replayed into the candidate relation.
+    Q("n22_filtered_ivfpq",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans}
+        val emb = Tables.load(s, d, "embeddings")
+        val en = Tables.load(s, d, "documents")
+          .filter(col("lang") === "en").select("doc_id")
+        val codes = IvfPq.encode(emb, fittedCents(s, d), ivfpqBooks(s, d))
+          .join(en, col("vec_id") === col("doc_id"), "left_semi")
+        val queries = KMeans.quantized(emb)
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.search(codes, queries, fittedCents(s, d), ivfpqBooks(s, d),
+          nprobe = 3, k = K)
+      },
+      Some(graft.operators.IvfPq.searchOracleSql(
+        KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 3, topK = K,
+        candFilterSql =
+          "JOIN documents doc ON doc.doc_id = a0.vec_id AND doc.lang = 'en'")))
   )
 
   /** One PQ fit per (session, dataset) — m·k·(dims/m) = dims·k longs,

@@ -100,6 +100,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // (|queries| rows, driver-bounded) — n1/n7's deliberate
     // tiny-query-side shape; pricing a row from codes is the point
     "n17_pq_adc_topk", "n18_pq_served",
+    // n21: n1's deliberate corpus × broadcast-query-side cross, over
+    // the attribute-filtered corpus
+    "n21_filtered_knn",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
