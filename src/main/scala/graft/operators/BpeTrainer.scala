@@ -122,6 +122,41 @@ object BpeTrainer {
     trainState(pieces, k)._1
       .select(col("piece"), size(symbols(col("rep"))).as("n_tokens"))
 
+  /** The learned merge list collected driver-side — k (s1, s2) pairs in
+    * induction order (bounded by k, the fixed-size-model-state idiom:
+    * this IS the tokenizer artifact a serving tier ships).
+    */
+  def mergeList(pieces: DataFrame, k: Int): Seq[(String, String)] =
+    trainMerges(pieces, k).orderBy("rnk").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Apply a FROZEN merge list to a delimited representation — the
+    * same sequential `replace` fold the trainer runs, with the pair
+    * literals inlined: per-row pure, so it composes into lambda
+    * positions and streams with bit-level batch parity.
+    */
+  def applyMerges(rep: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(rep) { case (r, (s1, s2)) =>
+      replace(r, lit(L + s1 + R + L + s2 + R), lit(L + s1 + s2 + R))
+    }
+
+  /** (doc_id, n_pieces, n_tokens): price each document under the frozen
+    * merge list — ONE map-side projection (pre-tokenize, then fold the
+    * merges over every piece inside an `aggregate` lambda), no join and
+    * no shuffle; the serving-time shape that admits a NEW document into
+    * a token budget without consulting the trainer's state.
+    */
+  def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      bpePat: String): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$bpePat', 0)").as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("bigint").as("n_pieces"),
+        aggregate(col("ps"), lit(0L), (acc, p) =>
+          acc + size(symbols(applyMerges(initRep(p), merges))).cast("long"))
+          .as("n_tokens"))
+
   /** The shared K-round DuckDB CTE chain: piece counting (the given
     * pre-tokenizer regex over `documents.text`), then per round the
     * pair count, the 1-row argmax `m{r}`, and the replaced state

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.operators.BpeTrainer
+
+/** STREAMING BPE tokenization over a frozen merge list — the online
+  * half of `BpeTrainer` (the ClusterStream/PqStream frozen-model
+  * contract at the text family): merges are learned offline
+  * (`BpeTrainer.mergeList` — k string pairs, the tokenizer artifact),
+  * the stream prices each arriving document in subword tokens. This is
+  * the ingest-time shape of a token-budget gate: new documents land
+  * already carrying (n_pieces, n_tokens), so sp6's budget arithmetic
+  * and t29's per-source planning run on the stream's output without
+  * ever re-touching text.
+  *
+  * Per micro-batch the work is EXACTLY `BpeTrainer.docTokenCounts` —
+  * one map-side projection folding the inlined merges over every piece
+  * — so stream/batch parity is bit-level under any chopping (per-row
+  * pure). Retraining the merges is a restart (the single-writer
+  * contract; t23's vocab-growth curve is the monitor).
+  *
+  * Crash replay is idempotent via the `_batch_id` dynamic-overwrite
+  * scheme; duplicate doc_ids within a batch collapse to one row.
+  */
+object BpeStream {
+
+  /** `docs`: streaming DataFrame of (doc_id, text). */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      bpePat: String, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BpeTrainer.docTokenCounts(
+            batch.dropDuplicates("doc_id"), merges, bpePat)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+}

@@ -53,6 +53,57 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("planted separated clusters: full-probe recall of cluster-mates is perfect") {
+    // three tight, well-separated clusters: a member's exact nearest
+    // neighbors ARE its cluster-mates, and with a codeword per cluster
+    // available the ADC ranking must recover every mate before any
+    // out-cluster vector (quantization error is intra-cluster only,
+    // inter-cluster distances dominate)
+    import spark.implicits._
+    val base = Seq(
+      Array(2f, 2f, 0f, 0f), Array(-2f, 2f, 0f, 0f), Array(0f, -2f, 2f, 0f))
+    val planted = (0 until 24).map { i =>
+      val c = base(i % 3)
+      (i.toLong, Array(c(0) + 0.01f * (i / 3), c(1) - 0.01f * (i / 3),
+        c(2) + 0.005f * (i / 3), c(3)))
+    }.toDF("vec_id", "embedding")
+    val pCents = KMeans.fit(planted, k = 3, iters = 3, dims = 4)
+    val pBooks = IvfPq.fit(planted, pCents, m = 2, k = 4, iters = 2, dims = 4)
+    val codes = IvfPq.encode(planted, pCents, pBooks, dims = 4)
+    val queries = KMeans.quantized(planted).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val got = IvfPq.search(codes, queries, pCents, pBooks,
+        nprobe = 3, k = 7, dims = 4)
+      .collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { qid =>
+      val mates = (0 until 24).map(_.toLong)
+        .filter(v => v % 3 == qid % 3 && v != qid).toSet
+      val found = got(qid).map(_.getAs[Long]("neighbor_id")).toSet
+      assert(found === mates, s"query $qid: expected mates $mates, got $found")
+    }
+  }
+
+  test("probe sets nest, so the CANDIDATE set (and its recall) is monotone in nprobe") {
+    // the monotone object is the candidate set — the final ADC top-k
+    // is NOT monotone in nprobe (a wider probe can surface an
+    // approximately-closer candidate that displaces a true neighbor),
+    // which is exactly why serving tiers tune nprobe against a recall
+    // target rather than assuming more probing only helps
+    val queries = KMeans.quantized(emb).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val codes = IvfPq.encode(emb, cents, books)
+    val bigK = 10000 // >= corpus: the "top-k" IS the candidate set
+    val cands = Seq(1, 2, 4).map { np =>
+      IvfPq.search(codes, queries, cents, books, np, k = bigK)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(cands(0).subsetOf(cands(1)) && cands(1).subsetOf(cands(2)),
+      "candidate sets must nest as nprobe widens")
+    assert(cands(0).size < cands(2).size,
+      "widening the probe set must actually add candidates on this data")
+  }
+
   test("encode is map-side and search prunes via a broadcast equi-join") {
     val encPlan = IvfPq.encode(emb, cents, books)
       .queryExecution.executedPlan.toString
