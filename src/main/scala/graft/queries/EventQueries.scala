@@ -688,6 +688,47 @@ object EventQueries extends QueryPack {
            SELECT user_id, CAST(sum(dc) AS BIGINT) AS decayed_cents,
              CAST(sum(cents) AS BIGINT) AS total_cents,
              count(*) AS n_events
-           FROM dcv GROUP BY 1 ORDER BY user_id"""))
+           FROM dcv GROUP BY 1 ORDER BY user_id""")),
+
+    // Last-touch attribution with a BOUNDED look-back — the marketing
+    // question e3's unbounded as-of can't answer alone: a purchase is
+    // ATTRIBUTED to a click only if the user's latest preceding click
+    // falls within 3 days; otherwise organic. Rides the AsofJoin
+    // operator (one user-keyed shuffle, union + running `last` — no
+    // inequality join), then classifies by exact millisecond
+    // arithmetic and folds to a per-day report. At 100 TB this is the
+    // same single user-partitioning every e-family entry rides; the
+    // window bound is a filter, not a join condition.
+    Q("e19_last_touch_attribution",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")).distinct()
+        graft.operators.AsofJoin(p, c, "user_id", "ts", Seq())
+          .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+            (col("asof_ts").isNotNull &&
+              (unix_millis(col("ts")) - unix_millis(col("asof_ts"))
+                <= lit(259200000L))).as("attributed"))
+          .groupBy(col("day").cast("timestamp_ntz").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+            sum(when(col("attributed"), 0L).otherwise(1L)).as("n_organic"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type FROM events),
+             p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+             c AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'click'),
+             j AS (SELECT p.event_id, p.ts, c.ts AS click_ts
+               FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+             cls AS (SELECT date_trunc('day', ts) AS day,
+               (click_ts IS NOT NULL AND
+                epoch_ms(ts) - epoch_ms(click_ts) <= 259200000) AS attributed
+               FROM j)
+           SELECT day, count(*) AS n_purchases,
+             CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             CAST(sum(CASE WHEN attributed THEN 0 ELSE 1 END) AS BIGINT) AS n_organic
+           FROM cls GROUP BY 1 ORDER BY day"""))
   )
 }

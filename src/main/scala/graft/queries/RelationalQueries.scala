@@ -1112,6 +1112,37 @@ object RelationalQueries extends QueryPack {
                  AND o_orderdate >= TIMESTAMP '1999-01-01')
            GROUP BY 1 ORDER BY 1""")),
 
+    // Exact grouped percentile (lower-median semantics): the value at
+    // sorted position (n+1)/2 within each group — deterministic in BOTH
+    // engines because a POSITION in the value ordering is well-defined
+    // even under ties (no averaging, so no cross-engine float blend;
+    // the even-n "true" median would average two values — a division
+    // the fixed-point entries deliberately avoid). The 100 TB cost is
+    // honest: exactness requires a per-group sort (one shuffle on the
+    // group key + in-partition sort); the sketch path (t14) answers the
+    // same question in fixed state when a 1%-error answer suffices —
+    // this entry is the ground truth it's validated against.
+    Q("a12_exact_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy(col("l_quantity"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("l_returnflag"), col("l_quantity").as("median_qty"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM lineitem)
+           SELECT l_returnflag, l_quantity AS median_qty, n
+           FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""")),
+
     // Order-independent table fingerprint — Snowflake's HASH_AGG use
     // case (replication / migration verification: do two copies hold
     // the same rows, regardless of layout?): per-row md5 → 60-bit
