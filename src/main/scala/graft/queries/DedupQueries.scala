@@ -772,6 +772,19 @@ object DedupQueries extends QueryPack {
              CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
              min(CASE WHEN dup.doc_id IS NULL THEN delta.doc_id END) AS first_admitted
            FROM delta LEFT JOIN dup ON delta.doc_id = dup.doc_id
-           GROUP BY delta.source ORDER BY delta.source"""))
+           GROUP BY delta.source ORDER BY delta.source""")),
+
+    // k-core of the dup graph (operators/KCore): the degeneracy lens
+    // next to d15's centrality and d16's clique-ness — boilerplate
+    // families survive the k=2 peel (dense), chain-shaped incidental
+    // dup clusters dissolve; a deterministic "this duplication is
+    // STRUCTURAL" gate. Fixed 4-round peel (a no-op once converged)
+    // replayed round-for-round by the oracle; rides the session-cached
+    // shared pair relation like d9/d15/d16.
+    Q("d18_kcore",
+      (s, d) => graft.operators.KCore
+        .peel(nearDupPairs(s, d).select("d1", "d2"), k = 2, rounds = 4),
+      Some(s"""WITH $pairsCte,
+           ${graft.operators.KCore.peelOracleSql(k = 2, rounds = 4)}"""))
   )
 }
