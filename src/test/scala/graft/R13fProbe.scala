@@ -34,7 +34,7 @@ object R13fProbe {
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
       if (new java.io.File(s"$dir/documents.parquet").exists()) {
         Seq("n21_filtered_knn", "n22_filtered_ivfpq",
-          "e19_last_touch_attribution").foreach(n =>
+          "e19_last_touch_attribution", "d18_kcore").foreach(n =>
           time(s"dir=$dir $n", SparkEntry.queries(n)(spark, dir)))
       } else println(s"R13f dir=$dir SKIPPED (missing)")
     }
