@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the composed cell-pruned, codes-only ANN index (Jégou et
@@ -131,6 +131,25 @@ object IvfPq {
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")
+  }
+
+  /** Compact a `PqStream.encodeIvf` output (one tiny partition per
+    * micro-batch) into the CELL-partitioned serving layout `search`
+    * prunes at the file level: drop the `_batch_id` ingestion key,
+    * collapse at-least-once duplicates (encoding is deterministic, so
+    * duplicate vec_ids carry identical rows), and rewrite
+    * `partitionBy(cell)` — the stream→compact→serve lifecycle step
+    * (the `Compaction.compactIvf` contract at the codes tier). Readers
+    * of `servedDir` filtered on `cell` touch only the probed cells'
+    * files; IvfPqStreamSpec asserts the pruned read.
+    */
+  def compactToCells(spark: SparkSession, streamDir: String,
+      servedDir: String): Unit = {
+    spark.read.parquet(streamDir)
+      .drop("_batch_id")
+      .dropDuplicates("vec_id")
+      .write.mode("overwrite")
+      .partitionBy("cell").parquet(servedDir)
   }
 
   // ---------------------------------------------------------------- oracle

@@ -32,11 +32,28 @@ object PqStream {
   /** `vecs`: streaming DataFrame of (vec_id, embedding). */
   def encode(vecs: DataFrame, books: Seq[Seq[Array[Long]]], outDir: String,
       checkpointDir: String, dims: Int = 64): DataStreamWriter[Row] =
+    writeEncoded(vecs, outDir, checkpointDir,
+      batch => PqIndex.encode(batch, books, dims))
+
+  /** The IVF-PQ variant: frozen coarse centroids + frozen residual
+    * codebooks — each arriving vector lands as (cell, codes, err2), the
+    * row shape `IvfPq.search` prunes by cell (same frozen-model,
+    * per-row-pure, replay-idempotent contract as `encode`).
+    */
+  def encodeIvf(vecs: DataFrame, cents: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]], outDir: String,
+      checkpointDir: String, dims: Int = 64): DataStreamWriter[Row] =
+    writeEncoded(vecs, outDir, checkpointDir,
+      batch => graft.operators.IvfPq.encode(batch, cents, books, dims))
+
+  private def writeEncoded(vecs: DataFrame, outDir: String,
+      checkpointDir: String,
+      enc: DataFrame => DataFrame): DataStreamWriter[Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        PqIndex.encode(batch.dropDuplicates("vec_id"), books, dims)
+        enc(batch.dropDuplicates("vec_id"))
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
