@@ -577,6 +577,37 @@ object RelationalQueries extends QueryPack {
                  ORDER BY l_quantity, l_orderkey, l_linenumber)
              ORDER BY l_returnflag, qty, l_orderkey, l_linenumber""")),
 
+    // ntile bucketing — the remaining rank-family member w2 doesn't
+    // cover: equal-count quartile assignment over a FULLY tie-broken
+    // order (ntile under ties is engine-ambiguous unless the order is
+    // total — the wu discipline), folded to per-(flag, quartile)
+    // boundary stats; the decile/quartile report a quality-gate reads
+    // (x3's histogram sibling, exact rather than sketched).
+    Q("w3_ntile_quartiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wu = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            ntile(4).over(wu).as("quartile"))
+          .groupBy(col("l_returnflag"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).cast("double").as("lo"),
+            max(col("l_extendedprice")).cast("double").as("hi"),
+            dsum(col("l_extendedprice")).as("total"))
+          .orderBy("l_returnflag", "quartile")
+      },
+      Some("""WITH q AS (SELECT l_returnflag, l_extendedprice,
+               CAST(ntile(4) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS quartile
+               FROM lineitem)
+           SELECT l_returnflag, quartile, count(*) AS n,
+             CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM q GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Correlated SCALAR subquery — one aggregate per outer row,
     // decorrelated by Catalyst into a left outer join + grouped
     // aggregate (never per-row re-execution): the §2.9 surface q1's
@@ -1111,6 +1142,94 @@ object RelationalQueries extends QueryPack {
                WHERE o_custkey = c_custkey
                  AND o_orderdate >= TIMESTAMP '1999-01-01')
            GROUP BY 1 ORDER BY 1""")),
+
+    // h7 = TPC-H Q7 (volume shipping): bilateral trade between two
+    // nations — the supplier's and customer's nations must form the
+    // UNORDERED pair {1, 2}, checked on the join graph (an OR of the
+    // two orientations, Q7's signature predicate), grouped by the
+    // directed pair and ship year. Plan: both nation-filtered
+    // dimensions broadcast (25 rows), customer/supplier un-hinted
+    // (h5's fact-scale rule), lineitem and orders meet on one orderkey
+    // shuffle; the year comes from the pushed ship-date range.
+    Q("h7_volume_shipping",
+      (s, d) => {
+        val n1 = "NATION_1"; val n2 = "NATION_2"
+        val n = t(s, d, "nation").select("n_nationkey", "n_name")
+        val su = t(s, d, "supplier")
+          .join(broadcast(n.filter(col("n_name").isin(n1, n2))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cu = t(s, d, "customer")
+          .join(broadcast(n.filter(col("n_name").isin(n1, n2))
+              .withColumnRenamed("n_name", "cust_nation")
+              .withColumnRenamed("n_nationkey", "c_nk")),
+            col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+        val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        li.join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(cu, o("o_custkey") === cu("c_custkey"))
+          .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+            (col("supp_nation") === n2 && col("cust_nation") === n1))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // h15 = TPC-H Q15 (top supplier): a revenue aggregate compared
+    // AGAINST ITS OWN MAX — the scalar-subquery-on-aggregate shape.
+    // The comparison happens in EXACT DECIMAL (both sides are the same
+    // sum type; casting to double first could merge near-ties), so the
+    // winner set is identical cross-engine; ties all return, pinned by
+    // the suppkey order. Plan: one map-side-combined lineitem agg, a
+    // 1-row max broadcast back onto it, supplier joined to the
+    // (typically 1-row) winner set.
+    Q("h15_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("mx"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_revenue").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-04-01'
+               GROUP BY 1)
+           SELECT s_suppkey, s_name,
+             CAST(total_revenue AS DOUBLE) AS total_revenue
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+           ORDER BY s_suppkey""")),
 
     // Exact grouped percentile (lower-median semantics): the value at
     // sorted position (n+1)/2 within each group — deterministic in BOTH

@@ -96,6 +96,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // h22: rich-customer filter crosses the ONE-ROW positive-balance
     // aggregate — the scalar-dashboard shape
     "h22_idle_rich",
+    // h15: the revenue table crosses its OWN 1-row max — the
+    // scalar-subquery-on-aggregate shape
+    "h15_top_supplier",
     // n17/n18: the corpus codes cross the broadcast query-LUT frame
     // (|queries| rows, driver-bounded) — n1/n7's deliberate
     // tiny-query-side shape; pricing a row from codes is the point
