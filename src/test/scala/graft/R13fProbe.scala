@@ -28,8 +28,9 @@ object R13fProbe {
     }
 
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
-      time(s"dir=$dir a12_exact_median",
-        SparkEntry.queries("a12_exact_median")(spark, dir))
+      Seq("a12_exact_median", "h7_volume_shipping", "h15_top_supplier",
+        "w3_ntile_quartiles").foreach(n =>
+        time(s"dir=$dir $n", SparkEntry.queries(n)(spark, dir)))
     }
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
       if (new java.io.File(s"$dir/documents.parquet").exists()) {
