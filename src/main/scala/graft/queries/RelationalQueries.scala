@@ -1231,6 +1231,74 @@ object RelationalQueries extends QueryPack {
            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
            ORDER BY s_suppkey""")),
 
+    // h13 = TPC-H Q13 (customer distribution): the double-aggregation
+    // shape — LEFT OUTER join so zero-order customers COUNT (the
+    // classic inner-join bug this query exists to catch), count orders
+    // per customer, then histogram the counts. count(o_orderkey) not
+    // count(*): the outer join's null rows must tally 0, not 1. Plan:
+    // one custkey shuffle for the outer join + per-customer partial
+    // agg, then a tiny c_count-keyed agg; the priority filter pushes
+    // into the orders scan (Q13's comment-exclusion analogue on this
+    // schema).
+    Q("h13_customer_distribution",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        val c = t(s, d, "customer").select("c_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+           SELECT c_count, count(*) AS custdist
+           FROM co GROUP BY c_count
+           ORDER BY custdist DESC, c_count DESC""")),
+
+    // h17 = TPC-H Q17 (small-quantity-order revenue): the correlated-
+    // average threshold — lineitems of one brand's parts whose quantity
+    // is below 0.2 × that part's average quantity. The comparison is
+    // EXACT INTEGER: l_quantity < 0.2·(sum/n) ⟺ 5·qty_cents·n <
+    // sum_cents·100 (quantities are 2-decimal, so cents are exact
+    // BIGINTs; no division, no float threshold — the e15/e16 fixed-
+    // point discipline). Catalyst decorrelates the per-part average
+    // into one partkey-keyed aggregate re-joined to the fact; the
+    // brand filter prunes the part scan. Headroom: qty ≤ 50 ⇒
+    // 5·qty_cents·n < 2.5·10⁴·n·10² — exact through n ~ 10¹⁵ rows per
+    // part.
+    Q("h17_small_quantity_revenue",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_brand") === "Brand#1")
+          .select("p_partkey")
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"))
+        val liBrand = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val avgq = liBrand.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(sum("qty_cents").as("sum_cents"), count(lit(1)).as("n"))
+        liBrand.join(avgq, col("l_partkey") === col("ap_partkey"))
+          .filter(col("qty_cents") * col("n") * 5 < col("sum_cents") * 100)
+          .agg(count(lit(1)).as("n_lines"),
+            (dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+             lb AS (SELECT l_partkey, l_extendedprice,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+               FROM lineitem JOIN pb ON l_partkey = p_partkey),
+             av AS (SELECT l_partkey AS ap_partkey,
+               CAST(sum(qty_cents) AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n FROM lb GROUP BY 1)
+           SELECT count(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+           FROM lb JOIN av ON l_partkey = ap_partkey
+           WHERE qty_cents * n * 5 < sum_cents * 100""")),
+
     // Exact grouped percentile (lower-median semantics): the value at
     // sorted position (n+1)/2 within each group — deterministic in BOTH
     // engines because a POSITION in the value ordering is well-defined
