@@ -62,4 +62,42 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized PageRank: teleport mass restarts at the SEED SET
+    * instead of uniformly — rank becomes proximity-to-the-seeds through
+    * the graph, the "expand this contamination/boilerplate cluster"
+    * query (d8 flags direct gram matches; PPR surfaces documents merely
+    * CONNECTED to flagged ones, with rank decaying by graph distance).
+    * Unnormalized form (each seed restarts with 0.15e9 per step, start
+    * mass 1e9 on seeds, 0 elsewhere): relative ranking is unchanged and
+    * every step stays the BIGINT arithmetic of `pagerank` — same
+    * per-round plan, same oracle-unroll discipline; a non-seed node
+    * with no seed-side path holds rank 0 forever (exactly the desired
+    * "unreachable ⇒ unrelated" semantics).
+    *
+    * `seeds` is driver-held and bounded (the query batch contract) —
+    * it inlines into the teleport CASE, no join.
+    */
+  def personalized(pairs: DataFrame, seeds: Seq[Long], iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    def isSeed = col("doc_id").isin(seeds: _*)
+    var r = deg.select(col("src").as("doc_id"), col("deg"),
+      when(isSeed, lit(1000000000L)).otherwise(lit(0L)).as("pr_e9"))
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .join(r, edges("src") === r("doc_id"))
+        .select(col("dst"), expr("pr_e9 div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      r = deg.select(col("src").as("doc_id"), col("deg"))
+        .join(sums.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"),
+          (when(isSeed, lit(150000000L)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("pr_e9"))
+        .localCheckpoint()
+    }
+    r.select(col("doc_id"), col("deg"), col("pr_e9"), isSeed.as("is_seed"))
+  }
 }

@@ -785,6 +785,53 @@ object DedupQueries extends QueryPack {
       (s, d) => graft.operators.KCore
         .peel(nearDupPairs(s, d).select("d1", "d2"), k = 2, rounds = 4),
       Some(s"""WITH $pairsCte,
-           ${graft.operators.KCore.peelOracleSql(k = 2, rounds = 4)}"""))
+           ${graft.operators.KCore.peelOracleSql(k = 2, rounds = 4)}""")),
+
+    // Personalized PageRank from an md5-deterministic 3-node seed set —
+    // cluster EXPANSION through the dup graph: d8 flags documents with
+    // direct gram overlap, PPR ranks everything CONNECTED to the flags
+    // by graph proximity (rank 0 ⟺ unreachable ⟺ unrelated). Same
+    // per-round integer Pregel plan as d15; seeds inline into the
+    // teleport CASE (no join), and the oracle unrolls the identical
+    // trajectory from the seeded start.
+    Q("d19_personalized_pagerank",
+      (s, d) => {
+        val pairs = nearDupPairs(s, d).select("d1", "d2")
+        val seeds = pairs.select(col("d1").as("v"))
+          .union(pairs.select(col("d2").as("v")))
+          .distinct()
+          .orderBy(md5(col("v").cast("string")), col("v"))
+          .limit(3)
+          .collect().map(_.getLong(0)).toSeq // bounded: 3 ids
+        graft.operators.PageRank.personalized(pairs, seeds, iters = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        def step(prev: String, out: String) =
+          s"""s$out AS (SELECT ed.dst AS doc_id,
+               CAST(sum(r$prev.pr_e9 // r$prev.deg) AS BIGINT) AS s
+               FROM ed JOIN r$prev ON ed.src = r$prev.doc_id GROUP BY 1),
+             r$out AS (SELECT dg.src AS doc_id, dg.deg,
+               (CASE WHEN sd.v IS NOT NULL THEN 150000000 ELSE 0 END)
+                 + (85 * COALESCE(s$out.s, 0)) // 100 AS pr_e9
+               FROM dg LEFT JOIN sd ON sd.v = dg.src
+               LEFT JOIN s$out ON s$out.doc_id = dg.src)"""
+        s"""WITH $pairsCte,
+             ed AS (SELECT d1 AS src, d2 AS dst FROM jp
+               UNION ALL SELECT d2, d1 FROM jp),
+             dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+             sd AS (SELECT src AS v FROM dg
+               ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 3),
+             r0 AS (SELECT dg.src AS doc_id, dg.deg,
+               CASE WHEN sd.v IS NOT NULL THEN CAST(1000000000 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS pr_e9
+               FROM dg LEFT JOIN sd ON sd.v = dg.src),
+             ${step("0", "1")},
+             ${step("1", "2")},
+             ${step("2", "3")}
+           SELECT r3.doc_id, r3.deg, CAST(r3.pr_e9 AS BIGINT) AS pr_e9,
+             (sd.v IS NOT NULL) AS is_seed
+           FROM r3 LEFT JOIN sd ON sd.v = r3.doc_id ORDER BY r3.doc_id"""
+      })
   )
 }

@@ -117,6 +117,28 @@ class WaveFourSpec extends AnyFunSuite {
     assert(entry.forall(_.getAs[Long]("pr_e9") >= 150000000L))
   }
 
+  test("d19: PPR mass decays with distance from the seed and never reaches another component") {
+    import spark.implicits._
+    // path 1-2-3-4 plus a DISCONNECTED pair 10-11; seed = {1}
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val ppr = graft.operators.PageRank.personalized(g, Seq(1L), iters = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pr_e9"))
+      .toMap
+    // decay is with DISTANCE at equal degree (a raw seed-vs-neighbor
+    // compare is invalid: the deg-2 interior node 2 legitimately
+    // outranks the deg-1 seed, which gives all its mass away each
+    // round): interior pair 2 (dist 1) vs 3 (dist 2), endpoint pair
+    // 1 (dist 0) vs 4 (dist 3)
+    assert(ppr(2L) > ppr(3L) && ppr(1L) > ppr(4L),
+      s"rank must decay with distance at matched degree: $ppr")
+    assert(ppr(10L) === 0L && ppr(11L) === 0L,
+      "an unreachable component must hold rank 0 — unreachable means unrelated")
+    val entry = SparkEntry.queries("d19_personalized_pagerank")(spark, sf).collect()
+    assert(entry.count(_.getAs[Boolean]("is_seed")) === 3)
+    assert(entry.filter(_.getAs[Boolean]("is_seed"))
+      .forall(_.getAs[Long]("pr_e9") >= 150000000L))
+  }
+
   test("e10: SCD2 versions tile each user's history with alternating states") {
     val rows = SparkEntry.queries("e10_scd2_intervals")(spark, sf).collect()
     assert(rows.nonEmpty)
