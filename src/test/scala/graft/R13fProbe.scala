@@ -36,7 +36,8 @@ object R13fProbe {
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
       if (new java.io.File(s"$dir/documents.parquet").exists()) {
         Seq("n21_filtered_knn", "n22_filtered_ivfpq",
-          "e19_last_touch_attribution", "d18_kcore").foreach(n =>
+          "e19_last_touch_attribution", "d18_kcore",
+          "d19_personalized_pagerank").foreach(n =>
           time(s"dir=$dir $n", SparkEntry.queries(n)(spark, dir)))
       } else println(s"R13f dir=$dir SKIPPED (missing)")
     }
