@@ -1153,7 +1153,7 @@ object RelationalQueries extends QueryPack {
     // shuffle; the year comes from the pushed ship-date range.
     Q("h7_volume_shipping",
       (s, d) => {
-        val n1 = "NATION_1"; val n2 = "NATION_2"
+        val n1 = "NATION_13"; val n2 = "NATION_19"
         val n = t(s, d, "nation").select("n_nationkey", "n_name")
         val su = t(s, d, "supplier")
           .join(broadcast(n.filter(col("n_name").isin(n1, n2))),
@@ -1191,8 +1191,8 @@ object RelationalQueries extends QueryPack {
              JOIN nation n2 ON c_nationkey = n2.n_nationkey
              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                AND l_shipdate < TIMESTAMP '1998-01-01'
-               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+                 OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // h15 = TPC-H Q15 (top supplier): a revenue aggregate compared
