@@ -104,6 +104,17 @@ class IvfPqSpec extends AnyFunSuite {
       "widening the probe set must actually add candidates on this data")
   }
 
+  test("residual fit and encode are partition-invariant") {
+    val books2 = IvfPq.fit(emb.repartition(7), cents, m, k, iters)
+    assert(books.map(_.map(_.toSeq)) === books2.map(_.map(_.toSeq)),
+      "residual codebooks drifted under repartitioning")
+    val enc1 = IvfPq.encode(emb, cents, books)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val enc2 = IvfPq.encode(emb.repartition(5), cents, books)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(enc1 === enc2)
+  }
+
   test("encode is map-side and search prunes via a broadcast equi-join") {
     val encPlan = IvfPq.encode(emb, cents, books)
       .queryExecution.executedPlan.toString

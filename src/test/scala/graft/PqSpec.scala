@@ -89,6 +89,19 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("fit and encode are partition-invariant (the KMeans integer contract holds through PQ)") {
+    val emb = planted
+    val books1 = PqIndex.fit(emb, m = 2, k = 2, iters = 3, dims = 4)
+    val books2 = PqIndex.fit(emb.repartition(7), m = 2, k = 2, iters = 3, dims = 4)
+    assert(books1.map(_.map(_.toSeq)) === books2.map(_.map(_.toSeq)),
+      "codebooks drifted under repartitioning — the integer fit must be order-independent")
+    val enc1 = PqIndex.encode(emb, books1, dims = 4)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val enc2 = PqIndex.encode(emb.repartition(5), books1, dims = 4)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(enc1 === enc2)
+  }
+
   test("served tier is bit-identical to the ad-hoc chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
     PqIndex.save(planted, dir, m = 2, k = 2, iters = 3, dims = 4)
