@@ -78,7 +78,8 @@ object IvfPq {
     */
   def search(codes: DataFrame, queries: DataFrame,
       cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
-      nprobe: Int, k: Int, dims: Int = 64): DataFrame = {
+      nprobe: Int, k: Int, dims: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = codes.sparkSession
     val m = books.length
@@ -124,8 +125,12 @@ object IvfPq {
       .reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist2"), col("neighbor_id"))
-    codes.join(broadcast(lutDf), col("cell") === col("p_cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val joined = codes.join(broadcast(lutDf), col("cell") === col("p_cell"))
+    // external query ids (a serving stream) may collide with corpus
+    // vec_ids — self-exclusion only makes sense for corpus-member
+    // queries (the n20 entry shape)
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+     else joined)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cell"), adist.as("adist2"))
       .withColumn("rnk", row_number().over(w).cast("int"))

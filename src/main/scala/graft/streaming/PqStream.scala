@@ -46,6 +46,42 @@ object PqStream {
     writeEncoded(vecs, outDir, checkpointDir,
       batch => graft.operators.IvfPq.encode(batch, cents, books, dims))
 
+  /** STREAMING ADC serving over a compacted IVF-PQ cell store (the
+    * AnnStream contract at the codes tier): query vectors arrive as
+    * (query_id, embedding), each micro-batch is quantized and answered
+    * against the SAME frozen store + codebooks — cell-pruned,
+    * codes-only pricing, floats touched only to quantize the query.
+    * The store relation is loaded once at stream definition
+    * (single-writer: restart to pick up compacted growth). Per batch
+    * the query set is collected driver-side to build the LUTs —
+    * bounded by the micro-batch (the `adcTopK` contract); results land
+    * `_batch_id`-idempotent. External query ids may collide with
+    * corpus vec_ids, so self-exclusion is OFF.
+    */
+  def serve(queries: DataFrame, servedDir: String,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      outDir: String, checkpointDir: String, k: Int, nprobe: Int = 4,
+      dims: Int = 64): DataStreamWriter[Row] = {
+    val codes = queries.sparkSession.read.parquet(servedDir)
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = graft.operators.KMeans.quantized(
+            batch.dropDuplicates("query_id")
+              .select(col("query_id").as("vec_id"), col("embedding")))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        graft.operators.IvfPq
+          .search(codes, q, cents, books, nprobe, k, dims,
+            excludeSelf = false)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+  }
+
   private def writeEncoded(vecs: DataFrame, outDir: String,
       checkpointDir: String,
       enc: DataFrame => DataFrame): DataStreamWriter[Row] =

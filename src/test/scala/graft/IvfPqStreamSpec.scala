@@ -66,6 +66,51 @@ class IvfPqStreamSpec extends AnyFunSuite {
     assert(served === expected, "compaction must not change content")
   }
 
+  test("a streaming query feed answers identically to the batch search, chopped or not") {
+    val base = stream(Seq(rows))
+    IvfPq.compactToCells(spark, s"$base/out", s"$base/served")
+    // external queries: fresh ids (offset past the corpus), vectors
+    // borrowed from the corpus — self-exclusion must be OFF, so the
+    // coincident corpus row ranks first
+    val qRows = rows.take(4).map { case (id, v) => (id + 1000000L, v) }
+    val qSchema = StructType(Seq(StructField("query_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def runServe(files: Seq[Seq[(Long, Array[Float])]]) = {
+      val srcDir = Files.createTempDirectory("graft_ipqq_src").toString
+      val sb = Files.createTempDirectory("graft_ipqq").toString
+      files.zipWithIndex.foreach { case (rs, i) =>
+        rs.toDF("query_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$srcDir/f$i")
+        new java.io.File(s"$srcDir/f$i").listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+      val src = spark.readStream.schema(qSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false").parquet(s"$srcDir/*")
+      val q = PqStream.serve(src, s"$base/served", cents, books,
+          s"$sb/res", s"$sb/ck", k = 5, nprobe = 2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$sb/res")
+        .select("query_id", "neighbor_id", "adist2", "rnk")
+        .collect().map(_.toString).toSet
+    }
+    val servedCodes = spark.read.parquet(s"$base/served")
+    val batchQ = KMeans.quantized(
+        qRows.toDF("query_id", "embedding")
+          .select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val expected = IvfPq.search(servedCodes, batchQ, cents, books,
+        nprobe = 2, k = 5, excludeSelf = false)
+      .select("query_id", "neighbor_id", "adist2", "rnk")
+      .collect().map(_.toString).toSet
+    // the coincident corpus member must surface at distance 0
+    assert(expected.nonEmpty)
+    assert(runServe(Seq(qRows)) === expected)
+    assert(runServe(Seq(qRows.take(2), qRows.drop(2))) === expected,
+      "chopping the query stream must not change any answer")
+  }
+
   test("the compacted store serves search identically and prunes by cell") {
     val base = stream(Seq(rows))
     IvfPq.compactToCells(spark, s"$base/out", s"$base/served")
