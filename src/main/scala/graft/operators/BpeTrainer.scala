@@ -149,8 +149,10 @@ object BpeTrainer {
   def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
       bpePat: String): DataFrame =
     docs
+      // coalesce: a null text (possible from an at-least-once stream
+      // source) prices as 0 tokens rather than poisoning size() to -1
       .select(col("doc_id"),
-        expr(s"regexp_extract_all(text, '$bpePat', 0)").as("ps"))
+        expr(s"regexp_extract_all(coalesce(text, ''), '$bpePat', 0)").as("ps"))
       .select(col("doc_id"),
         size(col("ps")).cast("bigint").as("n_pieces"),
         aggregate(col("ps"), lit(0L), (acc, p) =>

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * and the ADC ranking — a hash match pins the entire index build and
   * search trajectory.
   *
+  * Overflow headroom: residual components are bounded by 2× the
+  * quantized range (|qv − cent| ≤ 2·8·10⁶ with the `KMeans` |x| ≤ 8
+  * contract), so a subspace ADC term ≤ sub·(2·1.6·10⁷)² ≈ 1.6·10¹⁶ at
+  * sub = 16 and the m-term sum ≤ ~6.5·10¹⁶ — two orders under BIGINT,
+  * exact in both engines (4× the flat-PQ bound in `PqIndex`).
+  *
   * Scale shape: encode is map-side (inlined coarse centroids → one
   * `zip_with` subtraction → m inlined argmins; no join, no shuffle).
   * Search broadcasts a (queries · nprobe)-row LUT frame and INNER-joins

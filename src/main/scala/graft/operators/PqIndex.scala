@@ -197,6 +197,7 @@ object PqIndex {
     val codes = spark.read.parquet(s"$dir/codes")
     val rows = spark.read.parquet(s"$dir/books")
       .collect() // bounded: dims·k longs by construction
+    require(rows.nonEmpty, s"no codebooks at $dir/books — not a PQ store")
     val m = rows.map(_.getInt(0)).max + 1
     val k = rows.map(_.getInt(1)).max + 1
     val sub = dims / m
