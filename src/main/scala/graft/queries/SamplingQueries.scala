@@ -441,6 +441,87 @@ object SamplingQueries extends QueryPack {
              count(*) AS n_events,
              count(DISTINCT user_id) AS n_users,
              min(ts) AS first_ts, max(ts) AS last_ts
-             FROM events GROUP BY 1 ORDER BY 1"""))
+             FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Budget WATERFILLING — the closed-form single-pass allocation the
+    // mixture arithmetic of real pretraining runs needs: a global
+    // token budget (¾ of the corpus here) split across sources in
+    // proportion to externally-supplied mix weights, CAPPED by each
+    // source's availability, the surplus of capped sources
+    // redistributed to the rest. Classic water-filling: sort by
+    // cap/weight (the e6 fixed-point key — deterministic and
+    // engine-identical; exact-rational order would need pairwise
+    // cross-mults), saturate a prefix, spread the remainder
+    // proportionally. The saturation test is an EXACT DECIMAL(38)
+    // cross-multiplication (cap·W_rest ≤ R_rest·w — no division), the
+    // proportional share uses sp12's div/mod decomposition, and a
+    // running min makes the prefix rule deterministic even if the
+    // fixed-point key mis-orders a near-tie. Corpus-scale work is the
+    // per-source token count; the waterfill itself is a sources-sized
+    // single-partition window (bounded by construction — documented
+    // WindowExec single-partition, ~10²-10³ rows at any corpus size).
+    // Weights here are md5-derived 1..5 standing in for the external
+    // mix preference.
+    Q("sp14_budget_waterfill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.load(s, d, "documents")
+          .groupBy("source")
+          .agg(expr("CAST(sum(size(filter(split(text, ' '), x -> x != ''))) AS BIGINT)")
+            .as("cap"))
+          .withColumn("w", expr(
+            "CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT) % 5 + 1"))
+        val tot = per.agg(expr("(sum(cap) * 3) div 4").as("b"),
+          sum("w").as("tw"))
+        val wOrd = Window.orderBy(col("ratio_e6"), col("source"))
+        val pre = per.crossJoin(broadcast(tot))
+          .withColumn("ratio_e6",
+            expr("(cap div w) * 1000000 + ((cap % w) * 1000000) div w"))
+          .withColumn("pc", coalesce(sum("cap").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("pw", coalesce(sum("w").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("c0", expr(
+            "CAST(cap AS DECIMAL(38,0)) * (tw - pw) <= CAST(b - pc AS DECIMAL(38,0)) * w"))
+          .withColumn("saturated", min(when(col("c0"), 1).otherwise(0))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+        val fin = pre.agg(
+          (first(col("b")) - coalesce(sum(when(col("saturated"), col("cap"))), lit(0L)))
+            .as("rstar"),
+          coalesce(sum(when(!col("saturated"), col("w"))), lit(0L)).as("wstar"))
+        pre.crossJoin(broadcast(fin))
+          .select(col("source"), col("w"), col("cap"), col("saturated"),
+            expr("""CASE WHEN saturated OR wstar = 0 THEN cap
+                 ELSE (rstar div wstar) * w + ((rstar % wstar) * w) div wstar
+                 END""").as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+               CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 5 + 1 AS w,
+               CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS cap
+               FROM documents GROUP BY source),
+             tot AS (SELECT (CAST(sum(cap) AS BIGINT) * 3) // 4 AS b,
+               CAST(sum(w) AS BIGINT) AS tw FROM per),
+             srt AS (SELECT per.*, b, tw,
+               (cap // w) * 1000000 + ((cap % w) * 1000000) // w AS ratio_e6,
+               COALESCE(CAST(sum(cap) OVER (ORDER BY (cap // w) * 1000000 + ((cap % w) * 1000000) // w, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pc,
+               COALESCE(CAST(sum(w) OVER (ORDER BY (cap // w) * 1000000 + ((cap % w) * 1000000) // w, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pw
+               FROM per, tot),
+             cond AS (SELECT *,
+               (CAST(cap AS DECIMAL(38,0)) * (tw - pw) <= CAST(b - pc AS DECIMAL(38,0)) * w) AS c0
+               FROM srt),
+             sat AS (SELECT *, CAST(min(CASE WHEN c0 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY ratio_e6, source) AS INTEGER) = 1 AS saturated
+               FROM cond),
+             fin AS (SELECT CAST(any_value(b) - COALESCE(sum(CASE WHEN saturated THEN cap END), 0) AS BIGINT) AS rstar,
+               CAST(COALESCE(sum(CASE WHEN NOT saturated THEN w END), 0) AS BIGINT) AS wstar
+               FROM sat)
+           SELECT s.source, s.w, s.cap, s.saturated,
+             CASE WHEN s.saturated OR f.wstar = 0 THEN s.cap
+               ELSE (f.rstar // f.wstar) * s.w + ((f.rstar % f.wstar) * s.w) // f.wstar
+               END AS alloc
+           FROM sat s, fin f ORDER BY s.source"""))
   )
 }

@@ -93,6 +93,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // sp12: per-source means cross the ONE-ROW global-min scalar, then
     // the ONE-ROW weight total — sp9's scalar-dashboard shape twice
     "sp12_domain_reweight",
+    // sp14: the per-source table crosses the ONE-ROW budget total and
+    // the ONE-ROW waterfill remainder — the scalar-dashboard shape
+    "sp14_budget_waterfill",
     // h22: rich-customer filter crosses the ONE-ROW positive-balance
     // aggregate — the scalar-dashboard shape
     "h22_idle_rich",

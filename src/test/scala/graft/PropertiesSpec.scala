@@ -234,4 +234,29 @@ class PropertiesSpec extends AnyFunSuite {
     assert(ws.forall(_ > 0L))
     assert(rows.map(_._4).sum <= 100000L)
   }
+
+  test("waterfilling: allocations capped, budget filled to floor crumbs, saturation is cap-binding") {
+    val rows = SparkEntry.queries("sp14_budget_waterfill")(spark, "/root/testdata/sf0.001")
+      .select("source", "w", "cap", "saturated", "alloc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(rows.length > 1)
+    // never allocate past availability; saturated means exactly cap
+    rows.foreach { case (src, _, cap, sat, alloc) =>
+      assert(alloc <= cap, s"$src over-allocated")
+      if (sat) assert(alloc === cap, s"$src saturated but not cap-bound")
+    }
+    // the budget (¾ of total caps) is spent up to one truncation per
+    // unsaturated source, and never exceeded
+    val budget = rows.map(_._3).sum * 3 / 4
+    val spent = rows.map(_._5).sum
+    assert(spent <= budget, s"overspent: $spent > $budget")
+    assert(spent >= budget - rows.length, s"underspent: $spent << $budget")
+    // unsaturated allocations are proportional to weight: alloc/w is
+    // (near-)constant — within one truncation of each other
+    val perW = rows.filter(r => !r._4).map(r => r._5 / r._2)
+    if (perW.nonEmpty)
+      assert(perW.max - perW.min <= 1L,
+        s"unsaturated shares not proportional: $perW")
+  }
 }
