@@ -37,7 +37,7 @@ object R13fProbe {
       if (new java.io.File(s"$dir/documents.parquet").exists()) {
         Seq("n21_filtered_knn", "n22_filtered_ivfpq",
           "e19_last_touch_attribution", "d18_kcore",
-          "d19_personalized_pagerank").foreach(n =>
+          "d19_personalized_pagerank", "sp14_budget_waterfill").foreach(n =>
           time(s"dir=$dir $n", SparkEntry.queries(n)(spark, dir)))
       } else println(s"R13f dir=$dir SKIPPED (missing)")
     }
