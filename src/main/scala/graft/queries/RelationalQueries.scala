@@ -1231,6 +1231,109 @@ object RelationalQueries extends QueryPack {
            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
            ORDER BY s_suppkey""")),
 
+    // h8 = TPC-H Q8 (national market share): the widest join in the
+    // h-family — lineitem meets part (type filter), supplier (the
+    // nation whose share is asked), orders (date window), customer,
+    // nation, region (customer-side market restriction) — with the
+    // share as a CONDITIONAL-sum ratio per order year. Share =
+    // nation_revenue / total_revenue: two exact-decimal sums, one IEEE
+    // divide (h14's discipline). Plan: nation/region broadcast, part's
+    // type filter prunes its scan, customer/supplier un-hinted (h5's
+    // fact-scale rule), facts meet on one orderkey shuffle.
+    Q("h8_market_share",
+      (s, d) => {
+        val n = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+        val cu = t(s, d, "customer")
+          .join(broadcast(n.join(broadcast(r),
+              col("n_regionkey") === col("r_regionkey")).select("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val su = t(s, d, "supplier")
+          .join(broadcast(n.withColumnRenamed("n_nationkey", "s_nk")
+            .select("s_nk", "n_name")), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val p = t(s, d, "part").filter(col("p_type").startsWith("ECONOMY"))
+          .select("p_partkey")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = t(s, d, "lineitem")
+        li.join(p, li("l_partkey") === p("p_partkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(cu, o("o_custkey") === cu("c_custkey"), "left_semi")
+          .select(year(col("o_orderdate")).as("o_year"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .as("vol"),
+            col("supp_nation"))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nation") === "NATION_3", col("vol")))
+            .cast("double").as("nation_revenue"),
+            sum(col("vol")).cast("double").as("total_revenue"))
+          .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+            (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH vols AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+               n2.n_name AS supp_nation
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE p_type LIKE 'ECONOMY%'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+                 AND EXISTS (SELECT 1 FROM customer
+                   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                   JOIN region ON n1.n_regionkey = r_regionkey
+                   WHERE c_custkey = o_custkey AND r_name = 'EUROPE'))
+           SELECT o_year,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE) AS nation_revenue,
+             CAST(SUM(vol) AS DOUBLE) AS total_revenue,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+           FROM vols GROUP BY 1 ORDER BY 1""")),
+
+    // h19 = TPC-H Q19 (discounted revenue), predicate adapted to the
+    // reduced schema (no shipmode/shipinstruct/container): the
+    // DISJUNCTION-of-conjunctions join predicate — three (brand, size
+    // range, quantity range) alternatives OR'd together across the
+    // lineitem×part join. The shape exists to test that a planner (a)
+    // keeps the p_partkey equi-join as the join key rather than
+    // degrading to a nested loop, and (b) pushes the single-table
+    // parts of each disjunct to the scans. One exact-decimal revenue
+    // sum.
+    Q("h19_discounted_revenue",
+      (s, d) => {
+        val p = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        li.join(p, li("l_partkey") === p("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 35))))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                 AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                 AND l_quantity BETWEEN 20 AND 35)""")),
+
     // h13 = TPC-H Q13 (customer distribution): the double-aggregation
     // shape — LEFT OUTER join so zero-order customers COUNT (the
     // classic inner-join bug this query exists to catch), count orders
