@@ -30,7 +30,8 @@ object R13fProbe {
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
       Seq("a12_exact_median", "h7_volume_shipping", "h15_top_supplier",
         "w3_ntile_quartiles", "h13_customer_distribution",
-        "h17_small_quantity_revenue").foreach(n =>
+        "h17_small_quantity_revenue", "h8_market_share",
+        "h19_discounted_revenue").foreach(n =>
         time(s"dir=$dir $n", SparkEntry.queries(n)(spark, dir)))
     }
     Seq("/root/testdata/sf0.1", "/tmp/sfx1").foreach { dir =>
