@@ -77,6 +77,15 @@ object BpeTrainer {
         .orderBy(col("cnt").desc, col("s1"), col("s2"))
         .limit(1)
         .localCheckpoint()
+      // Fail-loud precondition check: if the corpus exhausts merges
+      // before round k (no multi-symbol piece left), the crossJoin
+      // below against an EMPTY 1-row argmax would silently empty the
+      // entire state (and the oracle's scalar subqueries go NULL) —
+      // silent data loss instead of an error. The count is a ≤1-row
+      // action on an already-checkpointed frame, i.e. free.
+      require(best.count() == 1,
+        s"BPE round $r/$k: no pair left to merge — the corpus supports " +
+          "fewer merges than requested (every piece is a single symbol)")
       merges += best.select(lit(r).cast("int").as("rnk"),
         col("s1"), col("s2"), col("cnt"))
       st = st

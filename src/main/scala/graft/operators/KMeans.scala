@@ -41,11 +41,11 @@ import org.apache.spark.sql.functions._
   * Overflow headroom (BIGINT, documented like e15/e16): with |x| ≤ 8
   * the quantized components are ≤ 8·10⁶, so a per-dimension update sum
   * stays exact through ~10¹¹ members per cluster and a per-row dist2
-  * through any dims ≤ 10⁴; the summary's wcss = Σ dist2 stays exact
-  * while n·dims·(2·8·10⁶)² < 2⁶³ — ~5·10⁵ vectors at dims = 64. Past
-  * that, report mean dist2 per cluster (already exact at any n) and
-  * drop the raw sum; DuckDB would widen to HUGEINT while Spark wraps,
-  * so the guard matters cross-engine.
+  * through any dims ≤ 10⁴; the summary's wcss = Σ dist2 is accumulated
+  * in DECIMAL(38,0) (`wcssExact` — exact to ~10²² vectors at
+  * dims = 64) and narrowed back to BIGINT behind a fail-loud range
+  * check, so a corpus whose sum no longer fits 2⁶³ errors instead of
+  * silently wrapping while DuckDB widens to HUGEINT.
   */
 object KMeans {
 
@@ -131,6 +131,25 @@ object KMeans {
   def fitAssign(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): DataFrame =
     assign(quantized(emb), fit(emb, k, iters, dims))
 
+  /** Exact wcss = Σ dist2 with a fail-loud narrowing: a plain BIGINT
+    * `sum(dist2)` wraps silently in Spark past ~5·10⁵ vectors at
+    * dims = 64 (the scaladoc bound) while DuckDB widens to HUGEINT —
+    * a silent cross-engine divergence. Accumulate in DECIMAL(38,0)
+    * (exact to 38 digits — ~10²² vectors at dims = 64) and error on
+    * the first corpus whose sum no longer fits the declared BIGINT
+    * output, mirroring DuckDB's own overflow-raising HUGEINT→BIGINT
+    * cast on the oracle side.
+    */
+  def wcssExact: Column = {
+    val dec = sum(col("dist2").cast("decimal(38,0)"))
+    when(dec.between(lit(Long.MinValue), lit(Long.MaxValue)),
+        dec.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("wcss overflows BIGINT (exact decimal sum = "),
+        dec.cast("string"),
+        lit("); report per-cluster mean dist2 at this scale"))))
+  }
+
   /** Per-cluster report over the final assignment: member count, within-
     * cluster sum of squares, and the exact centroid norm² — every
     * cluster reports (an emptied cluster keeps its centroid, n = 0).
@@ -141,7 +160,7 @@ object KMeans {
     val cents = fit(emb, k, iters, dims)
     val agg = assign(quantized(emb), cents)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n"), sum("dist2").as("wcss"))
+      .agg(count(lit(1)).as("n"), wcssExact.as("wcss"))
     val norms = cents.zipWithIndex
       .map { case (c, i) => (i, c.map(v => v * v).sum) }
       .toDF("cluster", "cent_norm2")

@@ -40,7 +40,12 @@ object CorpusPipelineQueries extends QueryPack {
         when(col("m") === 1, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"))
       .unionByName(m.filter(col("m") === 2)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        // clone ids NEGATED (-id - 1): real doc_ids are non-negative,
+        // so the derived id can never collide with a corpus id at ANY
+        // corpus size (a fixed +offset collides past `offset` docs and
+        // both engines would stay consistent, so the hash match could
+        // not catch the corruption)
+        .select((-col("doc_id") - 1L).as("doc_id"), col("source"),
           expr("array_join(reverse(split(text, ' ')), ' ')").as("text")))
   }
 
@@ -52,7 +57,7 @@ object CorpusPipelineQueries extends QueryPack {
                CASE WHEN m = 1 THEN text || ' rev2' ELSE text END AS text
                FROM m WHERE m <> 0
                UNION ALL
-               SELECT doc_id + 1000000, source,
+               SELECT -doc_id - 1, source,
                  array_to_string(list_reverse(string_split(text, ' ')), ' ')
                FROM m WHERE m = 2)"""
 

@@ -449,7 +449,7 @@ object SimilarityQueries extends QueryPack {
         val agg = KMeans.assign(
             KMeans.quantized(Tables.load(s, d, "embeddings")), cents)
           .groupBy("cluster")
-          .agg(count(lit(1)).as("n"), sum("dist2").as("wcss"))
+          .agg(count(lit(1)).as("n"), KMeans.wcssExact.as("wcss"))
         cents.zipWithIndex
           .map { case (c, i) => (i, c.map(v => v * v).sum) }
           .toDF("cluster", "cent_norm2")

@@ -45,9 +45,28 @@ object DsirStream {
         explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
       .select(col("source"), QualityModel.tokenBucket(col("token"), dims).as("b"))
+    // Stage-then-swap: `overwrite` straight onto weightsDir is
+    // delete-then-write, leaving a window the LENGTH OF THE FIT JOB in
+    // which a concurrent micro-batch's per-batch read (`scoreBatch`)
+    // sees a missing or partially-written table. The full job runs
+    // against a staging path; the visible dir is then replaced by two
+    // filesystem renames (metadata ops), so a concurrent reader sees
+    // either the old table or the new one.
+    val staging = weightsDir + ".staging"
     Dsir.weights(toks, col("source").isin(targetSources: _*), dims)
       .coalesce(1)
-      .write.mode("overwrite").parquet(weightsDir)
+      .write.mode("overwrite").parquet(staging)
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(weightsDir)
+    val fs = live.getFileSystem(hconf)
+    val retired = new org.apache.hadoop.fs.Path(weightsDir + ".retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(live))
+      require(fs.rename(live, retired), s"could not retire $weightsDir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"could not publish $staging to $weightsDir")
+    fs.delete(retired, true)
+    ()
   }
 
   /** Score a doc batch (streaming micro-batch or static frame) against

@@ -150,15 +150,30 @@ object SketchStream {
   def mergedCountersBy(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Partition-column TYPE INFERENCE must be off for this read: a
+    // numeric-looking group value ('007') would otherwise be inferred
+    // as int 7 and read back as '7' — group keys must round-trip
+    // VERBATIM (the manual listing this reader replaced preserved the
+    // raw directory name). Inference is a session conf, not a reader
+    // option; `spark.read.parquet` resolves partitions eagerly, so
+    // scoping the flip around the call is sufficient. With inference
+    // off EVERY partition column reads as string, so `_batch_id` is
+    // cast back explicitly below.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
     val raw =
-      try spark.read.parquet(dir)
-        .withColumn("g", col("g").cast("string"))
-      catch {
+      try {
+        spark.conf.set(inferKey, "false")
+        val df = spark.read.parquet(dir)
+        if (df.columns.contains("_batch_id"))
+          df.withColumn("_batch_id", col("_batch_id").cast("bigint"))
+        else df
+      } catch {
         case _: org.apache.spark.sql.AnalysisException =>
           spark.range(0).selectExpr("CAST('' AS STRING) AS g",
             "CAST(0 AS INT) AS r", "CAST(0 AS BIGINT) AS idx",
             "CAST(0 AS BIGINT) AS c")
-      }
+      } finally spark.conf.set(inferKey, prevInfer)
     val cells =
       if (raw.columns.contains("_batch_id")) {
         val folded = raw.filter(col("r") === -1)
