@@ -46,15 +46,27 @@ object IvfPq {
     * residual keeps the name `qv` so `PqIndex.encodeQ`/`fitQuantized`
     * consume it unchanged.
     */
-  def residuals(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
-    val centsLit = cents
-      .map(_.mkString("array(", "L, ", "L)"))
-      .mkString("array(", ", ", ")")
-    KMeans.assignFull(q, cents)
-      .select(col("vec_id"), col("cluster").as("cell"),
-        expr(s"zip_with(qv, element_at($centsLit, cluster + 1), (a, b) -> a - b)")
-          .as("qv"))
-  }
+  def residuals(q: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    if (cents.length > KMeans.MaxLiteralK) {
+      // large-nlist path: the assignment already came from the packed
+      // argmin (`KMeans.MaxLiteralK` dispatch); the subtraction looks
+      // the assigned centroid up in the SAME single nested-array
+      // literal instead of a k·dims unrolled lookup — still map-side,
+      // no join, and plan size flat in nlist (KMeansLargeKProbe)
+      KMeans.assignFull(q, cents)
+        .select(col("vec_id"), col("cluster").as("cell"),
+          zip_with(col("qv"),
+            element_at(KMeans.centroidsLit(cents), col("cluster") + 1),
+            (a, b) => a - b).as("qv"))
+    } else {
+      val centsLit = cents
+        .map(_.mkString("array(", "L, ", "L)"))
+        .mkString("array(", ", ", ")")
+      KMeans.assignFull(q, cents)
+        .select(col("vec_id"), col("cluster").as("cell"),
+          expr(s"zip_with(qv, element_at($centsLit, cluster + 1), (a, b) -> a - b)")
+            .as("qv"))
+    }
 
   /** Residual codebooks: `PqIndex.fitQuantized` over the residual
     * relation (checkpointed once — m·iters scans of it, the `PqIndex`

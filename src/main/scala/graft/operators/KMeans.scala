@@ -63,34 +63,127 @@ object KMeans {
       lit(cluster).cast("int").as("cluster"))
   }
 
-  /** (vec_id, qv, cluster, dist2): map-side argmin against driver-held
-    * centroids — no join, no shuffle.
+  /** Largest k the UNROLLED-LITERAL assignment uses before `withBest`
+    * dispatches to the packed path: the unrolled plan builds k
+    * separate argmin candidate expressions over k array literals
+    * (k·dims literal AST nodes), so plan construction, analysis, and
+    * serialization all grow linearly with k — perfect at IVF-probe
+    * scale (k ≤ ~64) and pathological at the nlist a 100 TB IVF wants
+    * (~10⁵ cells). The packed path is bit-identical (KMeansJoinSpec
+    * proves it on the same corpus and on planted ties), so the
+    * dispatch is purely physical.
     */
-  private def withBest(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
-    val best = array_min(array(
-      cents.zipWithIndex.map { case (c, i) => distStruct(c, i) }: _*))
+  val MaxLiteralK = 64
+
+  /** All centroids as ONE nested-array value — a single `typedlit`
+    * Literal node whose payload is k·dims longs of ArrayData, NOT
+    * k·dims AST nodes: the plan stays flat in k while the payload
+    * ships with the task binary exactly once per executor.
+    */
+  def centroidsLit(cents: Seq[Array[Long]]): Column =
+    typedlit(cents.map(_.toSeq))
+
+  /** PACKED map-side argmin — the large-k twin of the unrolled
+    * literal, and still ZERO join / ZERO shuffle: `transform` walks
+    * the single nested-array centroid literal with its index, prices
+    * the SAME `zip_with` integer distance per cell, and `array_min`
+    * picks the lexicographic (dist2, cluster) minimum — ties to the
+    * smaller cluster id, exactly the unrolled form's convention. The
+    * 100 TB shape: per-row work is the unavoidable O(k·dims) of a flat
+    * assignment (a 10⁵-cell IVF wants the coarse/fine hierarchy to cut
+    * THAT — see IvfPq), but plan size, compile time, and shuffle
+    * volume are all flat in k (KMeansLargeKProbe measures k = 8 →
+    * 4096).
+    */
+  def assignPackedFull(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val best = array_min(transform(centroidsLit(cents), (cv, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"),
+        i.cast("int").as("cluster"))))
     q.select(col("vec_id"), col("qv"), best.as("best"))
       .select(col("vec_id"), col("qv"),
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
   }
 
-  /** Map-side argmin assignment: (vec_id, cluster, dist2). */
-  def assign(q: DataFrame, cents: Seq[Array[Long]]): DataFrame =
-    withBest(q, cents).drop("qv")
+  /** Driver-held centroids as a broadcast-able relation
+    * (cluster INT, cv ARRAY<BIGINT>) — the join-path face for callers
+    * whose centroids already live in a DataFrame.
+    */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "cv")
+  }
+
+  /** Broadcast-JOIN argmin assignment — (vec_id, cluster, dist2),
+    * bit-identical to the other two paths: the corpus joins the
+    * broadcast centroid relation (no shuffle on the corpus), each
+    * candidate row prices the SAME `zip_with` integer distance, and
+    * the per-vector argmin is `min` over the (dist2, cluster) struct —
+    * lexicographic, ties to the smaller cluster id.
+    *
+    * Use `assignPackedFull` by default: a struct-valued `min` is not
+    * hash-aggregable, so this form pays a per-partition sort of the
+    * k-way candidate expansion (narrow 3-primitive rows — qv is
+    * deliberately NOT carried through it) plus one corpus-keyed
+    * exchange. It exists for centroids that already live in a
+    * DataFrame too large to collect — at which point the flat argmin
+    * is the wrong algorithm anyway and the coarse/fine hierarchy
+    * (IvfPq) should bound the candidate cells first.
+    */
+  def assignJoin(q: DataFrame, centsDf: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("qv")).join(broadcast(centsDf))
+      .select(col("vec_id"),
+        struct(
+          expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dist2"),
+          col("cluster")).as("cand"))
+      .groupBy("vec_id")
+      .agg(min("cand").as("best"))
+      .select(col("vec_id"),
+        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+
+  /** (vec_id, qv, cluster, dist2) — argmin against driver-held
+    * centroids; unrolled-literal at k ≤ MaxLiteralK, packed
+    * single-literal above (both map-side, no shuffle). `packed`
+    * forces a path (specs pin bit-identity).
+    */
+  private def withBest(q: DataFrame, cents: Seq[Array[Long]],
+      packed: Option[Boolean] = None): DataFrame =
+    if (packed.getOrElse(cents.length > MaxLiteralK))
+      assignPackedFull(q, cents)
+    else {
+      val best = array_min(array(
+        cents.zipWithIndex.map { case (c, i) => distStruct(c, i) }: _*))
+      q.select(col("vec_id"), col("qv"), best.as("best"))
+        .select(col("vec_id"), col("qv"),
+          col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+    }
+
+  /** Argmin assignment: (vec_id, cluster, dist2). Physical path picked
+    * by k (see `MaxLiteralK`); `packed` forces one.
+    */
+  def assign(q: DataFrame, cents: Seq[Array[Long]],
+      packed: Option[Boolean] = None): DataFrame =
+    withBest(q, cents, packed).drop("qv")
 
   /** `assign` with the quantized vector retained — (vec_id, qv,
     * cluster, dist2); the entry point residual quantizers (`IvfPq`)
     * need to subtract the assigned centroid from.
     */
-  def assignFull(q: DataFrame, cents: Seq[Array[Long]]): DataFrame =
-    withBest(q, cents)
+  def assignFull(q: DataFrame, cents: Seq[Array[Long]],
+      packed: Option[Boolean] = None): DataFrame =
+    withBest(q, cents, packed)
 
   /** `iters` Lloyd rounds from the md5 seeding; returns the final
     * centroids (cluster index = position). `dims` is asserted against
     * the data (fail loud, not silently wrong distances).
     */
-  def fit(emb: DataFrame, k: Int, iters: Int, dims: Int = 64): Seq[Array[Long]] =
-    fitQ(quantized(emb).localCheckpoint(), k, iters, dims)
+  def fit(emb: DataFrame, k: Int, iters: Int, dims: Int = 64,
+      packed: Option[Boolean] = None): Seq[Array[Long]] =
+    fitQ(quantized(emb).localCheckpoint(), k, iters, dims, packed)
 
   /** The same fit over an already-quantized `(vec_id, qv)` relation —
     * the entry point `PqIndex` uses to fit one codebook per subspace
@@ -98,7 +191,8 @@ object KMeans {
     * should `localCheckpoint` the input once (as `fit` does) so the
     * per-round scans don't recompute the lineage.
     */
-  def fitQ(q: DataFrame, k: Int, iters: Int, dims: Int): Seq[Array[Long]] = {
+  def fitQ(q: DataFrame, k: Int, iters: Int, dims: Int,
+      packed: Option[Boolean] = None): Seq[Array[Long]] = {
     val seedRows = q
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
@@ -112,7 +206,7 @@ object KMeans {
     for (_ <- 1 to iters) {
       val sums = (0 until dims).map(d =>
         sum(element_at(col("qv"), d + 1)).as(s"s$d"))
-      val rows = withBest(q, cents)
+      val rows = withBest(q, cents, packed)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()

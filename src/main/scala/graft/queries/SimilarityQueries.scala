@@ -617,6 +617,25 @@ object SimilarityQueries extends QueryPack {
     // cell-level file pruning; the post-filter alternative would rank
     // first and lose recall). Same composed oracle as n20 with the
     // filter replayed into the candidate relation.
+    // The SAME assignment through the PACKED physical path (the
+    // large-k form `KMeans.MaxLiteralK` dispatches to: all centroids
+    // as ONE nested-array literal walked by transform/array_min —
+    // plan size flat in k, still zero join / zero shuffle, the shape
+    // a 10⁵-cell IVF coarse quantizer needs; KMeansLargeKProbe has
+    // the k = 4096 measurements). Bit-identical to n13 by
+    // construction and SHARES ITS ORACLE VERBATIM — the n10/n18
+    // two-faces-one-oracle discipline: a hash mismatch means the
+    // physical paths diverged.
+    Q("n24_kmeans_assign_packed",
+      (s, d) => {
+        import graft.operators.KMeans
+        KMeans.assign(
+            KMeans.quantized(Tables.load(s, d, "embeddings")),
+            fittedCents(s, d), packed = Some(true))
+          .orderBy("vec_id")
+      },
+      Some(graft.operators.KMeans.assignOracleSql(KmK, KmIters, KmDims))),
+
     Q("n22_filtered_ivfpq",
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}
