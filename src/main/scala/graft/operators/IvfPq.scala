@@ -156,6 +156,48 @@ object IvfPq {
       .orderBy("query_id", "rnk")
   }
 
+  /** Two-stage search with an EXACT re-rank tail — the standard PQ
+    * refinement recipe (Jégou et al. 2011 §V-C's re-ranking variant):
+    * stage 1 prices a WIDE candidate set (`kCand` ≥ `k`) from codes
+    * alone (`search` — cell-pruned ADC, floats never touched), stage 2
+    * fetches ONLY those candidates' stored exact vectors and re-ranks
+    * by the exact integer distance. Recall lost to code quantization
+    * INSIDE the probed cells is recovered (IvfPqSpec plants the case
+    * where ADC's top-1 is exact-wrong and the tail fixes it) at the
+    * price of kCand·|queries| row fetches — never a corpus scan: the
+    * candidate list (bounded, queries·kCand rows) broadcasts into the
+    * vector store, so the store is touched by one semi-join-shaped
+    * pruned read. `vectors` is the (vec_id, qv) exact quantized store
+    * (at 100 TB: the on-disk vec_id-keyed table, of which only the
+    * candidates' rows are read); everything stays in the exact-integer
+    * regime, so the oracle replays the refinement verbatim.
+    */
+  def searchRerank(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      nprobe: Int, kCand: Int, k: Int, dims: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = search(codes, queries, cents, books, nprobe, kCand, dims,
+        excludeSelf)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("adist2"))
+    val qs = queries.select(col("query_id"), col("qv").as("q_qv"))
+    val exact = vectors
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("adist2"),
+        aggregate(zip_with(col("q_qv"), col("n_qv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2"), col("neighbor_id"))
+    exact.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Compact a `PqStream.encodeIvf` output (one tiny partition per
     * micro-batch) into the CELL-partitioned serving layout `search`
     * prunes at the file level: drop the `_batch_id` ingestion key,
@@ -220,7 +262,40 @@ object IvfPq {
     */
   def searchOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int, topK: Int,
-      candFilterSql: String = ""): String = {
+      candFilterSql: String = ""): String =
+    s"""WITH ${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
+        nprobe, candFilterSql)}
+       SELECT query_id, neighbor_id, cell, adist2, rnk
+       FROM ranked WHERE rnk <= $topK ORDER BY query_id, rnk"""
+
+  /** DuckDB replay of `searchRerank`: the full search chain ranked by
+    * ADC, cut at `kCand`, then the exact integer re-rank over the
+    * per-dim relation `ev` (the stored exact vectors) — refinement
+    * replayed arithmetic-for-arithmetic.
+    */
+  def rerankOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, nq: Int, nprobe: Int, kCand: Int,
+      topK: Int): String =
+    s"""WITH ${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
+        nprobe, "")},
+         cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
+           FROM ranked WHERE rnk <= $kCand),
+         rer AS (SELECT c.query_id, c.neighbor_id, c.cell, c.adist2,
+             CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
+           FROM cand c JOIN ev eq ON eq.vec_id = c.query_id
+           JOIN ev en ON en.vec_id = c.neighbor_id AND en.d = eq.d
+           GROUP BY 1, 2, 3, 4),
+         rr AS (SELECT query_id, neighbor_id, cell, adist2, dist2,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist2, neighbor_id) AS INTEGER) AS rnk
+           FROM rer)
+       SELECT query_id, neighbor_id, cell, adist2, dist2, rnk
+       FROM rr WHERE rnk <= $topK ORDER BY query_id, rnk"""
+
+  /** The shared search replay body, through the ADC `ranked` CTE. */
+  private def searchCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, nq: Int, nprobe: Int,
+      candFilterSql: String): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
     val luts = (0 until m).map { i =>
@@ -241,7 +316,7 @@ object IvfPq {
           s" AND l$i.query_id = l0.query_id"
     }.mkString(" ")
     val dsum = (0 until m).map(i => s"l$i.d2").mkString(" + ")
-    s"""WITH ${buildChain(nlist, coarseIters, m, k, iters, dims)},
+    s"""${buildChain(nlist, coarseIters, m, k, iters, dims)},
          probed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
            FROM (SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS pr
@@ -262,8 +337,6 @@ object IvfPq {
          ranked AS (SELECT query_id, neighbor_id, cell, adist2,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY adist2, neighbor_id) AS INTEGER) AS rnk
-           FROM approx)
-       SELECT query_id, neighbor_id, cell, adist2, rnk
-       FROM ranked WHERE rnk <= $topK ORDER BY query_id, rnk"""
+           FROM approx)"""
   }
 }

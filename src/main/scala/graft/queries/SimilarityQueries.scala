@@ -617,6 +617,31 @@ object SimilarityQueries extends QueryPack {
     // cell-level file pruning; the post-filter alternative would rank
     // first and lose recall). Same composed oracle as n20 with the
     // filter replayed into the candidate relation.
+    // Two-stage IVF-PQ: the ADC candidate set widened to kCand = 20,
+    // then the top-10 re-ranked by the EXACT integer distance over the
+    // stored vectors — the standard refinement tail that recovers the
+    // recall code quantization loses inside the probed cells (IvfPqSpec
+    // plants the case where ADC's top-1 is exact-wrong and this fixes
+    // it). The exact fetch is candidate-driven (queries·kCand rows
+    // broadcast into the vector store — never a corpus scan), and the
+    // whole two-stage trajectory stays exact-integer, so the oracle
+    // replays search + refinement verbatim under one hash.
+    Q("n23_ivfpq_rerank",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans}
+        val emb = Tables.load(s, d, "embeddings")
+        val q = KMeans.quantized(emb)
+        val queries = q.filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.searchRerank(
+          IvfPq.encode(emb, fittedCents(s, d), ivfpqBooks(s, d)),
+          q, queries, fittedCents(s, d), ivfpqBooks(s, d),
+          nprobe = 3, kCand = 20, k = K)
+      },
+      Some(graft.operators.IvfPq.rerankOracleSql(
+        KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 3, kCand = 20, topK = K))),
+
     // The SAME assignment through the PACKED physical path (the
     // large-k form `KMeans.MaxLiteralK` dispatches to: all centroids
     // as ONE nested-array literal walked by transform/array_min —

@@ -53,6 +53,61 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("exact re-rank recovers a neighbor ADC misses") {
+    import spark.implicits._
+    // one coarse cell at the origin (residual = vector), per-subspace
+    // codewords {(0,0), (10,10)} in e6 units; query at the origin.
+    //   A = (5.5, 5.5, 5.5, 5.5): exact dist2 121 — the TRUE top-1 —
+    //       but both subspaces code to (10,10), so ADC prices it 400;
+    //   B = (0, 0, 11, 11): exact dist2 242, but subspace codes
+    //       (0,0)/(10,10) price it 200 — ADC's (wrong) top-1.
+    // Codes-only search at k=1 returns B; the re-rank tail over the
+    // stored exact vectors returns A.
+    val e6 = 1000000L
+    val oneCent = Seq(Array(0L, 0L, 0L, 0L))
+    val books = Seq(
+      Seq(Array(0L, 0L), Array(10L * e6, 10L * e6)),
+      Seq(Array(0L, 0L), Array(10L * e6, 10L * e6)))
+    val corpus = Seq(
+      (1L, Array(5.5f, 5.5f, 5.5f, 5.5f)),
+      (2L, Array(0.0f, 0.0f, 11.0f, 11.0f))
+    ).toDF("vec_id", "embedding")
+    val q = KMeans.quantized(corpus)
+    val codes = graft.operators.PqIndex.encodeQ(
+      IvfPq.residuals(q, oneCent), books, dims = 4, carry = Seq("cell"))
+    val queries = Seq((100L, Seq(0L, 0L, 0L, 0L)))
+      .toDF("query_id", "qv")
+    val adcTop = IvfPq.search(codes, queries, oneCent, books,
+      nprobe = 1, k = 1, dims = 4).collect()
+    assert(adcTop.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L),
+      "the planted case must make ADC pick the exact-wrong neighbor")
+    val rerTop = IvfPq.searchRerank(codes, q, queries, oneCent, books,
+      nprobe = 1, kCand = 2, k = 1, dims = 4).collect()
+    assert(rerTop.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L),
+      "re-rank must recover the exact nearest neighbor")
+    assert(rerTop.head.getAs[Long]("dist2") === 121L * e6 * e6)
+  }
+
+  test("re-rank output on the real table is the exact re-ordering of its own candidates") {
+    val queries = KMeans.quantized(emb).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val codes = IvfPq.encode(emb, cents, books)
+    val q = KMeans.quantized(emb)
+    val kCand = 15
+    val cand = IvfPq.search(codes, queries, cents, books, nprobe = 2,
+        k = kCand).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = IvfPq.searchRerank(codes, q, queries, cents, books,
+      nprobe = 2, kCand = kCand, k = 5).collect()
+    // every re-ranked row is one of the ADC candidates
+    assert(rer.forall(r => cand((r.getLong(0), r.getLong(1)))))
+    // and per query the exact distances are non-decreasing in rnk
+    rer.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRnk = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("dist2"))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("planted separated clusters: full-probe recall of cluster-mates is perfect") {
     // three tight, well-separated clusters: a member's exact nearest
     // neighbors ARE its cluster-mates, and with a codeword per cluster
