@@ -49,18 +49,42 @@ object BpeTrainer {
       array_join(regexp_extract_all(piece, lit("(?s)."), lit(0)), R + L),
       lit(R))
 
+  /** BYTE-level initial representation (the production-tokenizer form,
+    * GPT-2-style byte fallback): the piece's UTF-8 bytes, each as a
+    * two-hex-char symbol (`hex` of the encoded blob split into pairs —
+    * uppercase in Spark and DuckDB alike). Two consequences: (a) NO
+    * out-of-alphabet symbol can ever exist — any Unicode text prices,
+    * because the base alphabet is the 256 bytes; (b) the sentinel
+    * precondition vanishes — symbols are hex chars, so U+0002/U+0003
+    * IN THE PIECE TEXT are just bytes like any other (BpeByteSpec
+    * plants exactly that text, which the char-level form must reject).
+    */
+  private def initRepBytes(piece: Column): Column =
+    concat(lit(L),
+      array_join(
+        regexp_extract_all(hex(encode(piece, "UTF-8")), lit(".."), lit(0)),
+        R + L),
+      lit(R))
+
+  private def initRepOf(piece: Column, byteLevel: Boolean): Column =
+    if (byteLevel) initRepBytes(piece) else initRep(piece)
+
   private def symbols(rep: Column): Column =
     regexp_extract_all(rep, lit(symRegex), lit(1))
 
   /** One training run: returns (final state (wf, rep), per-round
     * 1-row merge DataFrames (rnk, s1, s2, cnt)). `pieces` is the
     * (piece, wf) frequency table. Precondition: the corpus supports at
-    * least `k` merges (some piece of length ≥ 2 survives every round)
-    * and piece text contains neither U+0002 nor U+0003.
+    * least `k` merges (some piece of length ≥ 2 survives every round —
+    * checked fail-loud per round below) and, in CHAR-level mode only,
+    * piece text contains neither U+0002 nor U+0003 (`byteLevel = true`
+    * removes that precondition — see `initRepBytes`).
     */
-  def trainState(pieces: DataFrame, k: Int): (DataFrame, Seq[DataFrame]) = {
+  def trainState(pieces: DataFrame, k: Int,
+      byteLevel: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     var st = pieces
-      .select(col("piece"), col("wf"), initRep(col("piece")).as("rep"))
+      .select(col("piece"), col("wf"),
+        initRepOf(col("piece"), byteLevel).as("rep"))
       .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {
@@ -102,16 +126,19 @@ object BpeTrainer {
   /** The learned merge table: (rnk, s1, s2, cnt), one row per round in
     * induction order.
     */
-  def trainMerges(pieces: DataFrame, k: Int): DataFrame =
-    trainState(pieces, k)._2.reduce(_.unionByName(_)).orderBy("rnk")
+  def trainMerges(pieces: DataFrame, k: Int,
+      byteLevel: Boolean = false): DataFrame =
+    trainState(pieces, k, byteLevel)._2
+      .reduce(_.unionByName(_)).orderBy("rnk")
 
   /** Tokenize the corpus with the learned merges: the final state's
     * symbols ARE the subword tokens; exploding them weighted by piece
     * frequency prices the whole corpus at vocabulary cost. Returns the
     * top-`topK` token-frequency table (rnk, token, cnt).
     */
-  def tokenize(pieces: DataFrame, k: Int, topK: Int): DataFrame = {
-    val (st, _) = trainState(pieces, k)
+  def tokenize(pieces: DataFrame, k: Int, topK: Int,
+      byteLevel: Boolean = false): DataFrame = {
+    val (st, _) = trainState(pieces, k, byteLevel)
     val tf = st.select(col("wf"), explode(symbols(col("rep"))).as("token"))
       .groupBy("token").agg(sum("wf").as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
@@ -127,17 +154,39 @@ object BpeTrainer {
     * (piece, n_tokens) — the lookup table that prices a tokenization
     * without touching the corpus (t29's join key).
     */
-  def tokenLengths(pieces: DataFrame, k: Int): DataFrame =
-    trainState(pieces, k)._1
+  def tokenLengths(pieces: DataFrame, k: Int,
+      byteLevel: Boolean = false): DataFrame =
+    trainState(pieces, k, byteLevel)._1
       .select(col("piece"), size(symbols(col("rep"))).as("n_tokens"))
 
   /** The learned merge list collected driver-side — k (s1, s2) pairs in
     * induction order (bounded by k, the fixed-size-model-state idiom:
     * this IS the tokenizer artifact a serving tier ships).
     */
-  def mergeList(pieces: DataFrame, k: Int): Seq[(String, String)] =
-    trainMerges(pieces, k).orderBy("rnk").collect()
+  def mergeList(pieces: DataFrame, k: Int,
+      byteLevel: Boolean = false): Seq[(String, String)] =
+    trainMerges(pieces, k, byteLevel).orderBy("rnk").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Persist a learned merge table — THE shipped-tokenizer artifact: a
+    * (rnk, s1, s2, cnt) parquet, k rows, one file. The induction ORDER
+    * is the tokenizer (BPE applies merges in training order), so rnk
+    * is part of the artifact, not presentation.
+    */
+  def saveMerges(merges: DataFrame, dir: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted merge table back into the driver-held list shape
+    * every serving entry point (`applyMerges`, `docTokenCounts`,
+    * `BpeStream`) consumes — k rows, bounded by construction.
+    * BpeByteSpec proves saved→loaded pricing ≡ trainer-state pricing.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(dir).orderBy("rnk").collect()
+    require(rows.nonEmpty, s"no merge table at $dir — not a BPE artifact")
+    rows.map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))).toSeq
+  }
 
   /** Apply a FROZEN merge list to a delimited representation — the
     * same sequential `replace` fold the trainer runs, with the pair
@@ -156,7 +205,7 @@ object BpeTrainer {
     * a token budget without consulting the trainer's state.
     */
   def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
-      bpePat: String): DataFrame =
+      bpePat: String, byteLevel: Boolean = false): DataFrame =
     docs
       // coalesce: a null text (possible from an at-least-once stream
       // source) prices as 0 tokens rather than poisoning size() to -1
@@ -165,7 +214,8 @@ object BpeTrainer {
       .select(col("doc_id"),
         size(col("ps")).cast("bigint").as("n_pieces"),
         aggregate(col("ps"), lit(0L), (acc, p) =>
-          acc + size(symbols(applyMerges(initRep(p), merges))).cast("long"))
+          acc + size(symbols(applyMerges(initRepOf(p, byteLevel), merges)))
+            .cast("long"))
           .as("n_tokens"))
 
   /** The shared K-round DuckDB CTE chain: piece counting (the given
@@ -181,7 +231,16 @@ object BpeTrainer {
     * K = 8); materialization makes the replay linear in K like the
     * Spark side's localCheckpoint.
     */
-  private def chainSql(bpePat: String, k: Int): String = {
+  private def chainSql(bpePat: String, k: Int,
+      byteLevel: Boolean = false): String = {
+    // byte-level st0: the piece's UTF-8 bytes as two-hex-char symbols —
+    // hex(encode(..)) is uppercase in both engines, so the replay is
+    // symbol-for-symbol the Spark initRepBytes
+    val rep0 =
+      if (byteLevel)
+        s"'$L' || array_to_string(regexp_extract_all(hex(encode(piece)), '..'), '$R$L') || '$R'"
+      else
+        s"'$L' || array_to_string(regexp_extract_all(piece, '(?s).'), '$R$L') || '$R'"
     val rounds = (1 to k).map { r =>
       val p = r - 1
       s"""sy$r AS MATERIALIZED (SELECT wf, regexp_extract_all(rep, '$symRegex', 1) AS syms FROM st$p),
@@ -201,17 +260,18 @@ object BpeTrainer {
                      FROM documents)
                GROUP BY 1),
              st0 AS MATERIALIZED (SELECT piece, wf,
-               '$L' || array_to_string(regexp_extract_all(piece, '(?s).'), '$R$L') || '$R' AS rep
+               $rep0 AS rep
                FROM pc),
              $rounds"""
   }
 
   /** DuckDB replay of `trainMerges` over `documents`. */
-  def trainOracleSql(bpePat: String, k: Int): String = {
+  def trainOracleSql(bpePat: String, k: Int,
+      byteLevel: Boolean = false): String = {
     val union = (1 to k)
       .map(r => s"SELECT CAST($r AS INTEGER) AS rnk, s1, s2, cnt FROM m$r")
       .mkString("\n             UNION ALL ")
-    s"""${chainSql(bpePat, k)}
+    s"""${chainSql(bpePat, k, byteLevel)}
            SELECT rnk, s1, s2, cnt FROM (
              $union
            ) ORDER BY rnk"""

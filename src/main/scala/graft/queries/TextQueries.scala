@@ -1315,5 +1315,26 @@ object TextQueries extends QueryPack {
                ELSE 0 END AS novelty_e6
            FROM documents d LEFT JOIN per USING (doc_id)
            ORDER BY d.doc_id"""))
+    ,
+
+    // BYTE-level BPE trainer (the production-tokenizer form, the
+    // GPT-2-style byte alphabet): t27's K-round induction with the
+    // initial symbols being the pieces' UTF-8 BYTES as two-hex-char
+    // symbols instead of characters — no out-of-alphabet symbol can
+    // ever exist (any Unicode text prices under the 256-byte base
+    // alphabet), and the sentinel precondition on piece text vanishes
+    // because the symbol alphabet is hex chars. Same unrolled 8-round
+    // oracle replay (hex(encode(..)) is uppercase in both engines);
+    // the learned merge table is the save/load artifact BpeByteSpec
+    // round-trips.
+    Q("t32_bpe_byte_train",
+      (s, d) => graft.operators.BpeTrainer.trainMerges(
+        Tables.load(s, d, "documents")
+          .select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+            .as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("wf")),
+        BpeK, byteLevel = true),
+      Some(graft.operators.BpeTrainer.trainOracleSql(BpePat, BpeK,
+        byteLevel = true)))
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrainer
+
+/** Byte-level BPE + the merge-table artifact lifecycle — the contracts
+  * beyond t32's oracle hash: byte-fallback coverage (any Unicode text
+  * prices, sentinel chars included), first-principles merge order on a
+  * planted corpus, and save → load → price ≡ trainer-state pricing
+  * (the shipped-tokenizer round trip).
+  */
+class BpeByteSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("byte-level init prices sentinel chars and multi-byte unicode (char-level's precondition gone)") {
+    // text containing the char-level sentinels U+0002/U+0003 and a
+    // 3-byte CJK char: byte-level initial symbols are hex pairs, so
+    // nothing collides and every byte is priced
+    val pieces = Seq(("a\u0002b\u0003中", 2L)).toDF("piece", "wf")
+    val (st, _) = BpeTrainer.trainState(pieces, k = 1, byteLevel = true)
+    val rep = st.select("rep").first().getString(0)
+    // initial alphabet: a=61, STX=02, b=62, ETX=03, 中=E4B8AD → 7 bytes,
+    // one merge applied → 6 symbols
+    val syms = rep.split(BpeTrainer.R + BpeTrainer.L).length
+    assert(syms === 6, s"expected 6 symbols after 1 merge, got $syms in ${rep.length}-char rep")
+  }
+
+  test("planted corpus: byte merges follow frequency with the (cnt, s1, s2) tie-break") {
+    // "abab" (wf 3) + "ab" (wf 2): byte pairs (61,62) occur 3+3+2 = 8
+    // times... wait — counted per ADJACENT pair occurrence: "abab" has
+    // (61,62),(62,61),(61,62) → (61,62)×2, (62,61)×1 per piece. So
+    // cnt(61,62) = 2·3 + 1·2 = 8, cnt(62,61) = 3 — round 1 must merge
+    // (61, 62); round 2 then sees "6162 6162" pairs (6162,6162) cnt 3
+    // vs ("6162","") — must merge (6162, 6162).
+    val pieces = Seq(("abab", 3L), ("ab", 2L)).toDF("piece", "wf")
+    val merges = BpeTrainer.trainMerges(pieces, k = 2, byteLevel = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges(0) === ((1, "61", "62", 8L)))
+    assert(merges(1) === ((2, "6162", "6162", 3L)))
+  }
+
+  test("saved then loaded merge table prices documents identically to the trainer state") {
+    val docs = Tables.load(spark, dir, "documents").limit(100)
+      .localCheckpoint()
+    val pieces = docs
+      .select(explode(expr(
+        s"regexp_extract_all(text, '${graft.queries.TextQueries.BpePat}', 0)"))
+        .as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("wf"))
+    val direct = BpeTrainer.mergeList(pieces, k = 4, byteLevel = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+    BpeTrainer.saveMerges(
+      BpeTrainer.trainMerges(pieces, k = 4, byteLevel = true), tmp)
+    val loaded = BpeTrainer.loadMerges(spark, tmp)
+    assert(loaded === direct, "artifact round-trip changed the merge list")
+    val a = BpeTrainer.docTokenCounts(docs, direct,
+        graft.queries.TextQueries.BpePat, byteLevel = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = BpeTrainer.docTokenCounts(docs, loaded,
+        graft.queries.TextQueries.BpePat, byteLevel = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("loadMerges fails loud on an empty or missing artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_empty").toString
+    spark.range(0).selectExpr("CAST(0 AS INT) AS rnk",
+        "CAST('' AS STRING) AS s1", "CAST('' AS STRING) AS s2",
+        "CAST(0 AS BIGINT) AS cnt")
+      .write.mode("overwrite").parquet(tmp)
+    assertThrows[IllegalArgumentException] {
+      BpeTrainer.loadMerges(spark, tmp)
+    }
+  }
+}
