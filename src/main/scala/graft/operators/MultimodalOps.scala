@@ -692,6 +692,57 @@ object MultimodalOps {
 
   val WavRate = 8000f
 
+  /** Audio SPI providers cached ONCE PER JVM: every
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` call
+    * re-enumerates the provider set with a fresh `ServiceLoader`
+    * (`JDK13Services` builds one per lookup), so the per-clip decode
+    * paid a provider scan per payload — measured as roughly half the
+    * m10/m12 entry cost. The public `javax.sound.sampled.spi` SPI
+    * exposes the same provider set, so it is loaded once per executor
+    * JVM (lazy vals on this object) and dispatched directly; the SAME
+    * provider parses/writes each payload, so results are
+    * byte-identical (MultimodalSpec + the m10/m12 oracle hashes pin
+    * that).
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator.asScala.toSeq
+  }
+
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator.asScala.toSeq
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the per-call provider
+    * scan: first cached reader that accepts the payload wins (the
+    * AudioSystem contract — providers are format-disjoint here).
+    */
+  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    audioReaders.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(new ByteArrayInputStream(bytes)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+    }.nextOption().getOrElse(throw
+      new javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed audio provider accepts the payload"))
+
+  /** `AudioSystem.write` minus the per-call provider scan. */
+  private def writeAudio(ais: javax.sound.sampled.AudioInputStream,
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      out: java.io.OutputStream): Unit = {
+    val w = audioWriters.find(_.isFileTypeSupported(tpe, ais))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no installed audio provider writes $tpe"))
+    w.write(ais, tpe, out)
+    ()
+  }
+
   /** A real RIFF/WAVE payload written by the JDK's own WAV encoder
     * (`javax.sound.sampled.AudioSystem.write`): 16-bit signed
     * little-endian mono PCM at 8 kHz. WAV PCM is lossless, so the m10
@@ -699,7 +750,7 @@ object MultimodalOps {
     * endianness slip, or frame-size error cannot hash-match.
     */
   def wavBytes(docId: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioFileFormat}
     val n = wavSampleCount(docId)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -712,7 +763,7 @@ object MultimodalOps {
     val fmt = new AudioFormat(WavRate, 16, 1, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    writeAudio(ais, AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 
@@ -734,8 +785,7 @@ object MultimodalOps {
     * surface, not fabricate samples.
     */
   def decodeWav(bytes: Array[Byte]): WavClip = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = openAudio(bytes)
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
@@ -940,7 +990,7 @@ object MultimodalOps {
     * byte order, the decoder must honor it).
     */
   def aiffBytes(docId: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioFileFormat}
     val n = aiffSampleCount(docId)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -953,7 +1003,7 @@ object MultimodalOps {
     val fmt = new AudioFormat(WavRate, 16, 1, true, true)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, baos)
+    writeAudio(ais, AudioFileFormat.Type.AIFF, baos)
     baos.toByteArray
   }
 
@@ -973,8 +1023,7 @@ object MultimodalOps {
     * (MultimodalSpec pins the negative case).
     */
   def decodeAiff(bytes: Array[Byte]): WavClip = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = openAudio(bytes)
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
