@@ -64,6 +64,48 @@ class ClusterStreamSpec extends AnyFunSuite {
       "duplicated vectors leaked extra rows")
   }
 
+  test("a shifted stream flags drift and a rebaseline clears it") {
+    // baseline on the fit corpus → routing the SAME corpus sits at
+    // ratio ≈ 1 (unflagged); a +5-per-dim shifted slice multiplies the
+    // mean assigned dist2 far past the 1.25 threshold (flagged); a
+    // refit-on-the-shift rebaseline + restart routes the shifted slice
+    // unflagged again — the IvfAppendSpec drift arc at the plain
+    // k-means tier
+    val monitor = Files.createTempDirectory("graft_cs_mon").toString
+    ClusterStream.writeBaseline(emb, cents, monitor)
+
+    def routeOnce(rs: Seq[(Long, Array[Float])], cs: Seq[Array[Long]]): Unit = {
+      val srcDir = Files.createTempDirectory("graft_cs_drift_src").toString
+      val base = Files.createTempDirectory("graft_cs_drift").toString
+      rs.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f0")
+      val src = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+      val q = ClusterStream.route(src, cs, s"$base/out", s"$base/ck",
+          monitorDir = Some(monitor))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    routeOnce(rows, cents)
+    val ok = ClusterStream.driftStatus(spark, monitor)
+    assert(ok.exists(d => !d.flagged && math.abs(d.ratio - 1.0) < 0.05),
+      s"in-distribution batch should sit near ratio 1: $ok")
+
+    val shifted = rows.map { case (id, v) => (id + 100000L, v.map(_ + 5.0f)) }
+    routeOnce(shifted, cents)
+    val bad = ClusterStream.driftStatus(spark, monitor)
+    assert(bad.exists(_.flagged), s"shifted batch must flag: $bad")
+
+    val newCents = ClusterStream.rebaseline(
+      shifted.toDF("vec_id", "embedding"), k = 4, iters = 2, monitor)
+    assert(ClusterStream.driftStatus(spark, monitor).isEmpty,
+      "rebaseline must clear the stale drift log")
+    routeOnce(shifted, newCents)
+    val cleared = ClusterStream.driftStatus(spark, monitor)
+    assert(cleared.exists(d => !d.flagged),
+      s"post-rebaseline shifted batch must not flag: $cleared")
+  }
+
   test("crash replay overwrites its own batch partition") {
     val (base, first) = run(Seq(rows.take(50)), onePer = false)
     // simulate replay of batch 0: re-run the same foreachBatch body
