@@ -608,6 +608,43 @@ object RelationalQueries extends QueryPack {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            FROM q GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // RANGE window frame over a GAPPED ordering — the window face ROWS
+    // frames can't express: the rolling 7-day revenue at day d sums
+    // every daily row whose day VALUE lies in [d−6, d], so calendar
+    // gaps shrink the window (days_7d < 7 across a gap — the planted
+    // discriminator: a ROWS 6 PRECEDING implementation reads 7 rows
+    // regardless and hash-mismatches). Revenue stays exact DECIMAL
+    // through both the daily agg and the windowed sum; the unpartitioned
+    // window is safe because its input is the DAILY relation — bounded
+    // by the calendar (~2.4k rows per 6 years at any corpus scale),
+    // the t14-style fixed-size-state argument.
+    Q("w4_rolling_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "orders")
+          .groupBy(
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+              .as("day"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+        daily.select(col("day"), col("o_day"),
+            col("rev").cast("double").as("day_revenue"),
+            sum(col("rev")).over(w).cast("double").as("rev_7d"),
+            count(lit(1)).over(w).cast("bigint").as("days_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+               FROM orders GROUP BY 1, 2)
+           SELECT day, o_day,
+             CAST(rev AS DOUBLE) AS day_revenue,
+             CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+             CAST(COUNT(*) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_7d
+           FROM daily ORDER BY day""")),
+
     // Correlated SCALAR subquery — one aggregate per outer row,
     // decorrelated by Catalyst into a left outer join + grouped
     // aggregate (never per-row re-execution): the §2.9 surface q1's
@@ -1297,6 +1334,55 @@ object RelationalQueries extends QueryPack {
              CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE)
                / CAST(SUM(vol) AS DOUBLE) AS mkt_share
            FROM vols GROUP BY 1 ORDER BY 1""")),
+
+    // h9 = TPC-H Q9 (product-type profit by nation and year), cost
+    // adapted to the reduced schema (no partsupp, so unit cost =
+    // p_retailprice): profit = extendedprice·(1−discount) −
+    // retailprice·quantity, per (supplier nation, order year), over
+    // parts whose name matches the color token. The shape: a 5-way
+    // join where THREE relations key the fact (part, supplier,
+    // orders), the name filter prunes part before the join, dims
+    // broadcast, lineitem shuffles once on orderkey; the profit
+    // expression stays exact DECIMAL until the final cast (the
+    // 38-digit headroom documented at h1: (18,2)×(18,2) products at
+    // scale 4, summed exactly).
+    Q("h9_product_profit",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")
+        val su = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+        val li = t(s, d, "lineitem")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("nation"), year(col("o_orderdate")).as("o_year"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
+              dec(col("p_retailprice")) * dec(col("l_quantity")))
+              .as("amount"))
+          .groupBy("nation", "o_year")
+          .agg(sum(col("amount")).cast("double").as("sum_profit"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""WITH profit AS (SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE p_name LIKE '%red%')
+           SELECT nation, o_year,
+             CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+             CAST(count(*) AS BIGINT) AS n_lines
+           FROM profit GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
 
     // h19 = TPC-H Q19 (discounted revenue), predicate adapted to the
     // reduced schema (no shipmode/shipinstruct/container): the
