@@ -270,20 +270,23 @@ object IvfPq {
 
   /** DuckDB replay of `searchRerank`: the full search chain ranked by
     * ADC, cut at `kCand`, then the exact integer re-rank over the
-    * per-dim relation `ev` (the stored exact vectors) — refinement
-    * replayed arithmetic-for-arithmetic.
+    * per-dim NEIGHBOR relation — `ev` (the stored exact vectors) by
+    * default; a re-rank against a compressed tier (the n25 SQ store)
+    * passes its own reconstruction CTEs via `extraCtes` and names the
+    * per-dim relation via `neighborEv`. The query side always prices
+    * from `ev` (asymmetric refinement, like ADC itself).
     */
   def rerankOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int, kCand: Int,
-      topK: Int): String =
+      topK: Int, extraCtes: String = "", neighborEv: String = "ev"): String =
     s"""WITH ${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
-        nprobe, "")},
+        nprobe, "")}${if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
            FROM ranked WHERE rnk <= $kCand),
          rer AS (SELECT c.query_id, c.neighbor_id, c.cell, c.adist2,
              CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
            FROM cand c JOIN ev eq ON eq.vec_id = c.query_id
-           JOIN ev en ON en.vec_id = c.neighbor_id AND en.d = eq.d
+           JOIN $neighborEv en ON en.vec_id = c.neighbor_id AND en.d = eq.d
            GROUP BY 1, 2, 3, 4),
          rr AS (SELECT query_id, neighbor_id, cell, adist2, dist2,
              CAST(row_number() OVER (PARTITION BY query_id

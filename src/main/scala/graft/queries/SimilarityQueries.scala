@@ -642,6 +642,40 @@ object SimilarityQueries extends QueryPack {
         KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
         nprobe = 3, kCand = 20, topK = K))),
 
+    // The SAME two-stage refinement against the SQ-COMPRESSED tier
+    // instead of the full-precision store — the tiered-storage shape a
+    // 100 TB corpus actually serves: PQ codes prune and rank, the
+    // 0.5-byte/dim SQ tier (n9/n10's store) refines, and the float
+    // corpus is never touched at all. The refinement distance is the
+    // exact integer L2 between the query's exact quantized vector and
+    // the e6-quantized SQ RECONSTRUCTION (asymmetric, like ADC) — the
+    // whole chain (SQ build, encode, pack, unpack, reconstruct,
+    // candidate selection, re-rank) replays under one hash, sharing
+    // the n9/n10 SQ CTEs verbatim so the tiers cannot drift.
+    Q("n25_ivfpq_rerank_sq",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans, Quantization}
+        val emb = Tables.load(s, d, "embeddings")
+        val cb = Quantization.sqCodebook(emb)
+        val recQ = KMeans.quantized(
+          Quantization.sqDecode(Quantization.sqEncode(emb, cb), cb))
+        val queries = KMeans.quantized(emb)
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.searchRerank(
+          IvfPq.encode(emb, fittedCents(s, d), ivfpqBooks(s, d)),
+          recQ, queries, fittedCents(s, d), ivfpqBooks(s, d),
+          nprobe = 3, kCand = 20, k = K)
+      },
+      Some(graft.operators.IvfPq.rerankOracleSql(
+        KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 3, kCand = 20, topK = K,
+        extraCtes = s"""$sqChainCtes,
+         sqev AS (SELECT u.vec_id, a.dim + 1 AS d,
+           CAST(floor(CAST(CAST(a.anchor AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS v
+           FROM unp u JOIN anch a ON a.dim = u.dim AND a.l = u.code)""",
+        neighborEv = "sqev"))),
+
     // The SAME assignment through the PACKED physical path (the
     // large-k form `KMeans.MaxLiteralK` dispatches to: all centroids
     // as ONE nested-array literal walked by transform/array_min —
@@ -768,10 +802,13 @@ object SimilarityQueries extends QueryPack {
     * by n9 (ad-hoc) and n10 (served) — bit-identity of the two faces is
     * the claim.
     */
-  // lazy: referenced from `queries` above its declaration (declaration
-  // order is load-bearing for plain vals in a Scala object)
-  private lazy val sqAdcOracle: String =
-      (s"""WITH comps AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+  /** The SQ build→encode→pack→unpack replay CTEs alone (through `unp` +
+    * the anchor table) — shared by the n9/n10 ADC oracle and the n25
+    * SQ-tier re-rank oracle, so the two faces cannot drift on what the
+    * SQ store contains.
+    */
+  private lazy val sqChainCtes: String =
+      s"""comps AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
                CAST(embedding[i] AS DOUBLE) AS v
                FROM (SELECT vec_id, embedding,
                  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
@@ -793,7 +830,12 @@ object SimilarityQueries extends QueryPack {
                FROM enc GROUP BY vec_id, dim // 2),
              unp AS (SELECT vec_id, bi * 2 AS dim, (b + 128) // 16 AS code FROM pk
                UNION ALL
-               SELECT vec_id, bi * 2 + 1, (b + 128) % 16 FROM pk),
+               SELECT vec_id, bi * 2 + 1, (b + 128) % 16 FROM pk)"""
+
+  // lazy: referenced from `queries` above its declaration (declaration
+  // order is load-bearing for plain vals in a Scala object)
+  private lazy val sqAdcOracle: String =
+      (s"""WITH $sqChainCtes,
              rec AS (SELECT u.vec_id,
                list(CAST(a.anchor AS FLOAT) ORDER BY u.dim) AS ne
                FROM unp u JOIN anch a ON a.dim = u.dim AND a.l = u.code
