@@ -718,19 +718,42 @@ object MultimodalOps {
       .iterator.asScala.toSeq
   }
 
+  /** Last reader that accepted a payload, tried first on the next one:
+    * a rejecting reader signals by THROWING UnsupportedAudioFileException,
+    * and per-clip exception construction ahead of the accepting reader
+    * was measured at ~4× the whole decode (m10's WAV sat behind the
+    * AIFF reader in provider order). Decode streams are format-uniform,
+    * so the hint hits ~always; a mixed stream just pays the old probe
+    * order on format flips. Correctness is unchanged: providers are
+    * format-disjoint, so WHICH reader accepts is a function of the
+    * payload, not of probe order.
+    */
+  @volatile private var lastGoodReader: javax.sound.sampled.spi.AudioFileReader = null
+
   /** `AudioSystem.getAudioInputStream` minus the per-call provider
     * scan: first cached reader that accepts the payload wins (the
     * AudioSystem contract — providers are format-disjoint here).
     */
-  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
-    audioReaders.iterator.flatMap { r =>
-      try Some(r.getAudioInputStream(new ByteArrayInputStream(bytes)))
+  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val hint = lastGoodReader
+    if (hint != null) {
+      try return hint.getAudioInputStream(new ByteArrayInputStream(bytes))
       catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    audioReaders.iterator.flatMap { r =>
+      try {
+        val ais = r.getAudioInputStream(new ByteArrayInputStream(bytes))
+        lastGoodReader = r
+        Some(ais)
+      } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
       }
     }.nextOption().getOrElse(throw
       new javax.sound.sampled.UnsupportedAudioFileException(
         "no installed audio provider accepts the payload"))
+  }
 
   /** `AudioSystem.write` minus the per-call provider scan. */
   private def writeAudio(ais: javax.sound.sampled.AudioInputStream,
