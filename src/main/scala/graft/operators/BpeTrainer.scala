@@ -281,8 +281,9 @@ object BpeTrainer {
     * chain, a per-(source, piece) count, and the join of the two —
     * corpus priced entirely at vocabulary cost on both engines.
     */
-  def sourceTokensOracleSql(bpePat: String, k: Int): String =
-    s"""${chainSql(bpePat, k)},
+  def sourceTokensOracleSql(bpePat: String, k: Int,
+      byteLevel: Boolean = false): String =
+    s"""${chainSql(bpePat, k, byteLevel)},
              lens AS (SELECT piece,
                CAST(len(regexp_extract_all(rep, '$symRegex', 1)) AS INTEGER) AS n_tokens
                FROM st$k),

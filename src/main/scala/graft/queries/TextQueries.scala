@@ -1336,5 +1336,37 @@ object TextQueries extends QueryPack {
         BpeK, byteLevel = true),
       Some(graft.operators.BpeTrainer.trainOracleSql(BpePat, BpeK,
         byteLevel = true)))
+    ,
+
+    // The byte-level tokenizer priced end-to-end: t29's per-source
+    // token budget under the t32 BYTE alphabet — same
+    // count-don't-rescan shape (per-(source, piece) counts joined to
+    // the vocabulary-sized byte-subword length table), same sp12
+    // overflow-safe e6 decomposition. Byte counts differ from char
+    // counts exactly where multi-byte text lives, so the per-source
+    // compression ratio now reflects what a production byte-level
+    // tokenizer would actually bill each source.
+    Q("t33_bpe_byte_source_tokens",
+      (s, d) => {
+        val ps = Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+              .as("piece"))
+          .groupBy("source", "piece").agg(count(lit(1)).as("wf_s"))
+        val global = ps.groupBy("piece").agg(sum("wf_s").as("wf"))
+        val lens = graft.operators.BpeTrainer.tokenLengths(global, BpeK,
+          byteLevel = true)
+        ps.join(broadcast(lens), Seq("piece"))
+          .groupBy("source")
+          .agg(sum(col("wf_s") * col("n_tokens")).as("bpe_tokens"),
+            sum("wf_s").as("n_pieces"))
+          .select(col("source"), col("bpe_tokens"), col("n_pieces"),
+            expr("(bpe_tokens div n_pieces) * 1000000" +
+              " + ((bpe_tokens % n_pieces) * 1000000) div n_pieces")
+              .as("tokens_per_piece_e6"))
+          .orderBy("source")
+      },
+      Some(graft.operators.BpeTrainer.sourceTokensOracleSql(BpePat, BpeK,
+        byteLevel = true)))
   )
 }
