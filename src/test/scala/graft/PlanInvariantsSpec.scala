@@ -76,6 +76,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n9/n10 are the same deliberate shape over the SQ-reconstructed
     // corpus (ADC keeps the query side exact and broadcast-tiny)
     "n9_sq_adc_topk", "n10_sq_adc_served",
+    // n25 re-ranks against that same SQ-reconstructed tier, so it
+    // inherits the n9/n10 SQ-chain shape (the codebook BUILD crosses
+    // two tiny aggregates — dims×levels rows); the re-rank joins
+    // themselves are equi (candidate- and query-keyed broadcasts)
+    "n25_ivfpq_rerank_sq",
     // t14/t16/x5: histQuantiles crosses the ≤64-row histogram's 1-row
     // total against the literal quantile-spec rows (and x5 carries the
     // same shape per source) — every side is sketch-sized by
