@@ -185,6 +185,15 @@ object BpeTrainer {
       dir: String): Seq[(String, String)] = {
     val rows = spark.read.parquet(dir).orderBy("rnk").collect()
     require(rows.nonEmpty, s"no merge table at $dir — not a BPE artifact")
+    // Induction order IS the tokenizer, so a truncated or reordered
+    // artifact (missing ranks, duplicates) would load as a
+    // wrong-but-plausible merge list. Fail loud instead: ranks must be
+    // exactly 1..k (the trainer writes `r <- 1 to k` verbatim).
+    val rnks = rows.map(_.getAs[Int]("rnk")).toSeq
+    require(rnks == (1 to rows.length),
+      s"corrupt merge table at $dir: ranks ${rnks.take(8).mkString(",")}… " +
+        s"are not the contiguous 1..${rows.length} the trainer writes — " +
+        "gaps or duplicate ranks mean a truncated/reordered artifact")
     rows.map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))).toSeq
   }
 

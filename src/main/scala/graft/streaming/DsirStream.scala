@@ -50,8 +50,15 @@ object DsirStream {
     // which a concurrent micro-batch's per-batch read (`scoreBatch`)
     // sees a missing or partially-written table. The full job runs
     // against a staging path; the visible dir is then replaced by two
-    // filesystem renames (metadata ops), so a concurrent reader sees
-    // either the old table or the new one.
+    // filesystem renames (metadata ops). RESIDUAL window: two renames
+    // are not one atomic swap — between retiring live and publishing
+    // staging, live briefly does not exist, and a crash in that gap
+    // leaves the old table stranded at `.retired`. Both are covered by
+    // `recoverRetired` (called by every `scoreBatch`): a read that
+    // finds live missing but `.retired` present renames the old table
+    // back, so the in-flight-swap race degrades to a retry-able read
+    // of the OLD table and a crash between the renames self-heals on
+    // the next scoring call.
     val staging = weightsDir + ".staging"
     Dsir.weights(toks, col("source").isin(targetSources: _*), dims)
       .coalesce(1)
@@ -69,6 +76,25 @@ object DsirStream {
     ()
   }
 
+  /** Crash recovery for the two-rename swap: if a `fitWeights` died
+    * between retiring the live table and publishing staging, the data
+    * is stranded at `.retired` and live is missing — rename it back so
+    * scoring keeps working under the old table until the next
+    * successful refit. No-op (one existence check) on a healthy store.
+    */
+  private[streaming] def recoverRetired(spark: SparkSession,
+      weightsDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(weightsDir)
+    val fs = live.getFileSystem(hconf)
+    val retired = new org.apache.hadoop.fs.Path(weightsDir + ".retired")
+    if (!fs.exists(live) && fs.exists(retired)) {
+      require(fs.rename(retired, live),
+        s"could not restore $retired to $weightsDir")
+      ()
+    }
+  }
+
   /** Score a doc batch (streaming micro-batch or static frame) against
     * the persisted weights: (doc_id, source, score_e6, n_toks) — the
     * x7 scoring arithmetic verbatim, so stream and batch can never
@@ -82,6 +108,7 @@ object DsirStream {
   def scoreBatch(docs: DataFrame, weightsDir: String,
       dims: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
+    recoverRetired(spark, weightsDir)
     val w = spark.read.parquet(weightsDir)
     docs.select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("token"))

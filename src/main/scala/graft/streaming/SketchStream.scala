@@ -154,17 +154,22 @@ object SketchStream {
     // numeric-looking group value ('007') would otherwise be inferred
     // as int 7 and read back as '7' — group keys must round-trip
     // VERBATIM (the manual listing this reader replaced preserved the
-    // raw directory name). Inference is a session conf, not a reader
-    // option; `spark.read.parquet` resolves partitions eagerly, so
-    // scoping the flip around the call is sufficient. With inference
-    // off EVERY partition column reads as string, so `_batch_id` is
-    // cast back explicitly below.
+    // raw directory name). With inference off EVERY partition column
+    // reads as string, so `_batch_id` is cast back explicitly below.
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey)
+    // The flip lives on a FORKED session, not the caller's: inference
+    // is a session conf, not a reader option, and toggling it on the
+    // shared session would leak to any concurrent query in the window
+    // (its partition columns would silently read as strings). A
+    // `newSession()` shares the SparkContext (same files, same
+    // executors) but owns its conf, so the flip is invisible outside
+    // this read; the frames it yields compose with caller frames
+    // because plans bind to the context, not the session.
+    val reader = spark.newSession()
+    reader.conf.set(inferKey, "false")
     val raw =
       try {
-        spark.conf.set(inferKey, "false")
-        val df = spark.read.parquet(dir)
+        val df = reader.read.parquet(dir)
         if (df.columns.contains("_batch_id"))
           df.withColumn("_batch_id", col("_batch_id").cast("bigint"))
         else df
@@ -173,7 +178,7 @@ object SketchStream {
           spark.range(0).selectExpr("CAST('' AS STRING) AS g",
             "CAST(0 AS INT) AS r", "CAST(0 AS BIGINT) AS idx",
             "CAST(0 AS BIGINT) AS c")
-      } finally spark.conf.set(inferKey, prevInfer)
+      }
     val cells =
       if (raw.columns.contains("_batch_id")) {
         val folded = raw.filter(col("r") === -1)

@@ -78,4 +78,28 @@ class BpeByteSpec extends AnyFunSuite {
       BpeTrainer.loadMerges(spark, tmp)
     }
   }
+
+  test("loadMerges fails loud on a truncated or reordered artifact") {
+    import spark.implicits._
+    def write(rnks: Seq[Int]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_bad").toString
+      rnks.map(r => (r, s"a$r", s"b$r", 1L)).toDF("rnk", "s1", "s2", "cnt")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    // gap (rank 2 missing — a dropped row re-indexes every later merge)
+    assertThrows[IllegalArgumentException] {
+      BpeTrainer.loadMerges(spark, write(Seq(1, 3, 4)))
+    }
+    // duplicate rank (ambiguous induction order)
+    assertThrows[IllegalArgumentException] {
+      BpeTrainer.loadMerges(spark, write(Seq(1, 2, 2)))
+    }
+    // 0-based artifact from a foreign trainer (off-by-one application)
+    assertThrows[IllegalArgumentException] {
+      BpeTrainer.loadMerges(spark, write(Seq(0, 1, 2)))
+    }
+    // the healthy shape still loads
+    assert(BpeTrainer.loadMerges(spark, write(Seq(1, 2, 3))).length === 3)
+  }
 }

@@ -106,6 +106,28 @@ class ClusterStreamSpec extends AnyFunSuite {
       s"post-rebaseline shifted batch must not flag: $cleared")
   }
 
+  test("a degenerate (zero) baseline cannot mask drift: positive-distance batches flag") {
+    // a 1-vector corpus fits perfectly: baseline mean_dist2 = 0; the
+    // shifted batch then has d > 0 against a zero denominator — the
+    // monitor must flag, not record a green ratio-0 row forever
+    val monitor = Files.createTempDirectory("graft_cs_zero").toString
+    val one = Seq((1L, Array.fill(64)(1.0f)))
+    val oneCents = KMeans.fit(one.toDF("vec_id", "embedding"), k = 1, iters = 1)
+    ClusterStream.writeBaseline(one.toDF("vec_id", "embedding"), oneCents, monitor)
+    val base = Files.createTempDirectory("graft_cs_zero_out").toString
+    val srcDir = Files.createTempDirectory("graft_cs_zero_src").toString
+    Seq((2L, Array.fill(64)(9.0f))).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/f0")
+    val src = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+    val q = ClusterStream.route(src, oneCents, s"$base/out", s"$base/ck",
+        monitorDir = Some(monitor))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val d = ClusterStream.driftStatus(spark, monitor)
+    assert(d.exists(r => r.flagged && r.meanDist2 > 0.0),
+      s"zero-baseline drift must flag: $d")
+  }
+
   test("crash replay overwrites its own batch partition") {
     val (base, first) = run(Seq(rows.take(50)), onePer = false)
     // simulate replay of batch 0: re-run the same foreachBatch body

@@ -104,4 +104,27 @@ class DsirStreamSpec extends AnyFunSuite {
     assert(alphaOnly.getAs[Int]("n_toks") === 1)
     assert(r.getAs[Long]("score_e6") === alphaOnly.getAs[Long]("score_e6"))
   }
+
+  test("a crash between the swap renames self-heals: scoreBatch restores .retired") {
+    val base = Files.createTempDirectory("graft_dsir3").toString
+    val wDir = s"$base/weights"
+    DsirStream.fitWeights(corpus.toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", Seq("wiki"), wDir)
+    val before = DsirStream.scoreBatch(
+      Seq((9L, "web", "alpha beta")).toDF("doc_id", "source", "text"), wDir)
+      .head().getAs[Long]("score_e6")
+    // simulate fitWeights dying between retiring live and publishing
+    // staging: live gone, old table stranded at .retired
+    val fs = new org.apache.hadoop.fs.Path(wDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(wDir),
+      new org.apache.hadoop.fs.Path(wDir + ".retired")))
+    val after = DsirStream.scoreBatch(
+      Seq((9L, "web", "alpha beta")).toDF("doc_id", "source", "text"), wDir)
+      .head().getAs[Long]("score_e6")
+    assert(after === before, "recovered table must score identically")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(wDir)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(wDir + ".retired")),
+      "recovery must restore live and clear .retired")
+  }
 }
