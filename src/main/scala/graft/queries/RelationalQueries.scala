@@ -15,9 +15,13 @@ import graft.Tables
   * Scale notes (100 TB design):
   *   - every query is a declarative DataFrame/SQL plan — Catalyst pushes
   *     filters/projections into the parquet scan and picks join strategies;
-  *   - dimension tables (region/nation/supplier/security) are explicitly
-  *     `broadcast()`-hinted where they join a fact, so no shuffle of the
-  *     fact side happens for those joins at any scale;
+  *   - only BOUNDED dimension tables (region/nation/security — fixed row
+  *     counts at every sf) carry explicit `broadcast()` hints; anything
+  *     that grows with sf (customer, supplier, filtered part, HAVING
+  *     survivor sets) stays un-hinted so the size estimate broadcasts it
+  *     at test scale and CBO/AQE decides from actual sizes at 100 TB — a
+  *     forced hint on a scaling relation dies on driver memory instead
+  *     of degrading to the then-correct shuffle join;
   *   - fact-fact joins (lineitem ⋈ orders) are shuffle hash/sort-merge on
   *     the join key, which partitions correctly on a cluster; AQE (enabled
   *     in the session) re-plans skew at runtime.
@@ -125,9 +129,12 @@ object RelationalQueries extends QueryPack {
     // ---- §2.3 joins --------------------------------------------------
     // J1: multi-way inner equi-join with the same dim aliased twice
     // (stations as start/end, dp_setup.sql:76-79) → nation joined through
-    // customer AND through supplier. Dims are broadcast — the lineitem
-    // fact never shuffles for them; only lineitem⋈orders shuffles on the
+    // customer AND through supplier. Only lineitem⋈orders shuffles on the
     // orderkey, which stays the partitioning key through the aggregate.
+    // Hints: only the two nation aliases (25 rows at any sf) are
+    // broadcast()-hinted; customer and supplier GROW with sf, so they
+    // stay un-hinted (h5's rule) — the planner's size estimate
+    // broadcasts them at test scale, AQE/CBO decides at 100 TB.
     Q("j1_join_multiway",
       (s, d) => {
         val li = t(s, d, "lineitem")
@@ -139,8 +146,8 @@ object RelationalQueries extends QueryPack {
         val n2 = t(s, d, "nation").select(
           col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
           .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
           .join(broadcast(n2), su("s_nationkey") === col("s_nk"))
           .groupBy(col("cust_nation"), col("supp_nation"))
@@ -954,10 +961,14 @@ object RelationalQueries extends QueryPack {
     // threshold, then re-join the winners to customer/orders/lineitem
     // for the report. Plan: the HAVING subquery is ONE map-side-combined
     // aggregation of lineitem (no raw-row shuffle beyond the orderkey
-    // partial agg); its tiny survivor set broadcasts into the re-join,
-    // so at 100 TB lineitem is scanned twice but shuffled never —
-    // customer stays un-hinted (fact-scale, h5's rule) and joins the
-    // survivor-pruned orders.
+    // partial agg); the survivor set is tiny by construction but grows
+    // linearly with sf, so it carries NO broadcast() hint — at test
+    // scale the size estimate broadcasts it, and at 100 TB AQE reads
+    // the ACTUAL post-HAVING size off the shuffle and either
+    // broadcasts (still tiny) or keeps the shuffle join (which is then
+    // the right plan) instead of a forced hint blowing the driver.
+    // Customer stays un-hinted too (fact-scale, h5's rule) and joins
+    // the survivor-pruned orders.
     Q("h18_large_orders",
       (s, d) => {
         val big = t(s, d, "lineitem")
@@ -965,7 +976,7 @@ object RelationalQueries extends QueryPack {
           .agg(sum(dec(col("l_quantity"))).as("qty"))
           .filter(col("qty") > 300)
         val o = t(s, d, "orders")
-          .join(broadcast(big), col("o_orderkey") === col("bo_orderkey"))
+          .join(big, col("o_orderkey") === col("bo_orderkey"))
         val c = t(s, d, "customer")
         o.join(c, o("o_custkey") === c("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
@@ -1341,26 +1352,31 @@ object RelationalQueries extends QueryPack {
     // retailprice·quantity, per (supplier nation, order year), over
     // parts whose name matches the color token. The shape: a 5-way
     // join where THREE relations key the fact (part, supplier,
-    // orders), the name filter prunes part before the join, dims
-    // broadcast, lineitem shuffles once on orderkey; the profit
-    // expression stays exact DECIMAL until the final cast (the
-    // 38-digit headroom documented at h1: (18,2)×(18,2) products at
-    // scale 4, summed exactly).
+    // orders), the name filter prunes part before the join, lineitem
+    // shuffles once on orderkey; the profit expression stays exact
+    // DECIMAL until the final cast (the 38-digit headroom documented
+    // at h1: (18,2)×(18,2) products at scale 4, summed exactly).
+    // Build sides: part and supplier carry NO broadcast() hint — the
+    // name-filtered part is a constant FRACTION of part and supplier
+    // is fact-scale (h5's rule: both grow with sf, so a forced
+    // broadcast dies on driver memory at 100 TB); the planner's size
+    // estimate broadcasts them at test scale and AQE picks the join
+    // strategy from the ACTUAL post-filter size at any other. Only
+    // nation (25 rows at every sf) keeps a hint, joined AFTER the
+    // fact joins so supplier's scan stays a plain un-hinted build.
     Q("h9_product_profit",
       (s, d) => {
         val p = t(s, d, "part").filter(col("p_name").contains("red"))
           .select("p_partkey", "p_retailprice")
-        val su = t(s, d, "supplier")
-          .join(broadcast(t(s, d, "nation")
-            .select("n_nationkey", "n_name")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name").as("nation"))
+        val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val n = t(s, d, "nation").select("n_nationkey", "n_name")
         val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
         val li = t(s, d, "lineitem")
-        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        li.join(p, li("l_partkey") === p("p_partkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
           .join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(col("nation"), year(col("o_orderdate")).as("o_year"),
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
             (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
               dec(col("p_retailprice")) * dec(col("l_quantity")))
               .as("amount"))
@@ -1468,7 +1484,10 @@ object RelationalQueries extends QueryPack {
         val li = t(s, d, "lineitem")
           .select(col("l_partkey"), col("l_extendedprice"),
             expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"))
-        val liBrand = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // un-hinted: brand-filtered part is a constant fraction of a
+        // relation that grows with sf — the size estimate broadcasts
+        // it at test scale, AQE decides from actual size at 100 TB
+        val liBrand = li.join(p, col("l_partkey") === col("p_partkey"))
         val avgq = liBrand.groupBy(col("l_partkey").as("ap_partkey"))
           .agg(sum("qty_cents").as("sum_cents"), count(lit(1)).as("n"))
         liBrand.join(avgq, col("l_partkey") === col("ap_partkey"))

@@ -169,13 +169,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("h18's HAVING survivors broadcast into the re-join; the lineitem agg is map-side partial") {
     // the survivor set (orders past the quantity threshold) is tiny by
-    // construction and carries an explicit hint — if it ever shuffles,
-    // the query degenerates to a fact×fact join at 100 TB
+    // construction but GROWS with sf, so it carries no hint — the size
+    // estimate must still choose the broadcast at test scale (and AQE
+    // from actual sizes beyond); if the estimate ever stops seeing it,
+    // the query silently degenerates at test SF and that's worth a red
     val p = plan("h18_large_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
       s"h18 survivor set not broadcast:\n${p.take(1500)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"h18 lineitem aggregation lost its partial (map-side) phase:\n${p.take(1500)}")
+  }
+
+  test("h9/h17 build sides broadcast WITHOUT hints — the planner, not a hint, decides") {
+    // part (name/brand-filtered — a constant fraction of a scaling
+    // relation) and supplier are un-hinted by the h5 rule; at test SF
+    // the size estimates put them under the threshold, so the planner
+    // must still pick BroadcastHashJoin on its own. h9 needs three
+    // (part, supplier, hinted nation), h17 one (filtered part).
+    val p9 = plan("h9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p9).size >= 3,
+      s"h9 expected >=3 planner-chosen broadcasts:\n${p9.take(1500)}")
+    val p17 = plan("h17_small_quantity_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p17).size >= 1,
+      s"h17 filtered part not broadcast:\n${p17.take(1500)}")
   }
 
   test("h1 is one selective scan: filter pushed, aggregation map-side partial") {
