@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * is extension capability for an LLM-corpus engine.
   *
   * Cell stage: deterministic sign-LSH over integer-valued vectors
-  * (8 hyperplanes whose per-dimension weights come from the shared md5
+  * (hyperplanes whose per-dimension weights come from the shared md5
   * idiom, namespaced "sd:") in place of SemDeDup's k-means — the
   * partition-defining stage is pluggable (IvfIndex holds the learned-
   * centroid variant); the sign cell keeps the whole operator exactly
@@ -27,8 +27,17 @@ import org.apache.spark.sql.functions._
   * Scale: ONE cell-keyed shuffle; the pair search is quadratic only
   * within a cell (SemDeDup's own per-cluster cost), bounded by cell
   * occupancy — `planes` is the knob (each added plane halves expected
-  * occupancy; 20 planes ≈ 1M cells for a 10^9-doc corpus). The drop
-  * rule is non-recursive (drop any doc with a smaller-id epsilon-
+  * occupancy; 20 planes ≈ 1M cells for a 10^9-doc corpus). By DEFAULT
+  * the width is DERIVED from the corpus size (`derivePlanes` — the
+  * `SimilarityOps.deriveBits` sizing discipline), because a fixed
+  * width is the one measured super-linear knob in the suite: at the
+  * 10× decade a frozen planes = 8 ran 24× the base pass, and
+  * re-deriving (12 planes) cut it 3× (R14bProbe). Verdicts for
+  * identical-direction duplicates are width-invariant — sign bits are
+  * a function of direction alone, so true copies share every cell at
+  * any width; what widening changes is which DISTINCT-direction pairs
+  * are in scope, which is exactly SemDeDup's cluster-count knob. The
+  * drop rule is non-recursive (drop any doc with a smaller-id epsilon-
   * neighbor in its cell), so it runs as one join + partial agg — no
   * iterative component finding on the hot path (d9/d9b hold the
   * transitive-cluster machinery when group-level canonicalization is
@@ -60,16 +69,45 @@ object SemanticDedup {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
       "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
 
+  /** `SimilarityOps.deriveBits`' sizing discipline — width ≈
+    * log2(n / targetCell), clamped to [minPlanes, maxPlanes] — in
+    * EXACT integer arithmetic: the smallest p with targetCell·2^p ≥ n.
+    * Integer rather than ceil(log2(...)) because here the cell
+    * assignment is part of the SEMANTICS (the DuckDB oracle replays
+    * the derivation), and a float log2 at an exact power-of-two
+    * boundary can straddle the ceil by one ulp cross-engine.
+    * Defaults: targetCell 16 keeps expected within-cell pair work at
+    * ~16²/2 rows per cell — total pair work then stays ~8·n at every
+    * decade (the fix R14bProbe measured: the 10× corpus derives 12
+    * planes, the width that cut its fixed-width 7.9 s pass to 2.7 s);
+    * minPlanes 8 preserves the historical width at gated scale (the
+    * ≤4096-doc corpora clamp to 8), maxPlanes 24 (16M cells) — past
+    * that, occupancy is governed by duplicate mass, not width.
+    */
+  def derivePlanes(n: Long, targetCell: Long = 16L,
+      minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    var p = 0
+    while (p < maxPlanes && (targetCell << p) < n) p += 1
+    math.max(minPlanes, p)
+  }
+
   /** Per-doc verdict over embedded docs: (doc_id, cell, kept 1/0,
     * witness = smallest-id epsilon-neighbor in the cell, -1 when kept).
     * Zero vectors (cosine undefined) never pair — they are kept and
     * left to d1's exact-hash face. `emb` must carry (doc_id,
     * embedding); epsilon-neighbor means exact cosine ≥ `eps`.
+    * `planes` ≤ 0 (the default) derives the cell width from the corpus
+    * size (`derivePlanes`); pass `knownN` (e.g. a parquet footer count,
+    * `Tables.rowCount`) to size it without a count() job, or an
+    * explicit positive `planes` to pin the width.
     */
   def dedupVerdicts(emb: DataFrame, eps: Double,
-      dim: Int = 16, planes: Int = 8): DataFrame = {
+      dim: Int = 16, planes: Int = 0, knownN: Long = 0L): DataFrame = {
+    val width =
+      if (planes > 0) planes
+      else derivePlanes(if (knownN > 0L) knownN else emb.count())
     val cells = emb.select(col("doc_id"), col("embedding"),
-      cellId(col("embedding"), dim, planes).as("cell"),
+      cellId(col("embedding"), dim, width).as("cell"),
       HashedEmbedding.norm2("embedding").as("nrm"))
     val nz = cells.filter(col("nrm") > 0L)
     val a = nz.select(col("cell"), col("doc_id").as("a_id"),

@@ -522,21 +522,29 @@ object RetrievalQueries extends QueryPack {
     // a smaller-id epsilon-neighbor in its cell. The corpus's organic
     // exact duplicates land at cosine 1.0 in the same cell, so the drop
     // set is non-vacuous at every SF; the oracle replays the WHOLE
-    // chain — embedding, plane dots, cell bits, BIGINT pair dots,
-    // cosine, and the keep verdict.
+    // chain — the corpus-size plane derivation (smallest p with
+    // 16·2^p ≥ n, clamped to [8, 24] — integer-exact in both engines),
+    // embedding, plane dots, cell bits, BIGINT pair dots, cosine, and
+    // the keep verdict. knownN comes off the parquet footers, so sizing
+    // costs no count() job.
     Q("d11_semantic_dedup",
       (s, d) => {
         val emb = HashedEmbedding.embed(
           Tables.load(s, d, "documents"), "doc_id", "text")
-        SemanticDedup.dedupVerdicts(emb, eps = 0.95).orderBy("doc_id")
+        SemanticDedup.dedupVerdicts(emb, eps = 0.95,
+          knownN = Tables.rowCount(s, d, "documents")).orderBy("doc_id")
       },
       Some(s"""WITH $EmbedSql,
              n2 AS (SELECT doc_id, v,
                CAST(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) AS BIGINT) AS nrm
                FROM vec),
+             params AS (SELECT greatest(8, coalesce((SELECT min(p)
+               FROM (SELECT unnest(range(0, 25)) AS p)
+               WHERE (CAST(16 AS BIGINT) << p) >= (SELECT count(*) FROM documents)), 24)) AS planes),
              pw AS (SELECT p, d,
                (CAST(('0x' || substr(md5('sd:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
-               FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 16)) AS d)),
+               FROM (SELECT unnest(range(0, 24)) AS p), (SELECT unnest(range(0, 16)) AS d)
+               WHERE p < (SELECT planes FROM params)),
              dots AS (SELECT n2.doc_id, pw.p,
                CAST(sum(CAST(n2.v[pw.d + 1] AS BIGINT) * pw.w) AS BIGINT) AS dp
                FROM n2, pw GROUP BY 1, 2),

@@ -99,6 +99,33 @@ class HashedEmbeddingSpec extends AnyFunSuite {
     assert(got(13L)._1 === 1)
   }
 
+  test("derived planes follow the corpus size; planted duplicates keep their verdicts at any width") {
+    import graft.operators.SemanticDedup.derivePlanes
+    assert(derivePlanes(4L) === 8, "min clamp")
+    assert(derivePlanes(500L) === 8, "the gated-SF corpora stay at the historical width")
+    assert(derivePlanes(4096L) === 8, "exact 16*2^8 boundary: integer arithmetic, no float-log wobble")
+    assert(derivePlanes(4097L) === 9)
+    assert(derivePlanes(5000L) === 9, "the sf0.1 corpus widens one plane")
+    assert(derivePlanes(50000L) === 12, "the 10x decade derives the probe-measured width")
+    assert(derivePlanes(Long.MaxValue) === 24, "max clamp")
+    // identical-direction duplicates share EVERY cell (sign bits are a
+    // function of direction alone), so the planted verdicts must be
+    // invariant in the width — the property that makes a scale-derived
+    // default safe to ship as the d11 semantics
+    val base = "spark merge vector window batch table"
+    val docs = Seq((10L, base), (11L, base), (12L, s"$base $base"),
+      (13L, "customer orders revenue quarter")).toDF("doc_id", "text")
+    val emb = graft.operators.HashedEmbedding.embed(docs, "doc_id", "text")
+    Seq(8, 12, 24).foreach { pl =>
+      val got = graft.operators.SemanticDedup
+        .dedupVerdicts(emb, eps = 0.95, planes = pl)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+      assert(got(10L) === ((1, -1L)) && got(11L) === ((0, 10L)) &&
+        got(12L) === ((0, 10L)) && got(13L)._1 === 1,
+        s"planes=$pl broke the planted-duplicate verdicts: $got")
+    }
+  }
+
   test("semantic dedup: zero vectors never pair; verdict covers every embedded doc") {
     val docs = Seq((1L, ""), (2L, ""), (3L, "alpha beta")).toDF("doc_id", "text")
     val emb = graft.operators.HashedEmbedding.embed(docs, "doc_id", "text")
