@@ -101,10 +101,26 @@ object KMeans {
         aggregate(zip_with(col("qv"), cv, (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("dist2"),
         i.cast("int").as("cluster"))))
-    q.select(col("vec_id"), col("qv"), best.as("best"))
-      .select(col("vec_id"), col("qv"),
-        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+    bestBarrier(q, best)
   }
+
+  /** Emit the argmin struct through a one-row `inline` generator so
+    * `cluster`/`dist2` become ATTRIBUTES of a Generate node rather
+    * than fields extracted from the argmin expression: Catalyst's
+    * CollapseProject inlines a projected expression into EVERY
+    * downstream consumer, so without the barrier the O(k·dims) argmin
+    * re-evaluates once per field AND once per composed consumer (the
+    * IVF-PQ encode referenced it ~6× per row — the residual and each
+    * code argmin — measured 6-10 s vs sub-second at nlist = 256,
+    * N26 decomposition). A generator's input is evaluated exactly once
+    * per row, stays map-side (one-element array → one output row), and
+    * projections do not collapse across it. Values are bit-identical;
+    * only the evaluation count changes.
+    */
+  private def bestBarrier(q: DataFrame,
+      best: org.apache.spark.sql.Column): DataFrame =
+    q.select(col("vec_id"), col("qv"), inline(array(best)))
+      .select(col("vec_id"), col("qv"), col("cluster"), col("dist2"))
 
   /** Driver-held centroids as a broadcast-able relation
     * (cluster INT, cv ARRAY<BIGINT>) — the join-path face for callers
@@ -154,13 +170,9 @@ object KMeans {
       packed: Option[Boolean] = None): DataFrame =
     if (packed.getOrElse(cents.length > MaxLiteralK))
       assignPackedFull(q, cents)
-    else {
-      val best = array_min(array(
-        cents.zipWithIndex.map { case (c, i) => distStruct(c, i) }: _*))
-      q.select(col("vec_id"), col("qv"), best.as("best"))
-        .select(col("vec_id"), col("qv"),
-          col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
-    }
+    else
+      bestBarrier(q, array_min(array(
+        cents.zipWithIndex.map { case (c, i) => distStruct(c, i) }: _*)))
 
   /** Argmin assignment: (vec_id, cluster, dist2). Physical path picked
     * by k (see `MaxLiteralK`); `packed` forces one.

@@ -31,6 +31,14 @@ object SimilarityQueries extends QueryPack {
   private val PqK = 4
   private val PqIters = 2
 
+  /** Large-nlist fixture (n26): nlist > KMeans.MaxLiteralK (64), so
+    * the whole IVF-PQ chain runs the packed single-literal path.
+    * Iters kept at 2 — the oracle replays every Lloyd round over
+    * nlist cells, and the PATH is what this fixture exists to pin.
+    */
+  private val NlK = 256
+  private val NlIters = 2
+
   /** DuckDB left-fold dot product — bit-identical to the Spark fold. */
   private def dot(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -695,6 +703,42 @@ object SimilarityQueries extends QueryPack {
       },
       Some(graft.operators.KMeans.assignOracleSql(KmK, KmIters, KmDims))),
 
+    // The COMPOSED IVF-PQ chain through the LARGE-nlist physical path:
+    // nlist = 256 > KMeans.MaxLiteralK, so the coarse fit's per-round
+    // assignment, the residual subtraction (IvfPq.residuals' packed
+    // branch — element_at into the single nested-array centroid
+    // literal), the encode, the cell-pruned ADC search, and the exact
+    // re-rank tail ALL run the packed form a 10⁵-cell index needs —
+    // composed end-to-end, where KMeansLargeKProbe proved only the
+    // assignment in isolation. The oracle is the SAME rerankOracleSql
+    // machinery as n23 with (nlist, iters) swapped — the n24
+    // two-faces-one-oracle discipline: a hash mismatch means the packed
+    // chain diverged from the replayable semantics anywhere between
+    // seeding and final rank. nprobe = 32 of the 256 cells keeps the
+    // pruning real without starving kCand (cells hold ~2 vectors at
+    // the gated SFs).
+    Q("n26_ivfpq_large_nlist",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans}
+        // spread before the map-side encode: packed assignment prices
+        // nlist·dims lambda steps PER ROW (33M at 256 cells over this
+        // corpus), and the synthetic table is one parquet file = one
+        // partition — at 100 TB the store arrives partitioned and this
+        // line is a no-op-shaped rebalance
+        val emb = Tables.load(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+        val (cents, books) = largeNlist(s, d)
+        val q = KMeans.quantized(emb)
+        val queries = q.filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.searchRerank(
+          IvfPq.encode(emb, cents, books), q, queries, cents, books,
+          nprobe = 32, kCand = 20, k = K)
+      },
+      Some(graft.operators.IvfPq.rerankOracleSql(
+        NlK, NlIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 32, kCand = 20, topK = K))),
+
     Q("n22_filtered_ivfpq",
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}
@@ -741,6 +785,22 @@ object SimilarityQueries extends QueryPack {
       graft.operators.IvfPq.fit(
         Tables.load(s, d, "embeddings"), fittedCents(s, d),
         PqM, PqK, PqIters, KmDims)
+    })
+
+  /** One large-nlist coarse fit + residual-book fit per (session,
+    * dataset) — the kmCache discipline at the n26 shape (nlist·dims
+    * longs + m·k·sub longs, trivially driver-held).
+    */
+  private val nlCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Seq[Array[Long]], Seq[Seq[Array[Long]]])]()
+
+  private def largeNlist(s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[Array[Long]], Seq[Seq[Array[Long]]]) =
+    nlCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = graft.operators.KMeans.fit(emb, NlK, NlIters, KmDims)
+      (cents,
+        graft.operators.IvfPq.fit(emb, cents, PqM, PqK, PqIters, KmDims))
     })
 
   /** One persisted PQ store per (session, dataset) — the sqDirCache

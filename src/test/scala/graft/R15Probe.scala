@@ -46,6 +46,26 @@ object R15Probe {
         else println(s"R15 dir=$dir SKIPPED (missing)")
       }
     }
+    if (section == "all" || section == "n26") {
+      // the composed large-nlist chain: wall at both relational SFs +
+      // the plan-size comparison against n23 (nlist = 8, unrolled
+      // path) — the packed 256-cell plan must not be ~32× the 8-cell
+      // one (KMeansLargeKProbe's expression-node proxy)
+      def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect { case p =>
+          1 + p.expressions.map(_.collect { case _ => 1 }.sum).sum
+        }.sum
+      Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+        time(s"dir=$dir n26_ivfpq_large_nlist",
+          SparkEntry.queries("n26_ivfpq_large_nlist")(spark, dir))
+        val n23 = exprNodes(
+          SparkEntry.queries("n23_ivfpq_rerank")(spark, dir))
+        val n26 = exprNodes(
+          SparkEntry.queries("n26_ivfpq_large_nlist")(spark, dir))
+        println(s"R15 dir=$dir planNodes n23(nlist=8,unrolled)=$n23 " +
+          s"n26(nlist=256,packed)=$n26")
+      }
+    }
     if (section == "all" || section == "r14") {
       // relational entries: their tables scale sf0.01 → sf0.1
       Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
