@@ -448,7 +448,10 @@ object MultimodalOps {
       p += 1
     }
     val baos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "png", baos), "no PNG writer available")
+    val writer = writerSpi("png").createWriterInstance()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try { writer.setOutput(ios); writer.write(img) }
+    finally { writer.dispose(); ios.close() }
     baos.toByteArray
   }
 
@@ -467,8 +470,7 @@ object MultimodalOps {
     * bytes — decode failures surface, they don't fabricate rasters.
     */
   def decodeViaImageIO(bytes: Array[Byte]): PpmImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, "ImageIO could not decode payload")
+    val img = readImage(bytes)
     val w = img.getWidth; val h = img.getHeight
     val rgb = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Byte](3 * w * h)
@@ -561,12 +563,12 @@ object MultimodalOps {
       buf.setRGB(p % img.width, p / img.width, (r << 16) | (g << 8) | b)
       p += 1
     }
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = writerSpi("jpeg").createWriterInstance()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val baos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
       writer.write(null, new IIOImage(buf, null, null), param)
@@ -704,6 +706,86 @@ object MultimodalOps {
     * byte-identical (MultimodalSpec + the m10/m12 oracle hashes pin
     * that).
     */
+  /** ImageIO provider SPIs cached ONCE PER JVM — the image twin of the
+    * audio caching below. `ImageIO.read`/`write` and the by-format
+    * lookups consult the IIORegistry per call (an in-memory filter —
+    * cheaper than audio's fresh ServiceLoader, but still a per-payload
+    * iterator + canDecodeInput probe chain), and
+    * `createImageInput/OutputStream` scan the stream-SPI category per
+    * call. The registry is JVM-global and these SPI instances are the
+    * exact objects ImageIO itself dispatches to, so decode/encode
+    * bytes are identical (the m8/m9/m11 oracle hashes pin it).
+    * Reader/writer INSTANCES stay per-call — they are stateful
+    * (`setInput`/`setOutput`) and not thread-safe; the SPIs are the
+    * factories the platform already shares across threads. Streams are
+    * built directly as MemoryCacheImage*Stream (the registry default
+    * with `setUseCache(false)`, set above), skipping the stream-SPI
+    * scan entirely.
+    */
+  private lazy val imageReaderSpis: Seq[javax.imageio.spi.ImageReaderSpi] = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      .asScala.toSeq
+  }
+
+  private val imageReaderSpiByFormat = new java.util.concurrent.ConcurrentHashMap[
+    String, javax.imageio.spi.ImageReaderSpi]()
+
+  private def readerSpi(format: String): javax.imageio.spi.ImageReaderSpi =
+    imageReaderSpiByFormat.computeIfAbsent(format, { f =>
+      imageReaderSpis
+        .find(_.getFormatNames.exists(_.equalsIgnoreCase(f)))
+        .getOrElse(throw new IllegalStateException(s"no $f reader installed"))
+    })
+
+  private val imageWriterSpiByFormat = new java.util.concurrent.ConcurrentHashMap[
+    String, javax.imageio.spi.ImageWriterSpi]()
+
+  private def writerSpi(format: String): javax.imageio.spi.ImageWriterSpi =
+    imageWriterSpiByFormat.computeIfAbsent(format, { f =>
+      import scala.jdk.CollectionConverters._
+      javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+        .asScala
+        .find(_.getFormatNames.exists(_.equalsIgnoreCase(f)))
+        .getOrElse(throw new IllegalStateException(s"no $f writer installed"))
+    })
+
+  /** Last reader SPI that accepted a payload, probed first on the next
+    * (the audio `lastGoodReader` hint at the image tier — decode
+    * streams are format-uniform, so it hits ~always; `canDecodeInput`
+    * is a boolean probe that leaves the stream position unchanged, so
+    * a miss just falls through to the full cached list).
+    */
+  @volatile private var lastGoodImageSpi: javax.imageio.spi.ImageReaderSpi = null
+
+  /** `ImageIO.read` minus the per-call registry scans: direct
+    * MemoryCacheImageInputStream, cached reader SPIs, hint-first
+    * format sniffing, fresh (stateful) reader instance per payload.
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    // a sniff that dies on a truncated/garbage payload (EOFException
+    // from a short magic read) means "not my format" — the same
+    // IOException-swallowing contract ImageIO.getImageReaders applies
+    def sniffs(s: javax.imageio.spi.ImageReaderSpi): Boolean =
+      try s.canDecodeInput(iis) catch { case _: java.io.IOException => false }
+    val hint = lastGoodImageSpi
+    val spi =
+      if (hint != null && sniffs(hint)) hint
+      else imageReaderSpis.find(sniffs) match {
+        case Some(s) => lastGoodImageSpi = s; s
+        case None =>
+          throw new IllegalArgumentException(
+            "requirement failed: ImageIO could not decode payload")
+      }
+    val reader = spi.createReaderInstance()
+    try { reader.setInput(iis, true, true); reader.read(0) }
+    finally reader.dispose()
+  }
+
   private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader
@@ -893,9 +975,9 @@ object MultimodalOps {
     * MultimodalSpec can plant re-cut copies frame-for-frame.
     */
   def encodeGifGray(frames: Seq[PpmImage]): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = writerSpi("gif").createWriterInstance()
     val baos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -931,8 +1013,9 @@ object MultimodalOps {
     * no disposal compositing is involved; throws on undecodable bytes.
     */
   def decodeGifFrames(bytes: Array[Byte]): Seq[PpmImage] = {
-    val reader = ImageIO.getImageReadersByFormatName("gif").next()
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val reader = readerSpi("gif").createReaderInstance()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)

@@ -46,6 +46,12 @@ object R15Probe {
         else println(s"R15 dir=$dir SKIPPED (missing)")
       }
     }
+    if (section == "img") {
+      // ImageIO caching before/after rows (m8/m9/m11 at sf0.1)
+      Seq("m8_decode_jpeg", "m9_decode_png", "m11_decode_gif").foreach(n =>
+        time(s"dir=/root/testdata/sf0.1 $n",
+          SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")))
+    }
     if (section == "all" || section == "n26") {
       // the composed large-nlist chain: wall at both relational SFs +
       // the plan-size comparison against n23 (nlist = 8, unrolled
