@@ -227,6 +227,26 @@ object BpeTrainer {
             .cast("long"))
           .as("n_tokens"))
 
+  /** (doc_id, tokens ARRAY<STRING> in document order): the ACTUAL
+    * subword sequence a trainer consumes, not just its count — pieces
+    * in pre-tokenizer order, each priced under the frozen merge list,
+    * flattened. ONE map-side projection (`transform` + `flatten`
+    * preserve order, so no explode/re-group window is needed); output
+    * is bounded by document length. In byte-level mode tokens are
+    * hex-pair strings of the UTF-8 bytes, so the sequence concatenates
+    * back to the exact text (`unhex` round-trip — BpeByteSpec pins it);
+    * feed `size(tokens)` into context-window packing (the sp3 shape)
+    * to pack from REAL sequences instead of whitespace proxies.
+    */
+  def docTokens(docs: DataFrame, merges: Seq[(String, String)],
+      bpePat: String, byteLevel: Boolean = false): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(coalesce(text, ''), '$bpePat', 0)").as("ps"))
+      .select(col("doc_id"),
+        flatten(transform(col("ps"), p =>
+          symbols(applyMerges(initRepOf(p, byteLevel), merges)))).as("tokens"))
+
   /** The shared K-round DuckDB CTE chain: piece counting (the given
     * pre-tokenizer regex over `documents.text`), then per round the
     * pair count, the 1-row argmax `m{r}`, and the replaced state
@@ -308,6 +328,40 @@ object BpeTrainer {
              CAST(sum(wf_s) AS BIGINT) AS n_pieces
            FROM ps JOIN lens USING (piece)
            GROUP BY source) ORDER BY source"""
+
+  /** DuckDB replay of the t34 per-doc token SEQUENCES: the K-round
+    * chain, the per-piece final symbol lists, each document's pieces
+    * re-joined to that vocabulary IN ORDER (piece index via the
+    * unnest(range) idiom, order restored by `string_agg ... ORDER BY
+    * i`), the sequence pinned by md5 of the '|'-joined list (the t19
+    * pieces_md5 discipline — an array column compares as its canonical
+    * joined form, engine-exact), plus the sp3 packing columns (shard,
+    * running-sum bin) computed from the REAL subword counts.
+    */
+  def docTokensOracleSql(bpePat: String, k: Int,
+      byteLevel: Boolean = false): String =
+    s"""${chainSql(bpePat, k, byteLevel)},
+             vocab AS MATERIALIZED (SELECT piece,
+               regexp_extract_all(rep, '$symRegex', 1) AS toks FROM st$k),
+             d0 AS (SELECT doc_id,
+               regexp_extract_all(coalesce(text, ''), '$bpePat') AS ps
+               FROM documents),
+             dp AS (SELECT doc_id, i, ps[i] AS piece
+               FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+                     FROM d0)),
+             dt AS (SELECT doc_id,
+               string_agg(array_to_string(v.toks, '|'), '|' ORDER BY i) AS s,
+               CAST(sum(len(v.toks)) AS BIGINT) AS n_tokens
+               FROM dp JOIN vocab v USING (piece) GROUP BY doc_id),
+             dn AS (SELECT d0.doc_id, COALESCE(dt.n_tokens, 0) AS n_tokens,
+               md5(COALESCE(dt.s, '')) AS tokens_md5
+               FROM d0 LEFT JOIN dt USING (doc_id))
+           SELECT doc_id, n_tokens, tokens_md5, doc_id % 8 AS shard,
+             CAST(floor(COALESCE(SUM(n_tokens)
+               OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048.0) AS BIGINT) AS bin
+           FROM dn ORDER BY doc_id"""
 
   /** DuckDB replay of `tokenize` over `documents`. */
   def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =

@@ -1367,6 +1367,43 @@ object TextQueries extends QueryPack {
           .orderBy("source")
       },
       Some(graft.operators.BpeTrainer.sourceTokensOracleSql(BpePat, BpeK,
+        byteLevel = true))),
+
+    // Per-document token-ID SEQUENCES — the artifact a trainer actually
+    // consumes, where t28/t29/t33 priced only counts: each document's
+    // ordered byte-level subword list under the learned merges
+    // (`BpeTrainer.docTokens` — one map-side transform+flatten, bounded
+    // by doc length), sequence-pinned by md5 of the '|'-joined list
+    // (the t19 pieces_md5 discipline) and feeding the sp3
+    // context-window packing from the REAL sequence lengths instead of
+    // sp3's whitespace proxy: (shard, bin) here are what a packed
+    // pretraining shard map would really be. Byte-level tokens are
+    // hex-pair strings, so the sequence unhexes back to the exact text
+    // (BpeByteSpec round-trips it) — the lossless-artifact property a
+    // served tokenizer needs.
+    Q("t34_bpe_doc_tokens",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val merges = graft.operators.BpeTrainer.mergeList(
+          docs.select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+              .as("piece"))
+            .groupBy("piece").agg(count(lit(1)).as("wf")),
+          BpeK, byteLevel = true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        graft.operators.BpeTrainer
+          .docTokens(docs, merges, BpePat, byteLevel = true)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("bigint").as("n_tokens"),
+            md5(concat_ws("|", col("tokens"))).as("tokens_md5"),
+            pmod(col("doc_id"), lit(8)).as("shard"))
+          .withColumn("bin",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / lit(2048)))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.BpeTrainer.docTokensOracleSql(BpePat, BpeK,
         byteLevel = true)))
   )
 }

@@ -79,6 +79,38 @@ class BpeByteSpec extends AnyFunSuite {
     }
   }
 
+  test("docTokens sequences concat back to the exact text (lossless byte-level artifact)") {
+    // the t34 contract: tokens are ordered hex-pair subwords of the
+    // UTF-8 bytes, so unhex(concat(tokens)) must reproduce the
+    // document VERBATIM — any dropped piece, reordered token, or
+    // mis-merged boundary breaks the equality. Includes a multi-byte
+    // and sentinel-char doc the char-level form cannot price.
+    val docs = Tables.load(spark, dir, "documents").limit(50)
+      .select("doc_id", "text")
+      .unionByName(Seq((100001L, "mixed 中文 and sentinel bytes"),
+        (100002L, "")).toDF("doc_id", "text"))
+    val merges = BpeTrainer.mergeList(
+      docs.select(explode(expr(
+          s"regexp_extract_all(coalesce(text, ''), '${graft.queries.TextQueries.BpePat}', 0)"))
+          .as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("wf")),
+      k = 4, byteLevel = true)
+    val rt = BpeTrainer.docTokens(docs, merges,
+        graft.queries.TextQueries.BpePat, byteLevel = true)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        expr("decode(unhex(concat_ws('', tokens)), 'UTF-8')").as("rt"),
+        size(col("tokens")).as("n"))
+      .collect()
+    assert(rt.length === 52)
+    rt.foreach { r =>
+      assert(r.getString(2) === r.getString(1),
+        s"doc ${r.getLong(0)} did not round-trip")
+    }
+    assert(rt.find(_.getLong(0) == 100002L).get.getInt(3) === 0,
+      "empty text must price as the empty sequence")
+  }
+
   test("loadMerges fails loud on a truncated or reordered artifact") {
     import spark.implicits._
     def write(rnks: Seq[Int]): String = {
