@@ -27,16 +27,22 @@ import graft.operators.BpeTrainer
   */
 object BpeStream {
 
-  /** `docs`: streaming DataFrame of (doc_id, text). */
+  /** `docs`: streaming DataFrame of (doc_id, text). `byteLevel` must
+    * match the ALPHABET THE MERGES WERE TRAINED UNDER (a t32 byte-level
+    * artifact loaded via `loadMerges` needs `byteLevel = true` here —
+    * hex-pair symbols never match char-level initial reps, so a
+    * mismatch silently prices every piece at its unmerged length
+    * rather than erroring; BpeStreamSpec pins the byte-level parity).
+    */
   def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
-      bpePat: String, outDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      bpePat: String, outDir: String, checkpointDir: String,
+      byteLevel: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         BpeTrainer.docTokenCounts(
-            batch.dropDuplicates("doc_id"), merges, bpePat)
+            batch.dropDuplicates("doc_id"), merges, bpePat, byteLevel)
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -98,4 +98,50 @@ class BpeStreamSpec extends AnyFunSuite {
       .select("doc_id", "n_pieces", "n_tokens")
       .collect().map(_.toString).toSet === first)
   }
+
+  test("byte-level stream over the SAVED t32-shape artifact prices with batch bit-parity") {
+    // the full shipped-tokenizer lifecycle at the byte alphabet:
+    // train byte-level → saveMerges → loadMerges → stream CHOPPED
+    // against the loaded artifact — per-doc counts must equal the
+    // batch pricing under the trainer-held list, bit for bit
+    val byteMerges = BpeTrainer.mergeList(pieces, K, byteLevel = true)
+    val artDir = Files.createTempDirectory("graft_bpes_art").toString + "/m"
+    BpeTrainer.saveMerges(
+      BpeTrainer.trainMerges(pieces, K, byteLevel = true), artDir)
+    val loaded = BpeTrainer.loadMerges(spark, artDir)
+    assert(loaded === byteMerges, "artifact round-trip changed the merges")
+
+    val rows = docs.collect().toSeq.sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val srcDir = Files.createTempDirectory("graft_bpes_b_src").toString
+    val base = Files.createTempDirectory("graft_bpes_b").toString
+    Seq(rows.take(60), rows.slice(60, 150), rows.drop(150)).zipWithIndex
+      .foreach { case (rs, i) =>
+        rs.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$srcDir/f$i")
+        new java.io.File(s"$srcDir/f$i").listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = BpeStream.tokenCounts(src, loaded, pat, s"$base/out",
+        s"$base/ck", byteLevel = true)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_pieces", "n_tokens")
+      .collect().map(_.toString).toSet
+    val batch = BpeTrainer.docTokenCounts(docs, byteMerges, pat,
+        byteLevel = true)
+      .collect().map(_.toString).toSet
+    assert(streamed === batch, "byte-level stream diverged from batch pricing")
+    // sanity that the byte alphabet is actually in force: byte counts
+    // differ from the char-level pricing somewhere on this corpus, or
+    // at minimum the merge symbols are hex pairs
+    assert(byteMerges.forall { case (a, b) =>
+      (a + b).matches("[0-9A-F]+") }, "merges are not byte-level symbols")
+  }
 }
