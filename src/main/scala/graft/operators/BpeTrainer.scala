@@ -247,6 +247,47 @@ object BpeTrainer {
         flatten(transform(col("ps"), p =>
           symbols(applyMerges(initRepOf(p, byteLevel), merges)))).as("tokens"))
 
+  /** The VOCABULARY a byte-level merge table induces — deterministic
+    * from the artifact alone, no corpus: ids 0-255 are the 256
+    * single-byte hex-pair symbols in byte order, and the r-th merge's
+    * concatenated symbol takes id 255 + r (GPT-2's vocab layout minus
+    * the bytes-to-unicode remap). Two merges CAN induce the same
+    * surface string ((A,BC) after (AB,C) both yield ABC — the second
+    * merge then just re-labels occurrences the first already covers);
+    * the FIRST induction keeps the id, later duplicates leave a gap —
+    * a string→id map must be a function. Merged symbols are ≥ 4 hex
+    * chars, so they never collide with the 2-char alphabet.
+    */
+  def byteVocab(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    (0 until 256).foreach(b => seen.update(f"$b%02X", b))
+    merges.zipWithIndex.foreach { case ((s1, s2), i) =>
+      val t = s1 + s2
+      if (!seen.contains(t)) { seen.update(t, 256 + i); () }
+    }
+    seen.toSeq
+  }
+
+  /** (doc_id, ids ARRAY<INT> in document order): `docTokens` mapped
+    * through the byte vocabulary — the integer sequence a trainer
+    * actually ingests. ONE map-side transform against a single map
+    * literal (`typedlit`: one AST node at any vocab size — the KMeans
+    * packed-literal discipline); an unmappable token is impossible by
+    * byte-level closure (every token is a single byte or a merge
+    * result) but fails loud rather than nulling if the merges and the
+    * pre-tokenizer ever disagree.
+    */
+  def docTokenIds(docs: DataFrame, merges: Seq[(String, String)],
+      bpePat: String): DataFrame = {
+    val vocab = typedlit(byteVocab(merges).toMap)
+    docTokens(docs, merges, bpePat, byteLevel = true)
+      .select(col("doc_id"),
+        transform(col("tokens"), t =>
+          coalesce(element_at(vocab, t),
+            raise_error(concat(lit("token outside the byte vocab: "), t))
+              .cast("int"))).as("ids"))
+  }
+
   /** The shared K-round DuckDB CTE chain: piece counting (the given
     * pre-tokenizer regex over `documents.text`), then per round the
     * pair count, the 1-row argmax `m{r}`, and the replaced state
@@ -329,16 +370,13 @@ object BpeTrainer {
            FROM ps JOIN lens USING (piece)
            GROUP BY source) ORDER BY source"""
 
-  /** DuckDB replay of the t34 per-doc token SEQUENCES: the K-round
-    * chain, the per-piece final symbol lists, each document's pieces
-    * re-joined to that vocabulary IN ORDER (piece index via the
-    * unnest(range) idiom, order restored by `string_agg ... ORDER BY
-    * i`), the sequence pinned by md5 of the '|'-joined list (the t19
-    * pieces_md5 discipline — an array column compares as its canonical
-    * joined form, engine-exact), plus the sp3 packing columns (shard,
-    * running-sum bin) computed from the REAL subword counts.
+  /** The shared per-doc sequence replay body, through `dn` (doc_id,
+    * n_tokens, tokens_md5) — `docTokensOracleSql` selects from it
+    * directly; sp15's span oracle builds its packing arithmetic on the
+    * same `dn`, so the two entries cannot disagree on what a document
+    * weighs.
     */
-  def docTokensOracleSql(bpePat: String, k: Int,
+  def docSeqCtes(bpePat: String, k: Int,
       byteLevel: Boolean = false): String =
     s"""${chainSql(bpePat, k, byteLevel)},
              vocab AS MATERIALIZED (SELECT piece,
@@ -355,13 +393,66 @@ object BpeTrainer {
                FROM dp JOIN vocab v USING (piece) GROUP BY doc_id),
              dn AS (SELECT d0.doc_id, COALESCE(dt.n_tokens, 0) AS n_tokens,
                md5(COALESCE(dt.s, '')) AS tokens_md5
-               FROM d0 LEFT JOIN dt USING (doc_id))
+               FROM d0 LEFT JOIN dt USING (doc_id))"""
+
+  /** DuckDB replay of the t34 per-doc token SEQUENCES: the K-round
+    * chain, the per-piece final symbol lists, each document's pieces
+    * re-joined to that vocabulary IN ORDER (piece index via the
+    * unnest(range) idiom, order restored by `string_agg ... ORDER BY
+    * i`), the sequence pinned by md5 of the '|'-joined list (the t19
+    * pieces_md5 discipline — an array column compares as its canonical
+    * joined form, engine-exact), plus the sp3 packing columns (shard,
+    * running-sum bin) computed from the REAL subword counts.
+    */
+  def docTokensOracleSql(bpePat: String, k: Int,
+      byteLevel: Boolean = false): String =
+    s"""${docSeqCtes(bpePat, k, byteLevel)}
            SELECT doc_id, n_tokens, tokens_md5, doc_id % 8 AS shard,
              CAST(floor(COALESCE(SUM(n_tokens)
                OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                / 2048.0) AS BIGINT) AS bin
            FROM dn ORDER BY doc_id"""
+
+  /** DuckDB replay of the t35 token-ID sequences: the K-round chain,
+    * the induced vocabulary (printf('%02X') alphabet ids 0-255 UNION
+    * the merge rows at 255 + rnk, surface-string duplicates collapsed
+    * to their FIRST id via min — `byteVocab`'s rule), each document's
+    * ordered token list (piece index i, within-piece index j) mapped
+    * to ids and pinned by md5 of the '|'-joined id sequence.
+    */
+  def docTokenIdsOracleSql(bpePat: String, k: Int): String = {
+    val vm = (1 to k).map(r =>
+      s"SELECT (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) AS tok, ${255 + r} AS id")
+      .mkString(" UNION ALL ")
+    s"""${chainSql(bpePat, k, byteLevel = true)},
+             vocabt AS MATERIALIZED (SELECT piece,
+               regexp_extract_all(rep, '$symRegex', 1) AS toks FROM st$k),
+             valpha AS (SELECT printf('%02X', i) AS tok, CAST(i AS INTEGER) AS id
+               FROM (SELECT unnest(range(0, 256)) AS i)),
+             vm AS ($vm),
+             vfull AS (SELECT tok, id FROM valpha
+               UNION ALL
+               SELECT tok, CAST(min(id) AS INTEGER) AS id FROM vm GROUP BY tok),
+             d0 AS (SELECT doc_id,
+               regexp_extract_all(coalesce(text, ''), '$bpePat') AS ps
+               FROM documents),
+             dp AS (SELECT doc_id, i, ps[i] AS piece
+               FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+                     FROM d0)),
+             dtok AS (SELECT doc_id, i, j, toks[j] AS tok
+               FROM (SELECT doc_id, i, toks,
+                       unnest(range(1, len(toks) + 1)) AS j
+                     FROM dp JOIN vocabt USING (piece))),
+             di AS (SELECT doc_id,
+               string_agg(CAST(v.id AS VARCHAR), '|' ORDER BY i, j) AS s,
+               CAST(count(*) AS BIGINT) AS n, max(v.id) AS mx
+               FROM dtok JOIN vfull v USING (tok) GROUP BY doc_id)
+           SELECT d0.doc_id, COALESCE(di.n, 0) AS n_tokens,
+             md5(COALESCE(di.s, '')) AS ids_md5,
+             CAST(COALESCE(di.mx, -1) AS INTEGER) AS max_id
+           FROM d0 LEFT JOIN di USING (doc_id) ORDER BY doc_id"""
+  }
 
   /** DuckDB replay of `tokenize` over `documents`. */
   def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =

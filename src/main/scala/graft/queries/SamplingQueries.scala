@@ -522,6 +522,65 @@ object SamplingQueries extends QueryPack {
              CASE WHEN s.saturated OR f.wstar = 0 THEN s.cap
                ELSE (f.rstar // f.wstar) * s.w + ((f.rstar % f.wstar) * s.w) // f.wstar
                END AS alloc
-           FROM sat s, fin f ORDER BY s.source"""))
+           FROM sat s, fin f ORDER BY s.source""")),
+
+    // Context-window SPANS from REAL token sequences — sp3 completed:
+    // sp3 binned documents by a whitespace-count proxy; this packs by
+    // each document's ACTUAL byte-level BPE length (the frozen t32
+    // artifact via TextQueries' shared cache — the pipeline a trainer
+    // runs: tokenize, then pack). Per shard, documents concatenate in
+    // doc_id order; a document occupies global token positions
+    // [offset, offset + n) and therefore TOUCHES windows
+    // [offset div W, (offset + n - 1) div W] of the fixed W = 2048 —
+    // the split map a packed-shard writer needs (n_windows > 1 ⟺ the
+    // document straddles a boundary and is split). Zero-token docs
+    // touch no window (n_windows = 0; first/last pinned at the offset
+    // window for determinism). Exact integer arithmetic end to end;
+    // one window-function pass per shard — at 100 TB the shard count
+    // scales and each shard's running sum is the standard prefix-sum
+    // shuffle.
+    Q("sp15_token_window_spans",
+      (s, d) => {
+        val W = 2048L
+        val counts = graft.operators.BpeTrainer.docTokenCounts(
+          Tables.load(s, d, "documents"),
+          TextQueries.frozenByteMerges(s, d), TextQueries.BpePat,
+          byteLevel = true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        counts
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            col("n_tokens"))
+          .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
+            expr(s"`offset` div $W").as("first_window"),
+            when(col("n_tokens") > 0,
+                expr(s"(`offset` + n_tokens - 1) div $W"))
+              .otherwise(expr(s"`offset` div $W")).as("last_window"))
+          .withColumn("n_windows",
+            when(col("n_tokens") > 0,
+              col("last_window") - col("first_window") + 1).otherwise(lit(0L)))
+          .orderBy("doc_id")
+      },
+      Some({
+        s"""${graft.operators.BpeTrainer.docSeqCtes(
+            TextQueries.BpePat, TextQueries.BpeK, byteLevel = true)},
+             sh AS (SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+               COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS BIGINT), 0) AS o
+               FROM dn)
+           SELECT doc_id, shard, n_tokens, o AS "offset",
+             o // 2048 AS first_window,
+             CASE WHEN n_tokens > 0 THEN (o + n_tokens - 1) // 2048
+               ELSE o // 2048 END AS last_window,
+             CASE WHEN n_tokens > 0 THEN
+               (CASE WHEN n_tokens > 0 THEN (o + n_tokens - 1) // 2048
+                 ELSE o // 2048 END) - o // 2048 + 1
+               ELSE 0 END AS n_windows
+           FROM sh ORDER BY doc_id"""
+      }))
   )
 }

@@ -26,7 +26,29 @@ object TextQueries extends QueryPack {
   private val MergeTopK = 20
 
   /** How many merge rounds the full trainer (t27/t28) runs. */
-  private val BpeK = 8
+  private[queries] val BpeK = 8
+
+  /** One byte-level merge fit per (session, dataset) — the kmCache
+    * discipline at the tokenizer tier: t34/t35/sp15 all consume the
+    * SAME frozen artifact (exactly what a serving tier does with a
+    * loaded merge table), and retraining per entry would triple the
+    * vocabulary-sized fit inside one bench pass. Training entries
+    * (t27/t32) deliberately stay uncached — the fit IS what they
+    * measure.
+    */
+  private val byteMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(String, String)]]()
+
+  private[queries] def frozenByteMerges(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, String)] =
+    byteMergeCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.operators.BpeTrainer.mergeList(
+        Tables.load(s, d, "documents")
+          .select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
+            .as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("wf")),
+        BpeK, byteLevel = true)
+    })
   // shared with x8's data card so the en-share column cannot drift
   // from t2's language rule
   private[queries] val stopSql = stop.map(s => s"'$s'").mkString(", ")
@@ -1384,11 +1406,7 @@ object TextQueries extends QueryPack {
     Q("t34_bpe_doc_tokens",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val merges = graft.operators.BpeTrainer.mergeList(
-          docs.select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
-              .as("piece"))
-            .groupBy("piece").agg(count(lit(1)).as("wf")),
-          BpeK, byteLevel = true)
+        val merges = frozenByteMerges(s, d)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy("doc_id")
           .rowsBetween(
@@ -1404,6 +1422,33 @@ object TextQueries extends QueryPack {
           .orderBy("doc_id")
       },
       Some(graft.operators.BpeTrainer.docTokensOracleSql(BpePat, BpeK,
-        byteLevel = true)))
+        byteLevel = true))),
+
+    // Token-ID sequences — t34 completed into the artifact a trainer
+    // literally ingests: the merge table induces a deterministic
+    // VOCABULARY (ids 0-255 = the byte alphabet, 255+rnk = each
+    // merge's symbol, first induction wins on surface duplicates —
+    // `BpeTrainer.byteVocab`), and each document maps to its ordered
+    // INTEGER id sequence via one transform against a single map
+    // literal (plan size flat in vocab — the typedlit discipline).
+    // The oracle rebuilds the same vocabulary from its own m1..mK
+    // argmax rows and re-maps every token, so a hash match pins the
+    // alphabet layout, the id assignment rule, the dedup rule, and
+    // every sequence. max_id additionally pins that merged ids (> 255)
+    // actually occur — a vocab that silently mapped everything to raw
+    // bytes would still match counts but not this.
+    Q("t35_bpe_token_ids",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.BpeTrainer
+          .docTokenIds(docs, frozenByteMerges(s, d), BpePat)
+          .select(col("doc_id"),
+            size(col("ids")).cast("bigint").as("n_tokens"),
+            md5(concat_ws("|",
+              transform(col("ids"), i => i.cast("string")))).as("ids_md5"),
+            coalesce(array_max(col("ids")), lit(-1)).cast("int").as("max_id"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.BpeTrainer.docTokenIdsOracleSql(BpePat, BpeK)))
   )
 }

@@ -111,6 +111,37 @@ class BpeByteSpec extends AnyFunSuite {
       "empty text must price as the empty sequence")
   }
 
+  test("byteVocab: alphabet ids 0-255, merges at 256+rank, first induction wins duplicates") {
+    val dup = Seq(("61", "62"), ("6162", "63"), ("61", "6263"))
+    // the 3rd merge's surface "616263" duplicates the 2nd's — its id
+    // (258) must be skipped, not reassigned
+    val v = BpeTrainer.byteVocab(dup).toMap
+    assert(v("00") === 0 && v("FF") === 255 && v.size === 256 + 2)
+    assert(v("6162") === 256 && v("616263") === 257)
+    // ids are unique (a map both ways)
+    assert(BpeTrainer.byteVocab(dup).map(_._2).distinct.size === v.size)
+  }
+
+  test("docTokenIds maps the provable merge to its vocab id, in order") {
+    val docs = Seq((0L, "aaaa"), (1L, "aaab")).toDF("doc_id", "text")
+    // one byte-level merge on this corpus must be (61, 61) — the only
+    // pair with count > 1 — so "aaaa" prices as [6161, 6161] = [256,
+    // 256] and "aaab" as [256, 97, 98] (raw byte ids for 'a', 'b')
+    val merges = BpeTrainer.mergeList(
+      docs.select(explode(expr(
+          s"regexp_extract_all(text, '${graft.queries.TextQueries.BpePat}', 0)"))
+          .as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("wf")),
+      k = 1, byteLevel = true)
+    assert(merges === Seq(("61", "61")))
+    val ids = BpeTrainer.docTokenIds(docs, merges,
+        graft.queries.TextQueries.BpePat)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(ids(0L) === Seq(256, 256))
+    assert(ids(1L) === Seq(256, 0x61, 0x62))
+  }
+
   test("loadMerges fails loud on a truncated or reordered artifact") {
     import spark.implicits._
     def write(rnks: Seq[Int]): String = {
