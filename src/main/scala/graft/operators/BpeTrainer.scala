@@ -268,6 +268,41 @@ object BpeTrainer {
     seen.toSeq
   }
 
+  /** Persist the induced vocabulary — the SECOND shipped-tokenizer
+    * artifact next to the merge table: a (tok, id) parquet, one file,
+    * 256 + ≤k rows. Serving tiers that only map ids (embedding lookup,
+    * detokenization) load this without replaying the merge induction.
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    byteVocab(merges).toDF("tok", "id")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted vocabulary with the same fail-loud discipline as
+    * `loadMerges`: the byte alphabet must be complete at ids 0-255
+    * (hex-pair tokens in byte order) and ids must be unique — a
+    * truncated or hand-edited artifact would otherwise remap every
+    * token silently.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Int)] = {
+    val rows = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Int]("id"))).toSeq
+    require(rows.length >= 256,
+      s"vocab at $dir has ${rows.length} rows — the 256-byte alphabet is incomplete")
+    val alpha = rows.take(256)
+    require(alpha == (0 until 256).map(b => (f"$b%02X", b)),
+      s"vocab at $dir: ids 0-255 are not the byte alphabet in order — " +
+        "not a byteVocab artifact")
+    require(rows.map(_._2).distinct.length == rows.length,
+      s"vocab at $dir carries duplicate ids — ambiguous mapping")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"vocab at $dir carries duplicate tokens — not a function")
+    rows
+  }
+
   /** (doc_id, ids ARRAY<INT> in document order): `docTokens` mapped
     * through the byte vocabulary — the integer sequence a trainer
     * actually ingests. ONE map-side transform against a single map

@@ -142,6 +142,25 @@ class BpeByteSpec extends AnyFunSuite {
     assert(ids(1L) === Seq(256, 0x61, 0x62))
   }
 
+  test("vocab artifact round-trips and fails loud on truncation or duplicate ids") {
+    import spark.implicits._
+    val merges = Seq(("61", "62"), ("6162", "63"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString + "/v"
+    BpeTrainer.saveVocab(spark, merges, dir)
+    assert(BpeTrainer.loadVocab(spark, dir) === BpeTrainer.byteVocab(merges))
+    // truncated alphabet (a filtered rewrite) must not load
+    val bad1 = dir + ".trunc"
+    spark.read.parquet(dir).filter(col("id") =!= 100)
+      .write.mode("overwrite").parquet(bad1)
+    assertThrows[IllegalArgumentException] { BpeTrainer.loadVocab(spark, bad1) }
+    // duplicate id (a bad manual merge of two vocabs) must not load
+    val bad2 = dir + ".dup"
+    spark.read.parquet(dir)
+      .unionByName(Seq(("FFFF", 256)).toDF("tok", "id"))
+      .write.mode("overwrite").parquet(bad2)
+    assertThrows[IllegalArgumentException] { BpeTrainer.loadVocab(spark, bad2) }
+  }
+
   test("loadMerges fails loud on a truncated or reordered artifact") {
     import spark.implicits._
     def write(rnks: Seq[Int]): String = {
