@@ -443,10 +443,10 @@ object BpeTrainer {
       byteLevel: Boolean = false): String =
     s"""${docSeqCtes(bpePat, k, byteLevel)}
            SELECT doc_id, n_tokens, tokens_md5, doc_id % 8 AS shard,
-             CAST(floor(COALESCE(SUM(n_tokens)
+             CAST(COALESCE(SUM(n_tokens)
                OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               / 2048.0) AS BIGINT) AS bin
+               // 2048 AS BIGINT) AS bin
            FROM dn ORDER BY doc_id"""
 
   /** DuckDB replay of the t35 token-ID sequences: the K-round chain,

@@ -767,23 +767,28 @@ object MultimodalOps {
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes))
-    // a sniff that dies on a truncated/garbage payload (EOFException
-    // from a short magic read) means "not my format" — the same
-    // IOException-swallowing contract ImageIO.getImageReaders applies
-    def sniffs(s: javax.imageio.spi.ImageReaderSpi): Boolean =
-      try s.canDecodeInput(iis) catch { case _: java.io.IOException => false }
-    val hint = lastGoodImageSpi
-    val spi =
-      if (hint != null && sniffs(hint)) hint
-      else imageReaderSpis.find(sniffs) match {
-        case Some(s) => lastGoodImageSpi = s; s
-        case None =>
-          throw new IllegalArgumentException(
-            "requirement failed: ImageIO could not decode payload")
-      }
-    val reader = spi.createReaderInstance()
-    try { reader.setInput(iis, true, true); reader.read(0) }
-    finally reader.dispose()
+    // the whole sniff+read sits inside one try/finally so the stream's
+    // cache buffers are released even on the no-SPI throw (the encode
+    // paths already close their output streams the same way)
+    try {
+      // a sniff that dies on a truncated/garbage payload (EOFException
+      // from a short magic read) means "not my format" — the same
+      // IOException-swallowing contract ImageIO.getImageReaders applies
+      def sniffs(s: javax.imageio.spi.ImageReaderSpi): Boolean =
+        try s.canDecodeInput(iis) catch { case _: java.io.IOException => false }
+      val hint = lastGoodImageSpi
+      val spi =
+        if (hint != null && sniffs(hint)) hint
+        else imageReaderSpis.find(sniffs) match {
+          case Some(s) => lastGoodImageSpi = s; s
+          case None =>
+            throw new IllegalArgumentException(
+              "requirement failed: ImageIO could not decode payload")
+        }
+      val reader = spi.createReaderInstance()
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally reader.dispose()
+    } finally iis.close()
   }
 
   private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {

@@ -1417,8 +1417,10 @@ object TextQueries extends QueryPack {
             size(col("tokens")).cast("bigint").as("n_tokens"),
             md5(concat_ws("|", col("tokens"))).as("tokens_md5"),
             pmod(col("doc_id"), lit(8)).as("shard"))
-          .withColumn("bin",
-            floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / lit(2048)))
+          // integer `div` (IntegralDivide), not double Divide: matches
+          // sp15's exact-integer packing even for running sums past 2^53
+          .withColumn("_rs", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", expr("_rs div 2048")).drop("_rs")
           .orderBy("doc_id")
       },
       Some(graft.operators.BpeTrainer.docTokensOracleSql(BpePat, BpeK,

@@ -70,8 +70,23 @@ object DsirStream {
     if (fs.exists(retired)) fs.delete(retired, true)
     if (fs.exists(live))
       require(fs.rename(live, retired), s"could not retire $weightsDir")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not publish $staging to $weightsDir")
+    // Publish, tolerating one concurrent `recoverRetired` resurrection:
+    // a scoreBatch running inside the swap window can rename
+    // .retired → live back (it legitimately reads the OLD table), which
+    // makes this rename fail with the destination present. That live is
+    // the table we just retired, not a competing writer — retire it
+    // again and retry the publish once. A second failure is a real
+    // filesystem problem and throws with the staging path intact.
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (!fs.rename(stagingPath, live)) {
+      if (fs.exists(live)) {
+        if (fs.exists(retired)) fs.delete(retired, true)
+        require(fs.rename(live, retired),
+          s"could not re-retire resurrected $weightsDir")
+      }
+      require(fs.rename(stagingPath, live),
+        s"could not publish $staging to $weightsDir")
+    }
     fs.delete(retired, true)
     ()
   }
@@ -89,8 +104,14 @@ object DsirStream {
     val fs = live.getFileSystem(hconf)
     val retired = new org.apache.hadoop.fs.Path(weightsDir + ".retired")
     if (!fs.exists(live) && fs.exists(retired)) {
-      require(fs.rename(retired, live),
-        s"could not restore $retired to $weightsDir")
+      // Two concurrent scoreBatch calls can both pass the checks above;
+      // the loser's rename fails because the winner already restored
+      // live (or a racing fitWeights just published the NEW table).
+      // Either way the store is healthy — only throw if live is STILL
+      // missing after the failed rename.
+      if (!fs.rename(retired, live))
+        require(fs.exists(live),
+          s"could not restore $retired to $weightsDir")
       ()
     }
   }

@@ -166,6 +166,15 @@ object SketchStream {
     // this read; the frames it yields compose with caller frames
     // because plans bind to the context, not the session.
     val reader = spark.newSession()
+    // `newSession()` builds its SessionState from builder-time initial
+    // options, NOT the caller's runtime conf — a runtime-set SQL conf
+    // on the caller (session time zone, ANSI mode) would silently not
+    // govern this read. Copy the caller's runtime conf onto the fork
+    // first so the ONLY divergence is the intended inference flip.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try reader.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static/immutable confs
+    }
     reader.conf.set(inferKey, "false")
     val raw =
       try {
