@@ -313,12 +313,25 @@ object BpeTrainer {
     * pre-tokenizer ever disagree.
     */
   def docTokenIds(docs: DataFrame, merges: Seq[(String, String)],
-      bpePat: String): DataFrame = {
-    val vocab = typedlit(byteVocab(merges).toMap)
+      bpePat: String): DataFrame =
+    docTokenIdsWith(docs, merges, byteVocab(merges), bpePat)
+
+  /** `docTokenIds` against an EXPLICIT vocabulary — the face a serving
+    * tier runs when BOTH artifacts (merge table + vocab) are loaded
+    * from disk rather than the vocab being re-induced: the two must
+    * agree (byteVocab(loadMerges(...)) == loadVocab(...) for an
+    * uncorrupted pair, and `loadVocab` fail-louds on anything else),
+    * but the serving path should consume what it shipped. Same single
+    * map-literal transform; `BpeStream.tokenIds` is the streaming
+    * caller.
+    */
+  def docTokenIdsWith(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)], bpePat: String): DataFrame = {
+    val vocabLit = typedlit(vocab.toMap)
     docTokens(docs, merges, bpePat, byteLevel = true)
       .select(col("doc_id"),
         transform(col("tokens"), t =>
-          coalesce(element_at(vocab, t),
+          coalesce(element_at(vocabLit, t),
             raise_error(concat(lit("token outside the byte vocab: "), t))
               .cast("int"))).as("ids"))
   }
@@ -456,7 +469,14 @@ object BpeTrainer {
     * ordered token list (piece index i, within-piece index j) mapped
     * to ids and pinned by md5 of the '|'-joined id sequence.
     */
-  def docTokenIdsOracleSql(bpePat: String, k: Int): String = {
+  /** The shared ID-LEVEL CTE prefix: the K-round chain, the induced
+    * vocabulary (`vfull` — byteVocab's rule in SQL), and every
+    * document's ordered per-token rows `dtok` (doc_id, piece index i,
+    * within-piece index j, hex token). t35/t36/sp16/t37 all build on
+    * these same CTEs, so the entries cannot disagree on the vocabulary
+    * or on any document's token sequence.
+    */
+  def docTokenIdCtes(bpePat: String, k: Int): String = {
     val vm = (1 to k).map(r =>
       s"SELECT (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) AS tok, ${255 + r} AS id")
       .mkString(" UNION ALL ")
@@ -478,7 +498,11 @@ object BpeTrainer {
              dtok AS (SELECT doc_id, i, j, toks[j] AS tok
                FROM (SELECT doc_id, i, toks,
                        unnest(range(1, len(toks) + 1)) AS j
-                     FROM dp JOIN vocabt USING (piece))),
+                     FROM dp JOIN vocabt USING (piece)))"""
+  }
+
+  def docTokenIdsOracleSql(bpePat: String, k: Int): String =
+    s"""${docTokenIdCtes(bpePat, k)},
              di AS (SELECT doc_id,
                string_agg(CAST(v.id AS VARCHAR), '|' ORDER BY i, j) AS s,
                CAST(count(*) AS BIGINT) AS n, max(v.id) AS mx
@@ -487,7 +511,69 @@ object BpeTrainer {
              md5(COALESCE(di.s, '')) AS ids_md5,
              CAST(COALESCE(di.mx, -1) AS INTEGER) AS max_id
            FROM d0 LEFT JOIN di USING (doc_id) ORDER BY doc_id"""
-  }
+
+  /** DuckDB replay of the t36 DETOKENIZATION direction: each document's
+    * ordered hex tokens re-concatenated (ORDER BY i, j with '' — the
+    * exact byte stream), `unhex` + decode back to text, equality
+    * against the source column per doc. The ids→tokens step the Spark
+    * side runs through the vocab map literal is replayed implicitly:
+    * `dtok.tok` IS vfull's surface string for the id t35 assigns, so a
+    * detok divergence anywhere (vocab layout, map order, hex framing)
+    * flips the md5 or the roundtrip flag.
+    */
+  def detokenizeOracleSql(bpePat: String, k: Int): String =
+    s"""${docTokenIdCtes(bpePat, k)},
+             dh AS (SELECT doc_id, string_agg(tok, '' ORDER BY i, j) AS hx,
+               CAST(count(*) AS BIGINT) AS n
+               FROM dtok GROUP BY doc_id),
+             dd AS (SELECT d0.doc_id, COALESCE(dh.n, 0) AS n_tokens,
+               COALESCE(decode(unhex(dh.hx)), '') AS detok
+               FROM d0 LEFT JOIN dh USING (doc_id))
+           SELECT dd.doc_id, n_tokens, md5(detok) AS detok_md5,
+             (detok = COALESCE(doc.text, '')) AS roundtrip_ok
+           FROM dd JOIN documents doc ON doc.doc_id = dd.doc_id
+           ORDER BY dd.doc_id"""
+
+  /** DuckDB replay of the sp16 PACKED WINDOWS: per-token global
+    * positions from the same prefix-sum arithmetic as sp15 (offset =
+    * shard-ordered running sum of n_tokens; token t of a doc sits at
+    * offset + t − 1), window = position // W, then per (shard, window,
+    * doc) the contiguous run (start within window, length, ordered id
+    * string) and per (shard, window) the concatenated sequence, the
+    * boundary map, and the fill. Zero-token docs touch no window on
+    * both sides; excluding them from the running sum is exact (they
+    * contribute 0).
+    */
+  def packedWindowsOracleSql(bpePat: String, k: Int, w: Long): String =
+    s"""${docTokenIdCtes(bpePat, k)},
+             dtok2 AS (SELECT doc_id, v.id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS t
+               FROM dtok JOIN vfull v USING (tok)),
+             dcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM dtok2 GROUP BY doc_id),
+             off AS (SELECT doc_id, n, doc_id % 8 AS shard,
+               COALESCE(CAST(SUM(n) OVER (PARTITION BY doc_id % 8
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS BIGINT), 0) AS o
+               FROM dcnt),
+             pos AS (SELECT o.shard, d.doc_id, o.o + d.t - 1 AS gp, d.id
+               FROM dtok2 d JOIN off o USING (doc_id)),
+             wb AS (SELECT shard, gp // $w AS window_id, doc_id,
+               CAST(min(gp) - (gp // $w) * $w AS BIGINT) AS wstart,
+               CAST(count(*) AS BIGINT) AS wlen,
+               string_agg(CAST(id AS VARCHAR), '|' ORDER BY gp) AS ids_s
+               FROM pos GROUP BY shard, gp // $w, doc_id),
+             wa AS (SELECT shard, window_id,
+               CAST(count(*) AS INTEGER) AS n_docs,
+               CAST(sum(wlen) AS BIGINT) AS n_tokens,
+               md5(string_agg(ids_s, '|' ORDER BY wstart)) AS ids_md5,
+               md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(wstart AS VARCHAR) || ':' || CAST(wlen AS VARCHAR),
+                 '|' ORDER BY wstart)) AS bounds_md5
+               FROM wb GROUP BY shard, window_id)
+           SELECT shard, window_id, n_docs, n_tokens,
+             (n_tokens * 1000000) // $w AS fill_e6, ids_md5, bounds_md5
+           FROM wa ORDER BY shard, window_id"""
 
   /** DuckDB replay of `tokenize` over `documents`. */
   def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-size context-window PACKING of per-document token sequences —
+  * the artifact a pretraining dataloader reads (GPT-style packed
+  * shards, public folklore: documents concatenated in order, split at
+  * fixed window boundaries, boundary offsets kept so the loader can
+  * mask cross-document attention). sp15 reports which windows a
+  * document touches; this MATERIALIZES the windows.
+  *
+  * Semantics (exact integer arithmetic end to end): per shard,
+  * documents concatenate in doc_id order; a document whose shard
+  * prefix-sum offset is `o` with `n` tokens occupies global positions
+  * [o, o + n) and touches windows [o div W, (o + n − 1) div W]. Each
+  * touched window receives the document's id slice covering that
+  * window's position range, at within-window start `max(o, w·W) − w·W`.
+  * Zero-token documents touch no window (and contribute 0 to every
+  * prefix sum, so dropping them is exact).
+  *
+  * Scale: one prefix-sum window per shard (shard count grows with the
+  * corpus — the sp15 argument), the explode adds one row per boundary
+  * straddle (≤ total_tokens/W extra rows corpus-wide), and the
+  * (shard, window) group-by is one evenly-keyed shuffle whose groups
+  * are W-bounded — no state ever exceeds one window's tokens.
+  */
+object ContextPacking {
+
+  /** `ids`: (doc_id, ids ARRAY<INT>) — `BpeTrainer.docTokenIds`' shape.
+    * Returns one row per non-empty (shard, window_id): the ordered
+    * window token sequence, the document-boundary map (position order),
+    * and the fill counters. `nShards` is the doc_id → shard modulus.
+    */
+  def packedWindows(ids: DataFrame, w: Long,
+      nShards: Int = 8): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ids
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards)).as("shard"),
+        col("ids"), size(col("ids")).cast("bigint").as("n"))
+      .withColumn("offset", coalesce(sum("n").over(win), lit(0L)))
+      .filter(col("n") > 0)
+      .withColumn("window_id", explode(sequence(
+        expr(s"`offset` div $w"), expr(s"(`offset` + n - 1) div $w"))))
+      .withColumn("gs", greatest(col("offset"), col("window_id") * w))
+      .withColumn("ge",
+        least(col("offset") + col("n"), (col("window_id") + 1) * w))
+      .select(col("shard"), col("window_id"), col("doc_id"),
+        (col("gs") - col("window_id") * w).as("wstart"),
+        (col("ge") - col("gs")).as("wlen"),
+        slice(col("ids"), (col("gs") - col("offset") + 1).cast("int"),
+          (col("ge") - col("gs")).cast("int")).as("piece_ids"))
+      .groupBy("shard", "window_id")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum("wlen").as("n_tokens"),
+        // wstart is unique within a window (documents occupy disjoint
+        // contiguous runs), so the struct sort restores position order
+        array_sort(collect_list(struct(col("wstart"), col("doc_id"),
+          col("wlen"), col("piece_ids")))).as("ps"))
+      .select(col("shard"), col("window_id"), col("n_docs"),
+        col("n_tokens"),
+        expr(s"(n_tokens * 1000000) div $w").as("fill_e6"),
+        flatten(transform(col("ps"), p => p("piece_ids")))
+          .as("window_ids"),
+        transform(col("ps"), p => struct(p("doc_id").as("doc_id"),
+          p("wstart").as("wstart"), p("wlen").as("wlen"))).as("bounds"))
+  }
+}

@@ -581,6 +581,46 @@ object SamplingQueries extends QueryPack {
                  ELSE o // 2048 END) - o // 2048 + 1
                ELSE 0 END AS n_windows
            FROM sh ORDER BY doc_id"""
-      }))
+      })),
+
+    // The packed windows MATERIALIZED — sp15 reported which windows
+    // each document touches; this emits what a pretraining dataloader
+    // actually reads: per (shard, window_id) of fixed W = 2048, the
+    // ordered token-id sequence (t35's `docTokenIds` sliced at the
+    // window boundaries and re-concatenated in position order), the
+    // document-boundary map (doc_id:start:len triples — the offsets a
+    // loader needs to mask cross-document attention), and the
+    // per-window fill (the padding-waste metric; every window is
+    // exactly full except each shard's last). Token positions come
+    // from the SAME shard/prefix-sum arithmetic as sp15 over the SAME
+    // frozen merges as t34/t35, so the four entries cannot disagree on
+    // what a document weighs or where it lands; a straddling
+    // document's tokens split losslessly across its windows
+    // (SamplingSpec re-concatenates a planted straddler). Exact
+    // integer arithmetic end to end; sequences pinned by md5 of the
+    // '|'-joined ids (the t19 discipline). Scale: one prefix-sum
+    // window per shard (shard count grows with the corpus), the
+    // explode adds one row per boundary straddle (≤ total_tokens/W
+    // extra rows), and the (shard, window) group-by is one
+    // evenly-keyed shuffle of W-bounded groups — no state ever exceeds
+    // one window.
+    Q("sp16_packed_windows",
+      (s, d) => graft.operators.ContextPacking.packedWindows(
+          graft.operators.BpeTrainer.docTokenIds(
+            Tables.load(s, d, "documents"),
+            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+          2048L)
+        .select(col("shard"), col("window_id"), col("n_docs"),
+          col("n_tokens"), col("fill_e6"),
+          md5(concat_ws("|",
+            transform(col("window_ids"), i => i.cast("string"))))
+            .as("ids_md5"),
+          md5(concat_ws("|", transform(col("bounds"), b =>
+            concat_ws(":", b("doc_id").cast("string"),
+              b("wstart").cast("string"), b("wlen").cast("string")))))
+            .as("bounds_md5"))
+        .orderBy("shard", "window_id"),
+      Some(graft.operators.BpeTrainer.packedWindowsOracleSql(
+        TextQueries.BpePat, TextQueries.BpeK, 2048L)))
   )
 }

@@ -1451,6 +1451,38 @@ object TextQueries extends QueryPack {
             coalesce(array_max(col("ids")), lit(-1)).cast("int").as("max_id"))
           .orderBy("doc_id")
       },
-      Some(graft.operators.BpeTrainer.docTokenIdsOracleSql(BpePat, BpeK)))
+      Some(graft.operators.BpeTrainer.docTokenIdsOracleSql(BpePat, BpeK))),
+
+    // DETOKENIZATION priced by the oracle end to end — the id→text
+    // direction t34/t35 only spec-pinned: each document's id sequence
+    // maps back through the SHIPPED vocabulary (ids → hex-pair surface
+    // strings via one reversed map literal — flat plan, the t35
+    // discipline), the hex concatenation `unhex`es to the exact UTF-8
+    // bytes, and a per-doc roundtrip flag compares against the source
+    // text. Byte-level closure makes the round trip lossless for ANY
+    // input (every char tiles into some pre-tokenizer piece; CJK and
+    // sentinel docs included — BpeByteSpec pins the planted cases, the
+    // oracle prices the whole corpus). A vocab-layout, id-assignment,
+    // or hex-framing divergence anywhere flips detok_md5 or the flag.
+    Q("t36_bpe_detokenize",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val merges = frozenByteMerges(s, d)
+        val idToTok = typedlit(graft.operators.BpeTrainer.byteVocab(merges)
+          .map { case (t, i) => (i, t) }.toMap)
+        graft.operators.BpeTrainer.docTokenIds(docs, merges, BpePat)
+          .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("bigint").as("n_tokens"),
+            decode(unhex(concat_ws("",
+              transform(col("ids"), i => element_at(idToTok, i)))), "UTF-8")
+              .as("detok"),
+            coalesce(col("text"), lit("")).as("orig"))
+          .select(col("doc_id"), col("n_tokens"),
+            md5(col("detok")).as("detok_md5"),
+            (col("detok") === col("orig")).as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.BpeTrainer.detokenizeOracleSql(BpePat, BpeK)))
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BpeTrainer, ContextPacking}
+
+/** Packed context windows (sp16's operator): boundary arithmetic and
+  * losslessness on a planted corpus where the windows are computable by
+  * hand. Merges are EMPTY so byte-level ids are the raw bytes — token
+  * counts equal text lengths exactly, making every offset provable.
+  */
+class ContextPackingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val pat = graft.queries.TextQueries.BpePat
+  private val W = 2048L
+
+  // shard 0 (doc_id % 8 == 0): 2040 + 100 + 4200 tokens —
+  //   doc 0  occupies [0, 2040)       → window 0 only
+  //   doc 8  occupies [2040, 2140)    → straddles windows 0/1 (8 + 92)
+  //   doc 16 occupies [2140, 6340)    → windows 1/2/3 (1956 + 2048 + 196)
+  // shard 1: doc 1 with 10 tokens → its own window 0
+  // doc 24 (shard 0) is EMPTY → touches no window, contributes nothing
+  private lazy val docs = Seq(
+    (0L, "a" * 2040), (8L, "b" * 100), (16L, "c" * 4200),
+    (24L, ""), (1L, "d" * 10)).toDF("doc_id", "text")
+
+  private lazy val packed = ContextPacking.packedWindows(
+      BpeTrainer.docTokenIds(docs, Seq.empty, pat), W)
+    .orderBy("shard", "window_id")
+    .collect()
+    .map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getSeq[Int](5).toVector,
+        r.getSeq[org.apache.spark.sql.Row](6)
+          .map(b => (b.getLong(0), b.getLong(1), b.getLong(2))).toVector)))
+    .toMap
+
+  test("window census: counts, fills, and the empty doc's absence") {
+    assert(packed.keySet === Set((0L, 0L), (0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 0L)))
+    val fills = packed.view.mapValues(_._3).toMap
+    // full windows bill exactly 1e6; shard 0's tail is 196/2048
+    assert(fills((0L, 0L)) === 1000000L && fills((0L, 1L)) === 1000000L &&
+      fills((0L, 2L)) === 1000000L)
+    assert(fills((0L, 3L)) === 196L * 1000000L / 2048L)
+    assert(packed((0L, 0L))._1 === 2 && packed((0L, 1L))._1 === 2 &&
+      packed((0L, 2L))._1 === 1 && packed((1L, 0L))._1 === 1)
+    // the empty doc 24 appears in no boundary map
+    assert(!packed.values.exists(_._5.exists(_._1 == 24L)))
+  }
+
+  test("boundary maps carry the hand-computed (doc, start, len) runs") {
+    assert(packed((0L, 0L))._5 === Vector((0L, 0L, 2040L), (8L, 2040L, 8L)))
+    assert(packed((0L, 1L))._5 === Vector((8L, 0L, 92L), (16L, 92L, 1956L)))
+    assert(packed((0L, 2L))._5 === Vector((16L, 0L, 2048L)))
+    assert(packed((0L, 3L))._5 === Vector((16L, 0L, 196L)))
+    assert(packed((1L, 0L))._5 === Vector((1L, 0L, 10L)))
+  }
+
+  test("straddling documents split losslessly: window slices concat back to each doc's ids") {
+    // expected ids: empty merges ⇒ raw byte ids of the UTF-8 text
+    val expected = Map(
+      0L -> Vector.fill(2040)(0x61), 8L -> Vector.fill(100)(0x62),
+      16L -> Vector.fill(4200)(0x63), 1L -> Vector.fill(10)(0x64))
+    // reassemble each doc from its per-window (start, len) slices, in
+    // window order — doc 16's three-window span included
+    val rebuilt = packed.toSeq
+      .flatMap { case ((_, w), (_, _, _, ids, bounds)) =>
+        bounds.map { case (doc, st, ln) =>
+          (doc, w, ids.slice(st.toInt, (st + ln).toInt))
+        }
+      }
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).flatMap(_._3).toVector).toMap
+    assert(rebuilt === expected)
+    // and every window's sequence is exactly its boundary slices
+    packed.foreach { case ((_, _), (_, n, _, ids, bounds)) =>
+      assert(ids.length.toLong === n)
+      assert(bounds.map(_._3).sum === n)
+    }
+  }
+}
