@@ -49,4 +49,33 @@ object BpeStream {
           .partitionBy("_batch_id").parquet(outDir)
         ()
       }
+
+  /** The ingest-time twin of `BpeTrainer.docTokenIds` — continuous
+    * TOKENIZATION, not just pricing: every arriving document lands as
+    * its ordered integer id sequence under BOTH shipped artifacts (the
+    * frozen merge table AND the induced vocabulary, each loaded from
+    * disk via `loadMerges`/`loadVocab` by the caller). Per micro-batch
+    * the work is exactly `docTokenIdsWith` — one map-side transform
+    * against one map literal, per-row pure — so stream/batch parity is
+    * bit-level under any chopping (BpeStreamSpec pins per-doc id
+    * equality), and the byte-level alphabet is implied: ids only exist
+    * under the byte vocabulary. Crash replay is idempotent via the
+    * `_batch_id` dynamic-overwrite scheme; duplicate doc_ids within a
+    * batch collapse to one row.
+    */
+  def tokenIds(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)], bpePat: String, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BpeTrainer.docTokenIdsWith(
+            batch.dropDuplicates("doc_id"), merges, vocab, bpePat)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
 }

@@ -144,4 +144,62 @@ class BpeStreamSpec extends AnyFunSuite {
     assert(byteMerges.forall { case (a, b) =>
       (a + b).matches("[0-9A-F]+") }, "merges are not byte-level symbols")
   }
+
+  test("streamed token-ID sequences equal the batch face per doc, bit for bit, from loaded artifacts") {
+    // the continuous-tokenization tier end to end: train → save BOTH
+    // artifacts (merge table + induced vocabulary) → load from disk →
+    // stream CHOPPED → per-doc integer id sequences must equal
+    // BpeTrainer.docTokenIds' batch output exactly
+    val byteMerges = BpeTrainer.mergeList(pieces, K, byteLevel = true)
+    val art = Files.createTempDirectory("graft_bpes_ids_art").toString
+    BpeTrainer.saveMerges(
+      BpeTrainer.trainMerges(pieces, K, byteLevel = true), s"$art/m")
+    BpeTrainer.saveVocab(spark, byteMerges, s"$art/v")
+    val loadedM = BpeTrainer.loadMerges(spark, s"$art/m")
+    val loadedV = BpeTrainer.loadVocab(spark, s"$art/v")
+    assert(loadedV === BpeTrainer.byteVocab(loadedM),
+      "shipped vocab diverged from the one its merges induce")
+
+    val rows = docs.collect().toSeq.sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val srcDir = Files.createTempDirectory("graft_bpes_ids_src").toString
+    val base = Files.createTempDirectory("graft_bpes_ids").toString
+    Seq(rows.take(55), rows.slice(55, 140), rows.drop(140)).zipWithIndex
+      .foreach { case (rs, i) =>
+        rs.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$srcDir/f$i")
+        new java.io.File(s"$srcDir/f$i").listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = BpeStream.tokenIds(src, loadedM, loadedV, pat, s"$base/out",
+        s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val batch = BpeTrainer.docTokenIds(docs, byteMerges, pat)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(streamed === batch,
+      "streamed id sequences diverged from the batch face")
+    // the chop really exercised multiple batches
+    assert(spark.read.parquet(s"$base/out")
+      .select("_batch_id").distinct().count() >= 3L)
+    // replay batch 0's body — the kept ids are unchanged
+    BpeTrainer.docTokenIdsWith(rows.take(55).toDF("doc_id", "text"),
+        loadedM, loadedV, pat)
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(s"$base/out")
+    val replayed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(replayed === batch, "replaying batch 0 changed the stored ids")
+  }
 }
