@@ -217,6 +217,74 @@ object IvfPq {
       .partitionBy("cell").parquet(servedDir)
   }
 
+  /** Persist the COMPLETE serving artifact of a fitted IVF-PQ index —
+    * what a serving tier loads so it never refits (the
+    * `IvfIndex.saveQuantized` / `BpeTrainer.saveMerges` discipline at
+    * the composed-index tier): the coarse centroids (`cents/`, nlist
+    * rows), the m residual codebooks (`books/`, m·k rows), the encoded
+    * codes laid out CELL-PARTITIONED (`codes/` — `compactToCells`'
+    * serving layout, so probed cells prune at the file level), and the
+    * exact quantized vector store the re-rank tail fetches from
+    * (`vectors/`). The one-time fit cost (183 s at nlist = 256 over
+    * the 10× corpus) is paid at save time, once, instead of per
+    * serving session.
+    */
+  def save(emb: DataFrame, dir: String, cents: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]], dims: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/cents")
+    books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (cw, code) => (mi, code, cw.toSeq) } }
+      .toDF("m", "code", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/books")
+    encode(emb, cents, books, dims)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    KMeans.quantized(emb)
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Load the fitted model state back into the driver-held shapes every
+    * search entry point consumes — with the `loadMerges`/`loadVocab`
+    * fail-loud discipline: cell ids must be the contiguous 0..nlist−1
+    * (a truncated or filtered rewrite would silently remap every
+    * assignment), the books must form a full m×k grid of equal-length
+    * codewords, and all dimensions must agree. Codes and vectors stay
+    * ON DISK — read them with `spark.read.parquet(s"$dir/codes")` /
+    * `.../vectors`; only the model state (nlist·dims + m·k·sub longs,
+    * trivially driver-held) is collected.
+    */
+  def loadModel(spark: SparkSession,
+      dir: String): (Seq[Array[Long]], Seq[Seq[Array[Long]]]) = {
+    val cRows = spark.read.parquet(s"$dir/cents").orderBy("cell").collect()
+    require(cRows.nonEmpty, s"no centroids at $dir/cents — not an IVF-PQ artifact")
+    require(cRows.map(_.getAs[Int]("cell")).toSeq == (0 until cRows.length),
+      s"corrupt centroids at $dir/cents: cell ids are not contiguous 0..n-1")
+    val cents = cRows.map(_.getAs[Seq[Long]]("v").toArray).toSeq
+    require(cents.map(_.length).distinct.size == 1,
+      s"corrupt centroids at $dir/cents: ragged dimensionality")
+    val bRows = spark.read.parquet(s"$dir/books").orderBy("m", "code").collect()
+    require(bRows.nonEmpty, s"no codebooks at $dir/books — not an IVF-PQ artifact")
+    val byM = bRows.groupBy(_.getAs[Int]("m"))
+    require(byM.keySet == (0 until byM.size).toSet,
+      s"corrupt codebooks at $dir/books: subspace ids are not contiguous")
+    val books = (0 until byM.size).map { mi =>
+      val rows = byM(mi).sortBy(_.getAs[Int]("code"))
+      require(rows.map(_.getAs[Int]("code")).toSeq == (0 until rows.length),
+        s"corrupt codebooks at $dir/books: codes of subspace $mi not contiguous")
+      rows.map(_.getAs[Seq[Long]]("v").toArray).toSeq
+    }
+    require(books.map(_.length).distinct.size == 1,
+      s"corrupt codebooks at $dir/books: subspaces disagree on k")
+    require(books.flatMap(_.map(_.length)).distinct.size == 1,
+      s"corrupt codebooks at $dir/books: ragged codeword length")
+    require(books.head.head.length * books.length == cents.head.length,
+      s"corrupt artifact at $dir: m·sub != dims")
+    (cents, books)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared oracle preamble: coarse chain + residuals + the m residual

@@ -739,6 +739,34 @@ object SimilarityQueries extends QueryPack {
         NlK, NlIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
         nprobe = 32, kCand = 20, topK = K))),
 
+    // n26's chain SERVED FROM THE PERSISTED ARTIFACT — the missing
+    // lifecycle step: the 256-cell coarse + residual fits and the
+    // encoded corpus are saved ONCE (`IvfPq.save` — the first entry to
+    // touch the store pays it, the sqDirCache discipline), and the
+    // serve path LOADS model state + reads the cell-partitioned codes
+    // and the exact vector store from disk — zero fit jobs
+    // (IvfPqArtifactSpec counts them), which is what lets a serving
+    // tier restart without the 183 s refit n26's session cache only
+    // amortizes within one JVM. Shares n26's oracle VERBATIM (the
+    // n5/n10/n18/b4 served≡ad-hoc discipline): a hash mismatch means
+    // the artifact round-trip changed the index.
+    Q("n27_ivfpq_served",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans}
+        val dir = servedIvfPqDir(s, d)
+        val (cents, books) = IvfPq.loadModel(s, dir)
+        val codes = s.read.parquet(s"$dir/codes")
+        val vectors = s.read.parquet(s"$dir/vectors")
+        val queries = KMeans.quantized(Tables.load(s, d, "embeddings"))
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.searchRerank(codes, vectors, queries, cents, books,
+          nprobe = 32, kCand = 20, k = K)
+      },
+      Some(graft.operators.IvfPq.rerankOracleSql(
+        NlK, NlIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 32, kCand = 20, topK = K))),
+
     Q("n22_filtered_ivfpq",
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}
@@ -801,6 +829,35 @@ object SimilarityQueries extends QueryPack {
       val cents = graft.operators.KMeans.fit(emb, NlK, NlIters, KmDims)
       (cents,
         graft.operators.IvfPq.fit(emb, cents, PqM, PqK, PqIters, KmDims))
+    })
+
+  /** One persisted large-nlist IVF-PQ artifact per (session, dataset) —
+    * the sqDirCache discipline: the first toucher pays the fit (shared
+    * with n26 via `largeNlist`) plus the encode+write; every later
+    * serve call only loads.
+    */
+  private val ivfPqDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def servedIvfPqDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfPqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_n27")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      val (cents, books) = largeNlist(s, d)
+      // the same pre-encode spread as n26: packed assignment prices
+      // nlist·dims lambda steps per row, and the synthetic table is
+      // one file = one partition
+      graft.operators.IvfPq.save(
+        Tables.load(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism),
+        dir.toString, cents, books)
+      dir.toString
     })
 
   /** One persisted PQ store per (session, dataset) — the sqDirCache

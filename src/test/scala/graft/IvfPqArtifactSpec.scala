@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfPq, KMeans}
+
+/** The persisted IVF-PQ serving artifact (n27's operator surface):
+  * save → load round-trips the fitted model bit-for-bit, the loaded
+  * store answers searchRerank identically to the ad-hoc chain, the
+  * serve path runs ZERO fit jobs, and a corrupted artifact fails loud
+  * instead of remapping silently.
+  */
+class IvfPqArtifactSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private val nlist = 8
+  private val (m, k, iters, dims) = (4, 4, 2, 64)
+
+  private lazy val emb = Tables
+    .load(spark, "/root/testdata/sf0.001", "embeddings")
+    .localCheckpoint()
+  private lazy val cents = KMeans.fit(emb, nlist, 3, dims)
+  private lazy val books = IvfPq.fit(emb, cents, m, k, iters, dims)
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_ivfpq_art").toString
+    IvfPq.save(emb, d, cents, books, dims)
+    d
+  }
+
+  test("save → loadModel round-trips centroids and codebooks exactly") {
+    val (lc, lb) = IvfPq.loadModel(spark, dir)
+    assert(lc.map(_.toSeq) === cents.map(_.toSeq))
+    assert(lb.map(_.map(_.toSeq)) === books.map(_.map(_.toSeq)))
+  }
+
+  test("the loaded store serves searchRerank identically to the ad-hoc chain, with zero fit jobs") {
+    dir // force the save OUTSIDE the counted window
+    val queries = KMeans.quantized(emb).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .localCheckpoint()
+    val adHoc = IvfPq.searchRerank(IvfPq.encode(emb, cents, books, dims),
+        KMeans.quantized(emb), queries, cents, books,
+        nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+
+    // ZERO FIT JOBS on the whole served search: every job launched in
+    // the window is recorded with its call site — none may originate
+    // in the fit code (KMeans.scala seeding/assignment rounds,
+    // PqIndex.scala book rounds). Call-site attribution, not a count:
+    // AQE splits shuffles into extra jobs, but it cannot move a job's
+    // origin out of the fitting files.
+    val sites = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val served =
+      try {
+        val (lc, lb) = IvfPq.loadModel(spark, dir)
+        val res = IvfPq.searchRerank(
+            spark.read.parquet(s"$dir/codes"),
+            spark.read.parquet(s"$dir/vectors"),
+            queries, lc, lb, nprobe = 2, kCand = 10, k = 5, dims)
+          .collect().map(_.toString).toSeq
+        Thread.sleep(300)
+        res
+      } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val fitJobs = sites.asScala.filter(s =>
+      s.contains("KMeans.scala") || s.contains("PqIndex.scala"))
+    assert(fitJobs.isEmpty,
+      s"the serve path launched fit jobs at: ${fitJobs.mkString(", ")}")
+    assert(sites.asScala.nonEmpty, "listener saw no jobs — window broken")
+    assert(served === adHoc,
+      "the loaded artifact diverged from the ad-hoc chain")
+  }
+
+  test("the codes store is cell-partitioned: a probed-cell filter prunes files") {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val allFiles = codes.select(input_file_name()).distinct().count()
+    val oneCell = codes.filter(col("cell") === 0)
+      .select(input_file_name()).distinct().count()
+    assert(allFiles >= 4 && oneCell < allFiles,
+      s"cell filter must prune files: $oneCell of $allFiles")
+  }
+
+  test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
+    val bad1 = dir + "_badcells"
+    spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)
+      .write.mode("overwrite").parquet(s"$bad1/cents")
+    spark.read.parquet(s"$dir/books")
+      .write.mode("overwrite").parquet(s"$bad1/books")
+    assertThrows[IllegalArgumentException] { IvfPq.loadModel(spark, bad1) }
+    val bad2 = dir + "_badbooks"
+    spark.read.parquet(s"$dir/cents")
+      .write.mode("overwrite").parquet(s"$bad2/cents")
+    spark.read.parquet(s"$dir/books")
+      .filter(!(col("m") === 1 && col("code") === 2))
+      .write.mode("overwrite").parquet(s"$bad2/books")
+    assertThrows[IllegalArgumentException] { IvfPq.loadModel(spark, bad2) }
+  }
+}
