@@ -475,6 +475,75 @@ object RetrievalQueries extends QueryPack {
            SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
            FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
+    // The LEARNED-TABLE loop closed over token IDs — HashedEmbedding's
+    // scaladoc promise ("a learned table would replace dimWeight with a
+    // broadcast lookup and nothing else changes") proved over t35's id
+    // sequences: a deterministic (id → dim-16 integer vector) table
+    // stands in for trained weights (md5 micro-unit weights, the
+    // t12/t13 idiom, "te:" namespace), each document MEAN-POOLS its
+    // token vectors (exact e3 fixed point: (sum·1000) div n, bounded by
+    // ±10⁶ so components stay float-exact with no guard), and the doc
+    // vectors feed the UNCHANGED n1 kNN shape — text → ids → learned
+    // table → vector → ANN entirely inside the engine, every stage a
+    // shipped artifact. The lookup is a broadcast join (vocab-sized
+    // table, ≤ 256 + k rows — fixed by the artifact, never grows with
+    // the corpus), the pooling one doc-keyed partial-agg shuffle.
+    Q("t37_token_embedding_knn",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextQueries.frozenByteMerges(s, d)
+        val table = broadcast(
+          graft.operators.BpeTrainer.byteVocab(merges).map(_._2)
+            .toDF("id")
+            .select(col("id") +: (0 until 16).map(dd =>
+              ((conv(substring(md5(concat(lit(s"te:$dd:"),
+                  col("id").cast("string"))), 1, 8), 16, 10)
+                .cast("long") % 2001L) - 1000L).as(s"w$dd")): _*))
+        val aggs = (0 until 16).map(dd => sum(col(s"w$dd")).as(s"s$dd")) :+
+          count(lit(1)).cast("bigint").as("n")
+        val vecs = graft.operators.BpeTrainer
+          .docTokenIds(Tables.load(s, d, "documents"), merges,
+            TextQueries.BpePat)
+          .select(col("doc_id"), explode(col("ids")).as("id"))
+          .join(table, Seq("id"))
+          .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id").as("vec_id"),
+            array((0 until 16).map(dd =>
+              expr(s"(s$dd * 1000) div n").cast("float")): _*)
+              .as("embedding"))
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+        graft.operators.SimilarityOps
+          .topKCosineWindow(vecs, Seq(0L, 1L, 2L, 3L, 4L), 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def wSql(dd: Int) =
+          s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        s"""${graft.operators.BpeTrainer.docTokenIdCtes(
+            TextQueries.BpePat, TextQueries.BpeK)},
+             tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
+             em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               ${(0 until 16).map(dd =>
+                s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")}
+               FROM tw GROUP BY doc_id),
+             tvec AS (SELECT doc_id,
+               [${(0 until 16).map(dd =>
+                s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")}] AS v
+               FROM em),
+             nz AS (SELECT doc_id, v FROM tvec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             q AS (SELECT doc_id query_id, v qe FROM nz WHERE doc_id < 5),
+             c AS (SELECT doc_id neighbor_id, v ne FROM nz),
+             sims AS (SELECT query_id, neighbor_id,
+               ($EmbDot) / (sqrt($EmbDotQQ) * sqrt($EmbDotNN)) AS sim
+              FROM q, c WHERE neighbor_id <> query_id),
+             ranked AS (SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM sims)
+           SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+           FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+      }),
+
     // Reciprocal-rank fusion: b2's three per-term rankings fused as
     // three retrieval systems answering one query — contributions are
     // exact 1e12 DIV (60+rnk) integers, so the whole hybrid-combiner

@@ -73,6 +73,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n8 is n1's deliberate corpus × broadcast-tiny-query-side cross
     // join, over the derived embeddings
     "n8_hashed_embedding_knn",
+    // t37 is the same n1 shape over the token-id learned-table
+    // vectors (query side fixed at 5 rows)
+    "t37_token_embedding_knn",
     // n9/n10 are the same deliberate shape over the SQ-reconstructed
     // corpus (ADC keeps the query side exact and broadcast-tiny)
     "n9_sq_adc_topk", "n10_sq_adc_served",
