@@ -170,7 +170,17 @@ object Bench {
     // signal, the within-run flag catches only gross mid-run arrivals.
     val canaryStr = canary.map(t => f"$t%.4f").mkString("[", ",", "]")
     val canaryWarn = canary.max > 3.0 * canary.min
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"retried":$retried,"errored_reps":$erroredReps,"failed":${failed.size}}"""
+    // Shared-cache fill ledger (CacheFills): at reps=1 (the 10× pass) a
+    // per-(session, dataset) cache is billed to whichever entry touches
+    // it first — `fills` records each cache's own build time so the
+    // record self-adjudicates (entry min − fill ≈ steady state) instead
+    // of needing a manual steady-state probe per first-toucher. Warm-up
+    // fills appear under the warm-up SF's key and are ignored by the
+    // sfDir analysis.
+    val fillsStr = CacheFills.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"retried":$retried,"errored_reps":$erroredReps,"fills":$fillsStr,"failed":${failed.size}}"""
     println(json)
     // Durable copy: BENCH_r10.json lost the first ~31 queries' timings
     // because the driver keeps only a bounded stdout TAIL of this

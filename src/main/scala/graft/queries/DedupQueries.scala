@@ -104,12 +104,14 @@ object DedupQueries extends QueryPack {
   private[queries] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     pairCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("neardup_pairs", d) {
       val sh = graft.operators.DedupOps
         .shingles(Tables.load(s, d, "documents"), "doc_id", "text")
       val capped = graft.operators.DedupOps.cappedShingles(sh, maxDf = 100000L)
         .localCheckpoint()
       graft.operators.DedupOps.jaccardPairs(capped, threshold = 0.5)
         .localCheckpoint()
+      }
     })
 
   /** The DuckDB twin of `nearDupPairs`, ending in `jp(d1, d2, jaccard)`

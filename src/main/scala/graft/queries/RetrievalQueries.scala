@@ -149,6 +149,7 @@ object RetrievalQueries extends QueryPack {
   private def servedTokenStoreDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     tokenStoreCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("maxsim_b10_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_b10")
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
@@ -159,10 +160,12 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LateInteraction.buildTokenStore(
         Tables.load(s, d, "documents"), "doc_id", "text", dir.toString)
       dir.toString
+      }
     })
 
   private def servedBm25Dir(s: org.apache.spark.sql.SparkSession, d: String): String =
     bm25DirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("bm25_b4_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_b4")
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
@@ -173,6 +176,7 @@ object RetrievalQueries extends QueryPack {
       Bm25.buildIndex(Tables.load(s, d, "documents"), "doc_id", "text",
         dir.toString, nBuckets = 64)
       dir.toString
+      }
     })
 
   val queries: Seq[Q] = Seq(

@@ -148,6 +148,7 @@ object SimilarityQueries extends QueryPack {
 
   private def servedIvfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     ivfDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("ivf_n5_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_n5")
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
@@ -159,6 +160,7 @@ object SimilarityQueries extends QueryPack {
         Tables.load(s, d, "embeddings"), nlist = 16,
         knownN = Tables.rowCount(s, d, "embeddings")), dir.toString)
       dir.toString
+      }
     })
 
   val queries: Seq[Q] = Seq(
@@ -797,8 +799,10 @@ object SimilarityQueries extends QueryPack {
   private def fittedBooks(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[Seq[Array[Long]]] =
     pqCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("pq_books", d) {
       graft.operators.PqIndex.fit(
         Tables.load(s, d, "embeddings"), PqM, PqK, PqIters, KmDims)
+      }
     })
 
   /** One residual-codebook fit per (session, dataset), over the coarse
@@ -810,9 +814,11 @@ object SimilarityQueries extends QueryPack {
   private def ivfpqBooks(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[Seq[Array[Long]]] =
     ivfpqCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("ivfpq_books", d) {
       graft.operators.IvfPq.fit(
         Tables.load(s, d, "embeddings"), fittedCents(s, d),
         PqM, PqK, PqIters, KmDims)
+      }
     })
 
   /** One large-nlist coarse fit + residual-book fit per (session,
@@ -825,10 +831,12 @@ object SimilarityQueries extends QueryPack {
   private def largeNlist(s: org.apache.spark.sql.SparkSession,
       d: String): (Seq[Array[Long]], Seq[Seq[Array[Long]]]) =
     nlCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("large_nlist_fits", d) {
       val emb = Tables.load(s, d, "embeddings")
       val cents = graft.operators.KMeans.fit(emb, NlK, NlIters, KmDims)
       (cents,
         graft.operators.IvfPq.fit(emb, cents, PqM, PqK, PqIters, KmDims))
+      }
     })
 
   /** One persisted large-nlist IVF-PQ artifact per (session, dataset) —
@@ -842,6 +850,7 @@ object SimilarityQueries extends QueryPack {
   private def servedIvfPqDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     ivfPqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("ivfpq_n27_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_n27")
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
@@ -858,6 +867,7 @@ object SimilarityQueries extends QueryPack {
           .repartition(s.sparkContext.defaultParallelism),
         dir.toString, cents, books)
       dir.toString
+      }
     })
 
   /** One persisted PQ store per (session, dataset) — the sqDirCache
@@ -868,6 +878,7 @@ object SimilarityQueries extends QueryPack {
 
   private def servedPqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     pqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("pq_n18_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_pq_n18")
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
@@ -878,6 +889,7 @@ object SimilarityQueries extends QueryPack {
       graft.operators.PqIndex.save(
         Tables.load(s, d, "embeddings"), dir.toString, PqM, PqK, PqIters, KmDims)
       dir.toString
+      }
     })
 
   /** One k-means fit per (session, dataset) — the centroids are k·dims
@@ -889,8 +901,10 @@ object SimilarityQueries extends QueryPack {
 
   private def fittedCents(s: org.apache.spark.sql.SparkSession, d: String): Seq[Array[Long]] =
     kmCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("kmeans_cents", d) {
       graft.operators.KMeans.fit(
         Tables.load(s, d, "embeddings"), KmK, KmIters, KmDims)
+      }
     })
 
   /** One persisted SQ store per (session, dataset) — n5's dir-cache
@@ -902,6 +916,7 @@ object SimilarityQueries extends QueryPack {
 
   private def servedSqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     sqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("sq_n10_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_sq_n10")
       sys.addShutdownHook {
         def rm(p: java.io.File): Unit = {
@@ -912,6 +927,7 @@ object SimilarityQueries extends QueryPack {
       graft.operators.Quantization.saveSq(
         Tables.load(s, d, "embeddings"), dir.toString)
       dir.toString
+      }
     })
 
   /** DuckDB replay of the ENTIRE SQ chain (codebook ranks → encode →

@@ -42,12 +42,14 @@ object TextQueries extends QueryPack {
   private[queries] def frozenByteMerges(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(String, String)] =
     byteMergeCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("byte_merges", d) {
       graft.operators.BpeTrainer.mergeList(
         Tables.load(s, d, "documents")
           .select(explode(expr(s"regexp_extract_all(text, '$BpePat', 0)"))
             .as("piece"))
           .groupBy("piece").agg(count(lit(1)).as("wf")),
         BpeK, byteLevel = true)
+      }
     })
   // shared with x8's data card so the en-share column cannot drift
   // from t2's language rule
