@@ -244,6 +244,79 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     KMeans.quantized(emb)
       .write.mode("overwrite").parquet(s"$dir/vectors")
+    // Drift baseline for `appendToSaved`: the build corpus's mean
+    // quantization error. err2 is ALREADY computed per row by encode —
+    // the PQ tier gets the IvfIndex drift discipline for the price of
+    // one column aggregate over the just-written codes.
+    val base = spark.read.parquet(s"$dir/codes")
+      .agg(count(lit(1)).as("n"),
+        avg(col("err2").cast("double")).as("mean_err2"))
+    base.coalesce(1).write.mode("overwrite").parquet(s"$dir/err_baseline")
+  }
+
+  /** Append new vectors to a saved artifact UNDER THE FROZEN MODEL —
+    * the serving lifecycle step between full rebuilds (the
+    * `IvfIndex.appendToSaved` contract at the PQ tier): the delta is
+    * encoded with the loaded centroids/codebooks (no fit jobs — the
+    * IvfPqArtifactSpec discipline), written into the cell partitions
+    * the probes already prune, and mirrored into the exact vector
+    * store the re-rank tail fetches from. Idempotent: already-present
+    * vec_ids are anti-joined away first (the duplicate check is a
+    * vec_id-only projection of the codes store — parquet column
+    * pruning makes it the narrowest possible corpus read; at the scale
+    * where even that is too hot, add the `IvfIndex` `_idb` bucketed
+    * pointer layout). Returns the number of rows actually appended.
+    *
+    * Drift: each append logs its mean encode error over the build
+    * baseline to `dir/drift_log` — err2 IS the PQ-tier drift statistic
+    * (residuals off the frozen codebooks grow as the distribution
+    * moves), so the retrain signal costs one delta-sized aggregate.
+    * `flagged` uses `IvfIndex.DriftRetrainRatio` (same rationale: a
+    * false flag costs one rebuild decision; a miss costs silent recall
+    * decay). Pre-baseline artifacts skip the record — re-save to start
+    * tracking.
+    */
+  def appendToSaved(spark: SparkSession, dir: String, newEmb: DataFrame,
+      dims: Int = 64): Long = {
+    import spark.implicits._
+    val (cents, books) = loadModel(spark, dir)
+    val seen = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id").as("_seen"))
+    val delta = newEmb.select("vec_id", "embedding")
+      .join(seen, col("vec_id") === col("_seen"), "left_anti")
+      .select("vec_id", "embedding")
+      .localCheckpoint()
+    val appended = delta.count()
+    if (appended > 0) {
+      // one delta-sized materialization feeds both writes and the
+      // drift aggregate (the appendToSaved checkpoint discipline)
+      val encDelta = encode(delta, cents, books, dims).localCheckpoint()
+      encDelta.write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/codes")
+      KMeans.quantized(delta)
+        .write.mode("append").parquet(s"$dir/vectors")
+      val basePath = new org.apache.hadoop.fs.Path(s"$dir/err_baseline")
+      val bfs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (bfs.exists(basePath)) {
+        val base = spark.read.parquet(s"$dir/err_baseline").collect()(0)
+          .getAs[Double]("mean_err2")
+        val d = encDelta.agg(avg(col("err2").cast("double")))
+          .first().getDouble(0)
+        if (base > 0) {
+          val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
+          val seq =
+            if (bfs.exists(logPath))
+              spark.read.parquet(s"$dir/drift_log")
+                .agg(max("seq")).first().getLong(0) + 1
+            else 1L
+          val ratio = d / base
+          Seq((seq, appended, d, ratio, ratio > IvfIndex.DriftRetrainRatio))
+            .toDF("seq", "n", "mean_err2", "ratio", "flagged")
+            .write.mode("append").parquet(s"$dir/drift_log")
+        }
+      }
+    }
+    appended
   }
 
   /** Load the fitted model state back into the driver-held shapes every

@@ -93,6 +93,70 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       s"cell filter must prune files: $oneCell of $allFiles")
   }
 
+  test("appendToSaved: frozen-model append is idempotent, serves identically to an ad-hoc union, logs drift, runs no fit") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft_ivfpq_app").toString
+    IvfPq.save(emb, d2, cents, books, dims)
+    // in-distribution delta: corpus vectors under fresh ids
+    val delta = emb.limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val sites = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n1 =
+      try { val n = IvfPq.appendToSaved(spark, d2, delta, dims)
+        Thread.sleep(300); n }
+      finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val fitJobs = sites.asScala.filter(s =>
+      s.contains("KMeans.scala") || s.contains("PqIndex.scala"))
+    assert(fitJobs.isEmpty, s"append launched fit jobs at: $fitJobs")
+    assert(n1 === 20L)
+    // idempotence: re-delivering the same delta appends nothing
+    assert(IvfPq.appendToSaved(spark, d2, delta, dims) === 0L)
+
+    // the appended store answers searchRerank exactly as an ad-hoc
+    // chain over the UNION corpus under the same frozen model
+    val queries = KMeans.quantized(emb).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val union = emb.select("vec_id", "embedding").union(delta)
+    val adHoc = IvfPq.searchRerank(IvfPq.encode(union, cents, books, dims),
+        KMeans.quantized(union), queries, cents, books,
+        nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+    val served = IvfPq.searchRerank(
+        spark.read.parquet(s"$d2/codes"),
+        spark.read.parquet(s"$d2/vectors"),
+        queries, cents, books, nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+    assert(served === adHoc,
+      "appended store diverged from the ad-hoc union chain")
+
+    // drift: the in-distribution append reads ≈ baseline (not flagged);
+    // a shifted delta (vectors scaled 3×, off the frozen codebooks)
+    // must flag
+    val log1 = spark.read.parquet(s"$d2/drift_log").orderBy("seq").collect()
+    assert(log1.length === 1 && !log1(0).getAs[Boolean]("flagged"),
+      s"in-distribution append flagged: ${log1.mkString(";")}")
+    val shifted = emb.limit(20)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * lit(3.0f)).as("embedding"))
+    assert(IvfPq.appendToSaved(spark, d2, shifted, dims) === 20L)
+    val log2 = spark.read.parquet(s"$d2/drift_log").orderBy("seq").collect()
+    assert(log2.length === 2 && log2(1).getAs[Boolean]("flagged"),
+      s"shifted append not flagged: ratio=${log2(1).getAs[Double]("ratio")}")
+  }
+
   test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
     val bad1 = dir + "_badcells"
     spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)
