@@ -230,8 +230,18 @@ object IvfPq {
     * serving session.
     */
   def save(emb: DataFrame, dir: String, cents: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]], dims: Int = 64): Unit =
+    saveQ(KMeans.quantized(emb), dir, cents, books, dims)
+
+  /** `save` from an already-quantized `(vec_id, qv)` relation — the
+    * entry point `retrain` uses to rebuild an artifact from its OWN
+    * vector store (quantization is exact integers, so a store
+    * round-trip loses nothing and a refit from it equals a refit from
+    * the raw corpus bit-for-bit — IvfPqArtifactSpec pins the equality).
+    */
+  def saveQ(q: DataFrame, dir: String, cents: Seq[Array[Long]],
       books: Seq[Seq[Array[Long]]], dims: Int = 64): Unit = {
-    val spark = emb.sparkSession
+    val spark = q.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "v").coalesce(1)
@@ -240,10 +250,9 @@ object IvfPq {
       book.zipWithIndex.map { case (cw, code) => (mi, code, cw.toSeq) } }
       .toDF("m", "code", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/books")
-    encode(emb, cents, books, dims)
+    PqIndex.encodeQ(residuals(q, cents), books, dims, carry = Seq("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    KMeans.quantized(emb)
-      .write.mode("overwrite").parquet(s"$dir/vectors")
+    q.write.mode("overwrite").parquet(s"$dir/vectors")
     // Drift baseline for `appendToSaved`: the build corpus's mean
     // quantization error. err2 is ALREADY computed per row by encode —
     // the PQ tier gets the IvfIndex drift discipline for the price of
@@ -252,6 +261,70 @@ object IvfPq {
       .agg(count(lit(1)).as("n"),
         avg(col("err2").cast("double")).as("mean_err2"))
     base.coalesce(1).write.mode("overwrite").parquet(s"$dir/err_baseline")
+  }
+
+  /** Refit and ATOMICALLY republish a saved artifact from its own
+    * vector store — the drift response `appendToSaved`'s flag calls
+    * for, closing the lifecycle loop (save → serve → append → drift →
+    * retrain) without ever needing the original corpus: the store
+    * holds exact quantized vectors, so `KMeans.fitQ` + the residual
+    * codebook fit reproduce what a from-scratch fit over the corpus
+    * would produce, bit for bit. The swap is the stage-then-rename
+    * discipline (`DsirStream.fitWeights`): the full new artifact is
+    * built at `.staging`, the live dir retires, staging publishes, and
+    * a concurrent `recoverRetired` resurrection is absorbed by one
+    * retire-and-retry. Serving sessions that loaded the OLD model keep
+    * working (their model state is driver-held and their codes/vectors
+    * frames bound the old files); new sessions load the new artifact.
+    */
+  def retrain(spark: SparkSession, dir: String, nlist: Int, m: Int,
+      k: Int, coarseIters: Int, pqIters: Int, dims: Int = 64): Unit = {
+    val q = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "qv").localCheckpoint()
+    val cents = KMeans.fitQ(q, nlist, coarseIters, dims)
+    val books = PqIndex.fitQuantized(
+      residuals(q, cents).localCheckpoint(), m, k, pqIters, dims)
+    val staging = dir + ".staging"
+    saveQ(q, staging, cents, books, dims)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(hconf)
+    val retired = new org.apache.hadoop.fs.Path(dir + ".retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    require(fs.rename(live, retired), s"could not retire $dir")
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (!fs.rename(stagingPath, live)) {
+      if (fs.exists(live)) {
+        if (fs.exists(retired)) fs.delete(retired, true)
+        require(fs.rename(live, retired),
+          s"could not re-retire resurrected $dir")
+      }
+      require(fs.rename(stagingPath, live),
+        s"could not publish $staging to $dir")
+    }
+    fs.delete(retired, true)
+    ()
+  }
+
+  /** Crash recovery for `retrain`'s two-rename swap (the
+    * `DsirStream.recoverRetired` contract): a retrain that died between
+    * retiring live and publishing staging leaves the old artifact at
+    * `.retired` and live missing — rename it back so serving keeps
+    * working under the old model until the next successful retrain.
+    * `loadModel` calls this first, so the window self-heals on the next
+    * serve session; no-op (one existence check) on a healthy store.
+    */
+  def recoverRetired(spark: SparkSession, dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(hconf)
+    val retired = new org.apache.hadoop.fs.Path(dir + ".retired")
+    if (!fs.exists(live) && fs.exists(retired)) {
+      if (!fs.rename(retired, live))
+        require(fs.exists(live),
+          s"could not restore $retired to $dir")
+      ()
+    }
   }
 
   /** Append new vectors to a saved artifact UNDER THE FROZEN MODEL —
@@ -331,6 +404,7 @@ object IvfPq {
     */
   def loadModel(spark: SparkSession,
       dir: String): (Seq[Array[Long]], Seq[Seq[Array[Long]]]) = {
+    recoverRetired(spark, dir)
     val cRows = spark.read.parquet(s"$dir/cents").orderBy("cell").collect()
     require(cRows.nonEmpty, s"no centroids at $dir/cents — not an IVF-PQ artifact")
     require(cRows.map(_.getAs[Int]("cell")).toSeq == (0 until cRows.length),

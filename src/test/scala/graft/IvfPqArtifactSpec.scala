@@ -157,6 +157,57 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       s"shifted append not flagged: ratio=${log2(1).getAs[Double]("ratio")}")
   }
 
+  test("retrain from the artifact's own store equals a from-corpus fit; the swap is atomic and self-heals") {
+    val d3 = Files.createTempDirectory("graft_ivfpq_rt").toString + "/idx"
+    IvfPq.save(emb, d3, cents, books, dims)
+    val delta = emb.limit(15)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    assert(IvfPq.appendToSaved(spark, d3, delta, dims) === 15L)
+
+    IvfPq.retrain(spark, d3, nlist, m, k, coarseIters = 3, pqIters = iters,
+      dims)
+    val (rc, rb) = IvfPq.loadModel(spark, d3)
+    // bit-identity: the store holds exact quantized vectors, so the
+    // retrain must reproduce a from-scratch fit over the union corpus
+    val union = emb.select("vec_id", "embedding").union(delta)
+      .localCheckpoint()
+    val fc = KMeans.fit(union, nlist, 3, dims)
+    val fb = IvfPq.fit(union, fc, m, k, iters, dims)
+    assert(rc.map(_.toSeq) === fc.map(_.toSeq),
+      "retrained centroids diverged from the from-corpus fit")
+    assert(rb.map(_.map(_.toSeq)) === fb.map(_.map(_.toSeq)),
+      "retrained codebooks diverged from the from-corpus fit")
+    // and the republished store serves the new model exactly
+    val queries = KMeans.quantized(emb).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val adHoc = IvfPq.searchRerank(IvfPq.encode(union, fc, fb, dims),
+        KMeans.quantized(union), queries, fc, fb,
+        nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+    val served = IvfPq.searchRerank(
+        spark.read.parquet(s"$d3/codes"),
+        spark.read.parquet(s"$d3/vectors"),
+        queries, rc, rb, nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+    assert(served === adHoc, "retrained store diverged from ad-hoc")
+    // staging/retired cleaned up
+    assert(!new java.io.File(d3 + ".staging").exists())
+    assert(!new java.io.File(d3 + ".retired").exists())
+
+    // crash window: live stranded at .retired (death between the two
+    // renames) — the next loadModel self-heals and serves the artifact
+    val fs = new org.apache.hadoop.fs.Path(d3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(d3),
+      new org.apache.hadoop.fs.Path(d3 + ".retired")))
+    val (hc, hb) = IvfPq.loadModel(spark, d3)
+    assert(hc.map(_.toSeq) === rc.map(_.toSeq) &&
+      hb.map(_.map(_.toSeq)) === rb.map(_.map(_.toSeq)),
+      "self-healed load diverged from the published model")
+    assert(new java.io.File(s"$d3/vectors").exists())
+  }
+
   test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
     val bad1 = dir + "_badcells"
     spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)
