@@ -544,7 +544,11 @@ object BpeTrainer {
     * both sides; excluding them from the running sum is exact (they
     * contribute 0).
     */
-  def packedWindowsOracleSql(bpePat: String, k: Int, w: Long): String =
+  /** The window-level CTE chain (through `wa`, one row per non-empty
+    * (shard, window)) — shared by the sp16 window replay and the sp17
+    * shard manifest so the two entries aggregate the same packing.
+    */
+  def packedWindowCtes(bpePat: String, k: Int, w: Long): String =
     s"""${docTokenIdCtes(bpePat, k)},
              dtok2 AS (SELECT doc_id, v.id,
                row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS t
@@ -570,10 +574,30 @@ object BpeTrainer {
                md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
                  CAST(wstart AS VARCHAR) || ':' || CAST(wlen AS VARCHAR),
                  '|' ORDER BY wstart)) AS bounds_md5
-               FROM wb GROUP BY shard, window_id)
+               FROM wb GROUP BY shard, window_id)"""
+
+  def packedWindowsOracleSql(bpePat: String, k: Int, w: Long): String =
+    s"""${packedWindowCtes(bpePat, k, w)}
            SELECT shard, window_id, n_docs, n_tokens,
              (n_tokens * 1000000) // $w AS fill_e6, ids_md5, bounds_md5
            FROM wa ORDER BY shard, window_id"""
+
+  /** DuckDB replay of the sp17 shard manifest — the per-shard summary
+    * a dataloader coordinator reads before assigning ranks: window and
+    * token totals, how many windows are exactly full, the exact mean
+    * fill, and the slice count (doc_slices − non-empty docs = boundary
+    * straddles). One aggregate over the same `wa` rows sp16 hashes.
+    */
+  def shardManifestOracleSql(bpePat: String, k: Int, w: Long): String =
+    s"""${packedWindowCtes(bpePat, k, w)}
+           SELECT shard, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n_tokens = $w THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_windows,
+             (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+               // (CAST(count(*) AS BIGINT) * $w) AS mean_fill_e6,
+             CAST(sum(n_docs) AS BIGINT) AS doc_slices
+           FROM wa GROUP BY shard ORDER BY shard"""
 
   /** DuckDB replay of `tokenize` over `documents`. */
   def tokenizeOracleSql(bpePat: String, k: Int, topK: Int): String =

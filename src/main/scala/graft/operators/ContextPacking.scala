@@ -68,4 +68,41 @@ object ContextPacking {
         transform(col("ps"), p => struct(p("doc_id").as("doc_id"),
           p("wstart").as("wstart"), p("wlen").as("wlen"))).as("bounds"))
   }
+
+  /** Persist a packed-window frame in the DATALOADER layout: one shard
+    * per partition directory, so a training rank reading its own shard
+    * touches only that shard's files (partition pruning — the
+    * IvfPq cell-store discipline at the data tier). This is the
+    * handoff artifact: (window_id, ordered ids, boundary structs, fill)
+    * per shard, written once per packing run.
+    */
+  def saveWindows(packed: org.apache.spark.sql.DataFrame,
+      dir: String): Unit =
+    packed.write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Read a persisted packed-window store — with the fail-loud
+    * integrity checks a loader needs before it trusts the layout:
+    * within every shard, window ids must be the contiguous 0..n−1 (a
+    * partially-written or filtered store would silently skip training
+    * data) and every window's token count must match its boundary
+    * lengths. Both checks are one aggregate over the store; the
+    * returned frame is the pruned-readable parquet.
+    */
+  def loadWindows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(dir)
+    val bad = df.groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        min("window_id").as("lo"), max("window_id").as("hi"),
+        sum(when(col("n_tokens") =!=
+          aggregate(col("bounds"), lit(0L), (a, b) => a + b("wlen")), 1L)
+          .otherwise(0L)).as("mismatched"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1L ||
+        col("mismatched") > 0L)
+      .collect()
+    require(bad.isEmpty,
+      s"corrupt window store at $dir: non-contiguous window ids or " +
+        s"boundary/token mismatches in shards ${bad.map(_.get(0)).mkString(",")}")
+    df
+  }
 }

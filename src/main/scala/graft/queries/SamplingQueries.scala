@@ -621,6 +621,38 @@ object SamplingQueries extends QueryPack {
             .as("bounds_md5"))
         .orderBy("shard", "window_id"),
       Some(graft.operators.BpeTrainer.packedWindowsOracleSql(
+        TextQueries.BpePat, TextQueries.BpeK, 2048L))),
+
+    // The SHARD MANIFEST over sp16's windows — what a dataloader
+    // coordinator reads before assigning ranks: per shard, window and
+    // token totals, how many windows are exactly full (all but each
+    // shard's tail, unless the total lands on a boundary), the exact
+    // mean fill (the corpus-level padding-waste number training teams
+    // budget), and the slice count (doc_slices − non-empty docs =
+    // boundary straddles). One aggregate over the SAME window frame
+    // sp16 hashes — the two entries cannot disagree on the packing.
+    Q("sp17_shard_manifest",
+      (s, d) => {
+        val W = 2048L
+        graft.operators.ContextPacking.packedWindows(
+            graft.operators.BpeTrainer.docTokenIds(
+              Tables.load(s, d, "documents"),
+              TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+            W)
+          .groupBy("shard")
+          .agg(count(lit(1)).cast("bigint").as("n_windows"),
+            sum("n_tokens").as("n_tokens"),
+            sum(when(col("n_tokens") === W, 1L).otherwise(0L))
+              .as("full_windows"),
+            sum(col("n_docs").cast("bigint")).as("doc_slices"))
+          .select(col("shard"), col("n_windows"), col("n_tokens"),
+            col("full_windows"),
+            expr(s"(n_tokens * 1000000) div (n_windows * $W)")
+              .as("mean_fill_e6"),
+            col("doc_slices"))
+          .orderBy("shard")
+      },
+      Some(graft.operators.BpeTrainer.shardManifestOracleSql(
         TextQueries.BpePat, TextQueries.BpeK, 2048L)))
   )
 }

@@ -60,6 +60,35 @@ class ContextPackingSpec extends AnyFunSuite {
     assert(packed((1L, 0L))._5 === Vector((1L, 0L, 10L)))
   }
 
+  test("saveWindows/loadWindows: the dataloader store round-trips, prunes by shard, and fails loud on gaps") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winstore").toString + "/w"
+    val frame = ContextPacking.packedWindows(
+      BpeTrainer.docTokenIds(docs, Seq.empty, pat), W)
+    ContextPacking.saveWindows(frame, dir)
+    val loaded = ContextPacking.loadWindows(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("window_id"), col("n_tokens"),
+        md5(concat_ws("|",
+          transform(col("window_ids"), i => i.cast("string")))))
+      .collect().map(_.toString).toSet
+    assert(key(loaded) === key(frame), "store round-trip changed windows")
+    // a rank reading its shard touches only that shard's files
+    val allFiles = loaded.select(input_file_name()).distinct().count()
+    val oneShard = spark.read.parquet(dir).filter(col("shard") === 0L)
+      .select(input_file_name()).distinct().count()
+    assert(allFiles >= 2 && oneShard < allFiles,
+      s"shard filter must prune files: $oneShard of $allFiles")
+    // a filtered rewrite (missing window 1 of shard 0) must not load
+    val bad = dir + ".gap"
+    spark.read.parquet(dir)
+      .filter(!(col("shard") === 0L && col("window_id") === 1L))
+      .write.partitionBy("shard").parquet(bad)
+    assertThrows[IllegalArgumentException] {
+      ContextPacking.loadWindows(spark, bad)
+    }
+  }
+
   test("straddling documents split losslessly: window slices concat back to each doc's ids") {
     // expected ids: empty merges ⇒ raw byte ids of the UTF-8 text
     val expected = Map(
