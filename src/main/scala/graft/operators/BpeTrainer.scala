@@ -545,14 +545,17 @@ object BpeTrainer {
     * contribute 0).
     */
   /** The window-level CTE chain (through `wa`, one row per non-empty
-    * (shard, window)) — shared by the sp16 window replay and the sp17
-    * shard manifest so the two entries aggregate the same packing.
+    * (shard, window)) — shared by the sp16 window replay, the sp17
+    * shard manifest, and the x10 release (which restricts the packed
+    * docs via `extraCtes` + `candJoin`) so every consumer aggregates
+    * the same packing.
     */
-  def packedWindowCtes(bpePat: String, k: Int, w: Long): String =
-    s"""${docTokenIdCtes(bpePat, k)},
+  def packedWindowCtes(bpePat: String, k: Int, w: Long,
+      extraCtes: String = "", candJoin: String = ""): String =
+    s"""${docTokenIdCtes(bpePat, k)}$extraCtes,
              dtok2 AS (SELECT doc_id, v.id,
                row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS t
-               FROM dtok JOIN vfull v USING (tok)),
+               FROM dtok JOIN vfull v USING (tok) $candJoin),
              dcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
                FROM dtok2 GROUP BY doc_id),
              off AS (SELECT doc_id, n, doc_id % 8 AS shard,

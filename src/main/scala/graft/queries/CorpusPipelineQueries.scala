@@ -545,6 +545,72 @@ object CorpusPipelineQueries extends QueryPack {
              CAST(sum(cnt2) AS BIGINT) AS n2_docs,
              CAST(sum(abs(p1 - p2)) AS BIGINT) AS l1_e6,
              CAST(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_drifted
-           FROM j GROUP BY source ORDER BY source"""))
+           FROM j GROUP BY source ORDER BY source""")),
+
+    // THE RELEASE, end to end under ONE hash: quality gate → exact
+    // dedup → deterministic split (x1's clean) → byte-BPE token-ID
+    // sequences under the frozen artifact (t35) → packed context
+    // windows (sp16) → the per-shard manifest (sp17) PLUS a release
+    // content hash (md5 of every window's sequence hash in window
+    // order) — the full production path from raw documents to the
+    // shard store a trainer mounts, composed, so a semantic drift in
+    // ANY stage or in their composition order flips this hash even if
+    // every standalone entry still passes. The tokenizer stays
+    // corpus-trained (artifacts are fit once, before gating — the
+    // production order); only gate-surviving train-split docs are
+    // tokenized and packed (the semi-join sits BELOW the per-token
+    // work, so rejected docs are never tokenized).
+    Q("x10_training_shard_release",
+      (s, d) => {
+        val W = 2048L
+        val docs = Tables.load(s, d, "documents")
+        val kept = CorpusPipeline.clean(docs)
+          .filter(col("split") === "train").select("doc_id")
+        val ids = graft.operators.BpeTrainer.docTokenIds(
+          docs.join(kept, Seq("doc_id"), "left_semi"),
+          TextQueries.frozenByteMerges(s, d), TextQueries.BpePat)
+        graft.operators.ContextPacking.packedWindows(ids, W)
+          .select(col("shard"), col("window_id"), col("n_docs"),
+            col("n_tokens"),
+            md5(concat_ws("|",
+              transform(col("window_ids"), i => i.cast("string"))))
+              .as("ids_md5"))
+          .groupBy("shard")
+          .agg(count(lit(1)).cast("bigint").as("n_windows"),
+            sum("n_tokens").as("n_tokens"),
+            sum(when(col("n_tokens") === W, 1L).otherwise(0L))
+              .as("full_windows"),
+            sum(col("n_docs").cast("bigint")).as("doc_slices"),
+            md5(concat_ws("|", transform(
+              array_sort(collect_list(struct(col("window_id"),
+                col("ids_md5")))),
+              p => concat_ws(":", p("window_id").cast("string"),
+                p("ids_md5"))))).as("release_md5"))
+          .select(col("shard"), col("n_windows"), col("n_tokens"),
+            col("full_windows"),
+            expr(s"(n_tokens * 1000000) div (n_windows * $W)")
+              .as("mean_fill_e6"),
+            col("doc_slices"), col("release_md5"))
+          .orderBy("shard")
+      },
+      Some {
+        val extra = s""",
+             $CleanSql,
+             keepdocs AS (SELECT doc_id FROM cleaned WHERE split = 'train')"""
+        s"""${graft.operators.BpeTrainer.packedWindowCtes(
+            TextQueries.BpePat, TextQueries.BpeK, 2048L,
+            extraCtes = extra,
+            candJoin = "JOIN keepdocs USING (doc_id)")}
+           SELECT shard, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n_tokens = 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_windows,
+             (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+               // (CAST(count(*) AS BIGINT) * 2048) AS mean_fill_e6,
+             CAST(sum(n_docs) AS BIGINT) AS doc_slices,
+             md5(string_agg(CAST(window_id AS VARCHAR) || ':' || ids_md5,
+               '|' ORDER BY window_id)) AS release_md5
+           FROM wa GROUP BY shard ORDER BY shard"""
+      })
   )
 }
