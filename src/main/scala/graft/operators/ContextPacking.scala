@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * straddle (≤ total_tokens/W extra rows corpus-wide), and the
   * (shard, window) group-by is one evenly-keyed shuffle whose groups
   * are W-bounded — no state ever exceeds one window's tokens.
+  *
+  * Deliberately NO streaming face: a window's contents depend on the
+  * shard-wide prefix sum, so any later document shifts every window
+  * after it — there is no per-row-pure or bounded-state form (unlike
+  * tokenization, which streams because it is per-document). Production
+  * packing is a per-release batch step over a FROZEN document set;
+  * re-packing a grown corpus is a new release (`saveWindows` to a new
+  * store, the IvfPq retrain-and-swap discipline), not an append.
   */
 object ContextPacking {
 

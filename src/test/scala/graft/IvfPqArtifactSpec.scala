@@ -208,6 +208,48 @@ class IvfPqArtifactSpec extends AnyFunSuite {
     assert(new java.io.File(s"$d3/vectors").exists())
   }
 
+  test("a query STREAM serves from the persisted artifact: PqStream.serve composes with loadModel") {
+    // the continuous-serving face of the n27 artifact: queries arrive
+    // as a stream, the store + model are the loaded artifact — chopped
+    // answers must equal the batch search from the same loaded pieces
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val (lc, lb) = IvfPq.loadModel(spark, dir)
+    val qRows = emb.limit(4).collect()
+      .map(r => (r.getLong(0) + 5000000L, r.getSeq[Float](1).toArray)).toSeq
+    val qSchema = StructType(Seq(StructField("query_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val srcDir = Files.createTempDirectory("graft_art_qsrc").toString
+    val base = Files.createTempDirectory("graft_art_serve").toString
+    Seq(qRows.take(2), qRows.drop(2)).zipWithIndex.foreach { case (rs, i) =>
+      rs.toDF("query_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(qSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = graft.streaming.PqStream.serve(src, s"$dir/codes", lc, lb,
+        s"$base/res", s"$base/ck", k = 5, nprobe = 2, dims)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/res")
+      .select("query_id", "neighbor_id", "adist2", "rnk")
+      .collect().map(_.toString).toSet
+    val batchQ = KMeans.quantized(qRows.toDF("query_id", "embedding")
+        .select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val expected = IvfPq.search(spark.read.parquet(s"$dir/codes"), batchQ,
+        lc, lb, nprobe = 2, k = 5, dims, excludeSelf = false)
+      .select("query_id", "neighbor_id", "adist2", "rnk")
+      .collect().map(_.toString).toSet
+    assert(expected.nonEmpty)
+    assert(streamed === expected,
+      "streamed serving from the artifact diverged from batch search")
+  }
+
   test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
     val bad1 = dir + "_badcells"
     spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)
