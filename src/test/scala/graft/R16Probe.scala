@@ -60,6 +60,12 @@ object R16Probe {
         time("t37_token_embedding_knn", "t37_token_embedding_knn", d)
       }
 
+    if (section == "all" || section == "r16b")
+      dirs.foreach { d =>
+        time("sp17_shard_manifest", "sp17_shard_manifest", d)
+        time("x10_training_shard_release", "x10_training_shard_release", d)
+      }
+
     if (section == "all" || section == "n27")
       dirs.foreach { d =>
         // first call pays the artifact save (fit shared with n26 via
