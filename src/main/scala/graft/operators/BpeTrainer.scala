@@ -350,7 +350,7 @@ object BpeTrainer {
     * Spark side's localCheckpoint.
     */
   private def chainSql(bpePat: String, k: Int,
-      byteLevel: Boolean = false): String = {
+      byteLevel: Boolean = false, recursive: Boolean = false): String = {
     // byte-level st0: the piece's UTF-8 bytes as two-hex-char symbols —
     // hex(encode(..)) is uppercase in both engines, so the replay is
     // symbol-for-symbol the Spark initRepBytes
@@ -373,7 +373,11 @@ object BpeTrainer {
                  '$L' || (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) || '$R') AS rep
                FROM st$p)"""
     }.mkString(",\n             ")
-    s"""WITH pc AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS wf
+    // `recursive` prepends RECURSIVE to the one WITH keyword the whole
+    // oracle chain shares — valid SQL even when no CTE recurses, needed
+    // by consumers (sp18) whose final CTEs are genuinely recursive
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$withKw pc AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS wf
                FROM (SELECT unnest(regexp_extract_all(text, '$bpePat')) AS piece
                      FROM documents)
                GROUP BY 1),
@@ -425,8 +429,8 @@ object BpeTrainer {
     * weighs.
     */
   def docSeqCtes(bpePat: String, k: Int,
-      byteLevel: Boolean = false): String =
-    s"""${chainSql(bpePat, k, byteLevel)},
+      byteLevel: Boolean = false, recursive: Boolean = false): String =
+    s"""${chainSql(bpePat, k, byteLevel, recursive)},
              vocab AS MATERIALIZED (SELECT piece,
                regexp_extract_all(rep, '$symRegex', 1) AS toks FROM st$k),
              d0 AS (SELECT doc_id,
@@ -511,6 +515,35 @@ object BpeTrainer {
              md5(COALESCE(di.s, '')) AS ids_md5,
              CAST(COALESCE(di.mx, -1) AS INTEGER) AS max_id
            FROM d0 LEFT JOIN di USING (doc_id) ORDER BY doc_id"""
+
+  /** DuckDB replay of the sp18 GREEDY whole-document packing — the
+    * genuinely sequential fold (running fill with data-dependent
+    * resets) as a linear recursive CTE: all shards advance together,
+    * one document per iteration per shard, state = (window, fill).
+    * Recursion depth = max documents per shard; the chain's WITH is
+    * lifted to WITH RECURSIVE (valid for the non-recursive CTEs too).
+    */
+  def greedyPackOracleSql(bpePat: String, k: Int, w: Long): String =
+    s"""${docSeqCtes(bpePat, k, byteLevel = true, recursive = true)},
+             b AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+               row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+                 AS rn
+               FROM dn WHERE n_tokens > 0),
+             st AS (
+               SELECT shard, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS window_id, n_tokens AS fill
+               FROM b WHERE rn = 1
+               UNION ALL
+               SELECT b2.shard, b2.rn, b2.doc_id, b2.n_tokens,
+                 CASE WHEN st.fill + b2.n_tokens <= $w THEN st.window_id
+                      ELSE st.window_id + 1 END,
+                 CASE WHEN st.fill + b2.n_tokens <= $w
+                      THEN st.fill + b2.n_tokens
+                      ELSE b2.n_tokens END
+               FROM st JOIN b b2
+                 ON b2.shard = st.shard AND b2.rn = st.rn + 1)
+           SELECT doc_id, shard, n_tokens, window_id
+           FROM st ORDER BY doc_id"""
 
   /** DuckDB replay of the t36 DETOKENIZATION direction: each document's
     * ordered hex tokens re-concatenated (ORDER BY i, j with '' — the

@@ -77,6 +77,52 @@ object ContextPacking {
           p("wstart").as("wstart"), p("wlen").as("wlen"))).as("bounds"))
   }
 
+  /** GREEDY WHOLE-DOCUMENT packing — the no-split alternative to
+    * `packedWindows` (used when cross-document attention contamination
+    * must be zero WITHOUT masking): per shard, documents are taken in
+    * doc_id order and each goes ENTIRELY into the current window if it
+    * fits, else opens a new one; a document longer than W overflows
+    * its own window alone (the greedy rule isolates it naturally —
+    * anything after an over-full window cannot fit). The price is
+    * padding (windows close under-full); `packedWindows` is the
+    * zero-padding twin. Returns the per-document assignment map
+    * (doc_id, shard, n_tokens, window_id) a shard writer consumes.
+    *
+    * Implementation note — the justified `mapPartitions` case: the
+    * assignment is a genuinely SEQUENTIAL fold (each document's window
+    * depends on the running fill, which no prefix-sum can express
+    * because the fill RESETS data-dependently), so it runs as one
+    * ordered fold per shard: `repartition(shard)` guarantees a shard's
+    * rows share a partition, the within-partition sort orders them,
+    * and the fold keeps O(1) state, resetting at shard boundaries
+    * (several shards may hash-share a partition). Parallelism = shard
+    * count, which scales with the corpus (`nShards` is the knob); the
+    * per-shard cost is one pass over its documents.
+    */
+  def packGreedy(ids: DataFrame, w: Long, nShards: Int = 8): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(col("ids")).cast("bigint").as("n"))
+      .filter(col("n") > 0)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var win = 0L
+        var fill = 0L
+        it.map { case (doc, shard, n) =>
+          if (shard != curShard) { curShard = shard; win = 0L; fill = n }
+          else if (fill + n <= w) fill += n
+          else { win += 1; fill = n }
+          (doc, shard, n, win)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "window_id")
+  }
+
   /** Persist a packed-window frame in the DATALOADER layout: one shard
     * per partition directory, so a training rank reading its own shard
     * touches only that shard's files (partition pruning — the

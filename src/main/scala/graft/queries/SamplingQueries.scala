@@ -653,6 +653,28 @@ object SamplingQueries extends QueryPack {
           .orderBy("shard")
       },
       Some(graft.operators.BpeTrainer.shardManifestOracleSql(
+        TextQueries.BpePat, TextQueries.BpeK, 2048L))),
+
+    // GREEDY whole-document packing — the NO-SPLIT alternative to
+    // sp16 (zero cross-document contamination without attention
+    // masking, paid for in padding): per shard in doc_id order, a
+    // document goes entirely into the current window if it fits, else
+    // opens a new one; oversize documents overflow alone. The window
+    // assignment is a genuinely sequential fold (running fill with
+    // data-dependent resets — no prefix sum expresses it), so the
+    // Spark side is the documented per-shard mapPartitions fold
+    // (parallelism = shard count, O(1) state) and the oracle replays
+    // the SAME fold as a linear recursive CTE over the shared `dn`
+    // counts — a hash match pins every document's window under both
+    // execution models.
+    Q("sp18_greedy_doc_packing",
+      (s, d) => graft.operators.ContextPacking.packGreedy(
+          graft.operators.BpeTrainer.docTokenIds(
+            Tables.load(s, d, "documents"),
+            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+          2048L)
+        .orderBy("doc_id"),
+      Some(graft.operators.BpeTrainer.greedyPackOracleSql(
         TextQueries.BpePat, TextQueries.BpeK, 2048L)))
   )
 }

@@ -60,6 +60,30 @@ class ContextPackingSpec extends AnyFunSuite {
     assert(packed((1L, 0L))._5 === Vector((1L, 0L, 10L)))
   }
 
+  test("packGreedy: whole-doc windows by hand — fit, overflow, oversize isolation, exact-fit boundary") {
+    // shard 0: 1000 + 1000 fit window 0 exactly under W; 100 overflows
+    // to window 1; the 3000-token OVERSIZE doc cannot join it and
+    // overflows window 2 alone; the next 10-token doc cannot join an
+    // over-full window → window 3. shard 1: an exactly-W doc fills
+    // window 0 completely; even 1 more token opens window 1.
+    val docs = Seq(
+      (0L, "a" * 1000), (8L, "b" * 1000), (16L, "c" * 100),
+      (24L, "d" * 3000), (32L, "e" * 10),
+      (1L, "f" * 2048), (9L, "g"), (40L, "")).toDF("doc_id", "text")
+    val got = ContextPacking.packGreedy(
+        BpeTrainer.docTokenIds(docs, Seq.empty, pat), W)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      0L -> ((0L, 1000L, 0L)), 8L -> ((0L, 1000L, 0L)),
+      16L -> ((0L, 100L, 1L)), 24L -> ((0L, 3000L, 2L)),
+      32L -> ((0L, 10L, 3L)),
+      1L -> ((1L, 2048L, 0L)), 9L -> ((1L, 1L, 1L))))
+    // no document is ever split: each appears exactly once
+    assert(got.size === 7)
+  }
+
   test("saveWindows/loadWindows: the dataloader store round-trips, prunes by shard, and fails loud on gaps") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_winstore").toString + "/w"
