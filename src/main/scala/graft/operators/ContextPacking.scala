@@ -99,12 +99,22 @@ object ContextPacking {
     * count, which scales with the corpus (`nShards` is the knob); the
     * per-shard cost is one pass over its documents.
     */
-  def packGreedy(ids: DataFrame, w: Long, nShards: Int = 8): DataFrame = {
-    val spark = ids.sparkSession
+  def packGreedy(ids: DataFrame, w: Long, nShards: Int = 8): DataFrame =
+    packGreedyCounts(ids.select(col("doc_id"),
+      size(col("ids")).cast("bigint").as("n_tokens")), w, nShards)
+
+  /** `packGreedy` from a (doc_id, n_tokens) COUNTS relation — the
+    * cheaper face when sequences are not already materialized
+    * (assignment only needs lengths; `BpeTrainer.docTokenCounts` prices
+    * a document without building its id arrays).
+    */
+  def packGreedyCounts(counts: DataFrame, w: Long,
+      nShards: Int = 8): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id"),
+    counts.select(col("doc_id"),
         pmod(col("doc_id"), lit(nShards)).as("shard"),
-        size(col("ids")).cast("bigint").as("n"))
+        col("n_tokens").cast("bigint").as("n"))
       .filter(col("n") > 0)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")

@@ -668,10 +668,12 @@ object SamplingQueries extends QueryPack {
     // counts — a hash match pins every document's window under both
     // execution models.
     Q("sp18_greedy_doc_packing",
-      (s, d) => graft.operators.ContextPacking.packGreedy(
-          graft.operators.BpeTrainer.docTokenIds(
+      (s, d) => graft.operators.ContextPacking.packGreedyCounts(
+          graft.operators.BpeTrainer.docTokenCounts(
             Tables.load(s, d, "documents"),
-            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat,
+            byteLevel = true)
+            .select("doc_id", "n_tokens"),
           2048L)
         .orderBy("doc_id"),
       Some(graft.operators.BpeTrainer.greedyPackOracleSql(
