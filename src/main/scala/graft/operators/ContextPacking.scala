@@ -157,12 +157,18 @@ object ContextPacking {
     val df = spark.read.parquet(dir)
     val bad = df.groupBy("shard")
       .agg(count(lit(1)).as("n"),
+        // distinct, not raw count: a duplicated window_id compensating
+        // a gap (ids {0,1,2,2,4}) would make (count, lo, hi) look
+        // contiguous while window 3 is silently missing — exactly the
+        // skipped-training-data case this check exists for; requiring
+        // n == n_distinct additionally rejects the duplicate itself
+        countDistinct(col("window_id")).as("nd"),
         min("window_id").as("lo"), max("window_id").as("hi"),
         sum(when(col("n_tokens") =!=
           aggregate(col("bounds"), lit(0L), (a, b) => a + b("wlen")), 1L)
           .otherwise(0L)).as("mismatched"))
-      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1L ||
-        col("mismatched") > 0L)
+      .filter(col("lo") =!= 0L || col("hi") =!= col("nd") - 1L ||
+        col("n") =!= col("nd") || col("mismatched") > 0L)
       .collect()
     require(bad.isEmpty,
       s"corrupt window store at $dir: non-contiguous window ids or " +

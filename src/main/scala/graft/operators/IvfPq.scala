@@ -279,6 +279,11 @@ object IvfPq {
     */
   def retrain(spark: SparkSession, dir: String, nlist: Int, m: Int,
       k: Int, coarseIters: Int, pqIters: Int, dims: Int = 64): Unit = {
+    // a prior retrain that crashed mid-swap leaves live stranded at
+    // `.retired` — self-heal before reading, exactly as loadModel does
+    // (a bare parquet-read failure here would force manual recovery of
+    // a window the machinery already knows how to close)
+    recoverRetired(spark, dir)
     val q = spark.read.parquet(s"$dir/vectors")
       .select("vec_id", "qv").localCheckpoint()
     val cents = KMeans.fitQ(q, nlist, coarseIters, dims)
@@ -340,6 +345,20 @@ object IvfPq {
     * where even that is too hot, add the `IvfIndex` `_idb` bucketed
     * pointer layout). Returns the number of rows actually appended.
     *
+    * Write order is vectors THEN codes — the anti-join target lands
+    * LAST (the `IvfIndex.appendToSaved` discipline): a crash between
+    * the two leaves only orphan vectors, which never become re-rank
+    * candidates (candidates come from codes) and so cost nothing but
+    * space. After a mid-append crash run `repairCodes` BEFORE
+    * re-running the append — it encodes the orphans into the codes
+    * store so the re-run's anti-join skips them instead of appending
+    * their vectors a second time. Single-writer per artifact:
+    * concurrent appends could interleave the two writes AND race the
+    * drift log's max(seq)+1 read-modify-write into duplicate seq
+    * values — serialization is the caller's contract (the `IvfIndex`
+    * append contract), not something two blind `mode("append")`
+    * writers can provide.
+    *
     * Drift: each append logs its mean encode error over the build
     * baseline to `dir/drift_log` — err2 IS the PQ-tier drift statistic
     * (residuals off the frozen codebooks grow as the distribution
@@ -364,10 +383,10 @@ object IvfPq {
       // one delta-sized materialization feeds both writes and the
       // drift aggregate (the appendToSaved checkpoint discipline)
       val encDelta = encode(delta, cents, books, dims).localCheckpoint()
-      encDelta.write.mode("append").partitionBy("cell")
-        .parquet(s"$dir/codes")
       KMeans.quantized(delta)
         .write.mode("append").parquet(s"$dir/vectors")
+      encDelta.write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/codes")
       val basePath = new org.apache.hadoop.fs.Path(s"$dir/err_baseline")
       val bfs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (bfs.exists(basePath)) {
@@ -390,6 +409,31 @@ object IvfPq {
       }
     }
     appended
+  }
+
+  /** Crash recovery for `appendToSaved`'s vectors-then-codes write
+    * order (the `IvfIndex.repairPointers` contract at the PQ tier):
+    * encode any vector-store rows missing from the codes store under
+    * the artifact's frozen model and append them. Cost: two vec_id-only
+    * column-pruned projections for the anti-join, then delta-sized
+    * encode + write; a healthy store heals nothing. Run after a
+    * mid-append crash, before the next append.
+    */
+  def repairCodes(spark: SparkSession, dir: String,
+      dims: Int = 64): Long = {
+    val (cents, books) = loadModel(spark, dir)
+    val seen = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id").as("_seen"))
+    val orphans = spark.read.parquet(s"$dir/vectors")
+      .join(seen, col("vec_id") === col("_seen"), "left_anti")
+      .select("vec_id", "qv")
+      .localCheckpoint()
+    val healed = orphans.count()
+    if (healed > 0)
+      PqIndex.encodeQ(residuals(orphans, cents), books, dims,
+          carry = Seq("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    healed
   }
 
   /** Load the fitted model state back into the driver-held shapes every

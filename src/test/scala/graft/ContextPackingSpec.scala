@@ -111,6 +111,18 @@ class ContextPackingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       ContextPacking.loadWindows(spark, bad)
     }
+    // a duplicate window_id COMPENSATING the gap (ids {0, 2, 2, 3} for
+    // shard 0: count, lo, and hi all look contiguous) must also fail —
+    // the distinct-count check, ADVICE r16
+    val dup = dir + ".dup"
+    spark.read.parquet(dir)
+      .filter(!(col("shard") === 0L && col("window_id") === 1L))
+      .union(spark.read.parquet(dir)
+        .filter(col("shard") === 0L && col("window_id") === 2L))
+      .write.partitionBy("shard").parquet(dup)
+    assertThrows[IllegalArgumentException] {
+      ContextPacking.loadWindows(spark, dup)
+    }
   }
 
   test("straddling documents split losslessly: window slices concat back to each doc's ids") {

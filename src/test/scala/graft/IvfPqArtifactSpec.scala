@@ -250,6 +250,55 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       "streamed serving from the artifact diverged from batch search")
   }
 
+  test("mid-append crash window: repairCodes heals orphan vectors; retrain self-heals a stranded live dir") {
+    val d4 = Files.createTempDirectory("graft_ivfpq_crw").toString + "/idx"
+    IvfPq.save(emb, d4, cents, books, dims)
+    val delta = emb.limit(10)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    assert(IvfPq.appendToSaved(spark, d4, delta, dims) === 10L)
+    // simulate the crash: the delta's CODES (the last write) never
+    // landed, its vectors did — exactly the window the vectors-first
+    // order leaves (ADVICE r16: the anti-join target is written last)
+    val codesKept = spark.read.parquet(s"$d4/codes")
+      .filter(col("vec_id") < 4000000L).localCheckpoint()
+    codesKept.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$d4/codes")
+    // heal, then prove the healed store ≡ the ad-hoc union chain
+    assert(IvfPq.repairCodes(spark, d4, dims) === 10L)
+    assert(IvfPq.repairCodes(spark, d4, dims) === 0L, "heal not idempotent")
+    // a replayed append after the heal is a no-op — no duplicate
+    // vectors ever enter the store
+    assert(IvfPq.appendToSaved(spark, d4, delta, dims) === 0L)
+    assert(spark.read.parquet(s"$d4/vectors").groupBy("vec_id").count()
+      .filter(col("count") > 1L).count() === 0L,
+      "crash replay duplicated vector rows")
+    val queries = KMeans.quantized(emb).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val union = emb.select("vec_id", "embedding").union(delta)
+    val adHoc = IvfPq.searchRerank(IvfPq.encode(union, cents, books, dims),
+        KMeans.quantized(union), queries, cents, books,
+        nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+    val healed = IvfPq.searchRerank(
+        spark.read.parquet(s"$d4/codes"),
+        spark.read.parquet(s"$d4/vectors"),
+        queries, cents, books, nprobe = 2, kCand = 10, k = 5, dims)
+      .collect().map(_.toString).toSeq
+    assert(healed === adHoc, "healed store diverged from ad-hoc union")
+
+    // retrain after a crashed SWAP (live stranded at .retired) must
+    // self-heal instead of failing on the vectors read (ADVICE r16)
+    val fs = new org.apache.hadoop.fs.Path(d4)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(d4),
+      new org.apache.hadoop.fs.Path(d4 + ".retired")))
+    IvfPq.retrain(spark, d4, nlist, m, k, coarseIters = 3,
+      pqIters = iters, dims)
+    assert(new java.io.File(s"$d4/vectors").exists())
+    assert(!new java.io.File(d4 + ".retired").exists())
+  }
+
   test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
     val bad1 = dir + "_badcells"
     spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)
