@@ -480,11 +480,12 @@ object BpeTrainer {
     * these same CTEs, so the entries cannot disagree on the vocabulary
     * or on any document's token sequence.
     */
-  def docTokenIdCtes(bpePat: String, k: Int): String = {
+  def docTokenIdCtes(bpePat: String, k: Int,
+      recursive: Boolean = false): String = {
     val vm = (1 to k).map(r =>
       s"SELECT (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) AS tok, ${255 + r} AS id")
       .mkString(" UNION ALL ")
-    s"""${chainSql(bpePat, k, byteLevel = true)},
+    s"""${chainSql(bpePat, k, byteLevel = true, recursive)},
              vocabt AS MATERIALIZED (SELECT piece,
                regexp_extract_all(rep, '$symRegex', 1) AS toks FROM st$k),
              valpha AS (SELECT printf('%02X', i) AS tok, CAST(i AS INTEGER) AS id
@@ -544,6 +545,65 @@ object BpeTrainer {
                  ON b2.shard = st.shard AND b2.rn = st.rn + 1)
            SELECT doc_id, shard, n_tokens, window_id
            FROM st ORDER BY doc_id"""
+
+  /** The GREEDY window-level CTE chain (through `gwa`, one row per
+    * (shard, window) of the no-split packing) — the `packedWindowCtes`
+    * shape driven by the sp18 recursive fold instead of the prefix-sum
+    * split: per-document ordered id strings (`gdi`), the linear
+    * recursive greedy assignment (`gst` — state (window, fill), one
+    * document per iteration per shard), then per window the
+    * within-window offsets (whole documents, so wstart is the running
+    * sum of preceding doc lengths) and the sequence/bounds hashes.
+    * Shared by the sp19 window replay and the greedy release (which
+    * restricts the packed docs via `extraCtes` + `candJoin`) so every
+    * consumer aggregates the same packing.
+    */
+  def greedyWindowCtes(bpePat: String, k: Int, w: Long,
+      extraCtes: String = "", candJoin: String = ""): String =
+    s"""${docTokenIdCtes(bpePat, k, recursive = true)}$extraCtes,
+             gdi AS (SELECT doc_id,
+               string_agg(CAST(v.id AS VARCHAR), '|' ORDER BY i, j) AS ids_s,
+               CAST(count(*) AS BIGINT) AS n
+               FROM dtok JOIN vfull v USING (tok) $candJoin
+               GROUP BY doc_id),
+             gb AS (SELECT doc_id, doc_id % 8 AS shard, n, ids_s,
+               row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+                 AS rn
+               FROM gdi WHERE n > 0),
+             gst AS (
+               SELECT shard, rn, doc_id, n,
+                 CAST(0 AS BIGINT) AS window_id, n AS fill
+               FROM gb WHERE rn = 1
+               UNION ALL
+               SELECT b2.shard, b2.rn, b2.doc_id, b2.n,
+                 CASE WHEN gst.fill + b2.n <= $w THEN gst.window_id
+                      ELSE gst.window_id + 1 END,
+                 CASE WHEN gst.fill + b2.n <= $w
+                      THEN gst.fill + b2.n
+                      ELSE b2.n END
+               FROM gst JOIN gb b2
+                 ON b2.shard = gst.shard AND b2.rn = gst.rn + 1),
+             gw AS (SELECT g.shard, g.window_id, g.doc_id,
+               g.n AS wlen, b.ids_s,
+               COALESCE(CAST(SUM(g.n) OVER (PARTITION BY g.shard, g.window_id
+                 ORDER BY g.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS BIGINT), 0) AS wstart
+               FROM gst g JOIN gb b ON b.doc_id = g.doc_id),
+             gwa AS (SELECT shard, window_id,
+               CAST(count(*) AS INTEGER) AS n_docs,
+               CAST(sum(wlen) AS BIGINT) AS n_tokens,
+               md5(string_agg(ids_s, '|' ORDER BY wstart)) AS ids_md5,
+               md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(wstart AS VARCHAR) || ':' || CAST(wlen AS VARCHAR),
+                 '|' ORDER BY wstart)) AS bounds_md5
+               FROM gw GROUP BY shard, window_id)"""
+
+  /** DuckDB replay of the sp19 MATERIALIZED greedy windows. */
+  def greedyWindowsOracleSql(bpePat: String, k: Int, w: Long): String =
+    s"""${greedyWindowCtes(bpePat, k, w)}
+           SELECT shard, window_id, n_docs, n_tokens,
+             (n_tokens * 1000000) // $w AS fill_e6, ids_md5, bounds_md5
+           FROM gwa ORDER BY shard, window_id"""
 
   /** DuckDB replay of the t36 DETOKENIZATION direction: each document's
     * ordered hex tokens re-concatenated (ORDER BY i, j with '' — the

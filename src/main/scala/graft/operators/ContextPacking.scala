@@ -133,6 +133,47 @@ object ContextPacking {
       .toDF("doc_id", "shard", "n_tokens", "window_id")
   }
 
+  /** MATERIALIZE the greedy assignment as the same dataloader artifact
+    * `packedWindows` emits — (shard, window_id, n_docs, n_tokens,
+    * fill_e6, ordered window_ids, boundary structs) — so the no-split
+    * policy can feed `saveWindows`/`loadWindows`, the sp17 manifest,
+    * and the composed release exactly as the split policy does
+    * (VERDICT r16 #2). Windows hold WHOLE documents in doc_id order
+    * (wstart = running sum of the window's preceding doc lengths), so
+    * every bounds entry covers its document completely — no boundary
+    * straddles, ever; the price is fill_e6 < 10⁶ on every window the
+    * greedy rule closes early (an oversize document's lone window
+    * reads > 10⁶ — it overflows alone by construction).
+    *
+    * Scale: the assignment is `packGreedy`'s per-shard fold; the
+    * materialization adds one (shard, window_id)-keyed shuffle whose
+    * groups are W-bounded (oversize docs aside) — the same shape as
+    * `packedWindows`' group-by. `loadWindows`' integrity checks hold
+    * on this store by construction (per-shard window ids are the
+    * contiguous fold outputs 0..n−1; n_tokens = Σ wlen).
+    */
+  def packGreedyWindows(ids: DataFrame, w: Long,
+      nShards: Int = 8): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "window_id").orderBy("doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packGreedy(ids, w, nShards)
+      .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      .withColumn("wstart", coalesce(sum("n_tokens").over(win), lit(0L)))
+      .groupBy("shard", "window_id")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        array_sort(collect_list(struct(col("wstart"), col("doc_id"),
+          col("n_tokens").as("wlen"), col("ids")))).as("ps"))
+      .select(col("shard"), col("window_id"), col("n_docs"),
+        col("n_tokens"),
+        expr(s"(n_tokens * 1000000) div $w").as("fill_e6"),
+        flatten(transform(col("ps"), p => p("ids"))).as("window_ids"),
+        transform(col("ps"), p => struct(p("doc_id").as("doc_id"),
+          p("wstart").as("wstart"), p("wlen").as("wlen"))).as("bounds"))
+  }
+
   /** Persist a packed-window frame in the DATALOADER layout: one shard
     * per partition directory, so a training rank reading its own shard
     * touches only that shard's files (partition pruning — the

@@ -156,6 +156,94 @@ object IvfPq {
       .orderBy("query_id", "rnk")
   }
 
+  /** DataFrame-NATIVE cell-pruned ADC top-k — `search` with the
+    * query-batch work moved off the driver (the `IvfIndex
+    * .searchPrunedDf` contract at the codes tier): the query batch
+    * stays a DataFrame end to end, so the serving plan's size is
+    * independent of the batch size and a 10⁶-query scoring pass never
+    * round-trips vectors through the driver.
+    *
+    * Executor-side replay of exactly `search`'s arithmetic, in-plan:
+    *
+    *  - PROBE SELECTION: the nlist coarse distances are priced per
+    *    query against the single nested-array centroid literal
+    *    (`KMeans.centroidsLit` — one Literal node, payload shipped
+    *    once per executor), `array_sort` over (dist2, cell) structs
+    *    reproduces the driver's (s, cell) ascending tie-break, and
+    *    `slice(..., 1, nprobe)` keeps the probe set;
+    *  - RESIDUAL LUTs: per (query, probed cell), each subspace's k
+    *    ADC entries are `(qres − cw)²` sums against the nested-array
+    *    codebook literal — pure integer arithmetic per row, the same
+    *    BIGINT values the driver loop computes.
+    *
+    * The O(nlist·dims) sort-and-slice is emitted through an `inline`
+    * generator (the `KMeans.bestBarrier` discipline) so it evaluates
+    * once per query however many consumers reference the probe row;
+    * the LUT frame — still (queries · nprobe) rows, batch-bounded —
+    * is broadcast and INNER-joined on the cell id exactly as in
+    * `search`, so non-probed cells prune before any distance math
+    * (file-level with the `partitionBy(cell)` layout). Values are
+    * bit-identical to `search` (integer arithmetic, same orderings —
+    * IvfPqSpec pins it and the n28 entry shares n20's oracle
+    * verbatim); only where the LUTs are computed changes.
+    */
+  def searchDf(codes: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      nprobe: Int, k: Int, dims: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val sub = dims / m
+    val centsL = KMeans.centroidsLit(cents)
+    val booksL = typedlit(books.map(_.map(_.toSeq)))
+    // (dist2, cell) per cell → sorted ascending (struct comparison is
+    // lexicographic: dist2, then the smaller cell id — the driver
+    // loop's .sorted) → top nprobe → each probe carries its residual
+    val probes = transform(
+      slice(array_sort(transform(centsL, (cv, i) =>
+        struct(
+          aggregate(zip_with(col("qv"), cv, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist2"),
+          i.cast("int").as("p_cell")))), 1, nprobe),
+      p => struct(p("p_cell").as("p_cell"),
+        zip_with(col("qv"), element_at(centsL, p("p_cell") + 1),
+          (a, b) => a - b).as("qres")))
+    val probeRows = queries.select(col("query_id"), inline(probes))
+    val luts = (0 until m).map { i =>
+      transform(element_at(booksL, i + 1), cw =>
+        aggregate(zip_with(slice(col("qres"), i * sub + 1, sub), cw,
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)).as(s"lut$i")
+    }
+    val lutDf = probeRows.select(
+      col("query_id") +: col("p_cell") +: luts: _*)
+    val adist = (0 until m)
+      .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist2"), col("neighbor_id"))
+    val joined = codes.join(broadcast(lutDf), col("cell") === col("p_cell"))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+     else joined)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), adist.as("adist2"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** `searchRerank` with the stage-1 candidates from `searchDf` — the
+    * fully DataFrame-native two-stage serving path (same exact-integer
+    * re-rank tail, so it shares n23's oracle transitively).
+    */
+  def searchRerankDf(codes: DataFrame, vectors: DataFrame,
+      queries: DataFrame, cents: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]], nprobe: Int, kCand: Int, k: Int,
+      dims: Int = 64, excludeSelf: Boolean = true): DataFrame =
+    rerankTail(vectors, queries,
+      searchDf(codes, queries, cents, books, nprobe, kCand, dims,
+        excludeSelf), k)
+
   /** Two-stage search with an EXACT re-rank tail — the standard PQ
     * refinement recipe (Jégou et al. 2011 §V-C's re-ranking variant):
     * stage 1 prices a WIDE candidate set (`kCand` ≥ `k`) from codes
@@ -175,10 +263,19 @@ object IvfPq {
   def searchRerank(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
       cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
       nprobe: Int, kCand: Int, k: Int, dims: Int = 64,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    rerankTail(vectors, queries,
+      search(codes, queries, cents, books, nprobe, kCand, dims,
+        excludeSelf), k)
+
+  /** The shared exact-integer refinement tail: fetch only the
+    * candidates' stored vectors (candidate-bounded broadcast semi-join
+    * shape — never a corpus scan) and re-rank by exact distance.
+    */
+  private def rerankTail(vectors: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = search(codes, queries, cents, books, nprobe, kCand, dims,
-        excludeSelf)
+    val cand = candidates
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         col("adist2"))
     val qs = queries.select(col("query_id"), col("qv").as("q_qv"))

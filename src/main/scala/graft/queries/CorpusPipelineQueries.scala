@@ -611,6 +611,68 @@ object CorpusPipelineQueries extends QueryPack {
              md5(string_agg(CAST(window_id AS VARCHAR) || ':' || ids_md5,
                '|' ORDER BY window_id)) AS release_md5
            FROM wa GROUP BY shard ORDER BY shard"""
+      }),
+
+    // The release under the NO-SPLIT policy (VERDICT r16 #3): the
+    // identical gate → exact-dedup → train-split → frozen-artifact
+    // token-ID chain, but packed by sp19's greedy whole-document
+    // windows instead of sp16's boundary-split ones — proving the
+    // packing policy composes through the WHOLE production path as a
+    // knob (same CleanSql gate CTEs, same release-hash discipline; a
+    // drift in any stage, their order, or the greedy fold itself
+    // flips the hash). mean_fill_e6 here is the padding bill the
+    // no-split policy pays vs x10's ≈10⁶.
+    Q("x12_greedy_shard_release",
+      (s, d) => {
+        val W = 2048L
+        val docs = Tables.load(s, d, "documents")
+        val kept = CorpusPipeline.clean(docs)
+          .filter(col("split") === "train").select("doc_id")
+        val ids = graft.operators.BpeTrainer.docTokenIds(
+          docs.join(kept, Seq("doc_id"), "left_semi"),
+          TextQueries.frozenByteMerges(s, d), TextQueries.BpePat)
+        graft.operators.ContextPacking.packGreedyWindows(ids, W)
+          .select(col("shard"), col("window_id"), col("n_docs"),
+            col("n_tokens"),
+            md5(concat_ws("|",
+              transform(col("window_ids"), i => i.cast("string"))))
+              .as("ids_md5"))
+          .groupBy("shard")
+          .agg(count(lit(1)).cast("bigint").as("n_windows"),
+            sum("n_tokens").as("n_tokens"),
+            sum(when(col("n_tokens") === W, 1L).otherwise(0L))
+              .as("full_windows"),
+            sum(col("n_docs").cast("bigint")).as("doc_slices"),
+            md5(concat_ws("|", transform(
+              array_sort(collect_list(struct(col("window_id"),
+                col("ids_md5")))),
+              p => concat_ws(":", p("window_id").cast("string"),
+                p("ids_md5"))))).as("release_md5"))
+          .select(col("shard"), col("n_windows"), col("n_tokens"),
+            col("full_windows"),
+            expr(s"(n_tokens * 1000000) div (n_windows * $W)")
+              .as("mean_fill_e6"),
+            col("doc_slices"), col("release_md5"))
+          .orderBy("shard")
+      },
+      Some {
+        val extra = s""",
+             $CleanSql,
+             keepdocs AS (SELECT doc_id FROM cleaned WHERE split = 'train')"""
+        s"""${graft.operators.BpeTrainer.greedyWindowCtes(
+            TextQueries.BpePat, TextQueries.BpeK, 2048L,
+            extraCtes = extra,
+            candJoin = "JOIN keepdocs USING (doc_id)")}
+           SELECT shard, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n_tokens = 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_windows,
+             (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+               // (CAST(count(*) AS BIGINT) * 2048) AS mean_fill_e6,
+             CAST(sum(n_docs) AS BIGINT) AS doc_slices,
+             md5(string_agg(CAST(window_id AS VARCHAR) || ':' || ids_md5,
+               '|' ORDER BY window_id)) AS release_md5
+           FROM gwa GROUP BY shard ORDER BY shard"""
       })
   )
 }

@@ -677,6 +677,38 @@ object SamplingQueries extends QueryPack {
           2048L)
         .orderBy("doc_id"),
       Some(graft.operators.BpeTrainer.greedyPackOracleSql(
+        TextQueries.BpePat, TextQueries.BpeK, 2048L))),
+
+    // sp18's assignment MATERIALIZED as the dataloader artifact — the
+    // no-split policy's sp16 (VERDICT r16 #2): per (shard, window_id),
+    // the ordered token-id sequence (whole documents concatenated in
+    // doc_id order — no boundary straddles, by the greedy rule), the
+    // boundary map, and the fill (< 10⁶ wherever a window closed
+    // early: the padding the no-split policy pays; > 10⁶ only on an
+    // oversize document's lone window). Flows through the SAME
+    // saveWindows/loadWindows store, manifest aggregate, and release
+    // hash as sp16's split windows, so the packing policy is a knob,
+    // not a fork. The oracle composes the sp18 recursive greedy fold
+    // with the sp16 per-window hashing over the shared t35 id CTEs —
+    // a hash match pins assignment, order, offsets, and sequences
+    // under both execution models.
+    Q("sp19_greedy_packed_windows",
+      (s, d) => graft.operators.ContextPacking.packGreedyWindows(
+          graft.operators.BpeTrainer.docTokenIds(
+            Tables.load(s, d, "documents"),
+            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+          2048L)
+        .select(col("shard"), col("window_id"), col("n_docs"),
+          col("n_tokens"), col("fill_e6"),
+          md5(concat_ws("|",
+            transform(col("window_ids"), i => i.cast("string"))))
+            .as("ids_md5"),
+          md5(concat_ws("|", transform(col("bounds"), b =>
+            concat_ws(":", b("doc_id").cast("string"),
+              b("wstart").cast("string"), b("wlen").cast("string")))))
+            .as("bounds_md5"))
+        .orderBy("shard", "window_id"),
+      Some(graft.operators.BpeTrainer.greedyWindowsOracleSql(
         TextQueries.BpePat, TextQueries.BpeK, 2048L)))
   )
 }

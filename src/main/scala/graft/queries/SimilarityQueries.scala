@@ -769,6 +769,37 @@ object SimilarityQueries extends QueryPack {
         NlK, NlIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
         nprobe = 32, kCand = 20, topK = K))),
 
+    // n27's served two-stage chain through the DATAFRAME-NATIVE
+    // query path (IvfPq.searchDf / searchRerankDf — VERDICT r16 #1):
+    // probe selection and the residual ADC LUTs are computed
+    // EXECUTOR-SIDE against the broadcast-literal centroids and
+    // codebooks, so the query batch never collects to the driver and
+    // the serving plan's size is flat in the batch size (the
+    // IvfIndex.searchPrunedDf contract brought to the codes tier —
+    // what a 10⁶-query scoring fleet needs where n27's driver-LUT
+    // face caps out). Bit-identical by construction (same integer
+    // arithmetic, same orderings; IvfPqSpec pins search ≡ searchDf
+    // and the zero-collect/flat-plan properties) and SHARES n26/n27's
+    // oracle VERBATIM — three faces, one oracle: a hash mismatch
+    // means the in-plan LUT build diverged from the replayable
+    // driver-loop semantics.
+    Q("n28_ivfpq_served_df",
+      (s, d) => {
+        import graft.operators.{IvfPq, KMeans}
+        val dir = servedIvfPqDir(s, d)
+        val (cents, books) = IvfPq.loadModel(s, dir)
+        val codes = s.read.parquet(s"$dir/codes")
+        val vectors = s.read.parquet(s"$dir/vectors")
+        val queries = KMeans.quantized(Tables.load(s, d, "embeddings"))
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        IvfPq.searchRerankDf(codes, vectors, queries, cents, books,
+          nprobe = 32, kCand = 20, k = K)
+      },
+      Some(graft.operators.IvfPq.rerankOracleSql(
+        NlK, NlIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 32, kCand = 20, topK = K))),
+
     Q("n22_filtered_ivfpq",
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}

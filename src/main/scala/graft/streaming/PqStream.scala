@@ -53,10 +53,12 @@ object PqStream {
     * codes-only pricing, floats touched only to quantize the query.
     * The store relation is loaded once at stream definition
     * (single-writer: restart to pick up compacted growth). Per batch
-    * the query set is collected driver-side to build the LUTs —
-    * bounded by the micro-batch (the `adcTopK` contract); results land
-    * `_batch_id`-idempotent. External query ids may collide with
-    * corpus vec_ids, so self-exclusion is OFF.
+    * the queries stay a DataFrame end to end — probe selection and the
+    * residual LUTs run executor-side (`IvfPq.searchDf`), so the plan
+    * is flat in the micro-batch size and query vectors never
+    * round-trip through the driver; results land `_batch_id`-
+    * idempotent. External query ids may collide with corpus vec_ids,
+    * so self-exclusion is OFF.
     */
   def serve(queries: DataFrame, servedDir: String,
       cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
@@ -72,7 +74,7 @@ object PqStream {
               .select(col("query_id").as("vec_id"), col("embedding")))
           .select(col("vec_id").as("query_id"), col("qv"))
         graft.operators.IvfPq
-          .search(codes, q, cents, books, nprobe, k, dims,
+          .searchDf(codes, q, cents, books, nprobe, k, dims,
             excludeSelf = false)
           .withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")

@@ -125,6 +125,63 @@ class ContextPackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packGreedyWindows: whole docs in order, never split; padding identity; the greedy store loads") {
+    // the packGreedy fixture, materialized — hand-computable windows
+    val gdocs = Seq(
+      (0L, "a" * 1000), (8L, "b" * 1000), (16L, "c" * 100),
+      (24L, "d" * 3000), (32L, "e" * 10),
+      (1L, "f" * 2048), (9L, "g"), (40L, "")).toDF("doc_id", "text")
+    val gw = ContextPacking.packGreedyWindows(
+        BpeTrainer.docTokenIds(gdocs, Seq.empty, pat), W)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getSeq[Int](5).toVector,
+          r.getSeq[org.apache.spark.sql.Row](6)
+            .map(b => (b.getLong(0), b.getLong(1), b.getLong(2))).toVector)))
+      .toMap
+    // window membership matches the hand-computed greedy assignment
+    assert(gw.view.mapValues(_._5.map(_._1)).toMap === Map(
+      (0L, 0L) -> Vector(0L, 8L), (0L, 1L) -> Vector(16L),
+      (0L, 2L) -> Vector(24L), (0L, 3L) -> Vector(32L),
+      (1L, 0L) -> Vector(1L), (1L, 1L) -> Vector(9L)))
+    // NO DOC IS EVER SPLIT: each doc appears in exactly one window,
+    // with its FULL token count, and the window sequence is exactly
+    // the member docs' ids concatenated in doc order
+    val tokenCount = Map(0L -> 1000, 8L -> 1000, 16L -> 100,
+      24L -> 3000, 32L -> 10, 1L -> 2048, 9L -> 1)
+    val byteOf = Map(0L -> 0x61, 8L -> 0x62, 16L -> 0x63, 24L -> 0x64,
+      32L -> 0x65, 1L -> 0x66, 9L -> 0x67)
+    val appearances = gw.values.flatMap(_._5.map(_._1)).toSeq
+    assert(appearances.size === appearances.distinct.size,
+      "a document was split across windows")
+    gw.foreach { case ((sh, wi), (nDocs, nTok, fill, ids, bounds)) =>
+      assert(nDocs === bounds.size)
+      assert(nTok === bounds.map(_._3).sum)
+      bounds.foreach { case (doc, _, wlen) =>
+        assert(wlen === tokenCount(doc).toLong,
+          s"doc $doc truncated in window ($sh, $wi)") }
+      // sequence = whole docs back to back, offsets consistent
+      val expIds = bounds.sortBy(_._2)
+        .flatMap { case (doc, _, wlen) =>
+          Vector.fill(wlen.toInt)(byteOf(doc)) }
+      assert(ids === expIds, s"window ($sh, $wi) sequence broken")
+      assert(bounds.sortBy(_._2).foldLeft(0L) { case (off, (_, st, ln)) =>
+        assert(st === off); off + ln } === nTok)
+      assert(fill === nTok * 1000000L / W)
+    }
+    // padding identity: what the no-split policy pays
+    val padding = gw.values.map(w => math.max(0L, W - w._2)).sum
+    assert(padding === (48L + 1948L + 2038L + 2047L),
+      s"padding bill drifted: $padding")
+    // the greedy store passes loadWindows' integrity checks unchanged
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_greedystore").toString + "/w"
+    ContextPacking.saveWindows(ContextPacking.packGreedyWindows(
+      BpeTrainer.docTokenIds(gdocs, Seq.empty, pat), W), dir)
+    assert(ContextPacking.loadWindows(spark, dir).count() === 6L)
+  }
+
   test("straddling documents split losslessly: window slices concat back to each doc's ids") {
     // expected ids: empty merges ⇒ raw byte ids of the UTF-8 text
     val expected = Map(

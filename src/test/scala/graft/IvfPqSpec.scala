@@ -170,6 +170,60 @@ class IvfPqSpec extends AnyFunSuite {
     assert(enc1 === enc2)
   }
 
+  test("searchDf ≡ search bit-identity, zero driver collect of query vectors, plan flat in batch size") {
+    val codes = IvfPq.encode(emb, cents, books).localCheckpoint()
+    val q = KMeans.quantized(emb).localCheckpoint()
+    def queries(n: Int) = q.filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("qv"))
+
+    // bit-identity with the driver-LUT face, both self-exclusion modes
+    for (ex <- Seq(true, false)) {
+      val drv = IvfPq.search(codes, queries(3), cents, books,
+        nprobe = 2, k = 10, excludeSelf = ex).collect().map(_.toString).toSeq
+      val df = IvfPq.searchDf(codes, queries(3), cents, books,
+        nprobe = 2, k = 10, excludeSelf = ex).collect().map(_.toString).toSeq
+      assert(df === drv, s"searchDf diverged from search (excludeSelf=$ex)")
+    }
+    // and the two-stage faces agree
+    val drvR = IvfPq.searchRerank(codes, q, queries(3), cents, books,
+      nprobe = 2, kCand = 10, k = 5).collect().map(_.toString).toSeq
+    val dfR = IvfPq.searchRerankDf(codes, q, queries(3), cents, books,
+      nprobe = 2, kCand = 10, k = 5).collect().map(_.toString).toSeq
+    assert(dfR === drvR, "searchRerankDf diverged from searchRerank")
+
+    // ZERO driver round-trips at plan time: constructing the searchDf
+    // plan launches no Spark jobs (search's driver LUT build collects
+    // the batch — this is the property that caps it)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val plan8 =
+      try {
+        val p = IvfPq.searchDf(codes, queries(8), cents, books,
+          nprobe = 2, k = 10).queryExecution.executedPlan.toString
+        Thread.sleep(300)
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs === 0, s"searchDf plan construction launched $jobs jobs")
+    // no collected LUT rows anywhere in the plan (search's signature)
+    assert(!plan8.contains("LocalTableScan"),
+      s"searchDf plan contains driver-built rows:\n${plan8.take(1500)}")
+    // plan size flat in batch size: the batch enters as a relation, not
+    // as literals, so an 8× batch prices the identical plan
+    val plan1 = IvfPq.searchDf(codes, queries(1), cents, books,
+      nprobe = 2, k = 10).queryExecution.executedPlan.toString
+    assert(plan1.length === plan8.length,
+      s"plan grew with batch size: ${plan1.length} -> ${plan8.length}")
+    // still the broadcast equi-join pruning shape
+    assert(plan8.contains("BroadcastHashJoin") &&
+      !plan8.contains("CartesianProduct"),
+      s"searchDf lost the pruned-join shape:\n${plan8.take(1500)}")
+  }
+
   test("encode is map-side and search prunes via a broadcast equi-join") {
     val encPlan = IvfPq.encode(emb, cents, books)
       .queryExecution.executedPlan.toString
