@@ -104,6 +104,50 @@ object LateInteraction {
       .withColumn("_idb", pmod(col("doc_id"), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("_idb").parquet(dir)
 
+  /** Idempotent APPEND to a persisted token store — the serving
+    * lifecycle step between rebuilds (the `Bm25.appendToIndex` /
+    * `IvfPq.appendToSaved` contract at the late-interaction tier,
+    * VERDICT r16 #5): new docs' distinct (doc_id, token-bucket) pairs
+    * land in the same `_idb` partition layout `servedRerank` prunes.
+    * Re-delivered docs are anti-joined away against ONLY the delta's
+    * id-bucket partitions (a pruned, delta-bounded read — never the
+    * corpus), and duplicates WITHIN the delta collapse first (the
+    * at-least-once upstream discipline); two rows with the same id but
+    * different text remain a caller contract violation. The store is
+    * query-independent, so appended docs serve every future query with
+    * no stats refresh — one write, which also makes a crash-replayed
+    * append naturally idempotent (an uncommitted write leaves no rows
+    * for the anti-join to miss). `dims` must match the build's
+    * (`servedRerank`'s bucket-space caveat). Returns the number of
+    * docs actually appended; zero-token docs produce no bucket rows
+    * and are harmlessly re-screened by later calls.
+    */
+  def appendToTokenStore(delta: DataFrame, idCol: String, textCol: String,
+      dir: String, dims: Int = 1024, nBuckets: Int = 64): Long = {
+    val spark = delta.sparkSession
+    val d = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .dropDuplicates("doc_id")
+      .withColumn("_idb", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .localCheckpoint() // pin: bucket list + anti-join + write
+    val deltaBuckets = d.select("_idb").distinct()
+      .collect().map(_.getLong(0))
+    val existing = spark.read.parquet(dir)
+      .filter(col("_idb").isin(deltaBuckets.map(Long.box): _*))
+      .select("doc_id").distinct()
+    val fresh = d.join(existing, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nFresh = fresh.count()
+    if (nFresh > 0)
+      fresh.select(col("doc_id"), col("_idb"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .select(col("doc_id"), col("_idb"),
+          QualityModel.tokenBucket(col("term"), dims).as("db"))
+        .distinct()
+        .write.mode("append").partitionBy("_idb").parquet(dir)
+    nFresh
+  }
+
   /** SERVED MaxSim re-ranking: `candidates` is a bounded
     * (query_id, doc_id) pool (e.g. the served BM25 top-CandK); token
     * bucket sets for exactly those docs are fetched PARTITION-PRUNED

@@ -81,13 +81,17 @@ object SimilarityOps {
   /** Brute top-k of an explicit query frame against an explicit corpus
     * frame (the ADC shape: queries stay exact while the corpus is a
     * reconstruction). `queries` = (query_id, qe), `corpus` =
-    * (vec_id, embedding); self-pairs excluded by id.
+    * (vec_id, embedding); self-pairs excluded by id when `excludeSelf`
+    * — pass false for EXTERNAL queries whose ids may collide with
+    * corpus vec_ids (the searchPrunedVecs collision caveat).
     */
-  def topKCosineAgainst(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def topKCosineAgainst(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     c.crossJoin(broadcast(queries))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosineSqlExpr("qe", "ne").as("sim"))
       .withColumn("rnk", row_number().over(

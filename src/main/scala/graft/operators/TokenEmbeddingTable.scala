@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The (token id → dim-16 integer vector) embedding TABLE as a shipped
+  * artifact — closing `HashedEmbedding`'s "a learned table would
+  * replace dimWeight with a broadcast lookup and nothing else changes"
+  * promise with a real file (VERDICT r16 #6): t37 derived the table
+  * in-query; here it is persisted once (`save` — the
+  * `BpeTrainer.saveMerges`/`saveVocab` artifact discipline) and the
+  * serving path LOADS it, so a kNN/scoring fleet restart re-reads
+  * ≤ (256 + merges) rows instead of re-deriving anything — and a
+  * genuinely TRAINED checkpoint drops in by overwriting the parquet,
+  * with every consumer (pooling, kNN, streams) unchanged.
+  *
+  * Table semantics (exactly t37's): one row per vocabulary id of a
+  * frozen byte-BPE artifact (`BpeTrainer.byteVocab` — alphabet 0..255
+  * plus one id per merge, surface-duplicates collapsed to their first
+  * id), 16 integer weight columns in the md5 micro-unit scheme
+  * ("te:" namespace) standing in for trained values. Document vectors
+  * mean-pool token vectors in e3 fixed point ((sum·1000) div n —
+  * components bounded by ±10⁶, float-exact).
+  *
+  * Scale: the table is vocab-sized — fixed by the artifact, never
+  * grows with the corpus — so the lookup is always a broadcast join
+  * and the pooling one doc-keyed partial-agg shuffle.
+  */
+object TokenEmbeddingTable {
+
+  private val Dim = 16
+
+  /** The deterministic stand-in derivation (id, w0..w15) — t37's
+    * in-query table, factored so the ad-hoc and served entries share
+    * one construction.
+    */
+  def derive(spark: SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    BpeTrainer.byteVocab(merges).map(_._2).toDF("id")
+      .select(col("id") +: (0 until Dim).map(dd =>
+        ((conv(substring(md5(concat(lit(s"te:$dd:"),
+            col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001L) - 1000L).as(s"w$dd")): _*)
+  }
+
+  /** Persist the table (one small parquet — the artifact a serving
+    * tier mounts; a trained checkpoint replaces this file).
+    */
+  def save(spark: SparkSession, merges: Seq[(String, String)],
+      dir: String): Unit =
+    derive(spark, merges).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted table with the `loadMerges`/`loadVocab`
+    * fail-loud discipline: the byte alphabet 0..255 must be COMPLETE
+    * (a truncated rewrite would silently zero every doc containing a
+    * missing byte's tokens), ids must be unique (a duplicated id would
+    * double-count in the pooling sum), and all 16 weight columns must
+    * be present. One aggregate over the vocab-sized file; the returned
+    * frame is the lazy parquet scan — serving never re-derives.
+    */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val cols = df.columns.toSet
+    require(cols.contains("id") && (0 until Dim).forall(d => cols(s"w$d")),
+      s"corrupt token-embedding table at $dir: missing columns " +
+        s"(have ${df.columns.mkString(",")})")
+    val chk = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("id")).as("nd"),
+      sum(when(col("id") >= 0 && col("id") < 256, 1L).otherwise(0L))
+        .as("alpha")).collect()(0)
+    require(chk.getAs[Long]("n") == chk.getAs[Long]("nd"),
+      s"corrupt token-embedding table at $dir: duplicate ids")
+    require(chk.getAs[Long]("alpha") == 256L,
+      s"corrupt token-embedding table at $dir: byte alphabet incomplete " +
+        s"(${chk.getAs[Long]("alpha")}/256)")
+    df
+  }
+
+  /** Mean-pool each document's token vectors under the given table —
+    * (vec_id, embedding ARRAY<FLOAT>), zero-vector docs included
+    * (callers filter norm > 0 before cosine). `ids` is
+    * `BpeTrainer.docTokenIds`' (doc_id, ids) shape; the table joins
+    * BROADCAST (vocab-sized by contract).
+    */
+  def embedDocs(ids: DataFrame, table: DataFrame): DataFrame = {
+    val aggs = (0 until Dim).map(dd => sum(col(s"w$dd")).as(s"s$dd")) :+
+      count(lit(1)).cast("bigint").as("n")
+    ids.select(col("doc_id"), explode(col("ids")).as("id"))
+      .join(broadcast(table), Seq("id"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id").as("vec_id"),
+        array((0 until Dim).map(dd =>
+          expr(s"(s$dd * 1000) div n").cast("float")): _*)
+          .as("embedding"))
+  }
+}

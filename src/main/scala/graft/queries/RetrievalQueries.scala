@@ -36,6 +36,8 @@ object RetrievalQueries extends QueryPack {
   private val BK = 5
   /** b8's candidate pool depth (pre-diversification). */
   private val CandK = 15
+  /** b11's per-system list depth and fused top-k. */
+  private val HybK = 10
   private val Queries: Seq[(Long, String)] = Seq(
     (0L, "spark table merge"),
     (1L, "vector data window batch"),
@@ -160,6 +162,61 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LateInteraction.buildTokenStore(
         Tables.load(s, d, "documents"), "doc_id", "text", dir.toString)
       dir.toString
+      }
+    })
+
+  /** The t37/t38 kNN replay over the shared id-level CTEs — one SQL
+    * string for both faces (ad-hoc derivation and loaded artifact), so
+    * the served table cannot drift from the derived one.
+    */
+  private val TokenEmbKnnOracle: String = {
+    def wSql(dd: Int) =
+      s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+    s"""${graft.operators.BpeTrainer.docTokenIdCtes(
+        TextQueries.BpePat, TextQueries.BpeK)},
+         tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
+         em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+           ${(0 until 16).map(dd =>
+            s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")}
+           FROM tw GROUP BY doc_id),
+         tvec AS (SELECT doc_id,
+           [${(0 until 16).map(dd =>
+            s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")}] AS v
+           FROM em),
+         nz AS (SELECT doc_id, v FROM tvec
+           WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+         q AS (SELECT doc_id query_id, v qe FROM nz WHERE doc_id < 5),
+         c AS (SELECT doc_id neighbor_id, v ne FROM nz),
+         sims AS (SELECT query_id, neighbor_id,
+           ($EmbDot) / (sqrt($EmbDotQQ) * sqrt($EmbDotNN)) AS sim
+          FROM q, c WHERE neighbor_id <> query_id),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+       SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
+
+  /** One persisted token-embedding table per (session, dataset) — the
+    * sqDirCache discipline for t38's serving face.
+    */
+  private val tokenEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def servedTokenEmbDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    tokenEmbCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("token_emb_t38_store", d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tokemb_t38")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      graft.operators.TokenEmbeddingTable.save(
+        s, TextQueries.frozenByteMerges(s, d), dir.toString + "/table")
+      dir.toString + "/table"
       }
     })
 
@@ -494,59 +551,43 @@ object RetrievalQueries extends QueryPack {
     // the corpus), the pooling one doc-keyed partial-agg shuffle.
     Q("t37_token_embedding_knn",
       (s, d) => {
-        import s.implicits._
         val merges = TextQueries.frozenByteMerges(s, d)
-        val table = broadcast(
-          graft.operators.BpeTrainer.byteVocab(merges).map(_._2)
-            .toDF("id")
-            .select(col("id") +: (0 until 16).map(dd =>
-              ((conv(substring(md5(concat(lit(s"te:$dd:"),
-                  col("id").cast("string"))), 1, 8), 16, 10)
-                .cast("long") % 2001L) - 1000L).as(s"w$dd")): _*))
-        val aggs = (0 until 16).map(dd => sum(col(s"w$dd")).as(s"s$dd")) :+
-          count(lit(1)).cast("bigint").as("n")
-        val vecs = graft.operators.BpeTrainer
-          .docTokenIds(Tables.load(s, d, "documents"), merges,
-            TextQueries.BpePat)
-          .select(col("doc_id"), explode(col("ids")).as("id"))
-          .join(table, Seq("id"))
-          .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-          .select(col("doc_id").as("vec_id"),
-            array((0 until 16).map(dd =>
-              expr(s"(s$dd * 1000) div n").cast("float")): _*)
-              .as("embedding"))
+        val vecs = graft.operators.TokenEmbeddingTable.embedDocs(
+            graft.operators.BpeTrainer.docTokenIds(
+              Tables.load(s, d, "documents"), merges, TextQueries.BpePat),
+            graft.operators.TokenEmbeddingTable.derive(s, merges))
           .filter(HashedEmbedding.norm2("embedding") > 0L)
         graft.operators.SimilarityOps
           .topKCosineWindow(vecs, Seq(0L, 1L, 2L, 3L, 4L), 10)
           .orderBy("query_id", "rnk")
       },
-      Some {
-        def wSql(dd: Int) =
-          s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
-        s"""${graft.operators.BpeTrainer.docTokenIdCtes(
-            TextQueries.BpePat, TextQueries.BpeK)},
-             tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
-             em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-               ${(0 until 16).map(dd =>
-                s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")}
-               FROM tw GROUP BY doc_id),
-             tvec AS (SELECT doc_id,
-               [${(0 until 16).map(dd =>
-                s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")}] AS v
-               FROM em),
-             nz AS (SELECT doc_id, v FROM tvec
-               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
-             q AS (SELECT doc_id query_id, v qe FROM nz WHERE doc_id < 5),
-             c AS (SELECT doc_id neighbor_id, v ne FROM nz),
-             sims AS (SELECT query_id, neighbor_id,
-               ($EmbDot) / (sqrt($EmbDotQQ) * sqrt($EmbDotNN)) AS sim
-              FROM q, c WHERE neighbor_id <> query_id),
-             ranked AS (SELECT query_id, neighbor_id, sim,
-               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-              FROM sims)
-           SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
-           FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
-      }),
+      Some(TokenEmbKnnOracle)),
+
+    // t37 SERVED FROM THE SHIPPED TABLE — the artifact face VERDICT
+    // r16 #6 asked for: the (id → vector) table is persisted once
+    // (`TokenEmbeddingTable.save` — the saveVocab discipline; a
+    // genuinely trained checkpoint drops in by replacing the file) and
+    // the serve path LOADS it behind the fail-loud alphabet-complete /
+    // unique-id checks — zero derivation on the serve path
+    // (TokenEmbeddingSpec asserts the loaded branch is a parquet scan
+    // with no weight-derivation expressions). Shares t37's oracle
+    // VERBATIM (the n27/b4 served ≡ ad-hoc discipline): a hash
+    // mismatch means the artifact round-trip changed the table.
+    Q("t38_token_embedding_knn_served",
+      (s, d) => {
+        val merges = TextQueries.frozenByteMerges(s, d)
+        val table = graft.operators.TokenEmbeddingTable.load(
+          s, servedTokenEmbDir(s, d))
+        val vecs = graft.operators.TokenEmbeddingTable.embedDocs(
+            graft.operators.BpeTrainer.docTokenIds(
+              Tables.load(s, d, "documents"), merges, TextQueries.BpePat),
+            table)
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+        graft.operators.SimilarityOps
+          .topKCosineWindow(vecs, Seq(0L, 1L, 2L, 3L, 4L), 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some(TokenEmbKnnOracle)),
 
     // Reciprocal-rank fusion: b2's three per-term rankings fused as
     // three retrieval systems answering one query — contributions are
@@ -587,6 +628,89 @@ object RetrievalQueries extends QueryPack {
            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
              doc_id, rrf_e12, CAST(n_lists AS BIGINT) AS n_lists
            FROM fr WHERE rnk <= $TermK ORDER BY query_id, rnk""")),
+
+    // TRUE lexical × dense hybrid retrieval (VERDICT r16 #4) — the
+    // production RAG combiner: the SAME query strings feed BOTH
+    // systems (b3's full fixed-point BM25 over the corpus text, and
+    // exact cosine over t13's hashed embeddings with the QUERY TEXT
+    // embedded through the identical feature-hash chain), and the two
+    // top-10 lists fuse by RRF. Self-exclusion is OFF on the dense
+    // side: query ids are external fixture ids that collide with
+    // corpus doc_ids (the searchPrunedVecs caveat). Scale shape: the
+    // lexical leg is b3's semi-join-before-state plan, the dense leg
+    // one corpus pass against a 3-row broadcast query frame, and the
+    // fusion touches only the two k-bounded lists. The oracle replays
+    // BOTH retrievers and the integer 1e12 DIV (60+rnk) fusion under
+    // one hash — composing b3's ScoreCtes and n8's embedding CTEs
+    // verbatim, so neither leg can drift from its standalone entry.
+    Q("b11_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+        val lex = Bm25.topK(docs, "doc_id", "text", Queries, HybK)
+          .select("query_id", "doc_id", "rnk")
+        val corpus = HashedEmbedding.embed(docs, "doc_id", "text")
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        val qvecs = HashedEmbedding.embed(
+            Queries.toDF("doc_id", "text"), "doc_id", "text")
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+          .select(col("doc_id").as("query_id"), col("embedding").as("qe"))
+        val dense = graft.operators.SimilarityOps
+          .topKCosineAgainst(corpus, qvecs, HybK, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), HybK)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        val qVals = Queries
+          .map { case (qid, text) => s"($qid, '$text')" }.mkString(", ")
+        s"""WITH $ScoreCtes,
+             $EmbedSql,
+             lexc AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $HybK),
+             hqd AS (SELECT CAST(query_id AS BIGINT) AS query_id, q_text
+               FROM (VALUES $qVals) AS v(query_id, q_text)),
+             hqb AS (SELECT query_id,
+               CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket
+               FROM (SELECT query_id, unnest(string_split(q_text, ' ')) AS token
+                     FROM hqd) WHERE token <> ''),
+             hqc AS (SELECT query_id, d,
+               (CAST(('0x' || substr(md5('e:' || CAST(d AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+               FROM hqb CROSS JOIN ed),
+             hqv AS (SELECT query_id, d, CAST(sum(w) AS DOUBLE) AS vd
+               FROM hqc GROUP BY 1, 2),
+             hqe AS (SELECT query_id, list(vd ORDER BY d) AS qe
+               FROM hqv GROUP BY query_id),
+             hqnz AS (SELECT query_id, qe FROM hqe
+               WHERE list_reduce(list_transform(qe, x -> x * x), (a, x) -> a + x) > 0),
+             hcnz AS (SELECT doc_id AS neighbor_id, v AS ne FROM vec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             hsims AS (SELECT query_id, neighbor_id,
+               ($EmbDot) / (sqrt($EmbDotQQ) * sqrt($EmbDotNN)) AS sim
+               FROM hqnz, hcnz),
+             hrank AS (SELECT query_id, neighbor_id AS doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM hsims),
+             densec AS (SELECT query_id, doc_id, rnk FROM hrank
+               WHERE rnk <= $HybK),
+             fus AS (SELECT query_id, doc_id,
+                 1000000000000 // (60 + rnk) AS contrib FROM lexc
+               UNION ALL
+               SELECT query_id, doc_id, 1000000000000 // (60 + rnk)
+               FROM densec),
+             ff AS (SELECT query_id, doc_id,
+               CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+               count(*) AS n_lists FROM fus GROUP BY 1, 2),
+             ffr AS (SELECT query_id, doc_id, rrf_e12, n_lists,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_e12 DESC, doc_id) AS rnk
+               FROM ff)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_e12,
+             CAST(n_lists AS BIGINT) AS n_lists
+           FROM ffr WHERE rnk <= $HybK ORDER BY query_id, rnk"""
+      }),
 
     // Semantic dedup, the SemDeDup shape (Abbas et al. 2023) over the
     // DERIVED t13 embeddings: deterministic sign-LSH cells stand in for

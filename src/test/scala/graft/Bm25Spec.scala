@@ -258,6 +258,39 @@ class Bm25Spec extends AnyFunSuite {
     assert(fused.forall(_.getLong(3) >= 1L))
   }
 
+  test("token store: build(half) + append(half) serves MaxSim bit-identically to build(full); replay is a no-op") {
+    import graft.operators.LateInteraction
+    val docs = Tables.load(spark, sf, "documents").localCheckpoint()
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val full = java.nio.file.Files
+      .createTempDirectory("tokstore_full").toString + "/t"
+    val grown = java.nio.file.Files
+      .createTempDirectory("tokstore_grown").toString + "/t"
+    LateInteraction.buildTokenStore(docs, "doc_id", "text", full)
+    LateInteraction.buildTokenStore(half1, "doc_id", "text", grown)
+    // append the second half, with an in-delta duplicate and a
+    // re-delivered doc from the first half (at-least-once upstream)
+    val redelivered = half2.union(half2.limit(3)).union(half1.limit(2))
+    assert(LateInteraction.appendToTokenStore(redelivered,
+      "doc_id", "text", grown) === half2.count())
+    // replayed append: nothing fresh, nothing written
+    assert(LateInteraction.appendToTokenStore(half2,
+      "doc_id", "text", grown) === 0L)
+    // the grown store equals the from-scratch build row-for-row...
+    def pairs(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "db").collect().map(_.toString).toSet
+    assert(pairs(grown) === pairs(full), "grown store diverged")
+    // ...and serves the b10 re-rank bit-identically
+    val cand = Bm25.topK(docs, "doc_id", "text", queries, k = 15)
+      .select("query_id", "doc_id").localCheckpoint()
+    def serve(dir: String) = LateInteraction
+      .servedRerank(spark, dir, cand, queries, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(serve(grown) === serve(full),
+      "grown store served different MaxSim results")
+  }
+
   test("phrase search: consecutive-position semantics, overlap counting, per-length widths") {
     val docs = Seq(
       (1L, "a b c x a b c"),        // "a b c" twice, first at pos 1

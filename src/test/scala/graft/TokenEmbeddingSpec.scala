@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BpeTrainer, HashedEmbedding, TokenEmbeddingTable}
+
+/** The shipped token-embedding table (t38's operator surface): the
+  * artifact round-trips exactly, the serve path derives NOTHING (its
+  * table branch is a parquet scan), pooled vectors under the loaded
+  * table are bit-identical to the ad-hoc derivation, and corrupted
+  * tables fail loud instead of silently zeroing documents.
+  */
+class TokenEmbeddingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val pat = graft.queries.TextQueries.BpePat
+  private lazy val docs = Tables
+    .load(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+  private lazy val merges = BpeTrainer.mergeList(
+    docs.select(explode(expr(s"regexp_extract_all(text, '$pat', 0)"))
+        .as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("wf")),
+    k = 8, byteLevel = true)
+  private lazy val dir = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_tokemb_spec").toString + "/table"
+    TokenEmbeddingTable.save(spark, merges, d)
+    d
+  }
+
+  test("save → load round-trips the table exactly") {
+    val derived = TokenEmbeddingTable.derive(spark, merges)
+      .collect().map(_.toString).toSet
+    val loaded = TokenEmbeddingTable.load(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(loaded === derived)
+    assert(derived.size >= 256)
+  }
+
+  test("the serve path derives nothing: the loaded branch is a parquet scan, and pooled vectors are bit-identical") {
+    val ids = BpeTrainer.docTokenIds(docs, merges, pat).localCheckpoint()
+    val loaded = TokenEmbeddingTable.load(spark, dir)
+    // zero derivation: the loaded table's plan is a file scan — none of
+    // the weight-derivation expressions (md5/conv) appear anywhere in it
+    val tablePlan = loaded.queryExecution.executedPlan.toString
+    assert(tablePlan.contains("parquet") || tablePlan.contains("Parquet"),
+      s"loaded table is not a file scan:\n$tablePlan")
+    assert(!tablePlan.contains("md5(") && !tablePlan.contains("conv("),
+      s"serve path re-derives weights:\n$tablePlan")
+    val adHoc = TokenEmbeddingTable
+      .embedDocs(ids, TokenEmbeddingTable.derive(spark, merges))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val served = TokenEmbeddingTable.embedDocs(ids, loaded)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(served === adHoc, "served pooling diverged from ad-hoc")
+    assert(adHoc.nonEmpty)
+  }
+
+  test("corrupt tables fail loud: incomplete alphabet, duplicate ids, missing columns") {
+    val full = spark.read.parquet(dir)
+    val badAlpha = dir + "_badalpha"
+    full.filter(col("id") =!= 65).write.mode("overwrite").parquet(badAlpha)
+    assertThrows[IllegalArgumentException] {
+      TokenEmbeddingTable.load(spark, badAlpha)
+    }
+    val badDup = dir + "_baddup"
+    full.union(full.filter(col("id") === 65))
+      .write.mode("overwrite").parquet(badDup)
+    assertThrows[IllegalArgumentException] {
+      TokenEmbeddingTable.load(spark, badDup)
+    }
+    val badCols = dir + "_badcols"
+    full.drop("w7").write.mode("overwrite").parquet(badCols)
+    assertThrows[IllegalArgumentException] {
+      TokenEmbeddingTable.load(spark, badCols)
+    }
+  }
+
+  test("a trained checkpoint drops in: overwriting the file changes vectors, consumers unchanged") {
+    // a "trained" table = every weight shifted by +1; the SAME embedDocs
+    // consumer picks it up — the artifact, not the code, carries the model
+    val trained = dir + "_trained"
+    val shifted = spark.read.parquet(dir).select(
+      col("id") +: (0 until 16).map(d => (col(s"w$d") + 1L).as(s"w$d")): _*)
+    shifted.write.mode("overwrite").parquet(trained)
+    val ids = BpeTrainer.docTokenIds(docs.limit(20), merges, pat)
+      .localCheckpoint()
+    val base = TokenEmbeddingTable
+      .embedDocs(ids, TokenEmbeddingTable.load(spark, dir))
+      .filter(HashedEmbedding.norm2("embedding") > 0L).orderBy("vec_id")
+      .collect().map(_.toString).toSeq
+    val swapped = TokenEmbeddingTable
+      .embedDocs(ids, TokenEmbeddingTable.load(spark, trained))
+      .filter(HashedEmbedding.norm2("embedding") > 0L).orderBy("vec_id")
+      .collect().map(_.toString).toSeq
+    assert(base.nonEmpty && swapped.nonEmpty && base != swapped,
+      "swapping the table artifact must change the vectors")
+  }
+}
