@@ -169,6 +169,42 @@ object PqIndex {
       .orderBy("query_id", "rnk")
   }
 
+  /** DataFrame-NATIVE ADC top-k — `adcTopK` with the LUT build moved
+    * off the driver (the `IvfPq.searchDf` contract at the flat-PQ
+    * tier): per query row, each subspace's k distance-table entries
+    * are integer sums against the single nested-array codebook
+    * literal, computed in-plan; the batch-bounded LUT frame broadcasts
+    * into the same cross-join tail. Zero driver collect of query
+    * vectors, plan size flat in batch size, values bit-identical to
+    * `adcTopK` (PqSpec pins it).
+    */
+  def adcTopKDf(codes: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Array[Long]]], k: Int, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val sub = dims / m
+    val booksL = typedlit(books.map(_.map(_.toSeq)))
+    val luts = (0 until m).map { i =>
+      transform(element_at(booksL, i + 1), cw =>
+        aggregate(zip_with(slice(col("qv"), i * sub + 1, sub), cw,
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)).as(s"lut$i")
+    }
+    val lutDf = queries.select(col("query_id") +: luts: _*)
+    val adist = (0 until m)
+      .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist2"), col("neighbor_id"))
+    codes.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adist.as("adist2"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Persist codes + codebooks — the build-once-serve-many tier (the
     * n5/n10 contract: immutable dataset, rebuild on change). Codebooks
     * flatten to (subspace, code, d, v) rows: dims·k longs, trivially

@@ -544,6 +544,25 @@ object SimilarityQueries extends QueryPack {
       Some(graft.operators.PqIndex.adcOracleSql(
         PqM, PqK, PqIters, KmDims, QueryIds.length, K))),
 
+    // n18's served flat-PQ ADC through the DATAFRAME-NATIVE query
+    // path (PqIndex.adcTopKDf — the searchDf contract at the flat
+    // tier): the per-(query, subspace) distance tables are computed
+    // in-plan against the nested-array codebook literal, so the query
+    // batch never collects and the plan is flat in batch size.
+    // Bit-identical by construction (PqSpec pins adcTopK ≡ adcTopKDf)
+    // and SHARES n17/n18's oracle VERBATIM — three faces, one oracle.
+    Q("n29_pq_served_df",
+      (s, d) => {
+        import graft.operators.{KMeans, PqIndex}
+        val (codes, books) = PqIndex.load(s, servedPqDir(s, d))
+        val queries = KMeans.quantized(Tables.load(s, d, "embeddings"))
+          .filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        PqIndex.adcTopKDf(codes, queries, books, K)
+      },
+      Some(graft.operators.PqIndex.adcOracleSql(
+        PqM, PqK, PqIters, KmDims, QueryIds.length, K))),
+
     // IVF-PQ (operators/IvfPq; Jégou et al. 2011 §V — the FAISS
     // IndexIVFPQ shape): n13's coarse cells + PQ codes of the RESIDUAL
     // within each cell, the composed index a 100 TB corpus actually

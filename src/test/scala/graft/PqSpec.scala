@@ -102,6 +102,27 @@ class PqSpec extends AnyFunSuite {
     assert(enc1 === enc2)
   }
 
+  test("adcTopKDf ≡ adcTopK bit-identity; no driver-built LUT rows; plan flat in batch size") {
+    val books = PqIndex.fit(planted, m = 2, k = 2, iters = 3, dims = 4)
+    val codes = PqIndex.encode(planted, books, dims = 4).localCheckpoint()
+    val q = KMeans.quantized(planted).localCheckpoint()
+    def queries(n: Int) = q.filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val drv = PqIndex.adcTopK(codes, queries(3), books, k = 4, dims = 4)
+      .collect().map(_.toString).toSeq
+    val df = PqIndex.adcTopKDf(codes, queries(3), books, k = 4, dims = 4)
+      .collect().map(_.toString).toSeq
+    assert(df === drv, "adcTopKDf diverged from adcTopK")
+    val plan3 = PqIndex.adcTopKDf(codes, queries(3), books, k = 4, dims = 4)
+      .queryExecution.executedPlan.toString
+    val plan6 = PqIndex.adcTopKDf(codes, queries(6), books, k = 4, dims = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan3.contains("LocalTableScan"),
+      s"adcTopKDf plan contains driver-built rows:\n${plan3.take(1200)}")
+    assert(plan3.length === plan6.length,
+      s"plan grew with batch size: ${plan3.length} -> ${plan6.length}")
+  }
+
   test("served tier is bit-identical to the ad-hoc chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
     PqIndex.save(planted, dir, m = 2, k = 2, iters = 3, dims = 4)
