@@ -158,8 +158,13 @@ object ContextPacking {
       .partitionBy("shard", "window_id").orderBy("doc_id")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    packGreedy(ids, w, nShards)
-      .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+    // pinned: consumed TWICE (the fold's counts and the
+    // materialization join) — without this the caller's id lineage
+    // (typically the per-token docTokenIds chain, the dominant cost)
+    // recomputes once per consumer
+    val pinned = ids.localCheckpoint()
+    packGreedy(pinned, w, nShards)
+      .join(pinned.select(col("doc_id"), col("ids")), Seq("doc_id"))
       .withColumn("wstart", coalesce(sum("n_tokens").over(win), lit(0L)))
       .groupBy("shard", "window_id")
       .agg(count(lit(1)).cast("int").as("n_docs"),

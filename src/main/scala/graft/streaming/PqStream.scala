@@ -84,6 +84,41 @@ object PqStream {
       }
   }
 
+  /** The TWO-STAGE streamed serving face: each micro-batch runs the
+    * full DataFrame-native chain — cell-pruned ADC candidates, then
+    * the exact-integer re-rank against the artifact's vector store
+    * (`IvfPq.searchRerankDf`) — from a LOADED `IvfPq.save` artifact.
+    * Same contract as `serve` (frozen model at stream definition,
+    * `_batch_id`-idempotent, self-exclusion OFF for external ids), and
+    * the same executor-side guarantee: no per-batch driver collect of
+    * query vectors anywhere in the chain.
+    */
+  def serveRerank(queries: DataFrame, artifactDir: String,
+      outDir: String, checkpointDir: String, kCand: Int, k: Int,
+      nprobe: Int = 4, dims: Int = 64): DataStreamWriter[Row] = {
+    val spark = queries.sparkSession
+    val (cents, books) = graft.operators.IvfPq.loadModel(spark, artifactDir)
+    val codes = spark.read.parquet(s"$artifactDir/codes")
+    val vectors = spark.read.parquet(s"$artifactDir/vectors")
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = graft.operators.KMeans.quantized(
+            batch.dropDuplicates("query_id")
+              .select(col("query_id").as("vec_id"), col("embedding")))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        graft.operators.IvfPq
+          .searchRerankDf(codes, vectors, q, cents, books, nprobe,
+            kCand, k, dims, excludeSelf = false)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+  }
+
   private def writeEncoded(vecs: DataFrame, outDir: String,
       checkpointDir: String,
       enc: DataFrame => DataFrame): DataStreamWriter[Row] =

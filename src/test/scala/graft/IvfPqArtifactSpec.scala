@@ -250,6 +250,48 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       "streamed serving from the artifact diverged from batch search")
   }
 
+  test("the two-stage stream serves from the artifact: PqStream.serveRerank chops ≡ batch searchRerankDf") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val qRows = emb.limit(4).collect()
+      .map(r => (r.getLong(0) + 6000000L, r.getSeq[Float](1).toArray)).toSeq
+    val qSchema = StructType(Seq(StructField("query_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val srcDir = Files.createTempDirectory("graft_rr_qsrc").toString
+    val base = Files.createTempDirectory("graft_rr_serve").toString
+    Seq(qRows.take(2), qRows.drop(2)).zipWithIndex.foreach { case (rs, i) =>
+      rs.toDF("query_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(qSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val q = graft.streaming.PqStream.serveRerank(src, dir,
+        s"$base/res", s"$base/ck", kCand = 10, k = 5, nprobe = 2, dims)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/res")
+      .select("query_id", "neighbor_id", "adist2", "dist2", "rnk")
+      .collect().map(_.toString).toSet
+    val (lc, lb) = IvfPq.loadModel(spark, dir)
+    val batchQ = KMeans.quantized(qRows.toDF("query_id", "embedding")
+        .select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val expected = IvfPq.searchRerankDf(
+        spark.read.parquet(s"$dir/codes"),
+        spark.read.parquet(s"$dir/vectors"),
+        batchQ, lc, lb, nprobe = 2, kCand = 10, k = 5, dims,
+        excludeSelf = false)
+      .select("query_id", "neighbor_id", "adist2", "dist2", "rnk")
+      .collect().map(_.toString).toSet
+    assert(expected.nonEmpty)
+    assert(streamed === expected,
+      "streamed two-stage serving diverged from batch searchRerankDf")
+  }
+
   test("mid-append crash window: repairCodes heals orphan vectors; retrain self-heals a stranded live dir") {
     val d4 = Files.createTempDirectory("graft_ivfpq_crw").toString + "/idx"
     IvfPq.save(emb, d4, cents, books, dims)

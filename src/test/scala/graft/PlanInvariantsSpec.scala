@@ -117,6 +117,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n21: n1's deliberate corpus × broadcast-query-side cross, over
     // the attribute-filtered corpus
     "n21_filtered_knn",
+    // n29: n17/n18's deliberate codes × broadcast query-LUT cross,
+    // with the LUT frame computed in-plan instead of driver-built
+    "n29_pq_served_df",
+    // b11: carries BOTH legs' documented shapes — b3's one-row
+    // corpus-stats cross (lexical) and n8's corpus ×
+    // broadcast-3-row-query cross (dense)
+    "b11_hybrid_rrf",
+    // t38 serves t37's n1 shape from the loaded table (query side
+    // fixed at 5 rows)
+    "t38_token_embedding_knn_served",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
