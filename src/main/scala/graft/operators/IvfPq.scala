@@ -651,6 +651,34 @@ object IvfPq {
        SELECT query_id, neighbor_id, cell, adist2, dist2, rnk
        FROM rr WHERE rnk <= $topK ORDER BY query_id, rnk"""
 
+  /** DuckDB replay of the n30 RECALL@k measurement: the full ADC
+    * search chain (`ranked`) joined against the EXACT integer-distance
+    * top-k computed from the same quantized vectors (`ev`) — recall is
+    * |approx ∩ exact| per query, in e6 fixed point. The knob-tuning
+    * loop (nprobe ↔ recall) runs entirely in-engine, replayed under
+    * one hash.
+    */
+  def recallOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, nq: Int, nprobe: Int, topK: Int): String =
+    s"""WITH ${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
+        nprobe, "")},
+         exq AS (SELECT eq.vec_id AS query_id, en.vec_id AS neighbor_id,
+           CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
+           FROM ev eq JOIN ev en ON en.d = eq.d AND en.vec_id <> eq.vec_id
+           WHERE eq.vec_id < $nq GROUP BY 1, 2),
+         exr AS (SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY dist2, neighbor_id) AS rnk FROM exq),
+         extop AS (SELECT query_id, neighbor_id FROM exr WHERE rnk <= $topK),
+         aptop AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $topK),
+         rh AS (SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits
+           FROM extop e LEFT JOIN aptop a
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           GROUP BY 1)
+       SELECT query_id, hits, (hits * 1000000) // $topK AS recall_e6
+       FROM rh ORDER BY query_id"""
+
   /** The shared search replay body, through the ADC `ranked` CTE. */
   private def searchCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int,

@@ -709,6 +709,53 @@ object SamplingQueries extends QueryPack {
             .as("bounds_md5"))
         .orderBy("shard", "window_id"),
       Some(graft.operators.BpeTrainer.greedyWindowsOracleSql(
-        TextQueries.BpePat, TextQueries.BpeK, 2048L)))
+        TextQueries.BpePat, TextQueries.BpeK, 2048L))),
+
+    // DETERMINISTIC EPOCH SHUFFLE — the dataloader's missing ordering
+    // piece: each training epoch reads every shard's windows in a
+    // DIFFERENT pseudorandom order, derived COORDINATION-FREE from a
+    // hash of (epoch, shard, window_id) — any rank computes its own
+    // shard's epoch-e order locally, no global shuffle state, no RNG
+    // to checkpoint (the md5-priority idiom sp10's sampler pinned,
+    // applied per epoch). Output: (epoch, shard, window_id, ord) for 3
+    // epochs over sp16's window census. Scale: the permutation relation
+    // is windows × epochs rows, the rank window is per-(epoch, shard)
+    // (bounded groups), and the epoch axis is an EXPLODE — map-side,
+    // no join. The oracle replays census, keys, and rank windows under
+    // one hash: epoch orders are pinned values, not just "some
+    // permutation".
+    Q("sp20_epoch_shuffle",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "shard")
+          .orderBy(col("ekey"), col("window_id"))
+        graft.operators.ContextPacking.packedWindows(
+            graft.operators.BpeTrainer.docTokenIds(
+              Tables.load(s, d, "documents"),
+              TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+            2048L)
+          .select(col("shard"), col("window_id"))
+          .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+          .withColumn("ekey", md5(concat_ws(":", lit("ep"),
+            col("epoch").cast("string"), col("shard").cast("string"),
+            col("window_id").cast("string"))))
+          .withColumn("ord", row_number().over(w).cast("int"))
+          .select("epoch", "shard", "window_id", "ord")
+          .orderBy("epoch", "shard", "ord")
+      },
+      Some(s"""${graft.operators.BpeTrainer.packedWindowCtes(
+          TextQueries.BpePat, TextQueries.BpeK, 2048L)},
+             ep AS (SELECT unnest(range(0, 3)) AS epoch),
+             sw AS (SELECT ep.epoch, wa.shard, wa.window_id,
+               md5('ep:' || CAST(ep.epoch AS VARCHAR) || ':' ||
+                 CAST(wa.shard AS VARCHAR) || ':' ||
+                 CAST(wa.window_id AS VARCHAR)) AS ekey
+               FROM wa, ep),
+             so AS (SELECT epoch, shard, window_id,
+               CAST(row_number() OVER (PARTITION BY epoch, shard
+                 ORDER BY ekey, window_id) AS INTEGER) AS ord
+               FROM sw)
+           SELECT epoch, shard, window_id, ord
+           FROM so ORDER BY epoch, shard, ord"""))
   )
 }

@@ -819,6 +819,55 @@ object SimilarityQueries extends QueryPack {
         NlK, NlIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
         nprobe = 32, kCand = 20, topK = K))),
 
+    // IN-ENGINE RECALL@k — the eval face of the ANN family: the
+    // cell-pruned ADC top-k measured against the EXACT integer top-k
+    // over the same quantized vectors, per query, in e6 fixed point.
+    // This is the knob-tuning loop a production team runs (nprobe ↔
+    // recall ↔ cost) expressed as one query — the exact side is the
+    // documented brute baseline (n1/n2's shape, queries broadcast
+    // against the corpus), the approximate side is n20's chain, and
+    // the oracle replays BOTH rankings and the intersection under one
+    // hash, so a recall regression anywhere in the index (fit, encode,
+    // probe selection, ADC) moves a NUMBER the release gate can read.
+    Q("n30_ivfpq_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{IvfPq, KMeans}
+        val emb = Tables.load(s, d, "embeddings")
+        val q = KMeans.quantized(emb)
+        val queries = q.filter(col("vec_id").isin(QueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qv"))
+        val approx = IvfPq.search(
+            IvfPq.encode(emb, fittedCents(s, d), ivfpqBooks(s, d)),
+            queries, fittedCents(s, d), ivfpqBooks(s, d),
+            nprobe = 3, k = K)
+          .select("query_id", "neighbor_id")
+        val exact = q
+          .select(col("vec_id").as("neighbor_id"), col("qv").as("nqv"))
+          .crossJoin(broadcast(
+            queries.select(col("query_id"), col("qv").as("qqv"))))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            aggregate(zip_with(col("qqv"), col("nqv"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist2"))
+          .withColumn("rnk", row_number().over(Window
+            .partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
+          .filter(col("rnk") <= K)
+          .select("query_id", "neighbor_id")
+        exact
+          .join(approx.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(col("query_id"), col("hits"),
+            expr(s"(hits * 1000000) div $K").as("recall_e6"))
+          .orderBy("query_id")
+      },
+      Some(graft.operators.IvfPq.recallOracleSql(
+        KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
+        nprobe = 3, topK = K))),
+
     Q("n22_filtered_ivfpq",
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}

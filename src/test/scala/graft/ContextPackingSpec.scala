@@ -182,6 +182,33 @@ class ContextPackingSpec extends AnyFunSuite {
     assert(ContextPacking.loadWindows(spark, dir).count() === 6L)
   }
 
+  test("epoch shuffle: every (epoch, shard) is a full permutation of its windows; epochs disagree") {
+    val rows = SparkEntry.queries("sp20_epoch_shuffle")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byGroup = rows.groupBy(r => (r._1, r._2))
+    assert(byGroup.nonEmpty)
+    val census = rows.filter(_._1 == 0L)
+      .groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    byGroup.foreach { case ((ep, sh), g) =>
+      // ord is the contiguous 1..n and the window set is the shard's
+      // full census — a permutation, nothing dropped or repeated
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length),
+        s"epoch $ep shard $sh: ord not contiguous")
+      assert(g.map(_._3).toSet === census(sh),
+        s"epoch $ep shard $sh: window set drifted from the census")
+    }
+    // the point of the epoch axis: orders actually differ between
+    // epochs on every shard with enough windows to show it
+    census.filter(_._2.size >= 3).keys.foreach { sh =>
+      val orders = (0L to 2L).map(ep =>
+        rows.filter(r => r._1 == ep && r._2 == sh).sortBy(_._4).map(_._3).toSeq)
+      assert(orders.distinct.size > 1,
+        s"shard $sh: all epochs produced the identical order")
+    }
+  }
+
   test("straddling documents split losslessly: window slices concat back to each doc's ids") {
     // expected ids: empty merges ⇒ raw byte ids of the UTF-8 text
     val expected = Map(

@@ -127,6 +127,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // t38 serves t37's n1 shape from the loaded table (query side
     // fixed at 5 rows)
     "t38_token_embedding_knn_served",
+    // n30's exact-baseline side is n1's deliberate corpus ×
+    // broadcast-5-row-query cross (the recall denominator)
+    "n30_ivfpq_recall",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
