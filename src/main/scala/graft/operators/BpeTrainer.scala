@@ -506,6 +506,45 @@ object BpeTrainer {
                      FROM dp JOIN vocabt USING (piece)))"""
   }
 
+  /** QUERY-TIME tokenization replay: the same K learned merges applied
+    * to an ARBITRARY literal query relation (`valuesSql` rows of
+    * (query_id, q_text)) — the serving-path face where queries are NOT
+    * corpus documents, so their pieces can be absent from the training
+    * piece vocabulary and must be tokenized by APPLYING the merges
+    * (exactly `docTokens`' algorithmic path), not by a piece-table
+    * lookup. Emits CTEs through `qdtok` (query_id, i, j, tok); byte-
+    * level closure guarantees every resulting token is in `vfull`.
+    * Appends to a `docTokenIdCtes` chain (uses its m1..mK rows).
+    */
+  def queryTokenCtes(bpePat: String, k: Int, valuesSql: String): String = {
+    val rounds = (1 to k).map { r =>
+      val p = if (r == 1) "qst0" else s"qst${r - 1}"
+      s"""qst$r AS MATERIALIZED (SELECT piece, replace(rep,
+             '$L' || (SELECT s1 FROM m$r) || '$R$L' || (SELECT s2 FROM m$r) || '$R',
+             '$L' || (SELECT s1 FROM m$r) || (SELECT s2 FROM m$r) || '$R') AS rep
+           FROM $p)"""
+    }.mkString(",\n             ")
+    s"""qd AS (SELECT CAST(query_id AS BIGINT) AS query_id, q_text
+               FROM (VALUES $valuesSql) AS v(query_id, q_text)),
+             qpc AS (SELECT DISTINCT unnest(regexp_extract_all(q_text, '$bpePat')) AS piece
+               FROM qd),
+             qst0 AS (SELECT piece,
+               '$L' || array_to_string(regexp_extract_all(hex(encode(piece)), '..'), '$R$L') || '$R' AS rep
+               FROM qpc),
+             $rounds,
+             qvocab AS (SELECT piece,
+               regexp_extract_all(rep, '$symRegex', 1) AS toks FROM qst$k),
+             qd0 AS (SELECT query_id,
+               regexp_extract_all(q_text, '$bpePat') AS ps FROM qd),
+             qdp AS (SELECT query_id, i, ps[i] AS piece
+               FROM (SELECT query_id, ps, unnest(range(1, len(ps) + 1)) AS i
+                     FROM qd0)),
+             qdtok AS (SELECT query_id, i, j, toks[j] AS tok
+               FROM (SELECT query_id, i, toks,
+                       unnest(range(1, len(toks) + 1)) AS j
+                     FROM qdp JOIN qvocab USING (piece)))"""
+  }
+
   def docTokenIdsOracleSql(bpePat: String, k: Int): String =
     s"""${docTokenIdCtes(bpePat, k)},
              di AS (SELECT doc_id,

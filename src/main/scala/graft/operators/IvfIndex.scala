@@ -219,6 +219,11 @@ object IvfIndex {
     * orphan vectors the anti-join cannot see, so after a mid-append
     * crash run `repairPointers` BEFORE re-running the append — it
     * heals the orphans and the re-run's anti-join then skips them.
+    * Single-writer per index: concurrent appends could interleave the
+    * two writes AND race the drift log's max(seq)+1 read-modify-write
+    * into duplicate seq values — serialization is the caller's
+    * contract (ADVICE r16; `IvfPq.appendToSaved` carries the same
+    * rule).
     *
     * The delta's `vec_id`/`embedding` are cast to the stored assignment
     * schema (mixed int/long vec_id across parquet files would poison

@@ -712,6 +712,100 @@ object RetrievalQueries extends QueryPack {
            FROM ffr WHERE rnk <= $HybK ORDER BY query_id, rnk"""
       }),
 
+    // The FULLY-SERVED hybrid stack — b11's combiner with every stage
+    // a shipped artifact: lexical candidates from the persisted BM25
+    // index (b4's pruned read), and the dense leg running the whole
+    // production serving path AT QUERY TIME — the query STRINGS are
+    // tokenized under the frozen byte-BPE merges (the algorithmic
+    // applyMerges path, since query pieces need not exist in the
+    // training piece vocabulary), embedded through the LOADED
+    // token-embedding table (t38's artifact, zero derivation), and
+    // ranked by exact cosine against the corpus's token-table vectors;
+    // integer RRF fuses the two lists. The oracle replays BOTH stores'
+    // semantics from scratch PLUS the query-side merge application
+    // (BpeTrainer.queryTokenCtes — k replace rounds over the query
+    // pieces), so a drift in the served index, the shipped table, the
+    // tokenizer, or the fusion flips the hash.
+    Q("b12_hybrid_served",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextQueries.frozenByteMerges(s, d)
+        val table = graft.operators.TokenEmbeddingTable.load(
+          s, servedTokenEmbDir(s, d))
+        val lex = Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, HybK)
+          .select("query_id", "doc_id", "rnk")
+        val qvecs = graft.operators.TokenEmbeddingTable.embedDocs(
+            graft.operators.BpeTrainer.docTokenIds(
+              Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat),
+            table)
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val corpus = graft.operators.TokenEmbeddingTable.embedDocs(
+            graft.operators.BpeTrainer.docTokenIds(
+              Tables.load(s, d, "documents"), merges, TextQueries.BpePat),
+            table)
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+        val dense = graft.operators.SimilarityOps
+          .topKCosineAgainst(corpus, qvecs, HybK, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), HybK)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        val qVals = Queries
+          .map { case (qid, text) => s"($qid, '$text')" }.mkString(", ")
+        def wSql(dd: Int) =
+          s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        val dimSums = (0 until 16).map(dd =>
+          s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")
+        val dimVec = (0 until 16).map(dd =>
+          s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")
+        s"""${graft.operators.BpeTrainer.docTokenIdCtes(
+            TextQueries.BpePat, TextQueries.BpeK)},
+             $ScoreCtes,
+             lexc AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $HybK),
+             tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
+             em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM tw GROUP BY doc_id),
+             tvec AS (SELECT doc_id, [$dimVec] AS v FROM em),
+             cnz AS (SELECT doc_id AS neighbor_id, v AS ne FROM tvec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             ${graft.operators.BpeTrainer.queryTokenCtes(
+               TextQueries.BpePat, TextQueries.BpeK, qVals)},
+             qtw AS (SELECT query_id, v.id AS id
+               FROM qdtok JOIN vfull v USING (tok)),
+             qem AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM qtw GROUP BY query_id),
+             qvec AS (SELECT query_id, [$dimVec] AS qe FROM qem),
+             qnz AS (SELECT query_id, qe FROM qvec
+               WHERE list_reduce(list_transform(qe, x -> x * x), (a, x) -> a + x) > 0),
+             dsims AS (SELECT query_id, neighbor_id,
+               ($EmbDot) / (sqrt($EmbDotQQ) * sqrt($EmbDotNN)) AS sim
+               FROM qnz, cnz),
+             drank AS (SELECT query_id, neighbor_id AS doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM dsims),
+             densec AS (SELECT query_id, doc_id, rnk FROM drank
+               WHERE rnk <= $HybK),
+             fus AS (SELECT query_id, doc_id,
+                 1000000000000 // (60 + rnk) AS contrib FROM lexc
+               UNION ALL
+               SELECT query_id, doc_id, 1000000000000 // (60 + rnk)
+               FROM densec),
+             ff AS (SELECT query_id, doc_id,
+               CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+               count(*) AS n_lists FROM fus GROUP BY 1, 2),
+             ffr AS (SELECT query_id, doc_id, rrf_e12, n_lists,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_e12 DESC, doc_id) AS rnk
+               FROM ff)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_e12,
+             CAST(n_lists AS BIGINT) AS n_lists
+           FROM ffr WHERE rnk <= $HybK ORDER BY query_id, rnk"""
+      }),
+
     // Semantic dedup, the SemDeDup shape (Abbas et al. 2023) over the
     // DERIVED t13 embeddings: deterministic sign-LSH cells stand in for
     // the k-means stage (cell assignment is part of the semantics, see

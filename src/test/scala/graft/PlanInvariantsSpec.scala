@@ -130,6 +130,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // n30's exact-baseline side is n1's deliberate corpus ×
     // broadcast-5-row-query cross (the recall denominator)
     "n30_ivfpq_recall",
+    // b12 carries b4's one-row corpus-stats cross (lexical leg) and
+    // the n1-shaped corpus × broadcast-3-row-query cross (dense leg)
+    "b12_hybrid_served",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {

@@ -75,6 +75,12 @@ object R17Probe {
         time("t38_token_embedding_knn_served", "t38_token_embedding_knn_served", d)
       }
 
+    if (section == "all" || section == "r17b")
+      dirs.foreach { d =>
+        time("n30_ivfpq_recall", "n30_ivfpq_recall", d)
+        time("sp20_epoch_shuffle", "sp20_epoch_shuffle", d)
+      }
+
     if (section == "all" || section == "n28")
       dirs.foreach { d =>
         time("n27_ivfpq_served", "n27_ivfpq_served", d)
