@@ -81,6 +81,11 @@ object R17Probe {
         time("sp20_epoch_shuffle", "sp20_epoch_shuffle", d)
       }
 
+    if (section == "all" || section == "r17c")
+      dirs.foreach { d =>
+        time("b12_hybrid_served", "b12_hybrid_served", d)
+      }
+
     if (section == "all" || section == "n28")
       dirs.foreach { d =>
         time("n27_ivfpq_served", "n27_ivfpq_served", d)
