@@ -180,17 +180,30 @@ object IvfPq {
     * generator (the `KMeans.bestBarrier` discipline) so it evaluates
     * once per query however many consumers reference the probe row;
     * the LUT frame — still (queries · nprobe) rows, batch-bounded —
-    * is broadcast and INNER-joined on the cell id exactly as in
-    * `search`, so non-probed cells prune before any distance math
-    * (file-level with the `partitionBy(cell)` layout). Values are
-    * bit-identical to `search` (integer arithmetic, same orderings —
-    * IvfPqSpec pins it and the n28 entry shares n20's oracle
-    * verbatim); only where the LUTs are computed changes.
+    * is INNER-joined on the cell id exactly as in `search`, so
+    * non-probed cells prune before any distance math (file-level with
+    * the `partitionBy(cell)` layout). Values are bit-identical to
+    * `search` (integer arithmetic, same orderings — IvfPqSpec pins it
+    * and the n28 entry shares n20's oracle verbatim); only where the
+    * LUTs are computed changes.
+    *
+    * LUT-join physical shape (ADVICE r17): the zero-collect property
+    * holds at ANY batch size, but the default BROADCAST of the LUT
+    * frame does not — each LUT row carries m arrays of k longs
+    * (~m·k·8 bytes; 16 KB at m=8, k=256), so a 10⁶-query batch at
+    * nprobe=32 is 3.2·10⁷ rows ≈ hundreds of GB, far past any
+    * broadcast/driver limit. Broadcast is right for serving batches up
+    * to ~10⁴ queries; ABOVE that pass `broadcastLuts = false` and the
+    * join degrades gracefully to a shuffle join on `cell` — both sides
+    * repartition by cell id (real nlist is ~10⁵ cells, so the shuffle
+    * keys are well-spread), the plan stays flat in batch size, and the
+    * values are unchanged (IvfPqSpec pins the two shapes equal).
     */
   def searchDf(codes: DataFrame, queries: DataFrame,
       cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
       nprobe: Int, k: Int, dims: Int = 64,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      broadcastLuts: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = books.length
     val sub = dims / m
@@ -222,7 +235,8 @@ object IvfPq {
       .reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist2"), col("neighbor_id"))
-    val joined = codes.join(broadcast(lutDf), col("cell") === col("p_cell"))
+    val lutSide = if (broadcastLuts) broadcast(lutDf) else lutDf
+    val joined = codes.join(lutSide, col("cell") === col("p_cell"))
     (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
      else joined)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -235,14 +249,16 @@ object IvfPq {
   /** `searchRerank` with the stage-1 candidates from `searchDf` — the
     * fully DataFrame-native two-stage serving path (same exact-integer
     * re-rank tail, so it shares n23's oracle transitively).
+    * `broadcastLuts` as in `searchDf` (huge batches pass false).
     */
   def searchRerankDf(codes: DataFrame, vectors: DataFrame,
       queries: DataFrame, cents: Seq[Array[Long]],
       books: Seq[Seq[Array[Long]]], nprobe: Int, kCand: Int, k: Int,
-      dims: Int = 64, excludeSelf: Boolean = true): DataFrame =
+      dims: Int = 64, excludeSelf: Boolean = true,
+      broadcastLuts: Boolean = true): DataFrame =
     rerankTail(vectors, queries,
       searchDf(codes, queries, cents, books, nprobe, kCand, dims,
-        excludeSelf), k)
+        excludeSelf, broadcastLuts), k)
 
   /** Two-stage search with an EXACT re-rank tail — the standard PQ
     * refinement recipe (Jégou et al. 2011 §V-C's re-ranking variant):
@@ -446,10 +462,14 @@ object IvfPq {
     * LAST (the `IvfIndex.appendToSaved` discipline): a crash between
     * the two leaves only orphan vectors, which never become re-rank
     * candidates (candidates come from codes) and so cost nothing but
-    * space. After a mid-append crash run `repairCodes` BEFORE
-    * re-running the append — it encodes the orphans into the codes
-    * store so the re-run's anti-join skips them instead of appending
-    * their vectors a second time. Single-writer per artifact:
+    * space. The append AUTO-HEALS that window at entry (ADVICE r17):
+    * it runs the `repairCodes` anti-join itself before reading the
+    * codes store, so a crash-replayed append finds the orphans already
+    * coded and skips them — idempotence no longer relies on the
+    * operator remembering to run the healer between crash and replay
+    * (the `retrain`/`loadModel` → `recoverRetired` self-heal
+    * discipline). Cost on a healthy store: one extra pair of
+    * vec_id-only column-pruned projections. Single-writer per artifact:
     * concurrent appends could interleave the two writes AND race the
     * drift log's max(seq)+1 read-modify-write into duplicate seq
     * values — serialization is the caller's contract (the `IvfIndex`
@@ -469,6 +489,9 @@ object IvfPq {
       dims: Int = 64): Long = {
     import spark.implicits._
     val (cents, books) = loadModel(spark, dir)
+    // auto-heal a prior mid-append crash's orphan vectors BEFORE the
+    // anti-join reads codes — see the scaladoc's write-order paragraph
+    repairWith(spark, dir, cents, books, dims)
     val seen = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id").as("_seen"))
     val delta = newEmb.select("vec_id", "embedding")
@@ -513,12 +536,23 @@ object IvfPq {
     * encode any vector-store rows missing from the codes store under
     * the artifact's frozen model and append them. Cost: two vec_id-only
     * column-pruned projections for the anti-join, then delta-sized
-    * encode + write; a healthy store heals nothing. Run after a
-    * mid-append crash, before the next append.
+    * encode + write; a healthy store heals nothing. `appendToSaved`
+    * runs this itself at entry, so the standalone face is only needed
+    * to heal a store without also appending.
     */
   def repairCodes(spark: SparkSession, dir: String,
       dims: Int = 64): Long = {
     val (cents, books) = loadModel(spark, dir)
+    repairWith(spark, dir, cents, books, dims)
+  }
+
+  /** `repairCodes` under an already-loaded model — shared by the
+    * standalone face and `appendToSaved`'s entry auto-heal so the heal
+    * never costs a second model collect.
+    */
+  private def repairWith(spark: SparkSession, dir: String,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      dims: Int): Long = {
     val seen = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id").as("_seen"))
     val orphans = spark.read.parquet(s"$dir/vectors")

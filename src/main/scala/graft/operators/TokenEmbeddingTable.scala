@@ -83,12 +83,27 @@ object TokenEmbeddingTable {
     * (callers filter norm > 0 before cosine). `ids` is
     * `BpeTrainer.docTokenIds`' (doc_id, ids) shape; the table joins
     * BROADCAST (vocab-sized by contract).
+    *
+    * Fail-loud on ids ABSENT from the table (ADVICE r17): the lookup
+    * is a LEFT join that raises on the first unmatched id rather than
+    * an inner join that drops it — a swapped-in "trained checkpoint"
+    * passing `load`'s structural checks but saved under fewer merges
+    * than the serving tokenizer would otherwise silently shift every
+    * affected doc's pooled vector (the `docTokenIdsWith` raise-on-
+    * unmappable discipline, brought to the id→vector hop).
     */
   def embedDocs(ids: DataFrame, table: DataFrame): DataFrame = {
     val aggs = (0 until Dim).map(dd => sum(col(s"w$dd")).as(s"s$dd")) :+
       count(lit(1)).cast("bigint").as("n")
     ids.select(col("doc_id"), explode(col("ids")).as("id"))
-      .join(broadcast(table), Seq("id"))
+      .join(broadcast(table), Seq("id"), "left")
+      .withColumn("w0",
+        when(col("w0").isNotNull, col("w0"))
+          .otherwise(raise_error(concat(
+            lit("token id absent from embedding table: "),
+            col("id").cast("string"),
+            lit(" (table saved under fewer merges than the serving " +
+              "tokenizer?)")))))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id").as("vec_id"),
         array((0 until Dim).map(dd =>

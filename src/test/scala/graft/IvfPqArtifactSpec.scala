@@ -341,6 +341,32 @@ class IvfPqArtifactSpec extends AnyFunSuite {
     assert(!new java.io.File(d4 + ".retired").exists())
   }
 
+  test("crash-replayed append auto-heals orphan vectors without a manual repairCodes (ADVICE r17)") {
+    val d5 = Files.createTempDirectory("graft_ivfpq_ah").toString + "/idx"
+    IvfPq.save(emb, d5, cents, books, dims)
+    val delta = emb.limit(8)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    assert(IvfPq.appendToSaved(spark, d5, delta, dims) === 8L)
+    // simulate the mid-append crash: vectors landed, codes did not
+    val codesKept = spark.read.parquet(s"$d5/codes")
+      .filter(col("vec_id") < 5000000L).localCheckpoint()
+    codesKept.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$d5/codes")
+    // the REPLAYED append — no manual heal in between — must find the
+    // orphans, code them, and append nothing new
+    assert(IvfPq.appendToSaved(spark, d5, delta, dims) === 0L,
+      "replayed append re-appended already-stored vectors")
+    assert(spark.read.parquet(s"$d5/vectors").groupBy("vec_id").count()
+      .filter(col("count") > 1L).count() === 0L,
+      "crash replay without manual repairCodes duplicated vector rows")
+    // and the orphans are now CODED (the auto-heal ran): codes ≡ the
+    // ad-hoc encode of the full union
+    assert(spark.read.parquet(s"$d5/codes")
+      .filter(col("vec_id") >= 5000000L).count() === 8L,
+      "auto-heal did not code the orphan vectors")
+  }
+
   test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
     val bad1 = dir + "_badcells"
     spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)

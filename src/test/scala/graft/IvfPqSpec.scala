@@ -190,6 +190,16 @@ class IvfPqSpec extends AnyFunSuite {
     val dfR = IvfPq.searchRerankDf(codes, q, queries(3), cents, books,
       nprobe = 2, kCand = 10, k = 5).collect().map(_.toString).toSeq
     assert(dfR === drvR, "searchRerankDf diverged from searchRerank")
+    // the huge-batch LUT-join shape (broadcastLuts=false — shuffle join
+    // on cell instead of broadcasting the m·k-array LUT rows, ADVICE
+    // r17) is value-identical to the default broadcast shape
+    val dfShuffle = IvfPq.searchDf(codes, queries(3), cents, books,
+        nprobe = 2, k = 10, broadcastLuts = false)
+      .collect().map(_.toString).toSeq
+    val dfBcast = IvfPq.searchDf(codes, queries(3), cents, books,
+        nprobe = 2, k = 10).collect().map(_.toString).toSeq
+    assert(dfShuffle === dfBcast,
+      "broadcastLuts=false diverged from the broadcast LUT join")
 
     // ZERO driver round-trips at plan time: constructing the searchDf
     // plan launches no Spark jobs (search's driver LUT build collects

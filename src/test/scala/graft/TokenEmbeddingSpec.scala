@@ -78,6 +78,28 @@ class TokenEmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("embedDocs raises on ids absent from the table instead of silently dropping them (ADVICE r17)") {
+    // a "checkpoint" that passes load's structural checks (complete
+    // alphabet, unique ids, 16 columns) but is missing the MERGE ids —
+    // saved under fewer merges than the serving tokenizer
+    val truncated = dir + "_nomerges"
+    spark.read.parquet(dir).filter(col("id") < 256)
+      .write.mode("overwrite").parquet(truncated)
+    val table = TokenEmbeddingTable.load(spark, truncated) // passes checks
+    val ids = BpeTrainer.docTokenIds(docs, merges, pat).localCheckpoint()
+    // only fires if some doc actually uses a merge id — guard the fixture
+    assert(ids.select(explode(col("ids")).as("id"))
+      .filter(col("id") >= 256).count() > 0L, "fixture has no merge ids")
+    val ex = intercept[Exception] {
+      TokenEmbeddingTable.embedDocs(ids, table).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("token id absent")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("a trained checkpoint drops in: overwriting the file changes vectors, consumers unchanged") {
     // a "trained" table = every weight shifted by +1; the SAME embedDocs
     // consumer picks it up — the artifact, not the code, carries the model
