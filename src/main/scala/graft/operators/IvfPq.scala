@@ -424,6 +424,82 @@ object IvfPq {
     ()
   }
 
+  /** The measured recall@k of one `recallStatus` run: `recall` is the
+    * mean per-query |served ∩ exact| / k over the artifact's OWN
+    * vector store; `flagged` = recall < the threshold the caller
+    * gates releases on.
+    */
+  final case class RecallStatus(nQueries: Long, k: Int, nprobe: Int,
+      recall: Double, flagged: Boolean)
+
+  /** Release-gate default for `recallStatus`: a served top-k that
+    * agrees with the exact top-k on fewer than 80% of its slots is a
+    * retrain/re-knob signal. Same rationale as `DriftRetrainRatio`: a
+    * false flag costs one rebuild decision, a miss costs silent
+    * quality decay in every downstream consumer.
+    */
+  val RecallRetrainFloor = 0.8
+
+  /** The RECALL face of the retrain loop (VERDICT r17 #3): err2 drift
+    * (`appendToSaved`'s log) is a PROXY — it says the frozen codebooks
+    * compress the moving distribution worse, not what that costs the
+    * user. This face measures the cost directly, n30's comparison run
+    * against the LOADED artifact: the two-stage served top-k
+    * (`searchRerankDf` — cell-pruned ADC + exact re-rank, exactly the
+    * serving path) vs the exact integer top-k over the artifact's own
+    * vector store, for a caller-supplied query batch (the production
+    * pattern: a held-out query sample, re-measured after appends).
+    * Returns `flagged` like `IvfIndex.driftStatus` does; a flag's
+    * response is `retrain` — typically with a larger `nlist`/`nprobe`,
+    * since append-only growth under a frozen coarse quantizer is
+    * exactly what starves probed cells (IvfPqArtifactSpec walks the
+    * degrade → flag → retrain → clear loop).
+    *
+    * Cost: one served search (probed cells only) plus one exact pass
+    * of the store against the BROADCAST query batch — the brute side
+    * is the n1/n2 documented baseline shape, linear in store size per
+    * batch, which is what makes this a sampled release gate, not a
+    * per-query path.
+    */
+  def recallStatus(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int, kCand: Int, dims: Int = 64,
+      threshold: Double = RecallRetrainFloor,
+      excludeSelf: Boolean = false): RecallStatus = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, books) = loadModel(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val q = queries.select("query_id", "qv").localCheckpoint()
+    val served = searchRerankDf(codes, vectors, q, cents, books,
+        nprobe, kCand, k, dims, excludeSelf)
+      .select("query_id", "neighbor_id")
+    val exactBase = vectors
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("nqv"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qv").as("qqv"))))
+    val exact = (if (excludeSelf)
+        exactBase.filter(col("neighbor_id") =!= col("query_id"))
+      else exactBase)
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qqv"), col("nqv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+    val row = exact
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .agg(count(lit(1)).as("nq"),
+        avg(col("hits").cast("double") / k).as("recall"))
+      .collect()(0)
+    val nq = row.getAs[Long]("nq")
+    val recall = if (nq == 0) 0.0 else row.getAs[Double]("recall")
+    RecallStatus(nq, k, nprobe, recall, recall < threshold)
+  }
+
   /** Crash recovery for `retrain`'s two-rename swap (the
     * `DsirStream.recoverRetired` contract): a retrain that died between
     * retiring live and publishing staging leaves the old artifact at
@@ -610,15 +686,16 @@ object IvfPq {
   // ---------------------------------------------------------------- oracle
 
   /** Shared oracle preamble: coarse chain + residuals + the m residual
-    * codebook chains.
+    * codebook chains. `qSrc` as in `KMeans.chainSql` — overrides the
+    * quantized-source relation the whole build replays over.
     */
   private def buildChain(nlist: Int, coarseIters: Int, m: Int, k: Int,
-      iters: Int, dims: Int): String = {
+      iters: Int, dims: Int, qSrc: String = ""): String = {
     val sub = dims / m
     val subChains = PqIndex.subChainsSql(m, k, iters, dims, (lo, hi) =>
       s"""SELECT vec_id, d - $lo AS d, v FROM rev
              WHERE d > $lo AND d <= $hi""", seedsRel = "pqseeds")
-    s"""${KMeans.chainSql(nlist, coarseIters, dims)},
+    s"""${KMeans.chainSql(nlist, coarseIters, dims, qSrc)},
          rev AS MATERIALIZED (SELECT e.vec_id, e.d, e.v - c.c AS v
            FROM ev e JOIN asgF a USING (vec_id)
            JOIN ct$coarseIters c ON c.cluster = a.cluster AND c.d = e.d),
@@ -669,21 +746,38 @@ object IvfPq {
   def rerankOracleSql(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int, kCand: Int,
       topK: Int, extraCtes: String = "", neighborEv: String = "ev"): String =
-    s"""WITH ${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
-        nprobe, "")}${if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
+    s"""WITH ${rerankCtes(nlist, coarseIters, m, k, iters, dims, nq,
+        nprobe, kCand, extraCtes, neighborEv)}
+       SELECT query_id, neighbor_id, cell, adist2, dist2, rnk
+       FROM rr WHERE rnk <= $topK ORDER BY query_id, rnk"""
+
+  /** The `rerankOracleSql` body as a COMPOSABLE CTE chain (through
+    * `rr`) so composite oracles (the b13 hybrid) can fuse the re-ranked
+    * ANN list with other retrievers under one WITH. `qSrc` and
+    * `extQueryRel` as in `searchCtes`.
+    */
+  def rerankCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, nq: Int, nprobe: Int, kCand: Int,
+      extraCtes: String = "", neighborEv: String = "ev",
+      qSrc: String = "", extQueryRel: String = ""): String = {
+    val eqJoin =
+      if (extQueryRel.nonEmpty) "JOIN xqev eq ON eq.query_id = c.query_id"
+      else "JOIN ev eq ON eq.vec_id = c.query_id"
+    s"""${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
+        nprobe, "", qSrc, extQueryRel)}${
+        if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
            FROM ranked WHERE rnk <= $kCand),
          rer AS (SELECT c.query_id, c.neighbor_id, c.cell, c.adist2,
              CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
-           FROM cand c JOIN ev eq ON eq.vec_id = c.query_id
+           FROM cand c $eqJoin
            JOIN $neighborEv en ON en.vec_id = c.neighbor_id AND en.d = eq.d
            GROUP BY 1, 2, 3, 4),
          rr AS (SELECT query_id, neighbor_id, cell, adist2, dist2,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist2, neighbor_id) AS INTEGER) AS rnk
-           FROM rer)
-       SELECT query_id, neighbor_id, cell, adist2, dist2, rnk
-       FROM rr WHERE rnk <= $topK ORDER BY query_id, rnk"""
+           FROM rer)"""
+  }
 
   /** DuckDB replay of the n30 RECALL@k measurement: the full ADC
     * search chain (`ranked`) joined against the EXACT integer-distance
@@ -713,10 +807,22 @@ object IvfPq {
        SELECT query_id, hits, (hits * 1000000) // $topK AS recall_e6
        FROM rh ORDER BY query_id"""
 
-  /** The shared search replay body, through the ADC `ranked` CTE. */
+  /** The shared search replay body, through the ADC `ranked` CTE.
+    *
+    * Query-side modes: by default queries are CORPUS MEMBERS
+    * (`vec_id < nq`, priced from the chain's own `dist` relation, self
+    * excluded — the n20 entry shape). `extQueryRel` names a caller-
+    * provided CTE of EXTERNAL (query_id, qv) vectors instead — their
+    * coarse distances, probes, and residuals are computed from a
+    * dedicated `xqev` per-dim relation against the fitted centroids,
+    * and self-exclusion is OFF (external ids may collide with corpus
+    * vec_ids — the Spark `excludeSelf = false` serving mode). `qSrc`
+    * overrides the corpus source as in `KMeans.chainSql`.
+    */
   private def searchCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int,
-      candFilterSql: String): String = {
+      candFilterSql: String, qSrc: String = "",
+      extQueryRel: String = ""): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
     val luts = (0 until m).map { i =>
@@ -737,8 +843,9 @@ object IvfPq {
           s" AND l$i.query_id = l0.query_id"
     }.mkString(" ")
     val dsum = (0 until m).map(i => s"l$i.d2").mkString(" + ")
-    s"""${buildChain(nlist, coarseIters, m, k, iters, dims)},
-         probed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
+    val querySide =
+      if (extQueryRel.isEmpty)
+        s"""probed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
            FROM (SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS pr
              FROM dist$fCoarse WHERE vec_id < $nq)
@@ -746,7 +853,26 @@ object IvfPq {
          qres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
              e.v - c.c AS v
            FROM probed p JOIN ev e ON e.vec_id = p.query_id
-           JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d),
+           JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d)"""
+      else
+        s"""xqev AS MATERIALIZED (SELECT query_id, d, qv[d] AS v
+           FROM $extQueryRel, (SELECT unnest(range(1, ${dims + 1})) AS d)),
+         xqdist AS MATERIALIZED (SELECT e.query_id, c.cluster,
+             CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
+           FROM xqev e JOIN ct$coarseIters c USING (d) GROUP BY 1, 2),
+         probed AS MATERIALIZED (SELECT query_id, cluster AS p_cell
+           FROM (SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist2, cluster) AS pr
+             FROM xqdist)
+           WHERE pr <= $nprobe),
+         qres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
+             e.v - c.c AS v
+           FROM probed p JOIN xqev e ON e.query_id = p.query_id
+           JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d)"""
+    val selfEx =
+      if (extQueryRel.isEmpty) "WHERE cd.vec_id <> l0.query_id" else ""
+    s"""${buildChain(nlist, coarseIters, m, k, iters, dims, qSrc)},
+         $querySide,
          $luts,
          cd AS MATERIALIZED (SELECT a0.vec_id, f.cluster AS cell, $codeCols
            FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins
@@ -754,7 +880,7 @@ object IvfPq {
          approx AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
              CAST(cd.cell AS INTEGER) AS cell, $dsum AS adist2
            FROM cd $lutJoins
-           WHERE cd.vec_id <> l0.query_id),
+           $selfEx),
          ranked AS (SELECT query_id, neighbor_id, cell, adist2,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY adist2, neighbor_id) AS INTEGER) AS rnk

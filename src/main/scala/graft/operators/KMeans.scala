@@ -287,7 +287,14 @@ object KMeans {
     * reason as `BpeTrainer.chainSql`: each round references its
     * predecessor more than once.
     */
-  def chainSql(k: Int, iters: Int, dims: Int): String = {
+  /** `qSrc` overrides the quantized-source CTE body (default: the e6
+    * quantization of the `embeddings` table) so the same fit/search
+    * replay runs over ANY (vec_id, qv) relation — e.g. the b13 oracle
+    * feeds the token-table document vectors through the identical
+    * chain. The override must SELECT (vec_id, qv) with qv a BIGINT
+    * list of exactly `dims` elements.
+    */
+  def chainSql(k: Int, iters: Int, dims: Int, qSrc: String = ""): String = {
     val rounds = (1 to iters).map { t =>
       val p = t - 1
       s"""dist$t AS MATERIALIZED (SELECT e.vec_id, c.cluster,
@@ -305,9 +312,11 @@ object KMeans {
              ON u.cluster = p.cluster AND u.d = p.d)"""
     }.mkString(",\n           ")
     val f = iters + 1
-    s"""q AS MATERIALIZED (SELECT vec_id,
+    val qBody = if (qSrc.nonEmpty) qSrc
+      else """SELECT vec_id,
            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-           FROM embeddings),
+           FROM embeddings"""
+    s"""q AS MATERIALIZED ($qBody),
          ev AS MATERIALIZED (SELECT vec_id, d, qv[d] AS v
            FROM q, (SELECT unnest(range(1, ${dims + 1})) AS d)),
          seeds AS MATERIALIZED (SELECT vec_id,

@@ -37,8 +37,8 @@ object RetrievalQueries extends QueryPack {
   /** b8's candidate pool depth (pre-diversification). */
   private val CandK = 15
   /** b11's per-system list depth and fused top-k. */
-  private val HybK = 10
-  private val Queries: Seq[(Long, String)] = Seq(
+  private[graft] val HybK = 10
+  private[graft] val Queries: Seq[(Long, String)] = Seq(
     (0L, "spark table merge"),
     (1L, "vector data window batch"),
     (2L, "customer query slow"))
@@ -203,7 +203,7 @@ object RetrievalQueries extends QueryPack {
   private val tokenEmbCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def servedTokenEmbDir(s: org.apache.spark.sql.SparkSession,
+  private[graft] def servedTokenEmbDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     tokenEmbCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("token_emb_t38_store", d) {
@@ -217,6 +217,110 @@ object RetrievalQueries extends QueryPack {
       graft.operators.TokenEmbeddingTable.save(
         s, TextQueries.frozenByteMerges(s, d), dir.toString + "/table")
       dir.toString + "/table"
+      }
+    })
+
+  /** The ONE corpus tokenize+embed pass per (session, dataset) —
+    * VERDICT r17 #8: t37's baseline, the persisted vector store, and
+    * every hybrid dense leg used to re-run `embedDocs` over the whole
+    * `documents` table independently (4× per suite pass); now they all
+    * read this session-cached frame (the `nearDupPairs` memoization
+    * precedent). Pooling runs under the LOADED table artifact — bit-
+    * identical to the ad-hoc derivation (TokenEmbeddingSpec pins it),
+    * so t37's oracle hash is unchanged.
+    */
+  private val tokenVecFrameCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.DataFrame]()
+
+  private def corpusTokenVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    tokenVecFrameCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("token_vecs", d) {
+      graft.operators.TokenEmbeddingTable.embedDocs(
+          graft.operators.BpeTrainer.docTokenIds(
+            Tables.load(s, d, "documents"),
+            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+          graft.operators.TokenEmbeddingTable.load(
+            s, servedTokenEmbDir(s, d)))
+        .localCheckpoint()
+      }
+    })
+
+  /** The persisted CORPUS VECTOR STORE — VERDICT r17 #1: the corpus
+    * side of a served dense retriever embedded ONCE at index-build time
+    * (the `maxsim_b10_store`/`ivfpq_n27_store` fill discipline) and
+    * written as one parquet the serve paths scan — t38 and the hybrid
+    * dense legs never tokenize or embed the corpus at query time again.
+    * At 100 TB this is the (vec_id, embedding) table a vector-serving
+    * tier mounts; refreshing it is an `embedDocs` batch over the delta,
+    * not a per-query pass.
+    */
+  private val tokenVecDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def servedTokenVecDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    tokenVecDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("token_vec_store", d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tokvec")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      corpusTokenVecs(s, d)
+        .write.mode("overwrite").parquet(dir.toString + "/vectors")
+      dir.toString + "/vectors"
+      }
+    })
+
+  /** b13's ANN tier: the corpus token-table vectors behind a FULL
+    * IVF-PQ serving artifact (coarse cells + residual codebooks +
+    * cell-partitioned codes + exact vector store — `IvfPq.saveQ`),
+    * built once from the persisted vector store. Token-vector
+    * components are e3 fixed-point integers bounded by ±10⁶
+    * (`TokenEmbeddingTable`), so quantization is a bare exact cast —
+    * scale 1, NOT `KMeans.quantized`'s e6 (whose ×10⁶ would push
+    * squared distances past BIGINT). Zero-norm docs are excluded
+    * exactly as every cosine consumer excludes them.
+    */
+  private[graft] val TokDims = 16
+  private[graft] val TokNlist = 16
+  private[graft] val TokCoarseIters = 2
+  private[graft] val TokM = 4
+  private[graft] val TokPqK = 16
+  private[graft] val TokPqIters = 2
+  private[graft] val TokNprobe = 4
+  private[graft] val TokKCand = 20
+
+  private val tokenIvfPqDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def servedTokenIvfPqDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    tokenIvfPqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("token_ivfpq_b13_store", d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tokivfpq")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      val q = s.read.parquet(servedTokenVecDir(s, d))
+        .filter(HashedEmbedding.norm2("embedding") > 0L)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+        .localCheckpoint()
+      val cents = graft.operators.KMeans.fitQ(
+        q, TokNlist, TokCoarseIters, TokDims)
+      val books = graft.operators.PqIndex.fitQuantized(
+        graft.operators.IvfPq.residuals(q, cents).localCheckpoint(),
+        TokM, TokPqK, TokPqIters, TokDims)
+      graft.operators.IvfPq.saveQ(
+        q, dir.toString + "/idx", cents, books, TokDims)
+      dir.toString + "/idx"
       }
     })
 
@@ -551,11 +655,10 @@ object RetrievalQueries extends QueryPack {
     // the corpus), the pooling one doc-keyed partial-agg shuffle.
     Q("t37_token_embedding_knn",
       (s, d) => {
-        val merges = TextQueries.frozenByteMerges(s, d)
-        val vecs = graft.operators.TokenEmbeddingTable.embedDocs(
-            graft.operators.BpeTrainer.docTokenIds(
-              Tables.load(s, d, "documents"), merges, TextQueries.BpePat),
-            graft.operators.TokenEmbeddingTable.derive(s, merges))
+        // the one session-cached corpus embed pass (VERDICT r17 #8) —
+        // pooled under the loaded table, bit-identical to the ad-hoc
+        // derivation this entry's oracle replays (TokenEmbeddingSpec)
+        val vecs = corpusTokenVecs(s, d)
           .filter(HashedEmbedding.norm2("embedding") > 0L)
         graft.operators.SimilarityOps
           .topKCosineWindow(vecs, Seq(0L, 1L, 2L, 3L, 4L), 10)
@@ -563,25 +666,21 @@ object RetrievalQueries extends QueryPack {
       },
       Some(TokenEmbKnnOracle)),
 
-    // t37 SERVED FROM THE SHIPPED TABLE — the artifact face VERDICT
-    // r16 #6 asked for: the (id → vector) table is persisted once
-    // (`TokenEmbeddingTable.save` — the saveVocab discipline; a
-    // genuinely trained checkpoint drops in by replacing the file) and
-    // the serve path LOADS it behind the fail-loud alphabet-complete /
-    // unique-id checks — zero derivation on the serve path
-    // (TokenEmbeddingSpec asserts the loaded branch is a parquet scan
-    // with no weight-derivation expressions). Shares t37's oracle
-    // VERBATIM (the n27/b4 served ≡ ad-hoc discipline): a hash
-    // mismatch means the artifact round-trip changed the table.
+    // t37 SERVED FROM THE SHIPPED VECTOR STORE — r16 #6 shipped the
+    // (id → vector) TABLE artifact; r17 #1 closes the remaining gap:
+    // the serve path used to re-tokenize and re-embed the ENTIRE
+    // corpus per run (linear in corpus on a path named "served").
+    // Now the corpus vectors are persisted once at index-build time
+    // (`servedTokenVecDir` — one `embedDocs` pass under the loaded
+    // table, the `ivfpq_n27_store` fill discipline) and the serve
+    // path is a bare parquet scan of that store: zero tokenize, zero
+    // embed, zero derivation at query time — the restart story a
+    // serving fleet needs. Shares t37's oracle VERBATIM (the n27/b4
+    // served ≡ ad-hoc discipline): a hash mismatch means the store
+    // round-trip changed the vectors.
     Q("t38_token_embedding_knn_served",
       (s, d) => {
-        val merges = TextQueries.frozenByteMerges(s, d)
-        val table = graft.operators.TokenEmbeddingTable.load(
-          s, servedTokenEmbDir(s, d))
-        val vecs = graft.operators.TokenEmbeddingTable.embedDocs(
-            graft.operators.BpeTrainer.docTokenIds(
-              Tables.load(s, d, "documents"), merges, TextQueries.BpePat),
-            table)
+        val vecs = s.read.parquet(servedTokenVecDir(s, d))
           .filter(HashedEmbedding.norm2("embedding") > 0L)
         graft.operators.SimilarityOps
           .topKCosineWindow(vecs, Seq(0L, 1L, 2L, 3L, 4L), 10)
@@ -714,18 +813,23 @@ object RetrievalQueries extends QueryPack {
 
     // The FULLY-SERVED hybrid stack — b11's combiner with every stage
     // a shipped artifact: lexical candidates from the persisted BM25
-    // index (b4's pruned read), and the dense leg running the whole
-    // production serving path AT QUERY TIME — the query STRINGS are
-    // tokenized under the frozen byte-BPE merges (the algorithmic
-    // applyMerges path, since query pieces need not exist in the
-    // training piece vocabulary), embedded through the LOADED
-    // token-embedding table (t38's artifact, zero derivation), and
-    // ranked by exact cosine against the corpus's token-table vectors;
-    // integer RRF fuses the two lists. The oracle replays BOTH stores'
-    // semantics from scratch PLUS the query-side merge application
-    // (BpeTrainer.queryTokenCtes — k replace rounds over the query
-    // pieces), so a drift in the served index, the shipped table, the
-    // tokenizer, or the fusion flips the hash.
+    // index (b4's pruned read), and the dense leg's CORPUS side from
+    // the persisted vector store (r17 #1 — the corpus used to be
+    // re-tokenized and re-embedded per query batch; now it is one
+    // parquet scan). Only the query STRINGS run the serving path at
+    // query time — tokenized under the frozen byte-BPE merges (the
+    // algorithmic applyMerges path, since query pieces need not exist
+    // in the training piece vocabulary), embedded through the LOADED
+    // token-embedding table (t38's artifact, zero derivation) — a
+    // 3-row pass, constant in corpus size. Exact cosine ranks the
+    // stored vectors; integer RRF fuses the two lists. (The dense leg
+    // is still one linear store scan per batch — b13 is the same stack
+    // with the scan replaced by the cell-pruned IVF-PQ artifact.) The
+    // oracle replays BOTH stores' semantics from scratch PLUS the
+    // query-side merge application (BpeTrainer.queryTokenCtes — k
+    // replace rounds over the query pieces), so a drift in the served
+    // index, the shipped table, the vector store, the tokenizer, or
+    // the fusion flips the hash.
     Q("b12_hybrid_served",
       (s, d) => {
         import s.implicits._
@@ -740,10 +844,7 @@ object RetrievalQueries extends QueryPack {
             table)
           .filter(HashedEmbedding.norm2("embedding") > 0L)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        val corpus = graft.operators.TokenEmbeddingTable.embedDocs(
-            graft.operators.BpeTrainer.docTokenIds(
-              Tables.load(s, d, "documents"), merges, TextQueries.BpePat),
-            table)
+        val corpus = s.read.parquet(servedTokenVecDir(s, d))
           .filter(HashedEmbedding.norm2("embedding") > 0L)
         val dense = graft.operators.SimilarityOps
           .topKCosineAgainst(corpus, qvecs, HybK, excludeSelf = false)
@@ -789,6 +890,111 @@ object RetrievalQueries extends QueryPack {
                FROM dsims),
              densec AS (SELECT query_id, doc_id, rnk FROM drank
                WHERE rnk <= $HybK),
+             fus AS (SELECT query_id, doc_id,
+                 1000000000000 // (60 + rnk) AS contrib FROM lexc
+               UNION ALL
+               SELECT query_id, doc_id, 1000000000000 // (60 + rnk)
+               FROM densec),
+             ff AS (SELECT query_id, doc_id,
+               CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+               count(*) AS n_lists FROM fus GROUP BY 1, 2),
+             ffr AS (SELECT query_id, doc_id, rrf_e12, n_lists,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_e12 DESC, doc_id) AS rnk
+               FROM ff)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_e12,
+             CAST(n_lists AS BIGINT) AS n_lists
+           FROM ffr WHERE rnk <= $HybK ORDER BY query_id, rnk"""
+      }),
+
+    // b12 WITH THE DENSE SCAN REPLACED BY THE ANN TIER — the 100 TB
+    // shape of the fully-served hybrid (VERDICT r17 #1): b12's dense
+    // leg, though artifact-fed, still scans every stored corpus vector
+    // per query batch; here the dense candidates come from the
+    // IVF-PQ artifact built over the SAME token-table vector store
+    // (`servedTokenIvfPqDir` — coarse cells, residual codebooks,
+    // cell-partitioned codes, exact vector store), served through the
+    // DataFrame-native two-stage path (`IvfPq.searchRerankDf`):
+    // query-time corpus work = the ≤ nprobe probed cells' codes (a
+    // file-pruned read of the partitionBy(cell) layout) plus a
+    // candidate-bounded exact re-rank fetch — sub-linear in corpus,
+    // flat in batch. Ranking metric is IVF-PQ's native exact-integer
+    // L2 over the e3 fixed-point vectors (not b12's cosine): the ANN
+    // tier's contract, recovered exactly by the re-rank tail; the
+    // recall this trades vs the exact scan is measured in
+    // HybridServeSpec (the n30 discipline). The oracle replays the
+    // ENTIRE stack from scratch under one hash: corpus BPE
+    // tokenization, the id→vector table, pooling, the coarse k-means
+    // fit, the m residual-codebook fits, encoding, external-query
+    // probe selection, the per-cell ADC LUTs, the exact re-rank, BM25
+    // scoring, and the integer RRF fusion — a drift ANYWHERE in the
+    // serve stack flips the hash.
+    Q("b13_hybrid_ann_served",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextQueries.frozenByteMerges(s, d)
+        val table = graft.operators.TokenEmbeddingTable.load(
+          s, servedTokenEmbDir(s, d))
+        val lex = Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, HybK)
+          .select("query_id", "doc_id", "rnk")
+        val idxDir = servedTokenIvfPqDir(s, d)
+        val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
+        val codes = s.read.parquet(s"$idxDir/codes")
+        val vectors = s.read.parquet(s"$idxDir/vectors")
+        val qvecs = graft.operators.TokenEmbeddingTable.embedDocs(
+            graft.operators.BpeTrainer.docTokenIds(
+              Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat),
+            table)
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+          .select(col("vec_id").as("query_id"),
+            expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+        val dense = graft.operators.IvfPq.searchRerankDf(
+            codes, vectors, qvecs, cents, books,
+            nprobe = TokNprobe, kCand = TokKCand, k = HybK,
+            dims = TokDims, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), HybK)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        val qVals = Queries
+          .map { case (qid, text) => s"($qid, '$text')" }.mkString(", ")
+        def wSql(dd: Int) =
+          s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        val dimSums = (0 until 16).map(dd =>
+          s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")
+        val dimVec = (0 until 16).map(dd =>
+          s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")
+        s"""${graft.operators.BpeTrainer.docTokenIdCtes(
+            TextQueries.BpePat, TextQueries.BpeK)},
+             $ScoreCtes,
+             lexc AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $HybK),
+             tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
+             em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM tw GROUP BY doc_id),
+             tvec AS (SELECT doc_id, [$dimVec] AS v FROM em),
+             tvnz AS (SELECT doc_id, v FROM tvec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             ${graft.operators.BpeTrainer.queryTokenCtes(
+               TextQueries.BpePat, TextQueries.BpeK, qVals)},
+             qtw AS (SELECT query_id, v.id AS id
+               FROM qdtok JOIN vfull v USING (tok)),
+             qem AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM qtw GROUP BY query_id),
+             qvec AS (SELECT query_id, [$dimVec] AS qe FROM qem),
+             qnz AS (SELECT query_id, qe FROM qvec
+               WHERE list_reduce(list_transform(qe, x -> x * x), (a, x) -> a + x) > 0),
+             qq AS (SELECT query_id,
+               list_transform(qe, x -> CAST(x AS BIGINT)) AS qv FROM qnz),
+             ${graft.operators.IvfPq.rerankCtes(
+               TokNlist, TokCoarseIters, TokM, TokPqK, TokPqIters,
+               TokDims, Queries.length, TokNprobe, TokKCand,
+               qSrc = "SELECT doc_id AS vec_id, " +
+                 "list_transform(v, x -> CAST(x AS BIGINT)) AS qv FROM tvnz",
+               extQueryRel = "qq")},
+             densec AS (SELECT query_id, neighbor_id AS doc_id, rnk
+               FROM rr WHERE rnk <= $HybK),
              fus AS (SELECT query_id, doc_id,
                  1000000000000 // (60 + rnk) AS contrib FROM lexc
                UNION ALL

@@ -26,7 +26,7 @@ object TextQueries extends QueryPack {
   private val MergeTopK = 20
 
   /** How many merge rounds the full trainer (t27/t28) runs. */
-  private[queries] val BpeK = 8
+  private[graft] val BpeK = 8
 
   /** One byte-level merge fit per (session, dataset) — the kmCache
     * discipline at the tokenizer tier: t34/t35/sp15 all consume the
@@ -39,7 +39,7 @@ object TextQueries extends QueryPack {
   private val byteMergeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Seq[(String, String)]]()
 
-  private[queries] def frozenByteMerges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def frozenByteMerges(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(String, String)] =
     byteMergeCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("byte_merges", d) {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BpeTrainer, HashedEmbedding, IvfPq,
+  TokenEmbeddingTable}
+import graft.queries.{RetrievalQueries, TextQueries}
+
+/** The served dense tier behind t38/b12/b13 (VERDICT r17 #1): at query
+  * time the corpus side must be ARTIFACT READS — the persisted vector
+  * store (t38/b12) or the cell-pruned IVF-PQ codes (b13) — never a
+  * corpus re-tokenize/re-embed; and the recall the b13 ANN leg trades
+  * against b12's exact scan is measured in-engine (the n30 discipline,
+  * via `IvfPq.recallStatus` over the same shipped artifact).
+  */
+class HybridServeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** The serve-path invariant, as a plan property: no scan of the
+    * `documents` table anywhere — every corpus-shaped input is an
+    * artifact file. (The 3-row query relation may tokenize/embed; it
+    * is a LocalRelation, not a file scan.)
+    */
+  private def assertNoCorpusScan(name: String): String = {
+    val plan = SparkEntry.queries(name)(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("documents"),
+      s"$name's serve path scans the documents table:\n${plan.take(2000)}")
+    plan
+  }
+
+  test("t38 serves from the vector store: zero corpus tokenize/embed in the plan") {
+    val plan = assertNoCorpusScan("t38_token_embedding_knn_served")
+    // no tokenizer and no weight derivation anywhere — the whole
+    // corpus side is the parquet store
+    assert(!plan.contains("regexp_extract_all") && !plan.contains("md5("),
+      s"t38 re-derives at query time:\n${plan.take(2000)}")
+  }
+
+  test("b12's corpus side is the vector store; only the 3-row query relation embeds") {
+    assertNoCorpusScan("b12_hybrid_served")
+  }
+
+  test("b13's corpus side is the IVF-PQ artifact (codes + vectors), never the documents table") {
+    assertNoCorpusScan("b13_hybrid_ann_served")
+  }
+
+  test("b13 dense leg: recall@k vs the exact scan is measured in-engine over the same artifact") {
+    val idx = RetrievalQueries.servedTokenIvfPqDir(spark, d)
+    val merges = TextQueries.frozenByteMerges(spark, d)
+    val table = TokenEmbeddingTable.load(
+      spark, RetrievalQueries.servedTokenEmbDir(spark, d))
+    val qvecs = TokenEmbeddingTable.embedDocs(
+        BpeTrainer.docTokenIds(
+          RetrievalQueries.Queries.toDF("doc_id", "text"),
+          merges, TextQueries.BpePat),
+        table)
+      .filter(HashedEmbedding.norm2("embedding") > 0L)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+    val st = IvfPq.recallStatus(spark, idx, qvecs,
+      k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
+      kCand = RetrievalQueries.TokKCand, dims = RetrievalQueries.TokDims,
+      threshold = 0.0)
+    info(s"b13 dense-leg recall@${RetrievalQueries.HybK} " +
+      s"(nprobe=${RetrievalQueries.TokNprobe}/${RetrievalQueries.TokNlist} " +
+      s"cells) = ${st.recall}")
+    assert(st.nQueries === RetrievalQueries.Queries.length.toLong)
+    assert(st.recall > 0.0 && st.recall <= 1.0, s"degenerate recall: $st")
+    assert(!st.flagged)
+  }
+
+  test("b13 fuses the SAME lexical list as b12 (the legs differ only on the dense side)") {
+    val b12 = SparkEntry.queries("b12_hybrid_served")(spark, d)
+      .select("query_id", "doc_id").collect().map(_.toString).toSet
+    val b13 = SparkEntry.queries("b13_hybrid_ann_served")(spark, d)
+      .select("query_id", "doc_id").collect().map(_.toString).toSet
+    // both fused lists are dominated by the shared BM25 leg on this
+    // fixture — they must overlap heavily but need not be equal (the
+    // dense legs rank by different metrics)
+    assert((b12 intersect b13).size >= b12.size / 2,
+      s"b12/b13 fused lists diverged implausibly: ${b12.size} vs ${b13.size}, " +
+        s"overlap ${(b12 intersect b13).size}")
+  }
+}

@@ -341,6 +341,58 @@ class IvfPqArtifactSpec extends AnyFunSuite {
     assert(!new java.io.File(d4 + ".retired").exists())
   }
 
+  test("recall gate: an append that starves the probed cells flags; retrain with a larger nlist clears it (VERDICT r17 #3)") {
+    import spark.implicits._
+    val d6 = Files.createTempDirectory("graft_ivfpq_rc").toString + "/idx"
+    val dims4 = 4
+    def v(x: Long, y: Long) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    // controlled geometry: three tight clusters; the query sits between
+    // cluster0 and cluster2's column, so its nprobe=2 probe set is
+    // {cell0, cell1} — any vector nearer the query than cell0's members
+    // but assigned to cell2 is exactly the recall-starving append
+    val base = (
+      (0L until 5L).map(i => (i, v(i, 0L))) ++
+      (10L until 14L).map(i => (i, v(1000L + (i - 10L), 0L))) ++
+      (20L until 24L).map(i => (i, v(450L, 800L + (i - 20L))))
+    ).toDF("vec_id", "embedding")
+    val cents4 = Seq(
+      Array(0L, 0L, 0L, 0L),
+      Array(1000000000L, 0L, 0L, 0L),
+      Array(450000000L, 800000000L, 0L, 0L))
+    val books4 = graft.operators.PqIndex.fitQuantized(
+      IvfPq.residuals(KMeans.quantized(base), cents4).localCheckpoint(),
+      2, 4, 2, dims4)
+    IvfPq.save(base, d6, cents4, books4, dims4)
+    val q = Seq((99L, Seq(450000000L, 0L, 0L, 0L)))
+      .toDF("query_id", "qv").localCheckpoint()
+
+    val pre = IvfPq.recallStatus(spark, d6, q,
+      k = 5, nprobe = 2, kCand = 12, dims = dims4)
+    assert(pre.nQueries === 1L)
+    assert(pre.recall === 1.0 && !pre.flagged,
+      s"healthy artifact should serve exact top-k here: $pre")
+
+    // vectors at (450, 430+j): exact-nearer to the query than every
+    // cell0 member, but coarse-assigned to the UNPROBED cell2
+    val delta = (30L until 33L).map(i => (i, v(450L, 430L + (i - 30L))))
+      .toDF("vec_id", "embedding")
+    assert(IvfPq.appendToSaved(spark, d6, delta, dims4) === 3L)
+    val post = IvfPq.recallStatus(spark, d6, q,
+      k = 5, nprobe = 2, kCand = 12, dims = dims4)
+    assert(post.recall < pre.recall && post.flagged,
+      s"append into an unprobed cell must degrade served recall: $post")
+
+    // the flag's response: retrain with a larger nlist — the appended
+    // region gets its own cell, which the same nprobe=2 now probes
+    IvfPq.retrain(spark, d6, nlist = 4, m = 2, k = 4,
+      coarseIters = 4, pqIters = 2, dims = dims4)
+    val cleared = IvfPq.recallStatus(spark, d6, q,
+      k = 5, nprobe = 2, kCand = 12, dims = dims4)
+    assert(!cleared.flagged,
+      s"retrain must clear the recall flag: $cleared")
+    assert(cleared.recall > post.recall)
+  }
+
   test("crash-replayed append auto-heals orphan vectors without a manual repairCodes (ADVICE r17)") {
     val d5 = Files.createTempDirectory("graft_ivfpq_ah").toString + "/idx"
     IvfPq.save(emb, d5, cents, books, dims)

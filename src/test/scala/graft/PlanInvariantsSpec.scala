@@ -133,6 +133,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // b12 carries b4's one-row corpus-stats cross (lexical leg) and
     // the n1-shaped corpus × broadcast-3-row-query cross (dense leg)
     "b12_hybrid_served",
+    // b13 shares b12's lexical leg (the same one-row corpus-stats
+    // cross); its dense leg is the cell-pruned ADC broadcast EQUI-join
+    // — no cross there
+    "b13_hybrid_ann_served",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
