@@ -21,6 +21,41 @@ import org.apache.spark.sql.SparkSession
   * this). Sequence: Verify first, let it exit, then Bench.
   */
 object Bench {
+
+  /** Median per-entry ratio of this run vs a previous record's
+    * per-query times (VERDICT r17 #5): the canary adjudication, made
+    * machine-readable — a contended host taxes (or a real regression
+    * shifts) the MEDIAN entry, while one noisy entry cannot move it.
+    * Entries are matched by name; errored entries (−1) on either side
+    * are excluded. None when there is no overlap (first run, renamed
+    * entries, or a restricted spot-check).
+    */
+  def vsPrevMedian(prev: Map[String, Double],
+      cur: Map[String, Double]): Option[Double] = {
+    val ratios = cur.toSeq.collect {
+      case (k, v) if v >= 0 && prev.get(k).exists(_ > 0) => v / prev(k)
+    }.sorted
+    if (ratios.isEmpty) None
+    else if (ratios.size % 2 == 1) Some(ratios(ratios.size / 2))
+    else Some((ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
+  }
+
+  /** Extract the `"queries":{...}` map from a prior record's JSON line
+    * — a two-token scan, not a JSON library (the record is this file's
+    * own output format; names never contain quotes or braces).
+    */
+  def parseQueries(json: String): Map[String, Double] = {
+    val tag = "\"queries\":{"
+    val i = json.indexOf(tag)
+    if (i < 0) return Map.empty
+    val start = i + tag.length
+    val end = json.indexOf('}', start)
+    if (end < 0) return Map.empty
+    "\"([^\"]+)\":(-?[0-9][-0-9.eE+]*)".r
+      .findAllMatchIn(json.substring(start, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -180,7 +215,24 @@ object Bench {
     val fillsStr = CacheFills.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"retried":$retried,"errored_reps":$erroredReps,"fills":$fillsStr,"failed":${failed.size}}"""
+    // Machine-adjudicable contention/regression signal (VERDICT r17
+    // #5): median per-entry ratio vs the PREVIOUS durable record at
+    // this path (the one about to be overwritten). ~1.0 = same code
+    // same host; uniformly >1 with canary drift = contended record;
+    // uniformly >1 with a clean canary = a real regression.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.nonEmpty) "" else "BENCH_LOCAL.json")
+    val prevQueries =
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        if (outPath.nonEmpty && java.nio.file.Files.exists(p))
+          parseQueries(java.nio.file.Files.readString(p))
+        else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val vsPrev = vsPrevMedian(prevQueries,
+      results.map { case (k, v, _) => k -> v }.toMap)
+    val vsPrevStr = vsPrev.map(v => f"$v%.4f").getOrElse("null")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","minReps":$minReps,"agg":"min","rep_times":$repTimes,"canary":$canaryStr,"canary_warn":$canaryWarn,"retried":$retried,"errored_reps":$erroredReps,"fills":$fillsStr,"vs_prev_median":$vsPrevStr,"failed":${failed.size}}"""
     println(json)
     // Durable copy: BENCH_r10.json lost the first ~31 queries' timings
     // because the driver keeps only a bounded stdout TAIL of this
@@ -191,8 +243,7 @@ object Bench {
     // durable record (r12: a 2-entry restricted run silently replaced
     // the 87-entry BENCH_LOCAL.json) — restricted runs stay
     // stdout-only unless an output path is explicitly requested.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.nonEmpty) "" else "BENCH_LOCAL.json")
+    // (outPath resolved above, before the vs_prev_median read.)
     if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))

@@ -398,6 +398,34 @@ object Bm25 {
     nFresh
   }
 
+  /** Heal and compact a grown index IN PLACE (VERDICT r17 #7 — the
+    * `Compaction.compactIvf` lifecycle step at the lexical tier): both
+    * stores' hot partitions are rewritten with exact-duplicate rows
+    * dropped — the byte-identical posting duplicates `appendToIndex`'s
+    * documented crash window can leave (serve time already collapses
+    * them; this removes the storage and per-query dedup cost) — and
+    * the per-append file fragments folded to one file per partition.
+    * stats/ is recomputed from the healed docs store afterwards, so a
+    * compaction that dropped duplicate doc rows cannot leave stale
+    * n_docs/avgdl. Query results are BIT-IDENTICAL before and after
+    * (Bm25Spec pins it): dedup-then-score equals score-over-deduped.
+    * Same single-writer contract as `appendToIndex`; the per-partition
+    * dynamic overwrite is the `Compaction.compact` crash story.
+    * Returns the compacted partition keys (postings then docs).
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      maxFiles: Int = 4): Seq[String] = {
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select("n_buckets").head().getInt(0)
+    val healed =
+      Compaction.compact(spark, s"$dir/postings", "bucket", maxFiles,
+        dropExactDuplicates = true).map("postings:" + _) ++
+      Compaction.compact(spark, s"$dir/docs", "dbucket", maxFiles,
+        dropExactDuplicates = true).map("docs:" + _)
+    if (healed.nonEmpty) refreshStats(spark, dir, nBuckets)
+    healed
+  }
+
   /** Serve top-k from a persisted index: reads ONLY the partitions the
     * query terms hash into. The bucket set is resolved driver-side from
     * the LITERAL query set (a collect over a local literal relation —

@@ -324,7 +324,7 @@ object RetrievalQueries extends QueryPack {
       }
     })
 
-  private def servedBm25Dir(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[graft] def servedBm25Dir(s: org.apache.spark.sql.SparkSession, d: String): String =
     bm25DirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("bm25_b4_store", d) {
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_b4")

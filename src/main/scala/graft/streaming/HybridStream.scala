@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.operators.{Bm25, HashedEmbedding, IvfPq, RankFusion,
+  TokenEmbeddingTable}
+
+/** STREAMING hybrid retrieval — the fused face VERDICT r17 #2 asked
+  * for: `RetrievalStream` serves the lexical leg and `PqStream` the
+  * dense leg separately; this stream answers a (query_id, q_text)
+  * micro-batch with the b13 contract END TO END — BM25 candidates from
+  * the persisted bucket-partitioned index, dense candidates from the
+  * loaded IVF-PQ artifact over the token-table vectors (query strings
+  * tokenized under the frozen merges and embedded through the shipped
+  * id→vector table, all inside the batch plan), and the two k-bounded
+  * lists fused by integer RRF.
+  *
+  * Artifact snapshot contract: the merge list, embedding table, and
+  * IVF-PQ model are loaded ONCE at stream definition (the `PqStream
+  * .serveRerank` discipline — model state is driver-held and tiny);
+  * the BM25 index is listed fresh per batch (`RetrievalStream`'s
+  * looser growth contract), so lexical appends between triggers are
+  * visible while the dense model stays frozen until the stream is
+  * redefined over a retrained artifact.
+  *
+  * Crash replay is idempotent: fused results land in `_batch_id`
+  * partitions with dynamic partition overwrite (the `Pipeline
+  * .applyBatch` scheme) — a replayed batch overwrites its own
+  * partition, never duplicates it. At-least-once sources may duplicate
+  * a query WITHIN a batch; `dropDuplicates("query_id")` restores set
+  * semantics before either leg prices anything (a duplicated query row
+  * would double every RRF contribution).
+  *
+  * Per-batch scale shape: the lexical read is pruned to the batch's
+  * term buckets, the dense read to the batch's probed cells plus the
+  * candidate-bounded re-rank fetch — both sub-linear in corpus, both
+  * flat in batch size (the query batch never collects to the driver).
+  * HybridStreamSpec pins chopped ≡ single-batch ≡ the batch b13 entry.
+  */
+object HybridStream {
+
+  def serve(queries: DataFrame, bm25Dir: String, tableDir: String,
+      annDir: String, merges: Seq[(String, String)], bpePat: String,
+      outDir: String, checkpointDir: String, k: Int, nprobe: Int,
+      kCand: Int, dims: Int): DataStreamWriter[Row] = {
+    val spark = queries.sparkSession
+    val table = TokenEmbeddingTable.load(spark, tableDir)
+    val (cents, books) = IvfPq.loadModel(spark, annDir)
+    val codes = spark.read.parquet(s"$annDir/codes")
+    val vectors = spark.read.parquet(s"$annDir/vectors")
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("query_id").localCheckpoint()
+        val lex = Bm25.servedTopKDf(spark, bm25Dir, b, k)
+          .select("query_id", "doc_id", "rnk")
+        val qvecs = TokenEmbeddingTable.embedDocs(
+            graft.operators.BpeTrainer.docTokenIds(
+              b.select(col("query_id").as("doc_id"),
+                col("q_text").as("text")),
+              merges, bpePat),
+            table)
+          .filter(HashedEmbedding.norm2("embedding") > 0L)
+          .select(col("vec_id").as("query_id"),
+            expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+        val dense = IvfPq.searchRerankDf(codes, vectors, qvecs, cents,
+            books, nprobe, kCand, k, dims, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), k)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+  }
+}

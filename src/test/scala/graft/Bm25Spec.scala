@@ -164,6 +164,64 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("compactIndex heals a grown index: bit-identical serving, duplicates gone, fragments folded, stats refreshed (VERDICT r17 #7)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_cmp").toString
+    try {
+      // grow the index in three waves, then plant the crash-window
+      // duplicates appendToIndex's scaladoc documents
+      Bm25.buildIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dir, nBuckets = 16)
+      Bm25.appendToIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", dir)
+      Bm25.appendToIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", dir)
+      val some = docs.filter(col("doc_id") < 40)
+      val lens = Bm25.docLengths(some, "doc_id", "text")
+      Bm25.postings(some, "doc_id", "text").join(lens, "doc_id")
+        .withColumn("bucket", pmod(hash(col("term")), lit(16)))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$dir/postings")
+      val before = rows(Bm25.servedTopK(spark, dir, queries, k = 10))
+      val statsBefore = spark.read.parquet(s"$dir/stats")
+        .select("n_docs", "avgdl").head()
+      def files(sub: String) = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$dir/$sub"))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      val fragsBefore = files("postings")
+
+      val healed = Bm25.compactIndex(spark, dir, maxFiles = 1)
+      assert(healed.nonEmpty, "grown index had nothing hot to compact")
+
+      // bit-identical serving over the compacted store
+      assert(rows(Bm25.servedTopK(spark, dir, queries, k = 10)) === before,
+        "compaction changed served results")
+      // the crash-window duplicates are physically gone
+      assert(spark.read.parquet(s"$dir/postings")
+        .groupBy("term", "doc_id").count()
+        .filter(col("count") > 1).count() === 0L)
+      // fragments folded
+      assert(files("postings") < fragsBefore,
+        s"no file-count reduction: $fragsBefore -> ${files("postings")}")
+      // stats recomputed from the healed docs store, value-identical
+      assert(spark.read.parquet(s"$dir/stats")
+        .select("n_docs", "avgdl").head() === statsBefore)
+      // idempotent: a second compaction over the folded store is a
+      // no-op and still serves identically
+      Bm25.compactIndex(spark, dir, maxFiles = 1)
+      assert(rows(Bm25.servedTopK(spark, dir, queries, k = 10)) === before)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("empty-token docs still count toward N and avgdl") {
     val docs = Seq((1L, "a a"), (2L, ""), (3L, "b")).toDF("doc_id", "text")
     val stats = Bm25.corpusStats(Bm25.docLengths(docs, "doc_id", "text"))
