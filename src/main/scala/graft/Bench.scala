@@ -40,6 +40,15 @@ object Bench {
     else Some((ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
   }
 
+  /** Extract the `"sf":"..."` field from a prior record's JSON line —
+    * `vsPrevMedian` is only meaningful same-SF-vs-same-SF (a prior
+    * record at a different scale factor would fabricate a ~data-ratio
+    * "regression"), so the caller suppresses the comparison when the
+    * SFs differ. None when the field is absent (pre-field records).
+    */
+  def parseSf(json: String): Option[String] =
+    "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
   /** Extract the `"queries":{...}` map from a prior record's JSON line
     * — a two-token scan, not a JSON library (the record is this file's
     * own output format; names never contain quotes or braces).
@@ -225,9 +234,13 @@ object Bench {
     val prevQueries =
       try {
         val p = java.nio.file.Paths.get(outPath)
-        if (outPath.nonEmpty && java.nio.file.Files.exists(p))
-          parseQueries(java.nio.file.Files.readString(p))
-        else Map.empty[String, Double]
+        if (outPath.nonEmpty && java.nio.file.Files.exists(p)) {
+          val prev = java.nio.file.Files.readString(p)
+          // same-SF records only: a prior record at another scale
+          // factor would fabricate a ~data-ratio "regression"
+          if (parseSf(prev).contains(sfDir)) parseQueries(prev)
+          else Map.empty[String, Double]
+        } else Map.empty[String, Double]
       } catch { case _: Throwable => Map.empty[String, Double] }
     val vsPrev = vsPrevMedian(prevQueries,
       results.map { case (k, v, _) => k -> v }.toMap)

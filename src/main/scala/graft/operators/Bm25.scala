@@ -412,9 +412,21 @@ object Bm25 {
     * Same single-writer contract as `appendToIndex`; the per-partition
     * dynamic overwrite is the `Compaction.compact` crash story.
     * Returns the compacted partition keys (postings then docs).
+    *
+    * `maxFiles` defaults to 1 — NOT `Compaction.compact`'s fold-tuning
+    * default of 4 — because this face is first a HEALER: crash-window
+    * duplicates can only live in a partition some append has written
+    * (build dedups ids and writes one file per partition), i.e. a
+    * partition with ≥ 2 files, so the > 1 threshold is exactly "every
+    * partition that could possibly carry a duplicate". A higher
+    * threshold would skip lightly-appended partitions and silently
+    * leave their duplicates in place (serve time still collapses them,
+    * but the heal would no-op on the very scenario it exists for).
+    * Raise it only as a pure fold-cost knob on an index known
+    * duplicate-free.
     */
   def compactIndex(spark: SparkSession, dir: String,
-      maxFiles: Int = 4): Seq[String] = {
+      maxFiles: Int = 1): Seq[String] = {
     val nBuckets = spark.read.parquet(s"$dir/stats")
       .select("n_buckets").head().getInt(0)
     val healed =

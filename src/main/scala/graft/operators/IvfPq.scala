@@ -197,7 +197,13 @@ object IvfPq {
     * join degrades gracefully to a shuffle join on `cell` — both sides
     * repartition by cell id (real nlist is ~10⁵ cells, so the shuffle
     * keys are well-spread), the plan stays flat in batch size, and the
-    * values are unchanged (IvfPqSpec pins the two shapes equal).
+    * values are unchanged (IvfPqSpec pins the two shapes equal). What
+    * the shuffle shape GIVES UP is the file-level cell pruning: with
+    * no broadcast there is no plan-time partition filter, so every
+    * cell's codes are read and shuffled — acceptable exactly in the
+    * huge-batch regime, where the union of 10⁶ queries' probe sets
+    * approaches all cells anyway and the scan amortizes over the
+    * batch; small batches should keep the default.
     */
   def searchDf(codes: DataFrame, queries: DataFrame,
       cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
@@ -425,9 +431,11 @@ object IvfPq {
   }
 
   /** The measured recall@k of one `recallStatus` run: `recall` is the
-    * mean per-query |served ∩ exact| / k over the artifact's OWN
-    * vector store; `flagged` = recall < the threshold the caller
-    * gates releases on.
+    * mean per-query |served ∩ exact| / |exact top-k| over the
+    * artifact's OWN vector store (the denominator is the exact list's
+    * actual size, ≤ k — a store smaller than k serves a complete
+    * top-k and scores 1.0); `flagged` = recall < the threshold the
+    * caller gates releases on.
     */
   final case class RecallStatus(nQueries: Long, k: Int, nprobe: Int,
       recall: Double, flagged: Boolean)
@@ -487,13 +495,18 @@ object IvfPq {
         .partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id")
+    // per-query denominator = the exact list's ACTUAL size (≤ k): a
+    // store holding fewer than k vectors serves a complete top-k and
+    // must score 1.0, not hits/k (review r18 — the gate would
+    // otherwise permanently flag every small artifact)
     val row = exact
       .join(served.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("denom"))
       .agg(count(lit(1)).as("nq"),
-        avg(col("hits").cast("double") / k).as("recall"))
+        avg(col("hits").cast("double") / col("denom")).as("recall"))
       .collect()(0)
     val nq = row.getAs[Long]("nq")
     val recall = if (nq == 0) 0.0 else row.getAs[Double]("recall")

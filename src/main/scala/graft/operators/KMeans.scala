@@ -286,8 +286,8 @@ object KMeans {
     * unrolled arithmetic-for-arithmetic. MATERIALIZED for the same
     * reason as `BpeTrainer.chainSql`: each round references its
     * predecessor more than once.
-    */
-  /** `qSrc` overrides the quantized-source CTE body (default: the e6
+    *
+    * `qSrc` overrides the quantized-source CTE body (default: the e6
     * quantization of the `embeddings` table) so the same fit/search
     * replay runs over ANY (vec_id, qv) relation — e.g. the b13 oracle
     * feeds the token-table document vectors through the identical

@@ -69,14 +69,39 @@ object TokenEmbeddingTable {
       count(lit(1)).as("n"),
       countDistinct(col("id")).as("nd"),
       sum(when(col("id") >= 0 && col("id") < 256, 1L).otherwise(0L))
-        .as("alpha")).collect()(0)
+        .as("alpha"),
+      sum((0 until Dim).map(d =>
+          when(col(s"w$d").isNull, 1L).otherwise(0L)).reduce(_ + _))
+        .as("null_w")).collect()(0)
     require(chk.getAs[Long]("n") == chk.getAs[Long]("nd"),
       s"corrupt token-embedding table at $dir: duplicate ids")
     require(chk.getAs[Long]("alpha") == 256L,
       s"corrupt token-embedding table at $dir: byte alphabet incomplete " +
         s"(${chk.getAs[Long]("alpha")}/256)")
+    // weights must be null-free: a null would silently vanish from the
+    // pooling sum — the same silent-vector-shift failure the absent-id
+    // raise in `embedDocs` closes for missing rows (review r18)
+    require(chk.getAs[Long]("null_w") == 0L,
+      s"corrupt token-embedding table at $dir: " +
+        s"${chk.getAs[Long]("null_w")} null weight cells")
     df
   }
+
+  /** The QUERY-SIDE serving pipeline shared by the b13 entry, the
+    * fused hybrid stream, and the recall gate's query sample (review
+    * r18 — previously copy-pasted at each site): (doc_id, text) rows →
+    * token ids under the frozen merges → table pooling → zero-norm
+    * filter → (query_id, qv BIGINT list), the exact scale-1 cast the
+    * token-vector ANN tier indexes under (e3 components are integers
+    * bounded by ±10⁶, so the cast is lossless and e6 scaling would
+    * overflow squared distances).
+    */
+  def queryVecs(queries: DataFrame, merges: Seq[(String, String)],
+      bpePat: String, table: DataFrame): DataFrame =
+    embedDocs(BpeTrainer.docTokenIds(queries, merges, bpePat), table)
+      .filter(HashedEmbedding.norm2("embedding") > 0L)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
 
   /** Mean-pool each document's token vectors under the given table —
     * (vec_id, embedding ARRAY<FLOAT>), zero-vector docs included
@@ -95,10 +120,18 @@ object TokenEmbeddingTable {
   def embedDocs(ids: DataFrame, table: DataFrame): DataFrame = {
     val aggs = (0 until Dim).map(dd => sum(col(s"w$dd")).as(s"s$dd")) :+
       count(lit(1)).cast("bigint").as("n")
+    // absence is keyed on a table-side MARKER, not on a weight column
+    // (review r18): a weight can legitimately be null-free-checked by
+    // `load` but must never be conflated with "row missing" — a null
+    // w0 on a matched row is corruption, not truncation
     ids.select(col("doc_id"), explode(col("ids")).as("id"))
-      .join(broadcast(table), Seq("id"), "left")
+      .join(broadcast(table.withColumn("_tbl", lit(1))), Seq("id"), "left")
+      // the guard must materialize through a column the aggregation
+      // CONSUMES (w0) or Catalyst prunes the unused raise_error away;
+      // the CONDITION stays on the marker so a matched row keeps its
+      // w0 verbatim (null weights are `load`'s null-free check's job)
       .withColumn("w0",
-        when(col("w0").isNotNull, col("w0"))
+        when(col("_tbl").isNotNull, col("w0"))
           .otherwise(raise_error(concat(
             lit("token id absent from embedding table: "),
             col("id").cast("string"),

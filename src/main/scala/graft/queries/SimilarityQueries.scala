@@ -149,17 +149,11 @@ object SimilarityQueries extends QueryPack {
   private def servedIvfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     ivfDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("ivf_n5_store", d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_n5")
-      sys.addShutdownHook {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(dir.toFile)
-      }
+      val dir = graft.Artifacts.tempArtifactDir("graft_ivf_n5")
       graft.operators.IvfIndex.save(graft.operators.IvfIndex.build(
         Tables.load(s, d, "embeddings"), nlist = 16,
-        knownN = Tables.rowCount(s, d, "embeddings")), dir.toString)
-      dir.toString
+        knownN = Tables.rowCount(s, d, "embeddings")), dir)
+      dir
       }
     })
 
@@ -950,13 +944,7 @@ object SimilarityQueries extends QueryPack {
       d: String): String =
     ivfPqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("ivfpq_n27_store", d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_n27")
-      sys.addShutdownHook {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(dir.toFile)
-      }
+      val dir = graft.Artifacts.tempArtifactDir("graft_ivfpq_n27")
       val (cents, books) = largeNlist(s, d)
       // the same pre-encode spread as n26: packed assignment prices
       // nlist·dims lambda steps per row, and the synthetic table is
@@ -964,8 +952,8 @@ object SimilarityQueries extends QueryPack {
       graft.operators.IvfPq.save(
         Tables.load(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism),
-        dir.toString, cents, books)
-      dir.toString
+        dir, cents, books)
+      dir
       }
     })
 
@@ -978,16 +966,10 @@ object SimilarityQueries extends QueryPack {
   private def servedPqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     pqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("pq_n18_store", d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pq_n18")
-      sys.addShutdownHook {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(dir.toFile)
-      }
+      val dir = graft.Artifacts.tempArtifactDir("graft_pq_n18")
       graft.operators.PqIndex.save(
-        Tables.load(s, d, "embeddings"), dir.toString, PqM, PqK, PqIters, KmDims)
-      dir.toString
+        Tables.load(s, d, "embeddings"), dir, PqM, PqK, PqIters, KmDims)
+      dir
       }
     })
 
@@ -1016,16 +998,10 @@ object SimilarityQueries extends QueryPack {
   private def servedSqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     sqDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
       graft.CacheFills.timed("sq_n10_store", d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_sq_n10")
-      sys.addShutdownHook {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(dir.toFile)
-      }
+      val dir = graft.Artifacts.tempArtifactDir("graft_sq_n10")
       graft.operators.Quantization.saveSq(
-        Tables.load(s, d, "embeddings"), dir.toString)
-      dir.toString
+        Tables.load(s, d, "embeddings"), dir)
+      dir
       }
     })
 

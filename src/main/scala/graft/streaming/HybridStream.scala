@@ -57,15 +57,10 @@ object HybridStream {
         val b = batch.dropDuplicates("query_id").localCheckpoint()
         val lex = Bm25.servedTopKDf(spark, bm25Dir, b, k)
           .select("query_id", "doc_id", "rnk")
-        val qvecs = TokenEmbeddingTable.embedDocs(
-            graft.operators.BpeTrainer.docTokenIds(
-              b.select(col("query_id").as("doc_id"),
-                col("q_text").as("text")),
-              merges, bpePat),
-            table)
-          .filter(HashedEmbedding.norm2("embedding") > 0L)
-          .select(col("vec_id").as("query_id"),
-            expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+        val qvecs = TokenEmbeddingTable.queryVecs(
+          b.select(col("query_id").as("doc_id"),
+            col("q_text").as("text")),
+          merges, bpePat, table)
         val dense = IvfPq.searchRerankDf(codes, vectors, qvecs, cents,
             books, nprobe, kCand, k, dims, excludeSelf = false)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),

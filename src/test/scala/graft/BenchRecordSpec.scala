@@ -43,6 +43,14 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.parseQueries("""{"queries":{}}""") === Map.empty)
   }
 
+  test("sf field parses; a cross-SF previous record must be suppressed by the caller") {
+    val line = """{"metric":"total","value":1.0,"queries":{"a":1.0},"sf":"/root/testdata/sf0.1","failed":0}"""
+    assert(Bench.parseSf(line) === Some("/root/testdata/sf0.1"))
+    assert(Bench.parseSf("""{"queries":{"a":1.0}}""") === None)
+    // the caller's rule: prev sf != current sf -> empty prev map -> null
+    assert(!Bench.parseSf(line).contains("/root/testdata/sf0.01"))
+  }
+
   test("end to end: previous record line -> median vs a 1.0-ratio rerun") {
     val prevLine = """{"queries":{"a":1.0,"b":2.0,"c":3.0},"failed":0}"""
     val cur = Map("a" -> 1.1, "b" -> 2.2, "c" -> 3.3)

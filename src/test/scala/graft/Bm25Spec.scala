@@ -194,7 +194,10 @@ class Bm25Spec extends AnyFunSuite {
       }
       val fragsBefore = files("postings")
 
-      val healed = Bm25.compactIndex(spark, dir, maxFiles = 1)
+      // DEFAULT-ARG call: the heal must fire on exactly this scenario
+      // without the caller tuning maxFiles (review r18: a fold-tuned
+      // threshold would silently skip lightly-appended partitions)
+      val healed = Bm25.compactIndex(spark, dir)
       assert(healed.nonEmpty, "grown index had nothing hot to compact")
 
       // bit-identical serving over the compacted store
@@ -212,7 +215,7 @@ class Bm25Spec extends AnyFunSuite {
         .select("n_docs", "avgdl").head() === statsBefore)
       // idempotent: a second compaction over the folded store is a
       // no-op and still serves identically
-      Bm25.compactIndex(spark, dir, maxFiles = 1)
+      Bm25.compactIndex(spark, dir)
       assert(rows(Bm25.servedTopK(spark, dir, queries, k = 10)) === before)
     } finally {
       def rm(p: java.io.File): Unit = {

@@ -54,14 +54,9 @@ class HybridServeSpec extends AnyFunSuite {
     val merges = TextQueries.frozenByteMerges(spark, d)
     val table = TokenEmbeddingTable.load(
       spark, RetrievalQueries.servedTokenEmbDir(spark, d))
-    val qvecs = TokenEmbeddingTable.embedDocs(
-        BpeTrainer.docTokenIds(
-          RetrievalQueries.Queries.toDF("doc_id", "text"),
-          merges, TextQueries.BpePat),
-        table)
-      .filter(HashedEmbedding.norm2("embedding") > 0L)
-      .select(col("vec_id").as("query_id"),
-        expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+    val qvecs = TokenEmbeddingTable.queryVecs(
+      RetrievalQueries.Queries.toDF("doc_id", "text"),
+      merges, TextQueries.BpePat, table)
     val st = IvfPq.recallStatus(spark, idx, qvecs,
       k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
       kCand = RetrievalQueries.TokKCand, dims = RetrievalQueries.TokDims,

@@ -391,6 +391,15 @@ class IvfPqArtifactSpec extends AnyFunSuite {
     assert(!cleared.flagged,
       s"retrain must clear the recall flag: $cleared")
     assert(cleared.recall > post.recall)
+
+    // a store SMALLER than k serves a complete top-k and must score
+    // 1.0, not hits/k (review r18): probe every cell so the serve is
+    // exhaustive, ask for k = 10 > 3 stored-and-reachable... use a
+    // 13-vector store with k far above any cell's population
+    val wide = IvfPq.recallStatus(spark, d6, q,
+      k = 50, nprobe = 4, kCand = 64, dims = dims4)
+    assert(wide.recall === 1.0 && !wide.flagged,
+      s"complete top-k over a small store must score 1.0: $wide")
   }
 
   test("crash-replayed append auto-heals orphan vectors without a manual repairCodes (ADVICE r17)") {

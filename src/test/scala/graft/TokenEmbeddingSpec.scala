@@ -76,6 +76,20 @@ class TokenEmbeddingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       TokenEmbeddingTable.load(spark, badCols)
     }
+    // a null weight CELL on a present id (structural checks all pass)
+    // must fail load's null-free check, not silently vanish from the
+    // pooling sum (review r18)
+    val badNull = dir + "_badnull"
+    full.select(
+      col("id") +: (0 until 16).map(d =>
+        if (d == 3)
+          when(col("id") === 65, lit(null).cast("long"))
+            .otherwise(col("w3")).as("w3")
+        else col(s"w$d")): _*)
+      .write.mode("overwrite").parquet(badNull)
+    assertThrows[IllegalArgumentException] {
+      TokenEmbeddingTable.load(spark, badNull)
+    }
   }
 
   test("embedDocs raises on ids absent from the table instead of silently dropping them (ADVICE r17)") {
