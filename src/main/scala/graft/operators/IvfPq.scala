@@ -467,12 +467,15 @@ object IvfPq {
     * of the store against the BROADCAST query batch — the brute side
     * is the n1/n2 documented baseline shape, linear in store size per
     * batch, which is what makes this a sampled release gate, not a
-    * per-query path.
+    * per-query path. `log = true` appends the measurement to
+    * `dir/recall_log` (drift_log's twin; read back via
+    * `recallHistory`), so the gate keeps its series next to the
+    * artifact it judges.
     */
   def recallStatus(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int, kCand: Int, dims: Int = 64,
       threshold: Double = RecallRetrainFloor,
-      excludeSelf: Boolean = false): RecallStatus = {
+      excludeSelf: Boolean = false, log: Boolean = false): RecallStatus = {
     import org.apache.spark.sql.expressions.Window
     val (cents, books) = loadModel(spark, dir)
     val codes = spark.read.parquet(s"$dir/codes")
@@ -510,7 +513,39 @@ object IvfPq {
       .collect()(0)
     val nq = row.getAs[Long]("nq")
     val recall = if (nq == 0) 0.0 else row.getAs[Double]("recall")
-    RecallStatus(nq, k, nprobe, recall, recall < threshold)
+    val status = RecallStatus(nq, k, nprobe, recall, recall < threshold)
+    // Audit trail, drift_log's twin (`log = true` — the scheduled-gate
+    // pattern: measure on a held-out sample after each append wave,
+    // keep the series next to the artifact it judges). Same max(seq)+1
+    // read-modify-write as the drift log, hence the same single-writer
+    // contract; `retrain`'s directory swap retires the series with the
+    // model it measured.
+    if (log) {
+      import spark.implicits._
+      val logPath = new org.apache.hadoop.fs.Path(s"$dir/recall_log")
+      val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seq =
+        if (lfs.exists(logPath))
+          spark.read.parquet(s"$dir/recall_log")
+            .agg(max("seq")).first().getLong(0) + 1
+        else 1L
+      Seq((seq, nq, k, nprobe, recall, status.flagged))
+        .toDF("seq", "n_queries", "k", "nprobe", "recall", "flagged")
+        .write.mode("append").parquet(s"$dir/recall_log")
+    }
+    status
+  }
+
+  /** The persisted recall series (`recallStatus(log = true)` rows,
+    * seq-ordered) — None before the first logged measurement, the
+    * `driftStatus` read discipline.
+    */
+  def recallHistory(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/recall_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$dir/recall_log").orderBy("seq"))
   }
 
   /** Crash recovery for `retrain`'s two-rename swap (the

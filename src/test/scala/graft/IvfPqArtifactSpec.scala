@@ -367,7 +367,7 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       .toDF("query_id", "qv").localCheckpoint()
 
     val pre = IvfPq.recallStatus(spark, d6, q,
-      k = 5, nprobe = 2, kCand = 12, dims = dims4)
+      k = 5, nprobe = 2, kCand = 12, dims = dims4, log = true)
     assert(pre.nQueries === 1L)
     assert(pre.recall === 1.0 && !pre.flagged,
       s"healthy artifact should serve exact top-k here: $pre")
@@ -378,19 +378,32 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     assert(IvfPq.appendToSaved(spark, d6, delta, dims4) === 3L)
     val post = IvfPq.recallStatus(spark, d6, q,
-      k = 5, nprobe = 2, kCand = 12, dims = dims4)
+      k = 5, nprobe = 2, kCand = 12, dims = dims4, log = true)
     assert(post.recall < pre.recall && post.flagged,
       s"append into an unprobed cell must degrade served recall: $post")
+    // the audit series carries both measurements, seq-ordered
+    val hist = IvfPq.recallHistory(spark, d6).get
+      .select("seq", "flagged").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(hist === Seq((1L, false), (2L, true)),
+      s"recall_log series wrong: $hist")
 
     // the flag's response: retrain with a larger nlist — the appended
     // region gets its own cell, which the same nprobe=2 now probes
     IvfPq.retrain(spark, d6, nlist = 4, m = 2, k = 4,
       coarseIters = 4, pqIters = 2, dims = dims4)
     val cleared = IvfPq.recallStatus(spark, d6, q,
-      k = 5, nprobe = 2, kCand = 12, dims = dims4)
+      k = 5, nprobe = 2, kCand = 12, dims = dims4, log = true)
     assert(!cleared.flagged,
       s"retrain must clear the recall flag: $cleared")
     assert(cleared.recall > post.recall)
+    // retrain's directory swap retires the series with the model it
+    // measured — the post-retrain log starts fresh
+    val hist2 = IvfPq.recallHistory(spark, d6).get
+      .select("seq", "flagged").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(hist2 === Seq((1L, false)),
+      s"post-retrain recall_log should restart: $hist2")
 
     // a store SMALLER than k serves a complete top-k and must score
     // 1.0, not hits/k (review r18): probe every cell so the serve is
