@@ -610,6 +610,20 @@ object IvfPq {
     * tracking.
     */
   def appendToSaved(spark: SparkSession, dir: String, newEmb: DataFrame,
+      dims: Int = 64): Long =
+    appendToSavedQ(spark, dir, KMeans.quantized(newEmb), dims)
+
+  /** `appendToSaved` from an ALREADY-QUANTIZED `(vec_id, qv)` delta —
+    * the `saveQ` twin, and the append face an artifact NOT built under
+    * `KMeans.quantized`'s e6 scale must use: the b13 token-vector
+    * artifact stores scale-1 exact casts (e6 would overflow its
+    * squared distances), so its deltas arrive as qv, matching the
+    * stored vectors they will be ranked against. The float face above
+    * delegates here; everything after quantization — anti-join,
+    * vectors-then-codes write order, the entry auto-heal, drift
+    * logging — is this one code path.
+    */
+  def appendToSavedQ(spark: SparkSession, dir: String, newQ: DataFrame,
       dims: Int = 64): Long = {
     import spark.implicits._
     val (cents, books) = loadModel(spark, dir)
@@ -618,16 +632,17 @@ object IvfPq {
     repairWith(spark, dir, cents, books, dims)
     val seen = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id").as("_seen"))
-    val delta = newEmb.select("vec_id", "embedding")
+    val delta = newQ.select("vec_id", "qv")
       .join(seen, col("vec_id") === col("_seen"), "left_anti")
-      .select("vec_id", "embedding")
+      .select("vec_id", "qv")
       .localCheckpoint()
     val appended = delta.count()
     if (appended > 0) {
       // one delta-sized materialization feeds both writes and the
       // drift aggregate (the appendToSaved checkpoint discipline)
-      val encDelta = encode(delta, cents, books, dims).localCheckpoint()
-      KMeans.quantized(delta)
+      val encDelta = PqIndex.encodeQ(residuals(delta, cents), books,
+        dims, carry = Seq("cell")).localCheckpoint()
+      delta
         .write.mode("append").parquet(s"$dir/vectors")
       encDelta.write.mode("append").partitionBy("cell")
         .parquet(s"$dir/codes")

@@ -87,6 +87,39 @@ object TokenEmbeddingTable {
     df
   }
 
+  /** Append new documents' vectors to a persisted (vec_id, embedding)
+    * store — the refresh batch the store's docstring promises ("an
+    * `embedDocs` batch over the delta, not a per-query pass"), closing
+    * the last artifact without an append face. Idempotent: vec_ids
+    * already stored are anti-joined away first (a vec_id-only
+    * column-pruned projection — the `IvfPq.appendToSaved` duplicate
+    * check at the vector tier); embedding is a pure function of
+    * (text, table), so a re-delivered doc could only ever write a
+    * byte-identical row, and the anti-join keeps even that out.
+    * In-delta duplicates collapse (the `Bm25.appendToIndex` set-
+    * semantics defense). Single write ⇒ crash replay is naturally
+    * idempotent. Single-writer per store, as with every append face.
+    * Returns the number of NEW docs embedded. Downstream ANN artifacts
+    * take the same delta through `IvfPq.appendToSaved` (frozen model)
+    * — recall drift from append-only growth is what `recallStatus`
+    * gates.
+    */
+  def appendDocVecs(spark: SparkSession, storeDir: String,
+      newDocs: DataFrame, merges: Seq[(String, String)], bpePat: String,
+      table: DataFrame): Long = {
+    val seen = spark.read.parquet(storeDir)
+      .select(col("vec_id").as("_seen"))
+    val fresh = newDocs.select("doc_id", "text").dropDuplicates("doc_id")
+      .join(seen, col("doc_id") === col("_seen"), "left_anti")
+      .select("doc_id", "text")
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      embedDocs(BpeTrainer.docTokenIds(fresh, merges, bpePat), table)
+        .write.mode("append").parquet(storeDir)
+    n
+  }
+
   /** The QUERY-SIDE serving pipeline shared by the b13 entry, the
     * fused hybrid stream, and the recall gate's query sample (review
     * r18 — previously copy-pasted at each site): (doc_id, text) rows →

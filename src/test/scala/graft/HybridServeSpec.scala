@@ -69,6 +69,64 @@ class HybridServeSpec extends AnyFunSuite {
     assert(!st.flagged)
   }
 
+  test("the grown token stack serves like the full build: appendDocVecs + frozen-model appendToSavedQ ≡ union serve") {
+    import graft.operators.{BpeTrainer, KMeans, PqIndex}
+    val merges = TextQueries.frozenByteMerges(spark, d)
+    val table = TokenEmbeddingTable.load(
+      spark, RetrievalQueries.servedTokenEmbDir(spark, d))
+    val docs = Tables.load(spark, d, "documents").localCheckpoint()
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    def qvecsOf(d: org.apache.spark.sql.DataFrame) =
+      TokenEmbeddingTable.embedDocs(
+          BpeTrainer.docTokenIds(d, merges, TextQueries.BpePat), table)
+        .filter(graft.operators.HashedEmbedding.norm2("embedding") > 0L)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
+    // build the store + artifact on HALF the corpus (scale-1 qv — the
+    // b13 token-tier quantization), then GROW both with the delta
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hyb_grow").toString
+    qvecsOf(half1).select(col("vec_id"),
+        expr("transform(qv, x -> cast(x as float))").as("embedding"))
+      .write.parquet(s"$base/store")
+    val q1 = qvecsOf(half1).localCheckpoint()
+    val cents = KMeans.fitQ(q1, 8, 2, RetrievalQueries.TokDims)
+    val books = PqIndex.fitQuantized(
+      IvfPq.residuals(q1, cents).localCheckpoint(), 4, 8, 2,
+      RetrievalQueries.TokDims)
+    IvfPq.saveQ(q1, s"$base/idx", cents, books, RetrievalQueries.TokDims)
+    // the delta flows through the store append AND the scale-1 ANN
+    // append — NOT the float face, whose e6 quantization would not
+    // match the stored vectors
+    val delta = qvecsOf(half2).localCheckpoint()
+    assert(TokenEmbeddingTable.appendDocVecs(spark, s"$base/store",
+      half2, merges, TextQueries.BpePat, table) > 0L)
+    assert(IvfPq.appendToSavedQ(spark, s"$base/idx", delta,
+      RetrievalQueries.TokDims) === delta.count())
+    assert(IvfPq.appendToSavedQ(spark, s"$base/idx", delta,
+      RetrievalQueries.TokDims) === 0L, "replayed append not a no-op")
+    // grown artifact ≡ ad-hoc union under the SAME frozen model
+    val queries = TokenEmbeddingTable.queryVecs(
+      RetrievalQueries.Queries.toDF("doc_id", "text"),
+      merges, TextQueries.BpePat, table).localCheckpoint()
+    val unionQ = qvecsOf(docs)
+    val adHoc = IvfPq.searchRerank(
+        PqIndex.encodeQ(IvfPq.residuals(unionQ, cents), books,
+          RetrievalQueries.TokDims, carry = Seq("cell")),
+        unionQ, queries, cents, books, nprobe = 3, kCand = 12, k = 5,
+        dims = RetrievalQueries.TokDims, excludeSelf = false)
+      .collect().map(_.toString).toSeq
+    val grown = IvfPq.searchRerankDf(
+        spark.read.parquet(s"$base/idx/codes"),
+        spark.read.parquet(s"$base/idx/vectors"),
+        queries, cents, books, nprobe = 3, kCand = 12, k = 5,
+        dims = RetrievalQueries.TokDims, excludeSelf = false)
+      .collect().map(_.toString).toSeq
+    assert(grown === adHoc, "grown token artifact diverged from union")
+    assert(grown.nonEmpty)
+  }
+
   test("b13 fuses the SAME lexical list as b12 (the legs differ only on the dense side)") {
     val b12 = SparkEntry.queries("b12_hybrid_served")(spark, d)
       .select("query_id", "doc_id").collect().map(_.toString).toSet

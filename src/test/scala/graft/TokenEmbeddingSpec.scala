@@ -114,6 +114,40 @@ class TokenEmbeddingSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("vector store grows by appendDocVecs: build(half)+append(half) ≡ build(full); replay and duplicates are no-ops") {
+    val table = TokenEmbeddingTable.load(spark, dir)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft_tokvec_full").toString + "/v"
+    val grownDir = java.nio.file.Files
+      .createTempDirectory("graft_tokvec_grown").toString + "/v"
+    def embed(d: org.apache.spark.sql.DataFrame) =
+      TokenEmbeddingTable.embedDocs(
+        BpeTrainer.docTokenIds(d, merges, pat), table)
+    embed(docs).write.parquet(fullDir)
+    embed(half1).write.parquet(grownDir)
+    // grow with the delta — in-delta duplicates collapse first
+    assert(TokenEmbeddingTable.appendDocVecs(spark, grownDir,
+      half2.union(half2.limit(5)), merges, pat, table) === half2.count())
+    val rows = (p: String) => spark.read.parquet(p)
+      .collect().map(_.toString).toSet
+    assert(rows(grownDir) === rows(fullDir),
+      "grown store diverged from the full build")
+    // replayed append (crash-replay / re-delivery): zero new docs
+    assert(TokenEmbeddingTable.appendDocVecs(spark, grownDir,
+      half2, merges, pat, table) === 0L)
+    assert(rows(grownDir) === rows(fullDir))
+    // and the kNN consumer cannot tell the stores apart
+    val knn = (p: String) => graft.operators.SimilarityOps
+      .topKCosineWindow(
+        spark.read.parquet(p)
+          .filter(HashedEmbedding.norm2("embedding") > 0L),
+        Seq(0L, 1L, 2L), 5)
+      .collect().map(_.toString).toSet
+    assert(knn(grownDir) === knn(fullDir))
+  }
+
   test("a trained checkpoint drops in: overwriting the file changes vectors, consumers unchanged") {
     // a "trained" table = every weight shifted by +1; the SAME embedDocs
     // consumer picks it up — the artifact, not the code, carries the model
