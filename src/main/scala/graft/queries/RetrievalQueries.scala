@@ -258,7 +258,12 @@ object RetrievalQueries extends QueryPack {
   private[graft] val TokPqK = 16
   private[graft] val TokPqIters = 2
   private[graft] val TokNprobe = 4
-  private[graft] val TokKCand = 20
+  // kCand is the binding recall knob on this 16-dim 4-subspace code
+  // (R18Probe's two-axis sweep: nprobe saturates by 2 while recall@10
+  // climbs 0.567 → 0.967 as kCand grows 20 → 200 at sf0.1, at ~flat
+  // cost — the re-rank fetch is candidate-bounded); 100 buys 0.93 at
+  // sf0.1 for a 3-query batch fetch of 300 rows
+  private[graft] val TokKCand = 100
 
   private val tokenIvfPqDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()

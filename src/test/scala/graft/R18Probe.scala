@@ -53,6 +53,48 @@ object R18Probe {
         time("sp19_greedy_packed_windows", d)
       }
 
+    // The knob-tuning loop recallStatus exists for, as numbers: the
+    // b13 artifact's served recall@10 and measurement cost per nprobe
+    // (the nprobe ↔ recall ↔ cost table a production team reads before
+    // picking the serving knob).
+    if (section == "all" || section == "recall")
+      dirs.foreach { d =>
+        import org.apache.spark.sql.functions._
+        import graft.queries.{RetrievalQueries, TextQueries}
+        import graft.operators.{IvfPq, TokenEmbeddingTable}
+        import spark.implicits._
+        val idx = RetrievalQueries.servedTokenIvfPqDir(spark, d)
+        val merges = TextQueries.frozenByteMerges(spark, d)
+        val table = TokenEmbeddingTable.load(
+          spark, RetrievalQueries.servedTokenEmbDir(spark, d))
+        val q = TokenEmbeddingTable.queryVecs(
+            RetrievalQueries.Queries.toDF("doc_id", "text"),
+            merges, TextQueries.BpePat, table)
+          .localCheckpoint()
+        Seq(1, 2, 4, 8, 16).foreach { np =>
+          val t0 = System.nanoTime()
+          val st = IvfPq.recallStatus(spark, idx, q,
+            k = 10, nprobe = np, kCand = 20,
+            dims = RetrievalQueries.TokDims, threshold = 0.0)
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"R18 dir=$d recall_sweep nprobe=$np%2d " +
+            f"recall=${st.recall}%.3f time=$t%.2fs")
+        }
+        // the second axis: with probes held generous, widen the ADC
+        // candidate cut — on a 16-dim 4-subspace code the residual
+        // quantizer is coarse, so kCand (how many ADC candidates reach
+        // the exact re-rank) binds recall long before nprobe does
+        Seq(20, 50, 100, 200).foreach { kc =>
+          val t0 = System.nanoTime()
+          val st = IvfPq.recallStatus(spark, idx, q,
+            k = 10, nprobe = 8, kCand = kc,
+            dims = RetrievalQueries.TokDims, threshold = 0.0)
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"R18 dir=$d recall_sweep_kcand kCand=$kc%3d " +
+            f"recall=${st.recall}%.3f time=$t%.2fs")
+        }
+      }
+
     spark.stop()
   }
 }
