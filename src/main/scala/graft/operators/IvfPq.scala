@@ -255,7 +255,12 @@ object IvfPq {
   /** `searchRerank` with the stage-1 candidates from `searchDf` — the
     * fully DataFrame-native two-stage serving path (same exact-integer
     * re-rank tail, so it shares n23's oracle transitively).
-    * `broadcastLuts` as in `searchDf` (huge batches pass false).
+    * `broadcastLuts` as in `searchDf` (huge batches pass false) — the
+    * flag now reaches the TAIL too (ADVICE r18): with it false, the
+    * candidate list and the query-vector batch join the vector store by
+    * shuffle instead of broadcast, so the advertised ~10⁶-query regime
+    * holds end to end, not just through stage 1 (values unchanged —
+    * IvfPqSpec pins the two shapes equal).
     */
   def searchRerankDf(codes: DataFrame, vectors: DataFrame,
       queries: DataFrame, cents: Seq[Array[Long]],
@@ -264,7 +269,7 @@ object IvfPq {
       broadcastLuts: Boolean = true): DataFrame =
     rerankTail(vectors, queries,
       searchDf(codes, queries, cents, books, nprobe, kCand, dims,
-        excludeSelf, broadcastLuts), k)
+        excludeSelf, broadcastLuts), k, broadcastCand = broadcastLuts)
 
   /** Two-stage search with an EXACT re-rank tail — the standard PQ
     * refinement recipe (Jégou et al. 2011 §V-C's re-ranking variant):
@@ -291,20 +296,31 @@ object IvfPq {
         excludeSelf), k)
 
   /** The shared exact-integer refinement tail: fetch only the
-    * candidates' stored vectors (candidate-bounded broadcast semi-join
-    * shape — never a corpus scan) and re-rank by exact distance.
+    * candidates' stored vectors (candidate-bounded join shape — never a
+    * corpus scan) and re-rank by exact distance. `broadcastCand = true`
+    * (the serving default) broadcasts the candidate list
+    * (queries · kCand rows) and the query-vector batch so the store is
+    * touched by one semi-join-shaped pruned read; `false` (the
+    * huge-batch mode `searchRerankDf` threads from `broadcastLuts` —
+    * ADVICE r18) degrades both joins to shuffles on
+    * neighbor_id/query_id, since at ~10⁶ queries the candidate frame
+    * itself is past any broadcast/driver limit. Values are identical —
+    * only the physical join strategy changes.
     */
   private def rerankTail(vectors: DataFrame, queries: DataFrame,
-      candidates: DataFrame, k: Int): DataFrame = {
+      candidates: DataFrame, k: Int,
+      broadcastCand: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bc = if (broadcastCand) (df: DataFrame) => broadcast(df)
+             else (df: DataFrame) => df
     val cand = candidates
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         col("adist2"))
     val qs = queries.select(col("query_id"), col("qv").as("q_qv"))
     val exact = vectors
       .select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(qs), Seq("query_id"))
+      .join(bc(cand), Seq("neighbor_id"))
+      .join(bc(qs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         col("adist2"),
         aggregate(zip_with(col("q_qv"), col("n_qv"),
@@ -512,22 +528,30 @@ object IvfPq {
         avg(col("hits").cast("double") / col("denom")).as("recall"))
       .collect()(0)
     val nq = row.getAs[Long]("nq")
+    // an EMPTY query batch measures nothing — explicitly non-flagging
+    // (ADVICE r18: recall 0.0 + flagged=true would read a degenerate
+    // sample as a retrain signal and, with log=true, write a spurious
+    // flagged row into the series); the log write is skipped below
     val recall = if (nq == 0) 0.0 else row.getAs[Double]("recall")
-    val status = RecallStatus(nq, k, nprobe, recall, recall < threshold)
+    val status = RecallStatus(nq, k, nprobe, recall,
+      nq > 0 && recall < threshold)
     // Audit trail, drift_log's twin (`log = true` — the scheduled-gate
     // pattern: measure on a held-out sample after each append wave,
     // keep the series next to the artifact it judges). Same max(seq)+1
     // read-modify-write as the drift log, hence the same single-writer
     // contract; `retrain`'s directory swap retires the series with the
     // model it measured.
-    if (log) {
+    if (log && nq > 0) {
       import spark.implicits._
       val logPath = new org.apache.hadoop.fs.Path(s"$dir/recall_log")
       val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // coalesce: a log directory that exists but holds zero rows (a
+      // first write that crashed after directory creation) must restart
+      // the series at 1, not NPE on a null max (ADVICE r18)
       val seq =
         if (lfs.exists(logPath))
           spark.read.parquet(s"$dir/recall_log")
-            .agg(max("seq")).first().getLong(0) + 1
+            .agg(coalesce(max("seq"), lit(0L))).first().getLong(0) + 1
         else 1L
       Seq((seq, nq, k, nprobe, recall, status.flagged))
         .toDF("seq", "n_queries", "k", "nprobe", "recall", "flagged")
@@ -655,10 +679,12 @@ object IvfPq {
           .first().getDouble(0)
         if (base > 0) {
           val logPath = new org.apache.hadoop.fs.Path(s"$dir/drift_log")
+          // coalesce as in the recall log: an existing-but-empty log
+          // restarts the series instead of NPEing (ADVICE r18)
           val seq =
             if (bfs.exists(logPath))
               spark.read.parquet(s"$dir/drift_log")
-                .agg(max("seq")).first().getLong(0) + 1
+                .agg(coalesce(max("seq"), lit(0L))).first().getLong(0) + 1
             else 1L
           val ratio = d / base
           Seq((seq, appended, d, ratio, ratio > IvfIndex.DriftRetrainRatio))

@@ -36,7 +36,11 @@ import graft.operators.{Bm25, HashedEmbedding, IvfPq, RankFusion,
   * Per-batch scale shape: the lexical read is pruned to the batch's
   * term buckets, the dense read to the batch's probed cells plus the
   * candidate-bounded re-rank fetch — both sub-linear in corpus, both
-  * flat in batch size (the query batch never collects to the driver).
+  * flat in batch size. The query VECTORS never collect to the driver
+  * (the `searchRerankDf` contract); the one driver-side collect per
+  * batch is the batch's DISTINCT term-bucket codes inside
+  * `Bm25.servedTopKDf` — bounded by the index's nBuckets, not by the
+  * batch (ADVICE r18 scoped this claim).
   * HybridStreamSpec pins chopped ≡ single-batch ≡ the batch b13 entry.
   */
 object HybridStream {

@@ -413,6 +413,17 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       k = 50, nprobe = 4, kCand = 64, dims = dims4)
     assert(wide.recall === 1.0 && !wide.flagged,
       s"complete top-k over a small store must score 1.0: $wide")
+
+    // an EMPTY query batch measures nothing: explicitly non-flagging
+    // and no log write (ADVICE r18 — it used to read as recall 0.0 +
+    // flagged=true, a spurious retrain signal)
+    val before = IvfPq.recallHistory(spark, d6).get.count()
+    val empty = IvfPq.recallStatus(spark, d6, q.filter(lit(false)),
+      k = 5, nprobe = 2, kCand = 12, dims = dims4, log = true)
+    assert(empty.nQueries === 0L && !empty.flagged,
+      s"empty sample must not flag: $empty")
+    assert(IvfPq.recallHistory(spark, d6).get.count() === before,
+      "empty sample must not write a recall_log row")
   }
 
   test("crash-replayed append auto-heals orphan vectors without a manual repairCodes (ADVICE r17)") {

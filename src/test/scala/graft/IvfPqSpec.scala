@@ -200,6 +200,15 @@ class IvfPqSpec extends AnyFunSuite {
         nprobe = 2, k = 10).collect().map(_.toString).toSeq
     assert(dfShuffle === dfBcast,
       "broadcastLuts=false diverged from the broadcast LUT join")
+    // ... and the flag now reaches the RE-RANK TAIL too (ADVICE r18):
+    // with broadcastLuts=false the candidate list and query batch join
+    // the vector store by shuffle, so the two-stage path is also safe
+    // at batch sizes past the broadcast limit — values unchanged
+    val dfRShuffle = IvfPq.searchRerankDf(codes, q, queries(3), cents,
+        books, nprobe = 2, kCand = 10, k = 5, broadcastLuts = false)
+      .collect().map(_.toString).toSeq
+    assert(dfRShuffle === dfR,
+      "non-broadcast rerankTail diverged from the broadcast tail")
 
     // ZERO driver round-trips at plan time: constructing the searchDf
     // plan launches no Spark jobs (search's driver LUT build collects
