@@ -572,6 +572,161 @@ object IvfPq {
     else Some(spark.read.parquet(s"$dir/recall_log").orderBy("seq"))
   }
 
+  /** The gate-chosen serving knobs of a saved artifact (VERDICT r18
+    * #1): `kCand` is the smallest ladder value whose measured served
+    * recall met the floor on the artifact's own query sample;
+    * `meanRecallE6` is that measurement (exact integer — per-query
+    * hits·10⁶ div denom, averaged by integer division, so the DuckDB
+    * gate replays the SAME selection bit for bit).
+    */
+  final case class Knobs(nlist: Int, kCand: Int, sampleN: Long,
+      meanRecallE6: Long)
+
+  /** `RecallRetrainFloor` in the gate's exact-integer scale. */
+  val RecallFloorE6 = 800000L
+
+  /** Choose kCand FROM the recall gate (VERDICT r18 #1 — "the gate
+    * should choose the knob, not just report it"): measure the
+    * two-stage served recall@`topK` for each ladder width over a
+    * deterministic corpus-member sample (the store's vec_id <
+    * `sampleMax` rows — the n20 query shape, self excluded) and return
+    * the smallest width whose mean recall meets `floorE6` (the largest
+    * ladder value if none does — serve the best width you measured,
+    * and let `recallStatus`' scheduled gate flag the artifact).
+    *
+    * Exact-integer contract (what makes the selection ORACLE-REPLAYABLE
+    * rather than a pinned constant): per query recall_e6 =
+    * hits·10⁶ div denom with denom = the exact list's actual size
+    * (≤ topK — the small-store rule of `recallStatus`), and the mean is
+    * sum div nq — `kcandGateCtes` emits the identical arithmetic, so a
+    * static oracle string re-derives the chosen knob at every SF.
+    *
+    * One ADC pass at the widest ladder width feeds every rung: the
+    * re-rank is exact, so rung c's served top-k is just the exact-
+    * distance top-k among ADC rank ≤ c — computed by windowing the one
+    * checkpointed candidate relation, not by re-searching per rung.
+    * Cost: the sample's probed-cell ADC + one exact store pass against
+    * the broadcast sample — the `recallStatus` sampled-gate shape.
+    */
+  def selectKCand(codes: DataFrame, vectors: DataFrame,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      nprobe: Int, topK: Int, ladder: Seq[Int], sampleMax: Long,
+      dims: Int = 64, floorE6: Long = RecallFloorE6): Knobs = {
+    import org.apache.spark.sql.expressions.Window
+    require(ladder.nonEmpty && ladder == ladder.sorted.distinct,
+      s"ladder must be ascending and duplicate-free: $ladder")
+    val sample = vectors.filter(col("vec_id") < sampleMax)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .localCheckpoint()
+    val qs = sample.select(col("query_id"), col("qv").as("q_qv"))
+    // one ADC pass at the widest rung, candidates' exact distances
+    // fetched candidate-bounded (the rerankTail shape)
+    val adc = search(codes, sample, cents, books, nprobe,
+        k = ladder.max, dims, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("adc_rnk"))
+    val cand = vectors
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"))
+      .join(broadcast(adc.join(broadcast(qs), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_rnk"),
+        aggregate(zip_with(col("q_qv"), col("n_qv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"))
+      .localCheckpoint()
+    val exact = vectors
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("q_qv"), col("n_qv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2"), col("neighbor_id"))
+    val means = ladder.map { c =>
+      val served = cand.filter(col("adc_rnk") <= c)
+        .withColumn("rr", row_number().over(w))
+        .filter(col("rr") <= topK)
+        .select("query_id", "neighbor_id")
+      val row = exact
+        .join(served.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("denom"))
+        .agg(coalesce(sum(expr("(hits * 1000000) div denom")), lit(0L))
+            .as("se6"),
+          count(lit(1)).as("nq"))
+        .collect()(0)
+      val nq = row.getAs[Long]("nq")
+      (c, if (nq == 0) 0L else row.getAs[Long]("se6") / nq, nq)
+    }
+    val nq = means.head._3
+    val chosen = means.find(_._2 >= floorE6).map(_._1)
+      .getOrElse(ladder.max)
+    Knobs(cents.length, chosen, nq,
+      means.find(_._1 == chosen).get._2)
+  }
+
+  /** Run the kCand gate over a SAVED artifact and persist the chosen
+    * knobs next to it (`dir/knobs` — the serving tier reads them via
+    * `loadKnobs`, so the knob travels WITH the artifact it was measured
+    * on and a retrain's directory swap retires it with the model).
+    */
+  def selectKCandSaved(spark: SparkSession, dir: String, nprobe: Int,
+      topK: Int, ladder: Seq[Int], sampleMax: Long, dims: Int = 64,
+      floorE6: Long = RecallFloorE6): Knobs = {
+    import spark.implicits._
+    val (cents, books) = loadModel(spark, dir)
+    val knobs = selectKCand(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"), cents, books, nprobe, topK,
+      ladder, sampleMax, dims, floorE6)
+    Seq((knobs.nlist, knobs.kCand, knobs.sampleN, knobs.meanRecallE6))
+      .toDF("nlist", "k_cand", "sample_n", "mean_recall_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/knobs")
+    knobs
+  }
+
+  /** The persisted gate-chosen knobs — None before the first
+    * `selectKCandSaved` (callers fall back to their own default, or
+    * run the gate).
+    */
+  def loadKnobs(spark: SparkSession, dir: String): Option[Knobs] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/knobs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$dir/knobs").collect()(0)
+      Some(Knobs(r.getAs[Int]("nlist"), r.getAs[Int]("k_cand"),
+        r.getAs[Long]("sample_n"), r.getAs[Long]("mean_recall_e6")))
+    }
+  }
+
+  /** `retrain` with the nlist DERIVED from the artifact's own vector-
+    * store row count (`SimilarityOps.deriveNlist` — cell population
+    * held ~constant, so append-only growth retrains into MORE cells
+    * and a fixed nprobe keeps reading a constant number of rows, a
+    * shrinking fraction). Returns the derived nlist; the caller
+    * re-runs `selectKCandSaved` after the swap — knobs measured under
+    * the old model retired with it.
+    */
+  def retrainDerived(spark: SparkSession, dir: String, m: Int, k: Int,
+      coarseIters: Int, pqIters: Int, dims: Int = 64,
+      targetPop: Long = 512L, minNlist: Int = 16,
+      maxNlist: Int = 256): Int = {
+    recoverRetired(spark, dir)
+    val n = spark.read.parquet(s"$dir/vectors").count()
+    val nlist = SimilarityOps.deriveNlist(n, targetPop, minNlist, maxNlist)
+    retrain(spark, dir, nlist, m, k, coarseIters, pqIters, dims)
+    nlist
+  }
+
   /** Crash recovery for `retrain`'s two-rename swap (the
     * `DsirStream.recoverRetired` contract): a retrain that died between
     * retiring live and publishing staging leaves the old artifact at
@@ -777,14 +932,21 @@ object IvfPq {
   /** Shared oracle preamble: coarse chain + residuals + the m residual
     * codebook chains. `qSrc` as in `KMeans.chainSql` — overrides the
     * quantized-source relation the whole build replays over.
+    * `nlistExpr` (VERDICT r18 #1) replays a SCALE-DERIVED nlist: a
+    * scalar SQL expression (typically `(SELECT nlist FROM geo)` over a
+    * caller-emitted geometry CTE built from
+    * `SimilarityOps.deriveNlistSql`) that overrides the literal coarse
+    * seed count, so one static oracle string replays the derived
+    * geometry at every SF.
     */
   private def buildChain(nlist: Int, coarseIters: Int, m: Int, k: Int,
-      iters: Int, dims: Int, qSrc: String = ""): String = {
+      iters: Int, dims: Int, qSrc: String = "",
+      nlistExpr: String = ""): String = {
     val sub = dims / m
     val subChains = PqIndex.subChainsSql(m, k, iters, dims, (lo, hi) =>
       s"""SELECT vec_id, d - $lo AS d, v FROM rev
              WHERE d > $lo AND d <= $hi""", seedsRel = "pqseeds")
-    s"""${KMeans.chainSql(nlist, coarseIters, dims, qSrc)},
+    s"""${KMeans.chainSql(nlist, coarseIters, dims, qSrc, nlistExpr)},
          rev AS MATERIALIZED (SELECT e.vec_id, e.d, e.v - c.c AS v
            FROM ev e JOIN asgF a USING (vec_id)
            JOIN ct$coarseIters c ON c.cluster = a.cluster AND c.d = e.d),
@@ -848,15 +1010,22 @@ object IvfPq {
   def rerankCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int, kCand: Int,
       extraCtes: String = "", neighborEv: String = "ev",
-      qSrc: String = "", extQueryRel: String = ""): String = {
+      qSrc: String = "", extQueryRel: String = "",
+      nlistExpr: String = "", kCandExpr: String = ""): String = {
     val eqJoin =
       if (extQueryRel.nonEmpty) "JOIN xqev eq ON eq.query_id = c.query_id"
       else "JOIN ev eq ON eq.vec_id = c.query_id"
+    // `kCandExpr` replays a GATE-DERIVED candidate width (VERDICT r18
+    // #1): a scalar expression — typically `(SELECT kc FROM ksel)` over
+    // the `kcandGateCtes` selection chain passed via `extraCtes` — that
+    // overrides the literal cutoff, so the knob the Spark side chose
+    // from its recall gate is re-DERIVED by the oracle, not pinned.
+    val kCut = if (kCandExpr.nonEmpty) kCandExpr else kCand.toString
     s"""${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
-        nprobe, "", qSrc, extQueryRel)}${
+        nprobe, "", qSrc, extQueryRel, nlistExpr)}${
         if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
-           FROM ranked WHERE rnk <= $kCand),
+           FROM ranked WHERE rnk <= $kCut),
          rer AS (SELECT c.query_id, c.neighbor_id, c.cell, c.adist2,
              CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
            FROM cand c $eqJoin
@@ -866,6 +1035,105 @@ object IvfPq {
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist2, neighbor_id) AS INTEGER) AS rnk
            FROM rer)"""
+  }
+
+  /** DuckDB replay of the `selectKCand` GATE (VERDICT r18 #1) as a
+    * composable CTE group ending in `ksel(kc)` — pass it through
+    * `rerankCtes(extraCtes = ...)` with
+    * `kCandExpr = "(SELECT kc FROM ksel)"` and the oracle re-DERIVES
+    * the gate-chosen candidate width instead of pinning it.
+    *
+    * Everything is namespaced `g*` and reuses the chain the enclosing
+    * `searchCtes` already built: `ev` (per-dim store vectors),
+    * `dist{coarseIters+1}` (every (vec, cell) coarse distance — the
+    * sample's probe selection is its per-query head), `ct{coarseIters}`
+    * (final coarse centroids), the residual codebooks `s{i}_ct{iters}`,
+    * and `cd` (the encoded codes). The sample is the corpus-member
+    * vec_id < `sampleMax` head, self excluded; per ladder rung c the
+    * served top-k is the exact-distance top-k among ADC rank ≤ c (the
+    * exact re-rank property `selectKCand` exploits), recall is the
+    * exact-integer hits·10⁶ div denom mean, and `ksel` picks the
+    * smallest rung meeting `floorE6` (falling back to the widest).
+    */
+  def kcandGateCtes(coarseIters: Int, m: Int, iters: Int, dims: Int,
+      sampleMax: Long, nprobe: Int, topK: Int, ladder: Seq[Int],
+      floorE6: Long = RecallFloorE6): String = {
+    require(ladder.nonEmpty && ladder == ladder.sorted.distinct,
+      s"ladder must be ascending and duplicate-free: $ladder")
+    val sub = dims / m
+    val fCoarse = coarseIters + 1
+    val gluts = (0 until m).map { i =>
+      s"""glut$i AS MATERIALIZED (SELECT r.query_id, r.p_cell, c.cluster AS code,
+           CAST(sum((r.v - c.c) * (r.v - c.c)) AS BIGINT) AS d2
+           FROM gqres r JOIN s${i}_ct$iters c ON c.d = r.d - ${i * sub}
+           WHERE r.d > ${i * sub} AND r.d <= ${(i + 1) * sub}
+           GROUP BY 1, 2, 3)"""
+    }.mkString(",\n         ")
+    val glutJoins = (0 until m).map { i =>
+      if (i == 0)
+        "JOIN glut0 l0 ON l0.p_cell = cd.cell AND l0.code = cd.c0"
+      else
+        s"JOIN glut$i l$i ON l$i.p_cell = cd.cell AND l$i.code = cd.c$i" +
+          s" AND l$i.query_id = l0.query_id"
+    }.mkString(" ")
+    val gdsum = (0 until m).map(i => s"l$i.d2").mkString(" + ")
+    val rungs = ladder.map { c =>
+      s"""gs$c AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rr
+             FROM gcd WHERE adc_rnk <= $c) WHERE rr <= $topK),
+         gq$c AS (SELECT e.query_id,
+             CAST(count(s.neighbor_id) AS BIGINT) AS hits,
+             CAST(count(*) AS BIGINT) AS denom
+           FROM gextop e LEFT JOIN gs$c s
+             ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+           GROUP BY 1),
+         gm$c AS (SELECT $c AS kc,
+           CAST(sum((hits * 1000000) // denom) AS BIGINT) // count(*) AS mean_e6
+           FROM gq$c)"""
+    }.mkString(",\n         ")
+    val gall = ladder.map(c => s"SELECT * FROM gm$c").mkString(" UNION ALL ")
+    s"""gprobed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
+           FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS pr
+             FROM dist$fCoarse WHERE vec_id < $sampleMax)
+           WHERE pr <= $nprobe),
+         gqres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
+             e.v - c.c AS v
+           FROM gprobed p JOIN ev e ON e.vec_id = p.query_id
+           JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d),
+         $gluts,
+         gapprox AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
+             $gdsum AS adist2
+           FROM cd $glutJoins
+           WHERE cd.vec_id <> l0.query_id),
+         granked AS (SELECT query_id, neighbor_id, adist2,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist2, neighbor_id) AS INTEGER) AS rnk
+           FROM gapprox),
+         gcd AS MATERIALIZED (SELECT g.query_id, g.neighbor_id,
+             g.rnk AS adc_rnk,
+             CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
+           FROM granked g JOIN ev eq ON eq.vec_id = g.query_id
+           JOIN ev en ON en.vec_id = g.neighbor_id AND en.d = eq.d
+           WHERE g.rnk <= ${ladder.max}
+           GROUP BY 1, 2, 3),
+         gex AS MATERIALIZED (SELECT eq.vec_id AS query_id,
+             en.vec_id AS neighbor_id,
+             CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
+           FROM ev eq JOIN ev en ON en.d = eq.d AND en.vec_id <> eq.vec_id
+           WHERE eq.vec_id < $sampleMax GROUP BY 1, 2),
+         gextop AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rnk
+             FROM gex) WHERE rnk <= $topK),
+         $rungs,
+         gall AS ($gall),
+         ksel AS (SELECT coalesce(
+             (SELECT min(kc) FROM gall WHERE mean_e6 >= $floorE6),
+             (SELECT max(kc) FROM gall)) AS kc)"""
   }
 
   /** DuckDB replay of the n30 RECALL@k measurement: the full ADC
@@ -911,7 +1179,7 @@ object IvfPq {
   private def searchCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int,
       candFilterSql: String, qSrc: String = "",
-      extQueryRel: String = ""): String = {
+      extQueryRel: String = "", nlistExpr: String = ""): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
     val luts = (0 until m).map { i =>
@@ -960,7 +1228,8 @@ object IvfPq {
            JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d)"""
     val selfEx =
       if (extQueryRel.isEmpty) "WHERE cd.vec_id <> l0.query_id" else ""
-    s"""${buildChain(nlist, coarseIters, m, k, iters, dims, qSrc)},
+    s"""${buildChain(nlist, coarseIters, m, k, iters, dims, qSrc,
+        nlistExpr)},
          $querySide,
          $luts,
          cd AS MATERIALIZED (SELECT a0.vec_id, f.cluster AS cell, $codeCols

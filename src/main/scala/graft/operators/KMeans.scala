@@ -293,8 +293,16 @@ object KMeans {
     * feeds the token-table document vectors through the identical
     * chain. The override must SELECT (vec_id, qv) with qv a BIGINT
     * list of exactly `dims` elements.
+    *
+    * `kLimitExpr` overrides the literal seed-count LIMIT with a scalar
+    * SQL expression (e.g. `(SELECT nlist FROM geo)`) — the hook that
+    * lets ONE static oracle string replay a SCALE-DERIVED k
+    * (`SimilarityOps.deriveNlist`) at every SF: k appears in the chain
+    * only as the seeds cutoff, so a dynamic LIMIT is the whole change.
     */
-  def chainSql(k: Int, iters: Int, dims: Int, qSrc: String = ""): String = {
+  def chainSql(k: Int, iters: Int, dims: Int, qSrc: String = "",
+      kLimitExpr: String = ""): String = {
+    val kLimit = if (kLimitExpr.nonEmpty) kLimitExpr else k.toString
     val rounds = (1 to iters).map { t =>
       val p = t - 1
       s"""dist$t AS MATERIALIZED (SELECT e.vec_id, c.cluster,
@@ -321,7 +329,7 @@ object KMeans {
            FROM q, (SELECT unnest(range(1, ${dims + 1})) AS d)),
          seeds AS MATERIALIZED (SELECT vec_id,
            CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cluster
-           FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+           FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kLimit),
          ct0 AS MATERIALIZED (SELECT s.cluster, e.d, e.v AS c
            FROM seeds s JOIN ev e USING (vec_id)),
          $rounds,

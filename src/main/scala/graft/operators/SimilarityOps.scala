@@ -170,6 +170,37 @@ object SimilarityOps {
     math.min(maxBits, math.max(minBits, needed))
   }
 
+  /** `deriveBits`' discipline at the IVF tier (VERDICT r18 #1): derive
+    * the coarse cell COUNT from the vector-store row count so the
+    * expected cell holds ~`targetPop` vectors at any scale. A FIXED
+    * nlist makes nprobe/nlist a constant FRACTION of the corpus — the
+    * probed "pruned read" silently degenerates into a quarter-corpus
+    * scan as data grows; holding cell population ~constant instead
+    * keeps a fixed-nprobe probe set a constant ROW count, i.e. a
+    * shrinking fraction. Integer-exact and engine-portable (the d11
+    * plane-derivation idiom): nlist = the smallest power of two p with
+    * targetPop·p ≥ n, clamped to [minNlist, maxNlist] — the DuckDB
+    * twin is one `min(p) over range` CTE, so a scale-derived artifact
+    * still replays under one oracle hash across SFs.
+    */
+  def deriveNlist(n: Long, targetPop: Long = 512L,
+      minNlist: Int = 16, maxNlist: Int = 256): Int = {
+    var p = 0
+    while (p < 24 && (targetPop << p) < n) p += 1
+    math.max(minNlist, math.min(maxNlist, 1 << p))
+  }
+
+  /** The DuckDB twin of `deriveNlist` as a scalar SQL expression over
+    * `SELECT count(*) FROM <nRel>` — composed into a geometry CTE by
+    * oracle builders so one static oracle string derives the same
+    * nlist at every SF.
+    */
+  def deriveNlistSql(nRel: String, targetPop: Long = 512L,
+      minNlist: Int = 16, maxNlist: Int = 256): String =
+    s"""greatest($minNlist, least($maxNlist, 1 << coalesce((SELECT min(p)
+       FROM (SELECT unnest(range(0, 25)) AS p)
+       WHERE (CAST($targetPop AS BIGINT) << p) >= (SELECT count(*) FROM $nRel)), 24)))"""
+
   /** Sign-LSH bucket id (`bits`-bit code) as a SQL expression. */
   def lshBucketExpr(embCol: String, bits: Int, dim: Int): Column = {
     val bitExprs = (0 until bits).map { i =>

@@ -252,18 +252,29 @@ object RetrievalQueries extends QueryPack {
     * exactly as every cosine consumer excludes them.
     */
   private[graft] val TokDims = 16
-  private[graft] val TokNlist = 16
   private[graft] val TokCoarseIters = 2
   private[graft] val TokM = 4
   private[graft] val TokPqK = 16
   private[graft] val TokPqIters = 2
   private[graft] val TokNprobe = 4
-  // kCand is the binding recall knob on this 16-dim 4-subspace code
-  // (R18Probe's two-axis sweep: nprobe saturates by 2 while recall@10
-  // climbs 0.567 → 0.967 as kCand grows 20 → 200 at sf0.1, at ~flat
-  // cost — the re-rank fetch is candidate-bounded); 100 buys 0.93 at
-  // sf0.1 for a 3-query batch fetch of 300 rows
-  private[graft] val TokKCand = 100
+  // SCALE-DERIVED geometry (VERDICT r18 #1 — the r18 constants
+  // TokNlist=16/TokKCand=100 made nprobe/nlist a fixed 25% of the
+  // corpus codes, a quarter-corpus read at any scale):
+  //  - nlist comes from the vector-store row count at build/retrain
+  //    time (SimilarityOps.deriveNlist — cell population held at
+  //    ~TokCellTarget, so a fixed nprobe reads a constant ROW count
+  //    and a SHRINKING fraction as the corpus grows; R19Probe measures
+  //    the fraction at 10.1×);
+  //  - kCand comes from the recall gate (IvfPq.selectKCandSaved — the
+  //    smallest ladder width whose measured served recall@HybK meets
+  //    the 0.8 floor on the artifact's own vec_id < TokSampleMax
+  //    query sample), persisted as dir/knobs and read back at serve
+  //    time. Both derivations replay inside the b13 oracle (the geo
+  //    CTE + kcandGateCtes), so the knobs are re-derived per SF, not
+  //    pinned.
+  private[graft] val TokCellTarget = 512L
+  private[graft] val TokKCandLadder = Seq(25, 50, 100, 200)
+  private[graft] val TokSampleMax = 8L
 
   private val tokenIvfPqDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
@@ -278,13 +289,17 @@ object RetrievalQueries extends QueryPack {
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as bigint))").as("qv"))
         .localCheckpoint()
+      val nlist = graft.operators.SimilarityOps.deriveNlist(
+        q.count(), TokCellTarget)
       val cents = graft.operators.KMeans.fitQ(
-        q, TokNlist, TokCoarseIters, TokDims)
+        q, nlist, TokCoarseIters, TokDims)
       val books = graft.operators.PqIndex.fitQuantized(
         graft.operators.IvfPq.residuals(q, cents).localCheckpoint(),
         TokM, TokPqK, TokPqIters, TokDims)
       graft.operators.IvfPq.saveQ(
         q, dir + "/idx", cents, books, TokDims)
+      graft.operators.IvfPq.selectKCandSaved(s, dir + "/idx",
+        TokNprobe, HybK, TokKCandLadder, TokSampleMax, TokDims)
       dir + "/idx"
       }
     })
@@ -901,11 +916,14 @@ object RetrievalQueries extends QueryPack {
         val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
         val codes = s.read.parquet(s"$idxDir/codes")
         val vectors = s.read.parquet(s"$idxDir/vectors")
+        // the gate-chosen candidate width travels WITH the artifact
+        // (dir/knobs — written by selectKCandSaved at build time)
+        val kCand = graft.operators.IvfPq.loadKnobs(s, idxDir).get.kCand
         val qvecs = graft.operators.TokenEmbeddingTable.queryVecs(
           Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat, table)
         val dense = graft.operators.IvfPq.searchRerankDf(
             codes, vectors, qvecs, cents, books,
-            nprobe = TokNprobe, kCand = TokKCand, k = HybK,
+            nprobe = TokNprobe, kCand = kCand, k = HybK,
             dims = TokDims, excludeSelf = false)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rnk"))
@@ -942,12 +960,19 @@ object RetrievalQueries extends QueryPack {
                WHERE list_reduce(list_transform(qe, x -> x * x), (a, x) -> a + x) > 0),
              qq AS (SELECT query_id,
                list_transform(qe, x -> CAST(x AS BIGINT)) AS qv FROM qnz),
+             geo AS (SELECT ${graft.operators.SimilarityOps.deriveNlistSql(
+               "tvnz", TokCellTarget)} AS nlist),
              ${graft.operators.IvfPq.rerankCtes(
-               TokNlist, TokCoarseIters, TokM, TokPqK, TokPqIters,
-               TokDims, Queries.length, TokNprobe, TokKCand,
+               0, TokCoarseIters, TokM, TokPqK, TokPqIters,
+               TokDims, Queries.length, TokNprobe, 0,
                qSrc = "SELECT doc_id AS vec_id, " +
                  "list_transform(v, x -> CAST(x AS BIGINT)) AS qv FROM tvnz",
-               extQueryRel = "qq")},
+               extQueryRel = "qq",
+               nlistExpr = "(SELECT nlist FROM geo)",
+               kCandExpr = "(SELECT kc FROM ksel)",
+               extraCtes = graft.operators.IvfPq.kcandGateCtes(
+                 TokCoarseIters, TokM, TokPqIters, TokDims,
+                 TokSampleMax, TokNprobe, HybK, TokKCandLadder))},
              densec AS (SELECT query_id, neighbor_id AS doc_id, rnk
                FROM rr WHERE rnk <= $HybK),
              fus AS (SELECT query_id, doc_id,

@@ -110,6 +110,40 @@ class DedupSpec extends AnyFunSuite {
       s"prefix kept $prefixCand of $unfilteredCollisions candidates")
   }
 
+  test("positional upper bound rejects a candidate the prefix+size filters admit (VERDICT r18 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Two 10-shingle docs sharing 6 shingles: J = 6/14 < 0.5, so the
+    // pair must NOT be emitted — but its shared shingles (df=2) sort
+    // AFTER both docs' unique fillers (df=1), landing at prefix
+    // positions 5 and 6 of the 6-long prefixes: the prefix and size
+    // filters alone admit the pair, and only the positional bound
+    // (min(n1−pa, n2−pb)+1 = 6 < α = ceil(20/3) = 7) rejects it before
+    // the exact verify ever runs.
+    val a = (1 to 4).map(i => (1L, s"fa$i")) ++
+      (1 to 6).map(i => (1L, f"mm$i%02d"))
+    val b = (1 to 4).map(i => (2L, s"fb$i")) ++
+      (1 to 6).map(i => (2L, f"mm$i%02d"))
+    val sh = (a ++ b).toDF("doc_id", "shingle").localCheckpoint()
+    // the fixture does what it claims: the 6-prefixes collide (so a
+    // prefix+size-only candidate join would keep the pair)
+    val byDoc = Window.partitionBy("doc_id")
+    val rare = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(DedupOps.shingleDf(sh), "shingle")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("pos", row_number().over(rare))
+      .filter(col("pos") <= col("n") - ceil(lit(0.5) * col("n")) + 1)
+    val collisions = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+    assert(collisions > 0, "fixture broken: prefixes must collide")
+    // the positional bound rejects every collision → zero candidates
+    assert(DedupOps.prefixCandidates(sh, 0.5).count() === 0L,
+      "positional bound must reject the under-threshold candidate")
+    // and the rejection is lossless — the pair is truly not a match
+    assert(DedupOps.jaccardPairs(sh, 0.5).count() === 0L)
+  }
+
   test("prefix filter boundaries: subset pair exactly at threshold + size bound; non-0.5 ceil path") {
     import spark.implicits._
     // |A|=10, |B|=5, B ⊂ A at t=0.5: J = 5/10 = t exactly AND

@@ -57,13 +57,16 @@ class HybridServeSpec extends AnyFunSuite {
     val qvecs = TokenEmbeddingTable.queryVecs(
       RetrievalQueries.Queries.toDF("doc_id", "text"),
       merges, TextQueries.BpePat, table)
+    // the knobs the serving tier reads are the GATE's (VERDICT r18 #1)
+    val knobs = IvfPq.loadKnobs(spark, idx).get
     val st = IvfPq.recallStatus(spark, idx, qvecs,
       k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
-      kCand = RetrievalQueries.TokKCand, dims = RetrievalQueries.TokDims,
+      kCand = knobs.kCand, dims = RetrievalQueries.TokDims,
       threshold = 0.0)
     info(s"b13 dense-leg recall@${RetrievalQueries.HybK} " +
-      s"(nprobe=${RetrievalQueries.TokNprobe}/${RetrievalQueries.TokNlist} " +
-      s"cells) = ${st.recall}")
+      s"(nprobe=${RetrievalQueries.TokNprobe}/${knobs.nlist} cells, " +
+      s"gate kCand=${knobs.kCand}, gate mean_e6=${knobs.meanRecallE6}) " +
+      s"= ${st.recall}")
     assert(st.nQueries === RetrievalQueries.Queries.length.toLong)
     assert(st.recall > 0.0 && st.recall <= 1.0, s"degenerate recall: $st")
     assert(!st.flagged)

@@ -54,7 +54,9 @@ class HybridStreamSpec extends AnyFunSuite {
         TextQueries.frozenByteMerges(spark, sf), TextQueries.BpePat,
         s"$base/out", s"$base/ck", k = RetrievalQueries.HybK,
         nprobe = RetrievalQueries.TokNprobe,
-        kCand = RetrievalQueries.TokKCand, dims = RetrievalQueries.TokDims)
+        kCand = graft.operators.IvfPq.loadKnobs(spark,
+          RetrievalQueries.servedTokenIvfPqDir(spark, sf)).get.kCand,
+        dims = RetrievalQueries.TokDims)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     (base, results(spark.read.parquet(s"$base/out")))

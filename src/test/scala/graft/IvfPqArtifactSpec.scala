@@ -426,6 +426,60 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       "empty sample must not write a recall_log row")
   }
 
+  test("scale-aware geometry: growth retrains into a DERIVED larger nlist that shrinks the probe fraction and restores recall (VERDICT r18 #1)") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    // the derivation itself: cell population held at ~targetPop
+    assert(SimilarityOps.deriveNlist(100L, 64L) === 16,
+      "min clamp") // 64<<1 ≥ 100 → 2, clamped up to 16
+    assert(SimilarityOps.deriveNlist(3000L, 64L) === 64)
+    assert(SimilarityOps.deriveNlist(30000L, 64L, maxNlist = 1024) === 512)
+    assert(SimilarityOps.deriveNlist(30000L, 64L) === 256, "max clamp")
+    val d7 = Files.createTempDirectory("graft_ivfpq_geo").toString + "/idx"
+    val dims4 = 4
+    // 64 vectors on a 2-D grid of 16 well-separated islands of 4
+    // (coordinates within the |x| ≤ 8 e6-quantization contract)
+    def grid(lo: Long, n: Long) = (lo until lo + n).map { i =>
+      val isl = (i - lo) / 4; val off = (i - lo) % 4
+      (i, Seq(((isl % 4) * 2.0 + off * 0.01).toFloat,
+        ((isl / 4) * 2.0 + off * 0.01).toFloat, 0f, 0f))
+    }
+    val base = grid(0L, 64L).toDF("vec_id", "embedding")
+    val n0 = SimilarityOps.deriveNlist(64L, targetPop = 16L,
+      minNlist = 4, maxNlist = 64)
+    assert(n0 === 4, s"64 vectors at targetPop 16 should derive 4 cells, got $n0")
+    val cents0 = KMeans.fitQ(KMeans.quantized(base).localCheckpoint(),
+      n0, 3, dims4)
+    val books0 = graft.operators.PqIndex.fitQuantized(
+      IvfPq.residuals(KMeans.quantized(base), cents0).localCheckpoint(),
+      2, 4, 2, dims4)
+    IvfPq.save(base, d7, cents0, books0, dims4)
+    // 3× growth under the frozen model
+    val delta = grid(64L, 192L).toDF("vec_id", "embedding")
+    assert(IvfPq.appendToSaved(spark, d7, delta, dims4) === 192L)
+    // the grown store re-derives a LARGER nlist; retrainDerived applies it
+    val n1 = IvfPq.retrainDerived(spark, d7, m = 2, k = 4,
+      coarseIters = 3, pqIters = 2, dims = dims4,
+      targetPop = 16L, minNlist = 4, maxNlist = 64)
+    assert(n1 === 16 && n1 > n0,
+      s"256 vectors at targetPop 16 should retrain into 16 cells, got $n1")
+    val (centsR, _) = IvfPq.loadModel(spark, d7)
+    assert(centsR.length === n1, "published artifact must carry the derived nlist")
+    // the probe FRACTION shrinks at fixed nprobe — the 100 TB property
+    // the fixed-nlist artifact lost (nprobe/nlist: 2/4 → 2/16)
+    assert(2.0 / n1 < 2.0 / n0)
+    // ... and the gate re-chosen on the retrained artifact meets the
+    // floor at a bounded kCand: knobs travel with the model
+    val knobs = IvfPq.selectKCandSaved(spark, d7, nprobe = 4, topK = 5,
+      ladder = Seq(8, 16, 32), sampleMax = 6L, dims = dims4)
+    assert(knobs.nlist === n1)
+    assert(knobs.sampleN > 0L)
+    assert(knobs.meanRecallE6 >= 800000L,
+      s"retrained grid artifact should meet the recall floor: $knobs")
+    assert(IvfPq.loadKnobs(spark, d7) === Some(knobs),
+      "knobs must round-trip from dir/knobs")
+  }
+
   test("crash-replayed append auto-heals orphan vectors without a manual repairCodes (ADVICE r17)") {
     val d5 = Files.createTempDirectory("graft_ivfpq_ah").toString + "/idx"
     IvfPq.save(emb, d5, cents, books, dims)
