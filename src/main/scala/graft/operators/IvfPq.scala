@@ -1011,7 +1011,8 @@ object IvfPq {
       iters: Int, dims: Int, nq: Int, nprobe: Int, kCand: Int,
       extraCtes: String = "", neighborEv: String = "ev",
       qSrc: String = "", extQueryRel: String = "",
-      nlistExpr: String = "", kCandExpr: String = ""): String = {
+      nlistExpr: String = "", kCandExpr: String = "",
+      candFilterSql: String = ""): String = {
     val eqJoin =
       if (extQueryRel.nonEmpty) "JOIN xqev eq ON eq.query_id = c.query_id"
       else "JOIN ev eq ON eq.vec_id = c.query_id"
@@ -1020,9 +1021,12 @@ object IvfPq {
     // the `kcandGateCtes` selection chain passed via `extraCtes` — that
     // overrides the literal cutoff, so the knob the Spark side chose
     // from its recall gate is re-DERIVED by the oracle, not pinned.
+    // `candFilterSql` (a JOIN/WHERE fragment over `cd`) replays a
+    // consumer-scoped candidate filter — pre-filter semantics, applied
+    // before the ADC ranking (the b14 serving face).
     val kCut = if (kCandExpr.nonEmpty) kCandExpr else kCand.toString
     s"""${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
-        nprobe, "", qSrc, extQueryRel, nlistExpr)}${
+        nprobe, candFilterSql, qSrc, extQueryRel, nlistExpr)}${
         if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
            FROM ranked WHERE rnk <= $kCut),
@@ -1228,16 +1232,25 @@ object IvfPq {
            JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d)"""
     val selfEx =
       if (extQueryRel.isEmpty) "WHERE cd.vec_id <> l0.query_id" else ""
+    // `cd` is ALWAYS the unfiltered codes relation (the kCand gate's
+    // sample measures the artifact, not a consumer's scope — r19); a
+    // candidate filter lands in a derived `cdf` the ranking reads, so
+    // pre-filter semantics are preserved (filter before any distance
+    // math) without scoping the gate.
+    val cdFiltered =
+      if (candFilterSql.isEmpty) ""
+      else s""",
+         cdf AS MATERIALIZED (SELECT cd.* FROM cd $candFilterSql)"""
+    val cdRel = if (candFilterSql.isEmpty) "cd" else "cdf"
     s"""${buildChain(nlist, coarseIters, m, k, iters, dims, qSrc,
         nlistExpr)},
          $querySide,
          $luts,
          cd AS MATERIALIZED (SELECT a0.vec_id, f.cluster AS cell, $codeCols
-           FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins
-           $candFilterSql),
+           FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins)$cdFiltered,
          approx AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
              CAST(cd.cell AS INTEGER) AS cell, $dsum AS adist2
-           FROM cd $lutJoins
+           FROM $cdRel cd $lutJoins
            $selfEx),
          ranked AS (SELECT query_id, neighbor_id, cell, adist2,
              CAST(row_number() OVER (PARTITION BY query_id

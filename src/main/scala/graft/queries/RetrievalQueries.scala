@@ -48,14 +48,16 @@ object RetrievalQueries extends QueryPack {
     * zero-token doc still contributes to N and avgdl, exactly as the
     * Spark side computes them.
     */
-  private val OracleProlog =
-    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  private def oracleProlog(docsRel: String): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $docsRel),
        p AS (SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
        lens AS (SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS doc_len
-         FROM documents),
+         FROM $docsRel),
        stats AS (SELECT count(*) AS n_docs, sum(doc_len) AS sum_len,
          CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens)"""
+
+  private val OracleProlog = oracleProlog("documents")
 
   /** The portable tf-normalization — the identical operation tree to
     * Bm25.tfNorm ((1.2 + 1.0) forces the same IEEE add Scala's
@@ -101,12 +103,12 @@ object RetrievalQueries extends QueryPack {
     * chain surfaces as a value diff on THIS corpus, not a fingerprint
     * sentinel.
     */
-  private val ScoreCtes: String = {
+  private def scoreCtes(docsRel: String): String = {
     val qtVals = Queries.flatMap { case (qid, text) =>
       text.split(" ").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
-    s"""$OracleProlog,
+    s"""${oracleProlog(docsRel)},
        qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
          FROM (VALUES $qtVals) AS v(query_id, term)),
        qp AS (SELECT p.term, p.doc_id, p.tf FROM p
@@ -125,6 +127,8 @@ object RetrievalQueries extends QueryPack {
        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          ORDER BY score_e15 DESC, doc_id) AS rnk FROM sc)"""
   }
+
+  private val ScoreCtes: String = scoreCtes("documents")
 
   private val FullTopKOracle: String =
     s"""WITH $ScoreCtes
@@ -275,6 +279,11 @@ object RetrievalQueries extends QueryPack {
   private[graft] val TokCellTarget = 512L
   private[graft] val TokKCandLadder = Seq(25, 50, 100, 200)
   private[graft] val TokSampleMax = 8L
+  /** b14's consumer grant: the source feeds this scope may retrieve
+    * from (the reference's share-grant shape — `SecureShare`'s account
+    * scoping, applied to retrieval).
+    */
+  private[graft] val ScopeSources = Seq("src7", "src13")
 
   private val tokenIvfPqDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
@@ -970,6 +979,119 @@ object RetrievalQueries extends QueryPack {
                extQueryRel = "qq",
                nlistExpr = "(SELECT nlist FROM geo)",
                kCandExpr = "(SELECT kc FROM ksel)",
+               extraCtes = graft.operators.IvfPq.kcandGateCtes(
+                 TokCoarseIters, TokM, TokPqIters, TokDims,
+                 TokSampleMax, TokNprobe, HybK, TokKCandLadder))},
+             densec AS (SELECT query_id, neighbor_id AS doc_id, rnk
+               FROM rr WHERE rnk <= $HybK),
+             fus AS (SELECT query_id, doc_id,
+                 1000000000000 // (60 + rnk) AS contrib FROM lexc
+               UNION ALL
+               SELECT query_id, doc_id, 1000000000000 // (60 + rnk)
+               FROM densec),
+             ff AS (SELECT query_id, doc_id,
+               CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+               count(*) AS n_lists FROM fus GROUP BY 1, 2),
+             ffr AS (SELECT query_id, doc_id, rrf_e12, n_lists,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_e12 DESC, doc_id) AS rnk
+               FROM ff)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_e12,
+             CAST(n_lists AS BIGINT) AS n_lists
+           FROM ffr WHERE rnk <= $HybK ORDER BY query_id, rnk"""
+      }),
+
+    // METADATA-FILTERED hybrid serving (VERDICT r18 #3) — the
+    // reference's secure-view governance (dp_demo.sql:222-239, a
+    // consumer sees only its granted slice) applied to the b13
+    // retrieval stack: a consumer scoped to two source feeds queries
+    // the SAME shared artifacts, and BOTH legs apply the scope with
+    // PRE-filter semantics — the lexical leg semi-joins the allowed
+    // ids into the pruned postings BEFORE df/scoring/ranking and
+    // aggregates scoped N/avgdl from the index's docs store
+    // (Bm25.servedTopKScoped — bit-identical to an index built on the
+    // slice alone), the dense leg semi-joins the allowed ids into the
+    // codes BEFORE the LUT join, so no distance is ever priced for a
+    // row the grant rejects (n21/n22's discipline at the hybrid tier;
+    // FilteredSearchSpec's planted case shows why post-filtering a
+    // fixed top-k is wrong). The oracle replays the scope inside the
+    // CTE chain — the scoped corpus CTE feeds the lexical scoring and
+    // the candidate filter — while the geometry + kCand gate replay
+    // UNSCOPED (the knobs belong to the shared artifact, not to any
+    // one consumer's grant).
+    Q("b14_hybrid_filtered",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextQueries.frozenByteMerges(s, d)
+        val table = graft.operators.TokenEmbeddingTable.load(
+          s, servedTokenEmbDir(s, d))
+        val allowed = Tables.load(s, d, "documents")
+          .filter(col("source").isin(ScopeSources: _*))
+          .select("doc_id")
+        val lex = Bm25.servedTopKScoped(s, servedBm25Dir(s, d),
+            Queries.toDF("query_id", "q_text"), HybK, allowed)
+          .select("query_id", "doc_id", "rnk")
+        val idxDir = servedTokenIvfPqDir(s, d)
+        val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
+        val kCand = graft.operators.IvfPq.loadKnobs(s, idxDir).get.kCand
+        val codes = s.read.parquet(s"$idxDir/codes")
+          .join(allowed.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val vectors = s.read.parquet(s"$idxDir/vectors")
+        val qvecs = graft.operators.TokenEmbeddingTable.queryVecs(
+          Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat, table)
+        val dense = graft.operators.IvfPq.searchRerankDf(
+            codes, vectors, qvecs, cents, books,
+            nprobe = TokNprobe, kCand = kCand, k = HybK,
+            dims = TokDims, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), HybK)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        val qVals = Queries
+          .map { case (qid, text) => s"($qid, '$text')" }.mkString(", ")
+        def wSql(dd: Int) =
+          s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        val dimSums = (0 until 16).map(dd =>
+          s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")
+        val dimVec = (0 until 16).map(dd =>
+          s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")
+        val srcs = ScopeSources.map(x => s"'$x'").mkString(", ")
+        s"""${graft.operators.BpeTrainer.docTokenIdCtes(
+            TextQueries.BpePat, TextQueries.BpeK)},
+             fdocs AS (SELECT * FROM documents WHERE source IN ($srcs)),
+             ${scoreCtes("fdocs")},
+             lexc AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $HybK),
+             tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
+             em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM tw GROUP BY doc_id),
+             tvec AS (SELECT doc_id, [$dimVec] AS v FROM em),
+             tvnz AS (SELECT doc_id, v FROM tvec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             ${graft.operators.BpeTrainer.queryTokenCtes(
+               TextQueries.BpePat, TextQueries.BpeK, qVals)},
+             qtw AS (SELECT query_id, v.id AS id
+               FROM qdtok JOIN vfull v USING (tok)),
+             qem AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM qtw GROUP BY query_id),
+             qvec AS (SELECT query_id, [$dimVec] AS qe FROM qem),
+             qnz AS (SELECT query_id, qe FROM qvec
+               WHERE list_reduce(list_transform(qe, x -> x * x), (a, x) -> a + x) > 0),
+             qq AS (SELECT query_id,
+               list_transform(qe, x -> CAST(x AS BIGINT)) AS qv FROM qnz),
+             geo AS (SELECT ${graft.operators.SimilarityOps.deriveNlistSql(
+               "tvnz", TokCellTarget)} AS nlist),
+             ${graft.operators.IvfPq.rerankCtes(
+               0, TokCoarseIters, TokM, TokPqK, TokPqIters,
+               TokDims, Queries.length, TokNprobe, 0,
+               qSrc = "SELECT doc_id AS vec_id, " +
+                 "list_transform(v, x -> CAST(x AS BIGINT)) AS qv FROM tvnz",
+               extQueryRel = "qq",
+               nlistExpr = "(SELECT nlist FROM geo)",
+               kCandExpr = "(SELECT kc FROM ksel)",
+               candFilterSql = "JOIN fdocs fd ON fd.doc_id = cd.vec_id",
                extraCtes = graft.operators.IvfPq.kcandGateCtes(
                  TokCoarseIters, TokM, TokPqIters, TokDims,
                  TokSampleMax, TokNprobe, HybK, TokKCandLadder))},

@@ -880,7 +880,7 @@ object SimilarityQueries extends QueryPack {
         KmK, KmIters, PqM, PqK, PqIters, KmDims, QueryIds.length,
         nprobe = 3, topK = K,
         candFilterSql =
-          "JOIN documents doc ON doc.doc_id = a0.vec_id AND doc.lang = 'en'")))
+          "JOIN documents doc ON doc.doc_id = cd.vec_id AND doc.lang = 'en'")))
   )
 
   /** One PQ fit per (session, dataset) — m·k·(dims/m) = dims·k longs,

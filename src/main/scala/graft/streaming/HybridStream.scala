@@ -48,19 +48,53 @@ object HybridStream {
   def serve(queries: DataFrame, bm25Dir: String, tableDir: String,
       annDir: String, merges: Seq[(String, String)], bpePat: String,
       outDir: String, checkpointDir: String, k: Int, nprobe: Int,
-      kCand: Int, dims: Int): DataStreamWriter[Row] = {
+      kCand: Int, dims: Int): DataStreamWriter[Row] =
+    serveWith(queries, bm25Dir, tableDir, annDir, merges, bpePat,
+      outDir, checkpointDir, k, nprobe, kCand, dims, allowed = None)
+
+  /** The CONSUMER-SCOPED stream (VERDICT r18 #3 — b14's serving face):
+    * every batch answers under the grant's allowed doc set, with
+    * pre-filter semantics on BOTH legs — the lexical leg through
+    * `Bm25.servedTopKScoped` (scoped postings, scoped df, scoped
+    * N/avgdl), the dense leg by semi-joining the allowed ids into the
+    * codes BEFORE the LUT join. The grant is captured at stream
+    * definition like the model snapshot (the `SecureShare` grant
+    * lifecycle: a revocation is a stream redefinition over the new
+    * grant); the allowed relation is re-evaluated per batch plan, so a
+    * grant backed by a mutable table tracks its storage.
+    * HybridStreamSpec pins scoped-stream ≡ the batch b14 entry.
+    */
+  def serveScoped(queries: DataFrame, bm25Dir: String, tableDir: String,
+      annDir: String, merges: Seq[(String, String)], bpePat: String,
+      outDir: String, checkpointDir: String, k: Int, nprobe: Int,
+      kCand: Int, dims: Int, allowed: DataFrame): DataStreamWriter[Row] =
+    serveWith(queries, bm25Dir, tableDir, annDir, merges, bpePat,
+      outDir, checkpointDir, k, nprobe, kCand, dims, Some(allowed))
+
+  private def serveWith(queries: DataFrame, bm25Dir: String,
+      tableDir: String, annDir: String, merges: Seq[(String, String)],
+      bpePat: String, outDir: String, checkpointDir: String, k: Int,
+      nprobe: Int, kCand: Int, dims: Int,
+      allowed: Option[DataFrame]): DataStreamWriter[Row] = {
     val spark = queries.sparkSession
     val table = TokenEmbeddingTable.load(spark, tableDir)
     val (cents, books) = IvfPq.loadModel(spark, annDir)
-    val codes = spark.read.parquet(s"$annDir/codes")
+    val codesAll = spark.read.parquet(s"$annDir/codes")
+    val codes = allowed match {
+      case Some(a) => codesAll.join(
+        a.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      case None => codesAll
+    }
     val vectors = spark.read.parquet(s"$annDir/vectors")
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.dropDuplicates("query_id").localCheckpoint()
-        val lex = Bm25.servedTopKDf(spark, bm25Dir, b, k)
-          .select("query_id", "doc_id", "rnk")
+        val lex = (allowed match {
+          case Some(a) => Bm25.servedTopKScoped(spark, bm25Dir, b, k, a)
+          case None => Bm25.servedTopKDf(spark, bm25Dir, b, k)
+        }).select("query_id", "doc_id", "rnk")
         val qvecs = TokenEmbeddingTable.queryVecs(
           b.select(col("query_id").as("doc_id"),
             col("q_text").as("text")),

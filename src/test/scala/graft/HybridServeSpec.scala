@@ -130,6 +130,61 @@ class HybridServeSpec extends AnyFunSuite {
     assert(grown.nonEmpty)
   }
 
+  test("b14: scoped lexical serving ≡ an index built on the slice alone; the dense filter prunes before the LUT join (VERDICT r18 #3)") {
+    import graft.operators.{Bm25, IvfPq}
+    val docs = Tables.load(spark, d, "documents")
+    val slice = docs.filter(
+      col("source").isin(RetrievalQueries.ScopeSources: _*))
+    val allowed = slice.select("doc_id")
+    // the shared-index scoped serve is BIT-IDENTICAL to ad-hoc BM25
+    // over the slice alone — scoped df, scoped N/avgdl, scoped ranking
+    val served = Bm25.servedTopKScoped(spark,
+        RetrievalQueries.servedBm25Dir(spark, d),
+        RetrievalQueries.Queries.toDF("query_id", "q_text"),
+        RetrievalQueries.HybK, allowed)
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    val adHoc = Bm25.topK(slice, "doc_id", "text",
+        RetrievalQueries.Queries, RetrievalQueries.HybK)
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    assert(served === adHoc,
+      "scoped serve diverged from an index built on the slice")
+    assert(served.nonEmpty)
+
+    // governance invariant on the fused entry
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val out = SparkEntry.queries("b14_hybrid_filtered")(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => allowedSet(r.getAs[Long]("doc_id"))),
+      "a doc outside the grant leaked into b14")
+
+    // the dense leg's grant filter prunes BEFORE the candidate/LUT
+    // join: in the optimized plan the LeftSemi (codes ⋈ allowed) sits
+    // UNDER the inner join against the LUT frame (parents print first)
+    val idxDir = RetrievalQueries.servedTokenIvfPqDir(spark, d)
+    val (cents, books) = IvfPq.loadModel(spark, idxDir)
+    val codes = spark.read.parquet(s"$idxDir/codes")
+      .join(allowed.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    val merges = TextQueries.frozenByteMerges(spark, d)
+    val table = TokenEmbeddingTable.load(
+      spark, RetrievalQueries.servedTokenEmbDir(spark, d))
+    val qvecs = TokenEmbeddingTable.queryVecs(
+      RetrievalQueries.Queries.toDF("doc_id", "text"),
+      merges, TextQueries.BpePat, table)
+    val plan = IvfPq.searchRerankDf(codes,
+        spark.read.parquet(s"$idxDir/vectors"), qvecs, cents, books,
+        nprobe = RetrievalQueries.TokNprobe,
+        kCand = IvfPq.loadKnobs(spark, idxDir).get.kCand,
+        k = RetrievalQueries.HybK, dims = RetrievalQueries.TokDims,
+        excludeSelf = false)
+      .queryExecution.optimizedPlan.toString
+    val iSemi = plan.indexOf("LeftSemi")
+    val iLut = plan.indexOf("p_cell")
+    assert(iSemi >= 0, s"grant filter missing from the dense plan:\n${plan.take(1500)}")
+    assert(iLut >= 0 && iLut < iSemi,
+      s"grant filter must sit under the LUT join (prune before pricing):\n${plan.take(1500)}")
+  }
+
   test("b13 fuses the SAME lexical list as b12 (the legs differ only on the dense side)") {
     val b12 = SparkEntry.queries("b12_hybrid_served")(spark, d)
       .select("query_id", "doc_id").collect().map(_.toString).toSet

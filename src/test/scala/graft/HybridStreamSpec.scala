@@ -34,8 +34,9 @@ class HybridStreamSpec extends AnyFunSuite {
   private val qSchema = StructType(Seq(StructField("query_id", LongType),
     StructField("q_text", StringType)))
 
-  private def run(files: Seq[Seq[(Long, String)]],
-      onePer: Boolean): (String, Set[(Long, Int, Long, Long, Long)]) = {
+  private def run(files: Seq[Seq[(Long, String)]], onePer: Boolean,
+      allowed: Option[org.apache.spark.sql.DataFrame] = None)
+      : (String, Set[(Long, Int, Long, Long, Long)]) = {
     val srcDir = Files.createTempDirectory("graft_hyb_src").toString
     val base = Files.createTempDirectory("graft_hyb").toString
     files.zipWithIndex.foreach { case (rows, i) =>
@@ -47,17 +48,21 @@ class HybridStreamSpec extends AnyFunSuite {
     val src0 = spark.readStream.schema(qSchema)
     val src = (if (onePer) src0.option("maxFilesPerTrigger", "1") else src0)
       .option("latestFirst", "false").parquet(s"$srcDir/*")
-    val q = HybridStream.serve(src,
-        RetrievalQueries.servedBm25Dir(spark, sf),
-        RetrievalQueries.servedTokenEmbDir(spark, sf),
-        RetrievalQueries.servedTokenIvfPqDir(spark, sf),
-        TextQueries.frozenByteMerges(spark, sf), TextQueries.BpePat,
-        s"$base/out", s"$base/ck", k = RetrievalQueries.HybK,
-        nprobe = RetrievalQueries.TokNprobe,
-        kCand = graft.operators.IvfPq.loadKnobs(spark,
-          RetrievalQueries.servedTokenIvfPqDir(spark, sf)).get.kCand,
-        dims = RetrievalQueries.TokDims)
-      .trigger(Trigger.AvailableNow()).start()
+    val bm25Dir = RetrievalQueries.servedBm25Dir(spark, sf)
+    val tableDir = RetrievalQueries.servedTokenEmbDir(spark, sf)
+    val annDir = RetrievalQueries.servedTokenIvfPqDir(spark, sf)
+    val merges = TextQueries.frozenByteMerges(spark, sf)
+    val kCand = graft.operators.IvfPq.loadKnobs(spark, annDir).get.kCand
+    val q = (allowed match {
+      case Some(a) => HybridStream.serveScoped(src, bm25Dir, tableDir,
+        annDir, merges, TextQueries.BpePat, s"$base/out", s"$base/ck",
+        k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
+        kCand = kCand, dims = RetrievalQueries.TokDims, allowed = a)
+      case None => HybridStream.serve(src, bm25Dir, tableDir, annDir,
+        merges, TextQueries.BpePat, s"$base/out", s"$base/ck",
+        k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
+        kCand = kCand, dims = RetrievalQueries.TokDims)
+    }).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     (base, results(spark.read.parquet(s"$base/out")))
   }
@@ -75,6 +80,25 @@ class HybridStreamSpec extends AnyFunSuite {
     // must not double either leg's RRF contributions
     assert(run(Seq(queries ++ queries.take(1)), onePer = false)._2 === expected,
       "duplicated query rows corrupted the fusion")
+  }
+
+  test("scoped stream ≡ batch b14: the grant applies per batch, chopped or not (VERDICT r18 #3)") {
+    val expected = results(
+      SparkEntry.queries("b14_hybrid_filtered")(spark, sf))
+    assert(expected.nonEmpty, "batch b14 reference is empty")
+    val allowed = Tables.load(spark, sf, "documents")
+      .filter(col("source").isin(RetrievalQueries.ScopeSources: _*))
+      .select("doc_id")
+    assert(run(Seq(queries), onePer = false,
+      allowed = Some(allowed))._2 === expected,
+      "single-batch scoped stream diverged from batch b14")
+    assert(run(Seq(queries.take(1), queries.drop(1)), onePer = true,
+      allowed = Some(allowed))._2 === expected,
+      "chopped scoped stream diverged from batch b14")
+    // every served doc passes the grant — the governance invariant
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(expected.forall(r => allowedSet(r._3)),
+      "a doc outside the grant leaked into the scoped results")
   }
 
   test("crash replay overwrites its own batch partition") {
