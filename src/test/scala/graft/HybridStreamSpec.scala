@@ -101,6 +101,102 @@ class HybridStreamSpec extends AnyFunSuite {
       "a doc outside the grant leaked into the scoped results")
   }
 
+  private def copyDir(from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(from)
+    val dst = new org.apache.hadoop.fs.Path(to)
+    val fs = src.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    ()
+  }
+
+  test("serve-while-retrain: the swap is never observed torn; redefinition picks up the retrained model (VERDICT r18 #5)") {
+    import graft.operators.IvfPq
+    // a private COPY of the b13 artifact, so retraining it cannot
+    // disturb the session-shared serving caches other tests read
+    val base = Files.createTempDirectory("graft_hyb_swap").toString
+    val idx = s"$base/idx"
+    copyDir(RetrievalQueries.servedTokenIvfPqDir(spark, sf), idx)
+    val bm25Dir = RetrievalQueries.servedBm25Dir(spark, sf)
+    val tableDir = RetrievalQueries.servedTokenEmbDir(spark, sf)
+    val merges = TextQueries.frozenByteMerges(spark, sf)
+    val kCand = IvfPq.loadKnobs(spark, idx).get.kCand
+    val srcDir = s"$base/src"
+    // one stream SESSION = one model snapshot: serve() loads the model
+    // at definition; each phase below publishes ONE more query file,
+    // redefines over the same dir, and drains it through the SAME
+    // checkpoint (AvailableNow catches up on exactly the new file)
+    def servePhase(i: Int): Set[(Long, Int, Long, Long, Long)] = {
+      Seq(queries(i)).toDF("query_id", "q_text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      val src = spark.readStream.schema(qSchema)
+        .option("latestFirst", "false").parquet(s"$srcDir/*")
+      val q = HybridStream.serve(src, bm25Dir, tableDir, idx, merges,
+          TextQueries.BpePat, s"$base/out", s"$base/ck",
+          k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
+          kCand = kCand, dims = RetrievalQueries.TokDims)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results(spark.read.parquet(s"$base/out"))
+    }
+    // the full-stream reference under the ORIGINAL model
+    val expectedOld = results(
+      SparkEntry.queries("b13_hybrid_ann_served")(spark, sf))
+    val (cents0, _) = IvfPq.loadModel(spark, idx)
+
+    // phase 1: serve query 0 under the original artifact
+    val after1 = servePhase(0)
+    assert(after1.nonEmpty && after1.subsetOf(expectedOld),
+      "phase-1 results must come from the original model")
+
+    // TORN-SWAP WINDOW: a retrain that died between its two renames
+    // leaves live missing and the artifact at .retired — a redefined
+    // serve session must self-heal (loadModel → recoverRetired) and
+    // keep answering under the OLD model, never a torn mix
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(idx)
+    val fs = live.getFileSystem(conf)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(idx + ".retired")))
+    val after2 = servePhase(1)
+    assert(after2 === after1 ++ expectedOld.filter(_._1 == 1L),
+      "the healed session must serve query 1 under the old model")
+
+    // retrain + swap (atomic stage-then-rename), then REDEFINE: the new
+    // session answers under the retrained model — compare against a
+    // batch run with the freshly loaded state
+    IvfPq.retrain(spark, idx, nlist = 8, m = RetrievalQueries.TokM,
+      k = RetrievalQueries.TokPqK, coarseIters = 2, pqIters = 2,
+      dims = RetrievalQueries.TokDims)
+    val (cents1, books1) = IvfPq.loadModel(spark, idx)
+    assert(cents1.length === 8 && cents1.length != cents0.length,
+      "retrain must have replaced the coarse model")
+    val after3 = servePhase(2)
+    val batchNew = {
+      val table = graft.operators.TokenEmbeddingTable.load(spark, tableDir)
+      val lex = graft.operators.Bm25.servedTopK(spark, bm25Dir,
+          queries.drop(2), RetrievalQueries.HybK)
+        .select("query_id", "doc_id", "rnk")
+      val qvecs = graft.operators.TokenEmbeddingTable.queryVecs(
+        queries.drop(2).toDF("doc_id", "text"), merges,
+        TextQueries.BpePat, table)
+      val dense = IvfPq.searchRerankDf(
+          spark.read.parquet(s"$idx/codes"),
+          spark.read.parquet(s"$idx/vectors"), qvecs, cents1, books1,
+          nprobe = RetrievalQueries.TokNprobe, kCand = kCand,
+          k = RetrievalQueries.HybK, dims = RetrievalQueries.TokDims,
+          excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk"))
+      results(graft.operators.RankFusion.rrf(Seq(lex, dense),
+          RetrievalQueries.HybK)
+        .withColumn("_batch_id", lit(0L)))
+    }
+    assert(after3 === after2 ++ batchNew,
+      "the redefined session must serve query 2 under the retrained model")
+  }
+
   test("crash replay overwrites its own batch partition") {
     val (base, first) = run(Seq(queries), onePer = false)
     // simulate a replay of batch 0: the same fused result written again
