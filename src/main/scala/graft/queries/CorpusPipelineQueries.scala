@@ -21,6 +21,34 @@ object CorpusPipelineQueries extends QueryPack {
   private val DsirTargetSources = Seq("src0", "src1")
   private val DsirSelK = 50
 
+  /** ONE session-shared materialization of `CorpusPipeline.clean`
+    * (VERDICT r18 #7): x9, x10, and x12 each compose the whole release
+    * chain on top of the cleaned corpus, and each used to re-derive
+    * the gate → exact-dedup → split stages from scratch per run
+    * (first-rep 20.5 s in the r18 driver record, paid three times).
+    * The fill follows the `servedTokenVecDir` discipline — built once
+    * per (session, dataset), billed to the CacheFills ledger, read as
+    * a bare parquet scan by every consumer. At 100 TB this IS the
+    * production shape: the cleaned corpus is a published intermediate
+    * a release pipeline writes once and every downstream stage mounts,
+    * not a view recomputed per consumer. The per-entry ORACLES still
+    * replay the clean chain from scratch (CleanSql), so a drift in the
+    * persisted round-trip flips those hashes.
+    */
+  private val cleanDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def servedCleanDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cleanDirCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("corpus_clean_store", d) {
+      val dir = graft.Artifacts.tempArtifactDir("graft_clean")
+      CorpusPipeline.clean(Tables.load(s, d, "documents"))
+        .write.mode("overwrite").parquet(s"$dir/cleaned")
+      s"$dir/cleaned"
+      }
+    })
+
   /** The derived second snapshot shared by x10 (diff), x11 (drift), and
     * d17 (incremental dedup): md5-selected tenths — one dropped, one
     * EDITED (" rev2" appended: still a near-dup of its predecessor, the
@@ -352,7 +380,7 @@ object CorpusPipelineQueries extends QueryPack {
     Q("x9_release_manifest",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val cleaned = CorpusPipeline.clean(docs)
+        val cleaned = s.read.parquet(servedCleanDir(s, d))
         val withText = cleaned.select("doc_id", "split")
           .join(docs.select("doc_id", "text"), Seq("doc_id"))
         val train = withText.filter(col("split") === "train")
@@ -564,7 +592,7 @@ object CorpusPipelineQueries extends QueryPack {
       (s, d) => {
         val W = 2048L
         val docs = Tables.load(s, d, "documents")
-        val kept = CorpusPipeline.clean(docs)
+        val kept = s.read.parquet(servedCleanDir(s, d))
           .filter(col("split") === "train").select("doc_id")
         val ids = graft.operators.BpeTrainer.docTokenIds(
           docs.join(kept, Seq("doc_id"), "left_semi"),
@@ -626,7 +654,7 @@ object CorpusPipelineQueries extends QueryPack {
       (s, d) => {
         val W = 2048L
         val docs = Tables.load(s, d, "documents")
-        val kept = CorpusPipeline.clean(docs)
+        val kept = s.read.parquet(servedCleanDir(s, d))
           .filter(col("split") === "train").select("doc_id")
         val ids = graft.operators.BpeTrainer.docTokenIds(
           docs.join(kept, Seq("doc_id"), "left_semi"),
