@@ -137,6 +137,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // cross); its dense leg is the cell-pruned ADC broadcast EQUI-join
     // — no cross there
     "b13_hybrid_ann_served",
+    // b14 is b13 under a consumer grant: the lexical leg's SCOPED
+    // stats are still a one-row broadcast cross; both legs' grant
+    // filters are semi EQUI-joins (HybridServeSpec plan-asserts the
+    // dense one sits under the LUT join)
+    "b14_hybrid_filtered",
     "pipe_golden_counts")
 
   test("no query entry plans a cartesian product; BNLJ only for the LIKE join") {
