@@ -579,8 +579,8 @@ object IvfPq {
     * hits·10⁶ div denom, averaged by integer division, so the DuckDB
     * gate replays the SAME selection bit for bit).
     */
-  final case class Knobs(nlist: Int, kCand: Int, sampleN: Long,
-      meanRecallE6: Long)
+  final case class Knobs(nlist: Int, kCand: Int, nprobe: Int,
+      sampleN: Long, meanRecallE6: Long)
 
   /** `RecallRetrainFloor` in the gate's exact-integer scale. */
   val RecallFloorE6 = 800000L
@@ -670,8 +670,50 @@ object IvfPq {
     val nq = means.head._3
     val chosen = means.find(_._2 >= floorE6).map(_._1)
       .getOrElse(ladder.max)
-    Knobs(cents.length, chosen, nq,
+    Knobs(cents.length, chosen, nprobe, nq,
       means.find(_._1 == chosen).get._2)
+  }
+
+  /** The TWO-dimensional gate (r19 follow-through on VERDICT r18 #1):
+    * when no kCand rung reaches the floor, widening the candidate set
+    * further is the WRONG lever — the true neighbors are not in the
+    * probed cells at all (R19RecallProbe measured it: at 10× the m=4
+    * code saturates at 0.76 under nprobe=4 and recovers to 0.85 at
+    * nprobe=8). This face escalates nprobe through its own ladder and
+    * picks the FIRST (nprobe, kCand) in lexicographic ladder order
+    * meeting the floor — the cheapest knob pair, since nprobe rungs
+    * cost probed-cell reads on every future query while kCand rungs
+    * cost only candidate fetches. Falls back to the widest pair, still
+    * flagged by `recallStatus`' scheduled gate (the remaining response
+    * is a retrain with finer codes — m=8 measured 0.91). The DuckDB
+    * twin (`knobsGateCtes` → `nsel`/`ksel`) replays the identical
+    * selection, so BOTH served knobs are re-derived per SF.
+    */
+  def selectKnobs(codes: DataFrame, vectors: DataFrame,
+      cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
+      nprobeLadder: Seq[Int], topK: Int, kCandLadder: Seq[Int],
+      sampleMax: Long, dims: Int = 64,
+      floorE6: Long = RecallFloorE6): Knobs = {
+    require(nprobeLadder.nonEmpty && nprobeLadder == nprobeLadder.sorted.distinct,
+      s"nprobe ladder must be ascending and duplicate-free: $nprobeLadder")
+    val perNp = nprobeLadder.map(np => selectKCand(codes, vectors, cents,
+      books, np, topK, kCandLadder, sampleMax, dims, floorE6))
+    perNp.find(_.meanRecallE6 >= floorE6).getOrElse(perNp.last)
+  }
+
+  /** `selectKnobs` over a saved artifact, persisting the chosen pair as
+    * `dir/knobs` (the `selectKCandSaved` contract, both knobs).
+    */
+  def selectKnobsSaved(spark: SparkSession, dir: String,
+      nprobeLadder: Seq[Int], topK: Int, kCandLadder: Seq[Int],
+      sampleMax: Long, dims: Int = 64,
+      floorE6: Long = RecallFloorE6): Knobs = {
+    val (cents, books) = loadModel(spark, dir)
+    val knobs = selectKnobs(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"), cents, books, nprobeLadder,
+      topK, kCandLadder, sampleMax, dims, floorE6)
+    writeKnobs(spark, dir, knobs)
+    knobs
   }
 
   /** Run the kCand gate over a SAVED artifact and persist the chosen
@@ -682,15 +724,21 @@ object IvfPq {
   def selectKCandSaved(spark: SparkSession, dir: String, nprobe: Int,
       topK: Int, ladder: Seq[Int], sampleMax: Long, dims: Int = 64,
       floorE6: Long = RecallFloorE6): Knobs = {
-    import spark.implicits._
     val (cents, books) = loadModel(spark, dir)
     val knobs = selectKCand(spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/vectors"), cents, books, nprobe, topK,
       ladder, sampleMax, dims, floorE6)
-    Seq((knobs.nlist, knobs.kCand, knobs.sampleN, knobs.meanRecallE6))
-      .toDF("nlist", "k_cand", "sample_n", "mean_recall_e6")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/knobs")
+    writeKnobs(spark, dir, knobs)
     knobs
+  }
+
+  private def writeKnobs(spark: SparkSession, dir: String,
+      knobs: Knobs): Unit = {
+    import spark.implicits._
+    Seq((knobs.nlist, knobs.kCand, knobs.nprobe, knobs.sampleN,
+        knobs.meanRecallE6))
+      .toDF("nlist", "k_cand", "nprobe", "sample_n", "mean_recall_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/knobs")
   }
 
   /** The persisted gate-chosen knobs — None before the first
@@ -704,7 +752,8 @@ object IvfPq {
     else {
       val r = spark.read.parquet(s"$dir/knobs").collect()(0)
       Some(Knobs(r.getAs[Int]("nlist"), r.getAs[Int]("k_cand"),
-        r.getAs[Long]("sample_n"), r.getAs[Long]("mean_recall_e6")))
+        r.getAs[Int]("nprobe"), r.getAs[Long]("sample_n"),
+        r.getAs[Long]("mean_recall_e6")))
     }
   }
 
@@ -1012,7 +1061,7 @@ object IvfPq {
       extraCtes: String = "", neighborEv: String = "ev",
       qSrc: String = "", extQueryRel: String = "",
       nlistExpr: String = "", kCandExpr: String = "",
-      candFilterSql: String = ""): String = {
+      candFilterSql: String = "", nprobeExpr: String = ""): String = {
     val eqJoin =
       if (extQueryRel.nonEmpty) "JOIN xqev eq ON eq.query_id = c.query_id"
       else "JOIN ev eq ON eq.vec_id = c.query_id"
@@ -1026,7 +1075,8 @@ object IvfPq {
     // before the ADC ranking (the b14 serving face).
     val kCut = if (kCandExpr.nonEmpty) kCandExpr else kCand.toString
     s"""${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
-        nprobe, candFilterSql, qSrc, extQueryRel, nlistExpr)}${
+        nprobe, candFilterSql, qSrc, extQueryRel, nlistExpr,
+        nprobeExpr)}${
         if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
            FROM ranked WHERE rnk <= $kCut),
@@ -1041,89 +1091,101 @@ object IvfPq {
            FROM rer)"""
   }
 
-  /** DuckDB replay of the `selectKCand` GATE (VERDICT r18 #1) as a
-    * composable CTE group ending in `ksel(kc)` — pass it through
-    * `rerankCtes(extraCtes = ...)` with
+  /** DuckDB replay of the `selectKnobs` GATE (VERDICT r18 #1, 2-D in
+    * r19) as a composable CTE group ending in `nsel(np)` / `ksel(kc)` —
+    * pass it through `rerankCtes(extraCtes = ...)` with
+    * `nprobeExpr = "(SELECT np FROM nsel)"` and
     * `kCandExpr = "(SELECT kc FROM ksel)"` and the oracle re-DERIVES
-    * the gate-chosen candidate width instead of pinning it.
+    * both gate-chosen serving knobs instead of pinning them.
     *
-    * Everything is namespaced `g*` and reuses the chain the enclosing
-    * `searchCtes` already built: `ev` (per-dim store vectors),
-    * `dist{coarseIters+1}` (every (vec, cell) coarse distance — the
-    * sample's probe selection is its per-query head), `ct{coarseIters}`
-    * (final coarse centroids), the residual codebooks `s{i}_ct{iters}`,
-    * and `cd` (the encoded codes). The sample is the corpus-member
-    * vec_id < `sampleMax` head, self excluded; per ladder rung c the
-    * served top-k is the exact-distance top-k among ADC rank ≤ c (the
-    * exact re-rank property `selectKCand` exploits), recall is the
-    * exact-integer hits·10⁶ div denom mean, and `ksel` picks the
-    * smallest rung meeting `floorE6` (falling back to the widest).
+    * Everything is namespaced `g{np}_*` (one ADC chain per nprobe rung)
+    * plus the shared np-independent exact baseline `gex`/`gextop`, and
+    * reuses the chain the enclosing `searchCtes` already built: `ev`
+    * (per-dim store vectors), `dist{coarseIters+1}` (every (vec, cell)
+    * coarse distance — the sample's probe selection is its per-query
+    * head), `ct{coarseIters}` (final coarse centroids), the residual
+    * codebooks `s{i}_ct{iters}`, and `cd` (the UNFILTERED encoded
+    * codes). The sample is the corpus-member vec_id < `sampleMax` head,
+    * self excluded; per (np, c) rung the served top-k is the
+    * exact-distance top-k among that np-chain's ADC rank ≤ c (the exact
+    * re-rank property `selectKCand` exploits), recall is the
+    * exact-integer hits·10⁶ div denom mean, and the selection is the
+    * lexicographically first (np, kc) meeting `floorE6` — `selectKnobs`'
+    * cheapest-pair rule — falling back to the widest pair.
     */
-  def kcandGateCtes(coarseIters: Int, m: Int, iters: Int, dims: Int,
-      sampleMax: Long, nprobe: Int, topK: Int, ladder: Seq[Int],
-      floorE6: Long = RecallFloorE6): String = {
-    require(ladder.nonEmpty && ladder == ladder.sorted.distinct,
-      s"ladder must be ascending and duplicate-free: $ladder")
+  def knobsGateCtes(coarseIters: Int, m: Int, iters: Int, dims: Int,
+      sampleMax: Long, nprobeLadder: Seq[Int], topK: Int,
+      kCandLadder: Seq[Int], floorE6: Long = RecallFloorE6): String = {
+    require(kCandLadder.nonEmpty && kCandLadder == kCandLadder.sorted.distinct,
+      s"kCand ladder must be ascending and duplicate-free: $kCandLadder")
+    require(nprobeLadder.nonEmpty && nprobeLadder == nprobeLadder.sorted.distinct,
+      s"nprobe ladder must be ascending and duplicate-free: $nprobeLadder")
     val sub = dims / m
     val fCoarse = coarseIters + 1
-    val gluts = (0 until m).map { i =>
-      s"""glut$i AS MATERIALIZED (SELECT r.query_id, r.p_cell, c.cluster AS code,
+    val npChains = nprobeLadder.map { np =>
+      val g = s"g${np}_"
+      val gluts = (0 until m).map { i =>
+        s"""${g}lut$i AS MATERIALIZED (SELECT r.query_id, r.p_cell, c.cluster AS code,
            CAST(sum((r.v - c.c) * (r.v - c.c)) AS BIGINT) AS d2
-           FROM gqres r JOIN s${i}_ct$iters c ON c.d = r.d - ${i * sub}
+           FROM ${g}qres r JOIN s${i}_ct$iters c ON c.d = r.d - ${i * sub}
            WHERE r.d > ${i * sub} AND r.d <= ${(i + 1) * sub}
            GROUP BY 1, 2, 3)"""
-    }.mkString(",\n         ")
-    val glutJoins = (0 until m).map { i =>
-      if (i == 0)
-        "JOIN glut0 l0 ON l0.p_cell = cd.cell AND l0.code = cd.c0"
-      else
-        s"JOIN glut$i l$i ON l$i.p_cell = cd.cell AND l$i.code = cd.c$i" +
-          s" AND l$i.query_id = l0.query_id"
-    }.mkString(" ")
-    val gdsum = (0 until m).map(i => s"l$i.d2").mkString(" + ")
-    val rungs = ladder.map { c =>
-      s"""gs$c AS (SELECT query_id, neighbor_id FROM (
+      }.mkString(",\n         ")
+      val glutJoins = (0 until m).map { i =>
+        if (i == 0)
+          s"JOIN ${g}lut0 l0 ON l0.p_cell = cd.cell AND l0.code = cd.c0"
+        else
+          s"JOIN ${g}lut$i l$i ON l$i.p_cell = cd.cell AND l$i.code = cd.c$i" +
+            s" AND l$i.query_id = l0.query_id"
+      }.mkString(" ")
+      val gdsum = (0 until m).map(i => s"l$i.d2").mkString(" + ")
+      val rungs = kCandLadder.map { c =>
+        s"""${g}s$c AS (SELECT query_id, neighbor_id FROM (
              SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY dist2, neighbor_id) AS rr
-             FROM gcd WHERE adc_rnk <= $c) WHERE rr <= $topK),
-         gq$c AS (SELECT e.query_id,
+             FROM ${g}cd WHERE adc_rnk <= $c) WHERE rr <= $topK),
+         ${g}q$c AS (SELECT e.query_id,
              CAST(count(s.neighbor_id) AS BIGINT) AS hits,
              CAST(count(*) AS BIGINT) AS denom
-           FROM gextop e LEFT JOIN gs$c s
+           FROM gextop e LEFT JOIN ${g}s$c s
              ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
            GROUP BY 1),
-         gm$c AS (SELECT $c AS kc,
+         ${g}m$c AS (SELECT $np AS np, $c AS kc,
            CAST(sum((hits * 1000000) // denom) AS BIGINT) // count(*) AS mean_e6
-           FROM gq$c)"""
-    }.mkString(",\n         ")
-    val gall = ladder.map(c => s"SELECT * FROM gm$c").mkString(" UNION ALL ")
-    s"""gprobed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
+           FROM ${g}q$c)"""
+      }.mkString(",\n         ")
+      s"""${g}probed AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS p_cell
            FROM (SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS pr
              FROM dist$fCoarse WHERE vec_id < $sampleMax)
-           WHERE pr <= $nprobe),
-         gqres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
+           WHERE pr <= $np),
+         ${g}qres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
              e.v - c.c AS v
-           FROM gprobed p JOIN ev e ON e.vec_id = p.query_id
+           FROM ${g}probed p JOIN ev e ON e.vec_id = p.query_id
            JOIN ct$coarseIters c ON c.cluster = p.p_cell AND c.d = e.d),
          $gluts,
-         gapprox AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
+         ${g}approx AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
              $gdsum AS adist2
            FROM cd $glutJoins
            WHERE cd.vec_id <> l0.query_id),
-         granked AS (SELECT query_id, neighbor_id, adist2,
+         ${g}ranked AS (SELECT query_id, neighbor_id, adist2,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY adist2, neighbor_id) AS INTEGER) AS rnk
-           FROM gapprox),
-         gcd AS MATERIALIZED (SELECT g.query_id, g.neighbor_id,
+           FROM ${g}approx),
+         ${g}cd AS MATERIALIZED (SELECT g.query_id, g.neighbor_id,
              g.rnk AS adc_rnk,
              CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
-           FROM granked g JOIN ev eq ON eq.vec_id = g.query_id
+           FROM ${g}ranked g JOIN ev eq ON eq.vec_id = g.query_id
            JOIN ev en ON en.vec_id = g.neighbor_id AND en.d = eq.d
-           WHERE g.rnk <= ${ladder.max}
+           WHERE g.rnk <= ${kCandLadder.max}
            GROUP BY 1, 2, 3),
-         gex AS MATERIALIZED (SELECT eq.vec_id AS query_id,
+         $rungs"""
+    }.mkString(",\n         ")
+    val gall = nprobeLadder.flatMap(np =>
+      kCandLadder.map(c => s"SELECT * FROM g${np}_m$c"))
+      .mkString(" UNION ALL ")
+    s"""gex AS MATERIALIZED (SELECT eq.vec_id AS query_id,
              en.vec_id AS neighbor_id,
              CAST(sum((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist2
            FROM ev eq JOIN ev en ON en.d = eq.d AND en.vec_id <> eq.vec_id
@@ -1133,11 +1195,14 @@ object IvfPq {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY dist2, neighbor_id) AS rnk
              FROM gex) WHERE rnk <= $topK),
-         $rungs,
+         $npChains,
          gall AS ($gall),
-         ksel AS (SELECT coalesce(
-             (SELECT min(kc) FROM gall WHERE mean_e6 >= $floorE6),
-             (SELECT max(kc) FROM gall)) AS kc)"""
+         gmet AS (SELECT np, kc FROM gall WHERE mean_e6 >= $floorE6
+           ORDER BY np, kc LIMIT 1),
+         nsel AS (SELECT coalesce((SELECT np FROM gmet),
+           ${nprobeLadder.max}) AS np),
+         ksel AS (SELECT coalesce((SELECT kc FROM gmet),
+           ${kCandLadder.max}) AS kc)"""
   }
 
   /** DuckDB replay of the n30 RECALL@k measurement: the full ADC
@@ -1183,9 +1248,15 @@ object IvfPq {
   private def searchCtes(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, nq: Int, nprobe: Int,
       candFilterSql: String, qSrc: String = "",
-      extQueryRel: String = "", nlistExpr: String = ""): String = {
+      extQueryRel: String = "", nlistExpr: String = "",
+      nprobeExpr: String = ""): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
+    // `nprobeExpr` (r19, the 2-D gate): a scalar expression — typically
+    // `(SELECT np FROM nsel)` over `knobsGateCtes` — overriding the
+    // literal probe width, so the gate-ESCALATED nprobe the Spark side
+    // serves with is re-derived by the oracle too
+    val npCut = if (nprobeExpr.nonEmpty) nprobeExpr else nprobe.toString
     val luts = (0 until m).map { i =>
       s"""lut$i AS MATERIALIZED (SELECT r.query_id, r.p_cell, c.cluster AS code,
            CAST(sum((r.v - c.c) * (r.v - c.c)) AS BIGINT) AS d2
@@ -1210,7 +1281,7 @@ object IvfPq {
            FROM (SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS pr
              FROM dist$fCoarse WHERE vec_id < $nq)
-           WHERE pr <= $nprobe),
+           WHERE pr <= $npCut),
          qres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
              e.v - c.c AS v
            FROM probed p JOIN ev e ON e.vec_id = p.query_id
@@ -1225,7 +1296,7 @@ object IvfPq {
            FROM (SELECT query_id, cluster,
                row_number() OVER (PARTITION BY query_id ORDER BY dist2, cluster) AS pr
              FROM xqdist)
-           WHERE pr <= $nprobe),
+           WHERE pr <= $npCut),
          qres AS MATERIALIZED (SELECT p.query_id, p.p_cell, e.d,
              e.v - c.c AS v
            FROM probed p JOIN xqev e ON e.query_id = p.query_id

@@ -260,7 +260,6 @@ object RetrievalQueries extends QueryPack {
   private[graft] val TokM = 4
   private[graft] val TokPqK = 16
   private[graft] val TokPqIters = 2
-  private[graft] val TokNprobe = 4
   // SCALE-DERIVED geometry (VERDICT r18 #1 — the r18 constants
   // TokNlist=16/TokKCand=100 made nprobe/nlist a fixed 25% of the
   // corpus codes, a quarter-corpus read at any scale):
@@ -278,6 +277,13 @@ object RetrievalQueries extends QueryPack {
   //    pinned.
   private[graft] val TokCellTarget = 512L
   private[graft] val TokKCandLadder = Seq(25, 50, 100, 200)
+  /** The gate's nprobe escalation ladder (r19 2-D gate): when no kCand
+    * rung reaches the recall floor the true neighbors are outside the
+    * probed cells, so the gate widens the probe set before falling
+    * back to flagged-at-widest (R19RecallProbe: at 10x nprobe 8
+    * restores the floor where kCand 400 cannot).
+    */
+  private[graft] val TokNprobeLadder = Seq(4, 8)
   private[graft] val TokSampleMax = 8L
   /** b14's consumer grant: the source feeds this scope may retrieve
     * from (the reference's share-grant shape — `SecureShare`'s account
@@ -307,8 +313,8 @@ object RetrievalQueries extends QueryPack {
         TokM, TokPqK, TokPqIters, TokDims)
       graft.operators.IvfPq.saveQ(
         q, dir + "/idx", cents, books, TokDims)
-      graft.operators.IvfPq.selectKCandSaved(s, dir + "/idx",
-        TokNprobe, HybK, TokKCandLadder, TokSampleMax, TokDims)
+      graft.operators.IvfPq.selectKnobsSaved(s, dir + "/idx",
+        TokNprobeLadder, HybK, TokKCandLadder, TokSampleMax, TokDims)
       dir + "/idx"
       }
     })
@@ -925,14 +931,14 @@ object RetrievalQueries extends QueryPack {
         val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
         val codes = s.read.parquet(s"$idxDir/codes")
         val vectors = s.read.parquet(s"$idxDir/vectors")
-        // the gate-chosen candidate width travels WITH the artifact
-        // (dir/knobs — written by selectKCandSaved at build time)
-        val kCand = graft.operators.IvfPq.loadKnobs(s, idxDir).get.kCand
+        // the gate-chosen serving knobs travel WITH the artifact
+        // (dir/knobs — written by selectKnobsSaved at build time)
+        val knobs = graft.operators.IvfPq.loadKnobs(s, idxDir).get
         val qvecs = graft.operators.TokenEmbeddingTable.queryVecs(
           Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat, table)
         val dense = graft.operators.IvfPq.searchRerankDf(
             codes, vectors, qvecs, cents, books,
-            nprobe = TokNprobe, kCand = kCand, k = HybK,
+            nprobe = knobs.nprobe, kCand = knobs.kCand, k = HybK,
             dims = TokDims, excludeSelf = false)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rnk"))
@@ -973,15 +979,16 @@ object RetrievalQueries extends QueryPack {
                "tvnz", TokCellTarget)} AS nlist),
              ${graft.operators.IvfPq.rerankCtes(
                0, TokCoarseIters, TokM, TokPqK, TokPqIters,
-               TokDims, Queries.length, TokNprobe, 0,
+               TokDims, Queries.length, 0, 0,
                qSrc = "SELECT doc_id AS vec_id, " +
                  "list_transform(v, x -> CAST(x AS BIGINT)) AS qv FROM tvnz",
                extQueryRel = "qq",
                nlistExpr = "(SELECT nlist FROM geo)",
                kCandExpr = "(SELECT kc FROM ksel)",
-               extraCtes = graft.operators.IvfPq.kcandGateCtes(
+               nprobeExpr = "(SELECT np FROM nsel)",
+               extraCtes = graft.operators.IvfPq.knobsGateCtes(
                  TokCoarseIters, TokM, TokPqIters, TokDims,
-                 TokSampleMax, TokNprobe, HybK, TokKCandLadder))},
+                 TokSampleMax, TokNprobeLadder, HybK, TokKCandLadder))},
              densec AS (SELECT query_id, neighbor_id AS doc_id, rnk
                FROM rr WHERE rnk <= $HybK),
              fus AS (SELECT query_id, doc_id,
@@ -1033,7 +1040,7 @@ object RetrievalQueries extends QueryPack {
           .select("query_id", "doc_id", "rnk")
         val idxDir = servedTokenIvfPqDir(s, d)
         val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
-        val kCand = graft.operators.IvfPq.loadKnobs(s, idxDir).get.kCand
+        val knobs = graft.operators.IvfPq.loadKnobs(s, idxDir).get
         val codes = s.read.parquet(s"$idxDir/codes")
           .join(allowed.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
@@ -1042,7 +1049,7 @@ object RetrievalQueries extends QueryPack {
           Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat, table)
         val dense = graft.operators.IvfPq.searchRerankDf(
             codes, vectors, qvecs, cents, books,
-            nprobe = TokNprobe, kCand = kCand, k = HybK,
+            nprobe = knobs.nprobe, kCand = knobs.kCand, k = HybK,
             dims = TokDims, excludeSelf = false)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rnk"))
@@ -1085,16 +1092,17 @@ object RetrievalQueries extends QueryPack {
                "tvnz", TokCellTarget)} AS nlist),
              ${graft.operators.IvfPq.rerankCtes(
                0, TokCoarseIters, TokM, TokPqK, TokPqIters,
-               TokDims, Queries.length, TokNprobe, 0,
+               TokDims, Queries.length, 0, 0,
                qSrc = "SELECT doc_id AS vec_id, " +
                  "list_transform(v, x -> CAST(x AS BIGINT)) AS qv FROM tvnz",
                extQueryRel = "qq",
                nlistExpr = "(SELECT nlist FROM geo)",
                kCandExpr = "(SELECT kc FROM ksel)",
+               nprobeExpr = "(SELECT np FROM nsel)",
                candFilterSql = "JOIN fdocs fd ON fd.doc_id = cd.vec_id",
-               extraCtes = graft.operators.IvfPq.kcandGateCtes(
+               extraCtes = graft.operators.IvfPq.knobsGateCtes(
                  TokCoarseIters, TokM, TokPqIters, TokDims,
-                 TokSampleMax, TokNprobe, HybK, TokKCandLadder))},
+                 TokSampleMax, TokNprobeLadder, HybK, TokKCandLadder))},
              densec AS (SELECT query_id, neighbor_id AS doc_id, rnk
                FROM rr WHERE rnk <= $HybK),
              fus AS (SELECT query_id, doc_id,

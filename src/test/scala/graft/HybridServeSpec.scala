@@ -60,11 +60,11 @@ class HybridServeSpec extends AnyFunSuite {
     // the knobs the serving tier reads are the GATE's (VERDICT r18 #1)
     val knobs = IvfPq.loadKnobs(spark, idx).get
     val st = IvfPq.recallStatus(spark, idx, qvecs,
-      k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
+      k = RetrievalQueries.HybK, nprobe = knobs.nprobe,
       kCand = knobs.kCand, dims = RetrievalQueries.TokDims,
       threshold = 0.0)
     info(s"b13 dense-leg recall@${RetrievalQueries.HybK} " +
-      s"(nprobe=${RetrievalQueries.TokNprobe}/${knobs.nlist} cells, " +
+      s"(gate nprobe=${knobs.nprobe}/${knobs.nlist} cells, " +
       s"gate kCand=${knobs.kCand}, gate mean_e6=${knobs.meanRecallE6}) " +
       s"= ${st.recall}")
     assert(st.nQueries === RetrievalQueries.Queries.length.toLong)
@@ -173,7 +173,7 @@ class HybridServeSpec extends AnyFunSuite {
       merges, TextQueries.BpePat, table)
     val plan = IvfPq.searchRerankDf(codes,
         spark.read.parquet(s"$idxDir/vectors"), qvecs, cents, books,
-        nprobe = RetrievalQueries.TokNprobe,
+        nprobe = IvfPq.loadKnobs(spark, idxDir).get.nprobe,
         kCand = IvfPq.loadKnobs(spark, idxDir).get.kCand,
         k = RetrievalQueries.HybK, dims = RetrievalQueries.TokDims,
         excludeSelf = false)

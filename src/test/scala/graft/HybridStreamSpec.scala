@@ -52,16 +52,16 @@ class HybridStreamSpec extends AnyFunSuite {
     val tableDir = RetrievalQueries.servedTokenEmbDir(spark, sf)
     val annDir = RetrievalQueries.servedTokenIvfPqDir(spark, sf)
     val merges = TextQueries.frozenByteMerges(spark, sf)
-    val kCand = graft.operators.IvfPq.loadKnobs(spark, annDir).get.kCand
+    val knobs = graft.operators.IvfPq.loadKnobs(spark, annDir).get
     val q = (allowed match {
       case Some(a) => HybridStream.serveScoped(src, bm25Dir, tableDir,
         annDir, merges, TextQueries.BpePat, s"$base/out", s"$base/ck",
-        k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
-        kCand = kCand, dims = RetrievalQueries.TokDims, allowed = a)
+        k = RetrievalQueries.HybK, nprobe = knobs.nprobe,
+        kCand = knobs.kCand, dims = RetrievalQueries.TokDims, allowed = a)
       case None => HybridStream.serve(src, bm25Dir, tableDir, annDir,
         merges, TextQueries.BpePat, s"$base/out", s"$base/ck",
-        k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
-        kCand = kCand, dims = RetrievalQueries.TokDims)
+        k = RetrievalQueries.HybK, nprobe = knobs.nprobe,
+        kCand = knobs.kCand, dims = RetrievalQueries.TokDims)
     }).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     (base, results(spark.read.parquet(s"$base/out")))
@@ -120,7 +120,7 @@ class HybridStreamSpec extends AnyFunSuite {
     val bm25Dir = RetrievalQueries.servedBm25Dir(spark, sf)
     val tableDir = RetrievalQueries.servedTokenEmbDir(spark, sf)
     val merges = TextQueries.frozenByteMerges(spark, sf)
-    val kCand = IvfPq.loadKnobs(spark, idx).get.kCand
+    val knobs0 = IvfPq.loadKnobs(spark, idx).get
     val srcDir = s"$base/src"
     // one stream SESSION = one model snapshot: serve() loads the model
     // at definition; each phase below publishes ONE more query file,
@@ -135,8 +135,8 @@ class HybridStreamSpec extends AnyFunSuite {
         .option("latestFirst", "false").parquet(s"$srcDir/*")
       val q = HybridStream.serve(src, bm25Dir, tableDir, idx, merges,
           TextQueries.BpePat, s"$base/out", s"$base/ck",
-          k = RetrievalQueries.HybK, nprobe = RetrievalQueries.TokNprobe,
-          kCand = kCand, dims = RetrievalQueries.TokDims)
+          k = RetrievalQueries.HybK, nprobe = knobs0.nprobe,
+          kCand = knobs0.kCand, dims = RetrievalQueries.TokDims)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       results(spark.read.parquet(s"$base/out"))
@@ -184,7 +184,7 @@ class HybridStreamSpec extends AnyFunSuite {
       val dense = IvfPq.searchRerankDf(
           spark.read.parquet(s"$idx/codes"),
           spark.read.parquet(s"$idx/vectors"), qvecs, cents1, books1,
-          nprobe = RetrievalQueries.TokNprobe, kCand = kCand,
+          nprobe = knobs0.nprobe, kCand = knobs0.kCand,
           k = RetrievalQueries.HybK, dims = RetrievalQueries.TokDims,
           excludeSelf = false)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),

@@ -480,6 +480,51 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       "knobs must round-trip from dir/knobs")
   }
 
+  test("2-D gate: nprobe escalates when no kCand rung can meet the floor (r19)") {
+    import spark.implicits._
+    val d8 = Files.createTempDirectory("graft_ivfpq_2d").toString + "/idx"
+    val dims4 = 4
+    def v(x: Long, y: Long) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    // the recall-gate test's planted geometry, post-append state: the
+    // (450, 430+j) vectors are exact-top-8 neighbors of every cell-0
+    // sample query but live in cell 2 — at nprobe=1 NO candidate width
+    // can reach them (recall stuck at 4/8), at nprobe=2 the probe set
+    // covers them and the narrow width suffices
+    val base = (
+      (0L until 5L).map(i => (i, v(i, 0L))) ++
+      (10L until 14L).map(i => (i, v(1000L + (i - 10L), 0L))) ++
+      (20L until 24L).map(i => (i, v(450L, 800L + (i - 20L))))
+    ).toDF("vec_id", "embedding")
+    val cents4 = Seq(
+      Array(0L, 0L, 0L, 0L),
+      Array(1000000000L, 0L, 0L, 0L),
+      Array(450000000L, 800000000L, 0L, 0L))
+    val books4 = graft.operators.PqIndex.fitQuantized(
+      IvfPq.residuals(KMeans.quantized(base), cents4).localCheckpoint(),
+      2, 4, 2, dims4)
+    IvfPq.save(base, d8, cents4, books4, dims4)
+    val delta = (30L until 33L).map(i => (i, v(450L, 430L + (i - 30L))))
+      .toDF("vec_id", "embedding")
+    assert(IvfPq.appendToSaved(spark, d8, delta, dims4) === 3L)
+    // nprobe=1 fails the floor at EVERY kCand rung...
+    val codes = spark.read.parquet(s"$d8/codes")
+    val vectors = spark.read.parquet(s"$d8/vectors")
+    val k1 = IvfPq.selectKCand(codes, vectors, cents4, books4,
+      nprobe = 1, topK = 8, ladder = Seq(8, 16), sampleMax = 5L,
+      dims = dims4)
+    assert(k1.meanRecallE6 < 800000L,
+      s"fixture broken: nprobe=1 should be floor-blocked: $k1")
+    // ...so the 2-D gate escalates, meets the floor, and persists BOTH
+    // knobs with the artifact
+    val knobs = IvfPq.selectKnobsSaved(spark, d8,
+      nprobeLadder = Seq(1, 2), topK = 8, kCandLadder = Seq(8, 16),
+      sampleMax = 5L, dims = dims4)
+    assert(knobs.nprobe === 2, s"gate must escalate past nprobe=1: $knobs")
+    assert(knobs.meanRecallE6 >= 800000L, s"escalated gate unmet: $knobs")
+    assert(IvfPq.loadKnobs(spark, d8) === Some(knobs),
+      "2-D knobs must round-trip from dir/knobs")
+  }
+
   test("crash-replayed append auto-heals orphan vectors without a manual repairCodes (ADVICE r17)") {
     val d5 = Files.createTempDirectory("graft_ivfpq_ah").toString + "/idx"
     IvfPq.save(emb, d5, cents, books, dims)
