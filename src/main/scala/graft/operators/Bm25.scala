@@ -507,7 +507,37 @@ object Bm25 {
     * stream (they change only when the scope or the corpus does).
     */
   def servedTopKScoped(spark: SparkSession, dir: String,
-      queries: DataFrame, k: Int, allowed: DataFrame): DataFrame = {
+      queries: DataFrame, k: Int, allowed: DataFrame): DataFrame =
+    servedTopKScopedWith(spark, dir, queries, k, allowed,
+      scopedStats(spark, dir, allowed))
+
+  /** The grant's corpus statistics — scoped N/avgdl aggregated from
+    * the index's docs store semi-joined to the allowed set: one narrow
+    * two-column pass, O(corpus rows). A one-shot scoped query pays it
+    * inline (`servedTopKScoped`); a long-lived consumer session — above
+    * all a scoped query STREAM, whose grant is frozen at definition —
+    * computes it ONCE and serves every call through
+    * `servedTopKScopedWith` (VERDICT r19 #3: the stream face used to
+    * re-price this full docs-store pass per micro-batch).
+    */
+  def scopedStats(spark: SparkSession, dir: String,
+      allowed: DataFrame): DataFrame =
+    corpusStats(
+      spark.read.parquet(s"$dir/docs")
+        .join(allowed.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "doc_len"))
+
+  /** `servedTopKScoped` under PRE-COMPUTED scope statistics (the
+    * one-row `scopedStats` frame for the SAME grant — supplying stats
+    * of a different scope is a caller contract violation): the pruned
+    * scoped read and the scoring are unchanged, only where the stats
+    * come from moves. Everything downstream of `p` is the one shared
+    * `scoreAndRank` tree, so results are bit-identical to the inline
+    * face by construction.
+    */
+  def servedTopKScopedWith(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, allowed: DataFrame,
+      stats: DataFrame): DataFrame = {
     val nBuckets = spark.read.parquet(s"$dir/stats")
       .select("n_buckets").head().getInt(0)
     val allowedIds = allowed.select("doc_id")
@@ -521,11 +551,7 @@ object Bm25 {
       .join(broadcast(termBuckets), Seq("bucket", "term"))
       .join(allowedIds, Seq("doc_id"), "left_semi")
       .select("term", "doc_id", "tf", "doc_len").distinct()
-    val scopedStats = corpusStats(
-      spark.read.parquet(s"$dir/docs")
-        .join(allowedIds, Seq("doc_id"), "left_semi")
-        .select("doc_id", "doc_len"))
-    scoreAndRank(p, scopedStats, qTerms, k)
+    scoreAndRank(p, stats, qTerms, k)
   }
 
   /** Exact PHRASE search — the positional face BM25's bag-of-words

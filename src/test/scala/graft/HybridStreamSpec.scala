@@ -101,6 +101,74 @@ class HybridStreamSpec extends AnyFunSuite {
       "a doc outside the grant leaked into the scoped results")
   }
 
+  test("scoped stream prices the grant's stats ONCE at definition: no batch plan ever scans the docs store (VERDICT r19 #3)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val expected = results(
+      SparkEntry.queries("b14_hybrid_filtered")(spark, sf))
+    val allowed = Tables.load(spark, sf, "documents")
+      .filter(col("source").isin(RetrievalQueries.ScopeSources: _*))
+      .select("doc_id")
+    val srcDir = Files.createTempDirectory("graft_hyb_stat_src").toString
+    val base = Files.createTempDirectory("graft_hyb_stat").toString
+    Seq(queries.take(1), queries.drop(1)).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("query_id", "q_text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      new java.io.File(s"$srcDir/f$i").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(qSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$srcDir/*")
+    val bm25Dir = RetrievalQueries.servedBm25Dir(spark, sf)
+    val knobs = graft.operators.IvfPq.loadKnobs(
+      spark, RetrievalQueries.servedTokenIvfPqDir(spark, sf)).get
+    // stream DEFINITION (grant snapshot + scoped stats priced here) …
+    val writer = HybridStream.serveScoped(src, bm25Dir,
+      RetrievalQueries.servedTokenEmbDir(spark, sf),
+      RetrievalQueries.servedTokenIvfPqDir(spark, sf),
+      TextQueries.frozenByteMerges(spark, sf), TextQueries.BpePat,
+      s"$base/out", s"$base/ck", k = RetrievalQueries.HybK,
+      nprobe = knobs.nprobe, kCand = knobs.kCand,
+      dims = RetrievalQueries.TokDims, allowed = allowed)
+    // … then EVERY scan in every executed batch plan is recorded; the
+    // docs store must never appear (the scoped N/avgdl are a frozen
+    // one-row frame, not a per-trigger corpus pass)
+    def scanPaths(p: SparkPlan): Seq[String] = (p match {
+      case a: AdaptiveSparkPlanExec => scanPaths(a.executedPlan)
+      case q: QueryStageExec => scanPaths(q.plan)
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+      case o => o.children.flatMap(scanPaths)
+    }) ++ p.subqueries.flatMap(scanPaths)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scanPaths(qe.executedPlan).foreach(seen.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Thread.sleep(500)
+        results(spark.read.parquet(s"$base/out"))
+      } finally spark.listenerManager.unregister(listener)
+    assert(got === expected,
+      "hoisted-stats scoped stream diverged from batch b14")
+    import scala.jdk.CollectionConverters._
+    val scans = seen.asScala.toSeq
+    assert(scans.nonEmpty, "listener saw no scans — window broken")
+    val docScans = scans.filter(_.contains(s"$bm25Dir/docs"))
+    assert(docScans.isEmpty,
+      s"a batch plan re-scanned the docs store for frozen-grant stats: $docScans")
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(from)

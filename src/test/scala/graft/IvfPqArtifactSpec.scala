@@ -551,6 +551,144 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       "auto-heal did not code the orphan vectors")
   }
 
+  test("lazy 2-D gate: a floor-meeting first rung pays exactly one rung's gate jobs (VERDICT r19 #5 / ADVICE r19)") {
+    import spark.implicits._
+    val d9 = Files.createTempDirectory("graft_ivfpq_lazy").toString + "/idx"
+    val dims4 = 4
+    def v(x: Long, y: Long) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    // the 2-D gate fixture's PRE-append geometry: each cell-0 sample
+    // query's exact top-3 is same-cell, so nprobe=1 already meets the
+    // floor and the second rung must never run
+    val base = (
+      (0L until 5L).map(i => (i, v(i, 0L))) ++
+      (10L until 14L).map(i => (i, v(1000L + (i - 10L), 0L))) ++
+      (20L until 24L).map(i => (i, v(450L, 800L + (i - 20L))))
+    ).toDF("vec_id", "embedding")
+    val cents4 = Seq(
+      Array(0L, 0L, 0L, 0L),
+      Array(1000000000L, 0L, 0L, 0L),
+      Array(450000000L, 800000000L, 0L, 0L))
+    val books4 = graft.operators.PqIndex.fitQuantized(
+      IvfPq.residuals(KMeans.quantized(base), cents4).localCheckpoint(),
+      2, 4, 2, dims4)
+    IvfPq.save(base, d9, cents4, books4, dims4)
+    val codes = spark.read.parquet(s"$d9/codes").localCheckpoint()
+    val vectors = spark.read.parquet(s"$d9/vectors").localCheckpoint()
+    def countJobs(body: => IvfPq.Knobs): (IvfPq.Knobs, Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { val k = body; Thread.sleep(400); (k, n.get()) }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (k1, j1) = countJobs(IvfPq.selectKnobs(codes, vectors, cents4,
+      books4, nprobeLadder = Seq(1), topK = 3, kCandLadder = Seq(8),
+      sampleMax = 5L, dims = dims4))
+    assert(k1.meanRecallE6 >= 800000L,
+      s"fixture broken: nprobe=1 should meet the floor pre-append: $k1")
+    val (k2, j2) = countJobs(IvfPq.selectKnobs(codes, vectors, cents4,
+      books4, nprobeLadder = Seq(1, 2), topK = 3, kCandLadder = Seq(8),
+      sampleMax = 5L, dims = dims4))
+    assert(k2 === k1, "the lazy ladder changed the chosen knobs")
+    assert(j2 === j1,
+      s"a floor-meeting first rung must short-circuit the ladder: " +
+        s"1-rung gate ran $j1 jobs, 2-rung gate ran $j2")
+  }
+
+  test("loadKnobs survives the crashed-overwrite windows: zero-row parquet and zero-file directory read as None (ADVICE r19)") {
+    import spark.implicits._
+    val d10 = Files.createTempDirectory("graft_ivfpq_knobs").toString + "/idx"
+    // zero-row parquet (a legacy overwrite that died mid-write)
+    Seq((1, 1, 1, 1L, 1L))
+      .toDF("nlist", "k_cand", "nprobe", "sample_n", "mean_recall_e6")
+      .filter(lit(false))
+      .write.mode("overwrite").parquet(s"$d10/knobs")
+    assert(IvfPq.loadKnobs(spark, d10) === None,
+      "zero-row knobs must read as None, not crash serving")
+    // zero-FILE directory (crash between mkdir and the first part file)
+    val p = new org.apache.hadoop.fs.Path(s"$d10/knobs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    assert(IvfPq.loadKnobs(spark, d10) === None,
+      "zero-file knobs dir must read as None, not crash serving")
+    // and the staged writer cannot leave either state behind: a write
+    // publishes atomically and round-trips
+    val knobs = IvfPq.Knobs(4, 16, 2, 5L, 900000L)
+    val wk = classOf[IvfPq.type].getDeclaredMethods
+      .find(_.getName == "writeKnobs").get
+    wk.setAccessible(true)
+    wk.invoke(IvfPq, spark, d10, knobs)
+    assert(IvfPq.loadKnobs(spark, d10) === Some(knobs))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d10/knobs.staging")),
+      "staged knobs write must clean up its staging dir")
+  }
+
+  test("retrainDeeper: a floor-blocked artifact retrains itself to a finer code budget and clears the flag (VERDICT r19 #1)") {
+    import spark.implicits._
+    val d11 = Files.createTempDirectory("graft_ivfpq_deep").toString + "/idx"
+    val dims16 = 16
+    // 64 hypercube-corner vectors (coords ∈ {0, 4} per dim, seeded):
+    // at m=16/k=4 every per-dim codebook represents both coordinate
+    // values EXACTLY (ADC ≡ exact distance → recall 1.0), while at
+    // m=1 four joint codewords must cover ~64 distinct corners — the
+    // candidate cut then runs on massively collided ADC ties and no
+    // (nprobe, kCand) pair in the ladders can meet the floor. One
+    // cell (min=max nlist=1) removes the coarse-probe lever entirely,
+    // so the CODE BUDGET is provably the only knob left — exactly the
+    // state the 2-D gate's honest failure mode leaves behind.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 64L).map(i =>
+      (i, Seq.fill(dims16)((rnd.nextInt(2) * 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = graft.operators.KMeans.quantized(base).localCheckpoint()
+    val cents1 = KMeans.fitQ(q, 1, 2, dims16)
+    val books1 = graft.operators.PqIndex.fitQuantized(
+      IvfPq.residuals(q, cents1).localCheckpoint(), 1, 4, 2, dims16)
+    IvfPq.save(base, d11, cents1, books1, dims16)
+    val nprobeL = Seq(1)
+    val kCandL = Seq(3, 6)
+    // precondition: the 2-D gate saturates flagged at m=1 — its widest
+    // pair still misses the floor (the r19 "serve widest, stay
+    // flagged" terminal state)
+    val blocked = IvfPq.selectKnobsSaved(spark, d11, nprobeL, topK = 3,
+      kCandL, sampleMax = 4L, dims = dims16)
+    assert(blocked.meanRecallE6 < 800000L,
+      s"fixture broken: m=1 should be floor-blocked at every knob pair: $blocked")
+    // the automated response: walk the m ladder, refit, re-gate, swap
+    val st = IvfPq.retrainDeeper(spark, d11, mLadder = Seq(1, 4, 16),
+      pqK = 4, coarseIters = 2, pqIters = 2, nprobeLadder = nprobeL,
+      topK = 3, kCandLadder = kCandL, sampleMax = 4L, dims = dims16,
+      targetPop = 64L, minNlist = 1, maxNlist = 1,
+      current = Some(blocked))
+    assert(!st.flagged,
+      s"retrainDeeper must clear the flag on this fixture: $st")
+    assert(st.m > 1, s"the cleared artifact must carry a deeper m: $st")
+    assert(st.knobs.meanRecallE6 >= 800000L)
+    // the republished artifact IS the deeper one: model m and the
+    // persisted knobs both travel with it
+    val (_, booksAfter) = IvfPq.loadModel(spark, d11)
+    assert(booksAfter.length === st.m,
+      "published artifact's m diverged from the reported status")
+    assert(IvfPq.loadKnobs(spark, d11) === Some(st.knobs),
+      "the final gate's knobs must persist with the deeper artifact")
+    assert(!new java.io.File(d11 + ".staging").exists())
+    assert(!new java.io.File(d11 + ".retired").exists())
+    // and on a HEALTHY artifact the face is a no-op: no refit, same m
+    val again = IvfPq.retrainDeeper(spark, d11, mLadder = Seq(1, 4, 16),
+      pqK = 4, coarseIters = 2, pqIters = 2, nprobeLadder = nprobeL,
+      topK = 3, kCandLadder = kCandL, sampleMax = 4L, dims = dims16,
+      targetPop = 64L, minNlist = 1, maxNlist = 1,
+      current = Some(st.knobs))
+    assert(again.m === st.m && !again.flagged,
+      s"a floor-meeting artifact must not deepen further: $again")
+  }
+
   test("corrupt artifacts fail loud: truncated cells, gapped codebooks") {
     val bad1 = dir + "_badcells"
     spark.read.parquet(s"$dir/cents").filter(col("cell") =!= 3)
