@@ -554,6 +554,85 @@ object Bm25 {
     scoreAndRank(p, stats, qTerms, k)
   }
 
+  /** MULTI-CONSUMER scoped serving from the shared index (VERDICT r19
+    * #4 — the reference's per-account governance, `current_account()`
+    * over an N-row security table, applied to retrieval): `aqueries`
+    * rows carry their account — (account, query_id, q_text) — and
+    * `grantPairs` is the resolved grants relation (account, doc_id);
+    * every query is answered under ITS OWN grant, all accounts in ONE
+    * plan. Per-account semantics are `servedTopKScoped`'s, dimension-
+    * widened: the pruned postings INNER-join the grants BELOW any
+    * scoring (a row never prices for an account that doesn't grant
+    * it, and the same posting row fans out once per granting account),
+    * df is exact per (account, term), and N/avgdl aggregate the docs
+    * store per account — so each account's slice is bit-identical to
+    * `topK` over an index built on its grant alone (the b14 contract,
+    * per account; MultiGrantSpec pins the ACCT slice ≡ the
+    * single-grant face).
+    *
+    * Scale shape: the corpus-sized work is unchanged — one pruned
+    * postings read, one narrow docs-store pass — plus one join against
+    * the grants relation (doc-id keyed, uniform); the account
+    * dimension multiplies only the tiny term/stats relations and the
+    * k-bounded output, so serving N consumers costs one plan, not N
+    * plan copies (the alternative — a per-account union — builds N
+    * probe chains and dies at fleet scale).
+    */
+  def servedTopKPerGrant(spark: SparkSession, dir: String,
+      aqueries: DataFrame, k: Int, grantPairs: DataFrame): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select("n_buckets").head().getInt(0)
+    val pairs = grantPairs.select("account", "doc_id")
+    val aqTerms = aqueries.select(col("account"), col("query_id"),
+        explode(array_distinct(split(col("q_text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val termBuckets = aqTerms.select("term").distinct()
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    val buckets = termBuckets.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // pruned read → term match → GRANT JOIN, all before df/scoring
+    // touch a row (the servedTopKScoped pre-filter discipline, with
+    // the semi-join widened to an inner join that tags each surviving
+    // posting with every account granting its doc)
+    val pA = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(termBuckets), Seq("bucket", "term"))
+      .select("term", "doc_id", "tf", "doc_len").distinct()
+      .join(pairs, Seq("doc_id"))
+    // per-account corpus stats from the docs store (scoped N/avgdl —
+    // one narrow pass, grouped by account instead of one scope)
+    val statsA = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "doc_len")
+      .join(pairs, Seq("doc_id"))
+      .groupBy("account")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_len").as("sum_len"))
+      .withColumn("avgdl",
+        col("sum_len").cast("double") / col("n_docs").cast("double"))
+    val dfA = pA.groupBy("account", "term").agg(count(lit(1)).as("df"))
+    val idfA = dfA
+      .join(broadcast(statsA.select("account", "n_docs")), Seq("account"))
+      .select(col("account"), col("term"),
+        idfE6(col("df"), col("n_docs")).as("idf_e6"))
+    val contrib = pA
+      .join(broadcast(idfA), Seq("account", "term"))
+      .join(broadcast(aqTerms), Seq("account", "term"))
+      .join(broadcast(statsA.select("account", "avgdl")), Seq("account"))
+      .select(col("account"), col("query_id"), col("doc_id"),
+        (col("idf_e6") *
+          floor(tfNorm(col("tf"), col("doc_len"), col("avgdl")) * lit(1e9))
+            .cast("long")).as("contrib_e15"))
+    val scored = contrib.groupBy("account", "query_id", "doc_id")
+      .agg(sum("contrib_e15").as("score_e15"),
+        count(lit(1)).as("n_matched_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("account", "query_id")
+      .orderBy(col("score_e15").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("account"), col("query_id"),
+        col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("score_e15"), col("n_matched_terms"))
+  }
+
   /** Exact PHRASE search — the positional face BM25's bag-of-words
     * scoring cannot express: a phrase of n tokens matches where a
     * positional word n-gram equals it verbatim

@@ -209,12 +209,14 @@ object IvfPq {
       cents: Seq[Array[Long]], books: Seq[Seq[Array[Long]]],
       nprobe: Int, k: Int, dims: Int = 64,
       excludeSelf: Boolean = true,
-      broadcastLuts: Boolean = true): DataFrame = {
+      broadcastLuts: Boolean = true,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = books.length
     val sub = dims / m
     val centsL = KMeans.centroidsLit(cents)
     val booksL = typedlit(books.map(_.map(_.toSeq)))
+    val keyCols = scopeCols :+ "query_id"
     // (dist2, cell) per cell → sorted ascending (struct comparison is
     // lexicographic: dist2, then the smaller cell id — the driver
     // loop's .sorted) → top nprobe → each probe carries its residual
@@ -227,7 +229,8 @@ object IvfPq {
       p => struct(p("p_cell").as("p_cell"),
         zip_with(col("qv"), element_at(centsL, p("p_cell") + 1),
           (a, b) => a - b).as("qres")))
-    val probeRows = queries.select(col("query_id"), inline(probes))
+    val probeRows = queries.select(
+      scopeCols.map(col) ++ Seq(col("query_id"), inline(probes)): _*)
     val luts = (0 until m).map { i =>
       transform(element_at(booksL, i + 1), cw =>
         aggregate(zip_with(slice(col("qres"), i * sub + 1, sub), cw,
@@ -235,21 +238,34 @@ object IvfPq {
           lit(0L), (acc, x) => acc + x)).as(s"lut$i")
     }
     val lutDf = probeRows.select(
-      col("query_id") +: col("p_cell") +: luts: _*)
+      keyCols.map(col) ++ (col("p_cell") +: luts): _*)
     val adist = (0 until m)
       .map(i => element_at(col(s"lut$i"), col(s"c$i") + 1))
       .reduce(_ + _)
-    val w = Window.partitionBy("query_id")
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("adist2"), col("neighbor_id"))
-    val lutSide = if (broadcastLuts) broadcast(lutDf) else lutDf
-    val joined = codes.join(lutSide, col("cell") === col("p_cell"))
+    // scoped serving (VERDICT r19 #4): `scopeCols` name key columns
+    // present on BOTH sides — the query's grant key and the codes rows
+    // tagged with the grants covering them — and the LUT join adds
+    // their equality below the cell match, so a candidate is never
+    // priced for a scope that doesn't grant it (pre-filter semantics,
+    // per scope, in ONE plan). The lut-side keys are renamed before the
+    // join to keep the equality unambiguous.
+    val lutRenamed = scopeCols.foldLeft(lutDf)(
+      (d, c) => d.withColumnRenamed(c, s"_q_$c"))
+    val lutSide = if (broadcastLuts) broadcast(lutRenamed) else lutRenamed
+    val joinCond = scopeCols
+      .map(c => col(c) === col(s"_q_$c"))
+      .foldLeft(col("cell") === col("p_cell"))(_ && _)
+    val joined = codes.join(lutSide, joinCond)
     (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
      else joined)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cell"), adist.as("adist2"))
+      .select(scopeCols.map(col) ++ Seq(col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("cell"), adist.as("adist2")): _*)
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
-      .orderBy("query_id", "rnk")
+      .orderBy(keyCols.map(col) :+ col("rnk"): _*)
   }
 
   /** `searchRerank` with the stage-1 candidates from `searchDf` — the
@@ -266,10 +282,12 @@ object IvfPq {
       queries: DataFrame, cents: Seq[Array[Long]],
       books: Seq[Seq[Array[Long]]], nprobe: Int, kCand: Int, k: Int,
       dims: Int = 64, excludeSelf: Boolean = true,
-      broadcastLuts: Boolean = true): DataFrame =
+      broadcastLuts: Boolean = true,
+      scopeCols: Seq[String] = Nil): DataFrame =
     rerankTail(vectors, queries,
       searchDf(codes, queries, cents, books, nprobe, kCand, dims,
-        excludeSelf, broadcastLuts), k, broadcastCand = broadcastLuts)
+        excludeSelf, broadcastLuts, scopeCols), k,
+      broadcastCand = broadcastLuts, scopeCols = scopeCols)
 
   /** Two-stage search with an EXACT re-rank tail — the standard PQ
     * refinement recipe (Jégou et al. 2011 §V-C's re-ranking variant):
@@ -309,28 +327,31 @@ object IvfPq {
     */
   private def rerankTail(vectors: DataFrame, queries: DataFrame,
       candidates: DataFrame, k: Int,
-      broadcastCand: Boolean = true): DataFrame = {
+      broadcastCand: Boolean = true,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bc = if (broadcastCand) (df: DataFrame) => broadcast(df)
              else (df: DataFrame) => df
+    val keyCols = scopeCols :+ "query_id"
     val cand = candidates
-      .select(col("query_id"), col("neighbor_id"), col("cell"),
-        col("adist2"))
-    val qs = queries.select(col("query_id"), col("qv").as("q_qv"))
+      .select(keyCols.map(col) ++ Seq(col("neighbor_id"), col("cell"),
+        col("adist2")): _*)
+    val qs = queries.select(
+      keyCols.map(col) :+ col("qv").as("q_qv"): _*)
     val exact = vectors
       .select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"))
       .join(bc(cand), Seq("neighbor_id"))
-      .join(bc(qs), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cell"),
+      .join(bc(qs), keyCols)
+      .select(keyCols.map(col) ++ Seq(col("neighbor_id"), col("cell"),
         col("adist2"),
         aggregate(zip_with(col("q_qv"), col("n_qv"),
             (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist2"))
-    val w = Window.partitionBy("query_id")
+          lit(0L), (acc, x) => acc + x).as("dist2")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("dist2"), col("neighbor_id"))
     exact.withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
-      .orderBy("query_id", "rnk")
+      .orderBy(keyCols.map(col) :+ col("rnk"): _*)
   }
 
   /** Compact a `PqStream.encodeIvf` output (one tiny partition per
@@ -1190,7 +1211,8 @@ object IvfPq {
       extraCtes: String = "", neighborEv: String = "ev",
       qSrc: String = "", extQueryRel: String = "",
       nlistExpr: String = "", kCandExpr: String = "",
-      candFilterSql: String = "", nprobeExpr: String = ""): String = {
+      candFilterSql: String = "", nprobeExpr: String = "",
+      scopeJoinSql: String = ""): String = {
     val eqJoin =
       if (extQueryRel.nonEmpty) "JOIN xqev eq ON eq.query_id = c.query_id"
       else "JOIN ev eq ON eq.vec_id = c.query_id"
@@ -1201,11 +1223,17 @@ object IvfPq {
     // from its recall gate is re-DERIVED by the oracle, not pinned.
     // `candFilterSql` (a JOIN/WHERE fragment over `cd`) replays a
     // consumer-scoped candidate filter — pre-filter semantics, applied
-    // before the ADC ranking (the b14 serving face).
+    // before the ADC ranking (the b14 serving face). `scopeJoinSql`
+    // (r20, the b15 multi-grant face) is the PER-QUERY generalization:
+    // a JOIN fragment over `cd` AND the LUT row `l0` inside `approx`,
+    // so each query's candidates filter under ITS OWN grant — e.g.
+    // `JOIN xqacct xa ON xa.query_id = l0.query_id JOIN adoc ad ON
+    // ad.doc_id = cd.vec_id AND ad.account = xa.account` — the SQL
+    // twin of the Spark side's scopeCols LUT-join equality.
     val kCut = if (kCandExpr.nonEmpty) kCandExpr else kCand.toString
     s"""${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
         nprobe, candFilterSql, qSrc, extQueryRel, nlistExpr,
-        nprobeExpr)}${
+        nprobeExpr, scopeJoinSql)}${
         if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
            FROM ranked WHERE rnk <= $kCut),
@@ -1378,7 +1406,7 @@ object IvfPq {
       iters: Int, dims: Int, nq: Int, nprobe: Int,
       candFilterSql: String, qSrc: String = "",
       extQueryRel: String = "", nlistExpr: String = "",
-      nprobeExpr: String = ""): String = {
+      nprobeExpr: String = "", scopeJoinSql: String = ""): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
     // `nprobeExpr` (r19, the 2-D gate): a scalar expression — typically
@@ -1450,7 +1478,7 @@ object IvfPq {
            FROM s0_asgF a0 JOIN asgF f USING (vec_id) $codeJoins)$cdFiltered,
          approx AS (SELECT l0.query_id, cd.vec_id AS neighbor_id,
              CAST(cd.cell AS INTEGER) AS cell, $dsum AS adist2
-           FROM $cdRel cd $lutJoins
+           FROM $cdRel cd $lutJoins $scopeJoinSql
            $selfEx),
          ranked AS (SELECT query_id, neighbor_id, cell, adist2,
              CAST(row_number() OVER (PARTITION BY query_id

@@ -302,6 +302,18 @@ object RetrievalQueries extends QueryPack {
     * scoping, applied to retrieval).
     */
   private[graft] val ScopeSources = Seq("src7", "src13")
+  /** b15's grants table (VERDICT r19 #4): the reference's per-account
+    * governance shape — one row per (reader account, granted source
+    * feed), the `SecureShare` security-table fixture applied to
+    * retrieval. acct_a's grant IS b14's scope by construction (so its
+    * b15 slice must equal b14 row for row — MultiGrantSpec pins it);
+    * acct_b's grant overlaps acct_a on one source, so the same posting
+    * and code rows fan out to both accounts and the per-account stats
+    * still diverge (the case a disjoint fixture would never exercise).
+    */
+  private[graft] val GrantRows: Seq[(String, String)] =
+    ScopeSources.map(("acct_a", _)) ++
+      Seq(("acct_b", "src2"), ("acct_b", "src5"), ("acct_b", "src13"))
 
   private val tokenIvfPqDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
@@ -1132,6 +1144,175 @@ object RetrievalQueries extends QueryPack {
            SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_e12,
              CAST(n_lists AS BIGINT) AS n_lists
            FROM ffr WHERE rnk <= $HybK ORDER BY query_id, rnk"""
+      }),
+
+    // PER-ACCOUNT multi-grant hybrid serving (VERDICT r19 #4) — the
+    // reference's governance is per-account (`current_account()` over
+    // an N-row security table, dp_demo.sql:222-239), and b14 served
+    // exactly ONE consumer's grant; this is the fleet shape: a grants
+    // table (account → source), query rows carrying their account, and
+    // every query answered under ITS OWN grant in ONE plan — the
+    // grants relation joins BELOW the pruned reads on BOTH legs
+    // (postings → grant inner-join before df/scoring with per-account
+    // N/avgdl, codes → grant tagging before the scope-keyed LUT join),
+    // so no row is ever priced for an account that doesn't grant it
+    // and serving N consumers costs one plan, not N plan copies.
+    // ACCT_A's grant IS b14's scope, so its slice of this entry must
+    // equal b14 row for row (MultiGrantSpec pins it, plus the g2
+    // no-leakage discipline for ACCT_B). The oracle replays the whole
+    // thing under one hash: the mg* per-account BM25 chain, and the
+    // dense chain over composite (account·1000 + query) ids with the
+    // per-query grant join inside `approx` (`scopeJoinSql` — the SQL
+    // twin of the Spark scopeCols join), fused per (account, query).
+    Q("b15_hybrid_multi_grant",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextQueries.frozenByteMerges(s, d)
+        val table = graft.operators.TokenEmbeddingTable.load(
+          s, servedTokenEmbDir(s, d))
+        val docs = Tables.load(s, d, "documents")
+        val grants = GrantRows.toDF("account", "source")
+        val grantPairs = docs.join(grants, Seq("source"))
+          .select("account", "doc_id")
+        val accounts = GrantRows.map(_._1).distinct
+        val aq = accounts
+          .flatMap(a => Queries.map { case (qid, t) => (a, qid, t) })
+          .toDF("account", "query_id", "q_text")
+        val lex = Bm25.servedTopKPerGrant(s, servedBm25Dir(s, d), aq,
+            HybK, grantPairs)
+          .select("account", "query_id", "doc_id", "rnk")
+        val idxDir = servedTokenIvfPqDir(s, d)
+        val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
+        val knobs = graft.operators.IvfPq.loadKnobs(s, idxDir).get
+        val codesG = s.read.parquet(s"$idxDir/codes")
+          .join(grantPairs.select(col("account"),
+            col("doc_id").as("vec_id")), Seq("vec_id"))
+        val vectors = s.read.parquet(s"$idxDir/vectors")
+        val aqvecs = aq.select("account", "query_id")
+          .join(graft.operators.TokenEmbeddingTable.queryVecs(
+            Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat,
+            table), Seq("query_id"))
+        val dense = graft.operators.IvfPq.searchRerankDf(
+            codesG, vectors, aqvecs, cents, books,
+            nprobe = knobs.nprobe, kCand = knobs.kCand, k = HybK,
+            dims = TokDims, excludeSelf = false,
+            scopeCols = Seq("account"))
+          .select(col("account"), col("query_id"),
+            col("neighbor_id").as("doc_id"), col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), HybK,
+            keyCols = Seq("account", "query_id"))
+          .orderBy("account", "query_id", "rnk")
+      },
+      Some {
+        val qVals = Queries
+          .map { case (qid, text) => s"($qid, '$text')" }.mkString(", ")
+        val qtVals = Queries.flatMap { case (qid, text) =>
+          text.split(" ").filter(_.nonEmpty).distinct
+            .map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        val grVals = GrantRows
+          .map { case (a, src) => s"('$a', '$src')" }.mkString(", ")
+        val accVals = GrantRows.map(_._1).distinct.zipWithIndex
+          .map { case (a, i) => s"($i, '$a')" }.mkString(", ")
+        def wSql(dd: Int) =
+          s"((CAST(('0x' || substr(md5('te:$dd:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+        val dimSums = (0 until 16).map(dd =>
+          s"CAST(sum(${wSql(dd)}) AS BIGINT) AS s$dd").mkString(", ")
+        val dimVec = (0 until 16).map(dd =>
+          s"CAST((s$dd * 1000) // n AS DOUBLE)").mkString(", ")
+        s"""${graft.operators.BpeTrainer.docTokenIdCtes(
+            TextQueries.BpePat, TextQueries.BpeK)},
+             ${oracleProlog("documents")},
+             gr AS (SELECT account, source
+               FROM (VALUES $grVals) AS g(account, source)),
+             adoc AS (SELECT g.account, dd.doc_id
+               FROM gr g JOIN documents dd USING (source)),
+             mgqt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+               FROM (VALUES $qtVals) AS v(query_id, term)),
+             mgstat AS (SELECT a.account, count(*) AS n_docs,
+                 CAST(sum(l.doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM adoc a JOIN lens l USING (doc_id) GROUP BY 1),
+             mgqp AS (SELECT a.account, p.term, p.doc_id, p.tf FROM p
+               JOIN adoc a USING (doc_id)
+               WHERE p.term IN (SELECT DISTINCT term FROM mgqt)),
+             mgdf AS (SELECT account, term, count(*) AS df
+               FROM mgqp GROUP BY 1, 2),
+             mgti AS (SELECT account, term,
+               CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS idf_e6
+               FROM mgdf JOIN mgstat USING (account)),
+             mgcon AS (SELECT qp.account, qt.query_id, qp.doc_id,
+                 ti.idf_e6 * CAST(floor(((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                   (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.doc_len AS DOUBLE) / st.avgdl)))) * 1e9) AS BIGINT) AS contrib
+               FROM mgqp qp JOIN mgti ti USING (account, term)
+                 JOIN mgqt qt ON qt.term = qp.term
+                 JOIN lens l ON l.doc_id = qp.doc_id
+                 JOIN mgstat st ON st.account = qp.account),
+             mgsc AS (SELECT account, query_id, doc_id,
+                 CAST(sum(contrib) AS BIGINT) AS score_e15
+               FROM mgcon GROUP BY 1, 2, 3),
+             mglex AS (SELECT account, query_id, doc_id, rnk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY account, query_id
+                   ORDER BY score_e15 DESC, doc_id) AS rnk FROM mgsc)
+               WHERE rnk <= $HybK),
+             tw AS (SELECT doc_id, v.id AS id FROM dtok JOIN vfull v USING (tok)),
+             em AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM tw GROUP BY doc_id),
+             tvec AS (SELECT doc_id, [$dimVec] AS v FROM em),
+             tvnz AS (SELECT doc_id, v FROM tvec
+               WHERE list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) > 0),
+             ${graft.operators.BpeTrainer.queryTokenCtes(
+               TextQueries.BpePat, TextQueries.BpeK, qVals)},
+             qtw AS (SELECT query_id, v.id AS id
+               FROM qdtok JOIN vfull v USING (tok)),
+             qem AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n, $dimSums
+               FROM qtw GROUP BY query_id),
+             qvec AS (SELECT query_id, [$dimVec] AS qe FROM qem),
+             qnz AS (SELECT query_id, qe FROM qvec
+               WHERE list_reduce(list_transform(qe, x -> x * x), (a, x) -> a + x) > 0),
+             accv AS (SELECT ai, account
+               FROM (VALUES $accVals) AS a(ai, account)),
+             qqa AS (SELECT CAST(a.ai * 1000 + q.query_id AS BIGINT) AS query_id,
+                 list_transform(q.qe, x -> CAST(x AS BIGINT)) AS qv
+               FROM qnz q CROSS JOIN accv a),
+             xqacct AS (SELECT CAST(a.ai * 1000 + q.query_id AS BIGINT) AS query_id,
+                 a.account, q.query_id AS base_qid
+               FROM qnz q CROSS JOIN accv a),
+             geo AS (SELECT ${graft.operators.SimilarityOps.deriveNlistSql(
+               "tvnz", TokCellTarget)} AS nlist),
+             ${graft.operators.IvfPq.rerankCtes(
+               0, TokCoarseIters, TokM, TokPqK, TokPqIters,
+               TokDims, Queries.length, 0, 0,
+               qSrc = "SELECT doc_id AS vec_id, " +
+                 "list_transform(v, x -> CAST(x AS BIGINT)) AS qv FROM tvnz",
+               extQueryRel = "qqa",
+               nlistExpr = "(SELECT nlist FROM geo)",
+               kCandExpr = "(SELECT kc FROM ksel)",
+               nprobeExpr = "(SELECT np FROM nsel)",
+               scopeJoinSql = "JOIN xqacct xa ON xa.query_id = l0.query_id " +
+                 "JOIN adoc ad ON ad.doc_id = cd.vec_id AND ad.account = xa.account",
+               extraCtes = graft.operators.IvfPq.knobsGateCtes(
+                 TokCoarseIters, TokM, TokPqIters, TokDims,
+                 TokSampleMax, TokNprobeLadder, HybK, TokKCandLadder))},
+             densec AS (SELECT xa.account, xa.base_qid AS query_id,
+                 rr.neighbor_id AS doc_id, rr.rnk
+               FROM rr JOIN xqacct xa ON xa.query_id = rr.query_id
+               WHERE rr.rnk <= $HybK),
+             fus AS (SELECT account, query_id, doc_id,
+                 1000000000000 // (60 + rnk) AS contrib FROM mglex
+               UNION ALL
+               SELECT account, query_id, doc_id, 1000000000000 // (60 + rnk)
+               FROM densec),
+             ff AS (SELECT account, query_id, doc_id,
+               CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+               count(*) AS n_lists FROM fus GROUP BY 1, 2, 3),
+             ffr AS (SELECT account, query_id, doc_id, rrf_e12, n_lists,
+               row_number() OVER (PARTITION BY account, query_id
+                 ORDER BY rrf_e12 DESC, doc_id) AS rnk
+               FROM ff)
+           SELECT account, query_id, CAST(rnk AS INTEGER) AS rnk, doc_id,
+             rrf_e12, CAST(n_lists AS BIGINT) AS n_lists
+           FROM ffr WHERE rnk <= $HybK ORDER BY account, query_id, rnk"""
       }),
 
     // Semantic dedup, the SemDeDup shape (Abbas et al. 2023) over the
