@@ -434,7 +434,8 @@ object IvfPq {
     * frames bound the old files); new sessions load the new artifact.
     */
   def retrain(spark: SparkSession, dir: String, nlist: Int, m: Int,
-      k: Int, coarseIters: Int, pqIters: Int, dims: Int = 64): Unit = {
+      k: Int, coarseIters: Int, pqIters: Int, dims: Int = 64,
+      maxTrainRows: Long = 0L): Unit = {
     // a prior retrain that crashed mid-swap leaves live stranded at
     // `.retired` — self-heal before reading, exactly as loadModel does
     // (a bare parquet-read failure here would force manual recovery of
@@ -442,7 +443,8 @@ object IvfPq {
     recoverRetired(spark, dir)
     val q = spark.read.parquet(s"$dir/vectors")
       .select("vec_id", "qv").localCheckpoint()
-    val cents = KMeans.fitQ(q, nlist, coarseIters, dims)
+    val cents = KMeans.fitQ(q, nlist, coarseIters, dims,
+      maxTrainRows = maxTrainRows)
     val books = PqIndex.fitQuantized(
       residuals(q, cents).localCheckpoint(), m, k, pqIters, dims)
     val staging = dir + ".staging"
@@ -852,11 +854,12 @@ object IvfPq {
   def retrainDerived(spark: SparkSession, dir: String, m: Int, k: Int,
       coarseIters: Int, pqIters: Int, dims: Int = 64,
       targetPop: Long = 512L, minNlist: Int = 16,
-      maxNlist: Int = 256): Int = {
+      maxNlist: Int = 256, maxTrainRows: Long = 0L): Int = {
     recoverRetired(spark, dir)
     val n = spark.read.parquet(s"$dir/vectors").count()
     val nlist = SimilarityOps.deriveNlist(n, targetPop, minNlist, maxNlist)
-    retrain(spark, dir, nlist, m, k, coarseIters, pqIters, dims)
+    retrain(spark, dir, nlist, m, k, coarseIters, pqIters, dims,
+      maxTrainRows)
     nlist
   }
 
@@ -906,7 +909,8 @@ object IvfPq {
       topK: Int, kCandLadder: Seq[Int], sampleMax: Long, dims: Int = 64,
       targetPop: Long = 512L, minNlist: Int = 16, maxNlist: Int = 256,
       floorE6: Long = RecallFloorE6,
-      current: Option[Knobs] = None): DeepenStatus = {
+      current: Option[Knobs] = None,
+      maxTrainRows: Long = 0L): DeepenStatus = {
     require(mLadder.nonEmpty && mLadder == mLadder.sorted.distinct,
       s"m ladder must be ascending and duplicate-free: $mLadder")
     require(mLadder.forall(dims % _ == 0),
@@ -920,7 +924,7 @@ object IvfPq {
     while (knobs.meanRecallE6 < floorE6 && deeper.hasNext) {
       m = deeper.next()
       retrainDerived(spark, dir, m, pqK, coarseIters, pqIters, dims,
-        targetPop, minNlist, maxNlist)
+        targetPop, minNlist, maxNlist, maxTrainRows)
       knobs = gate()
     }
     DeepenStatus(m, knobs, knobs.meanRecallE6 < floorE6)
@@ -1140,12 +1144,13 @@ object IvfPq {
     */
   private def buildChain(nlist: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, qSrc: String = "",
-      nlistExpr: String = ""): String = {
+      nlistExpr: String = "", trainLimitExpr: String = ""): String = {
     val sub = dims / m
     val subChains = PqIndex.subChainsSql(m, k, iters, dims, (lo, hi) =>
       s"""SELECT vec_id, d - $lo AS d, v FROM rev
              WHERE d > $lo AND d <= $hi""", seedsRel = "pqseeds")
-    s"""${KMeans.chainSql(nlist, coarseIters, dims, qSrc, nlistExpr)},
+    s"""${KMeans.chainSql(nlist, coarseIters, dims, qSrc, nlistExpr,
+        trainLimitExpr)},
          rev AS MATERIALIZED (SELECT e.vec_id, e.d, e.v - c.c AS v
            FROM ev e JOIN asgF a USING (vec_id)
            JOIN ct$coarseIters c ON c.cluster = a.cluster AND c.d = e.d),
@@ -1212,7 +1217,7 @@ object IvfPq {
       qSrc: String = "", extQueryRel: String = "",
       nlistExpr: String = "", kCandExpr: String = "",
       candFilterSql: String = "", nprobeExpr: String = "",
-      scopeJoinSql: String = ""): String = {
+      scopeJoinSql: String = "", trainLimitExpr: String = ""): String = {
     val eqJoin =
       if (extQueryRel.nonEmpty) "JOIN xqev eq ON eq.query_id = c.query_id"
       else "JOIN ev eq ON eq.vec_id = c.query_id"
@@ -1233,7 +1238,7 @@ object IvfPq {
     val kCut = if (kCandExpr.nonEmpty) kCandExpr else kCand.toString
     s"""${searchCtes(nlist, coarseIters, m, k, iters, dims, nq,
         nprobe, candFilterSql, qSrc, extQueryRel, nlistExpr,
-        nprobeExpr, scopeJoinSql)}${
+        nprobeExpr, scopeJoinSql, trainLimitExpr)}${
         if (extraCtes.nonEmpty) ",\n         " + extraCtes else ""},
          cand AS MATERIALIZED (SELECT query_id, neighbor_id, cell, adist2
            FROM ranked WHERE rnk <= $kCut),
@@ -1406,7 +1411,8 @@ object IvfPq {
       iters: Int, dims: Int, nq: Int, nprobe: Int,
       candFilterSql: String, qSrc: String = "",
       extQueryRel: String = "", nlistExpr: String = "",
-      nprobeExpr: String = "", scopeJoinSql: String = ""): String = {
+      nprobeExpr: String = "", scopeJoinSql: String = "",
+      trainLimitExpr: String = ""): String = {
     val sub = dims / m
     val fCoarse = coarseIters + 1
     // `nprobeExpr` (r19, the 2-D gate): a scalar expression — typically
@@ -1471,7 +1477,7 @@ object IvfPq {
          cdf AS MATERIALIZED (SELECT cd.* FROM cd $candFilterSql)"""
     val cdRel = if (candFilterSql.isEmpty) "cd" else "cdf"
     s"""${buildChain(nlist, coarseIters, m, k, iters, dims, qSrc,
-        nlistExpr)},
+        nlistExpr, trainLimitExpr)},
          $querySide,
          $luts,
          cd AS MATERIALIZED (SELECT a0.vec_id, f.cluster AS cell, $codeCols

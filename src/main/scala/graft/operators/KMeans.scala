@@ -202,10 +202,33 @@ object KMeans {
     * slice without re-quantizing the corpus per subspace. Callers
     * should `localCheckpoint` the input once (as `fit` does) so the
     * per-round scans don't recompute the lineage.
+    *
+    * `maxTrainRows > 0` bounds the FIT to a deterministic sample (the
+    * `IvfIndex.fitAssign(maxTrainRows)` discipline, VERDICT r19 #6):
+    * the Lloyd rounds scan only the `maxTrainRows` smallest
+    * (md5(vec_id), vec_id) rows — the same ordering the seeds already
+    * use, so the seeds are the sample's own prefix and a sample at
+    * least as large as the corpus is EXACTLY the unsampled fit (the
+    * hash-compat property the oracle replay relies on: one static SQL
+    * with a `qt` prefix CTE degenerates to the full chain wherever
+    * n ≤ maxTrainRows). Fit cost becomes bounded by the sample, never
+    * by the corpus — the final assignment of all vectors stays with
+    * the caller (`assignFull`/`encodeQ`), which is linear once, not
+    * per round.
     */
   def fitQ(q: DataFrame, k: Int, iters: Int, dims: Int,
-      packed: Option[Boolean] = None): Seq[Array[Long]] = {
-    val seedRows = q
+      packed: Option[Boolean] = None,
+      maxTrainRows: Long = 0L): Seq[Array[Long]] = {
+    require(maxTrainRows == 0L || maxTrainRows >= k,
+      s"maxTrainRows=$maxTrainRows cannot seed k=$k clusters")
+    val qt = if (maxTrainRows > 0L)
+      q.withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(maxTrainRows.min(Int.MaxValue.toLong).toInt)
+        .select("vec_id", "qv")
+        .localCheckpoint()
+    else q
+    val seedRows = qt
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k)
@@ -218,7 +241,7 @@ object KMeans {
     for (_ <- 1 to iters) {
       val sums = (0 until dims).map(d =>
         sum(element_at(col("qv"), d + 1)).as(s"s$d"))
-      val rows = withBest(q, cents, packed)
+      val rows = withBest(qt, cents, packed)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
@@ -299,15 +322,34 @@ object KMeans {
     * lets ONE static oracle string replay a SCALE-DERIVED k
     * (`SimilarityOps.deriveNlist`) at every SF: k appears in the chain
     * only as the seeds cutoff, so a dynamic LIMIT is the whole change.
+    *
+    * `trainLimitExpr` replays `fitQ(maxTrainRows)`'s bounded-sample
+    * fit (VERDICT r19 #6): the Lloyd rounds scan `evt` — the per-dim
+    * rows of the `trainLimitExpr` smallest (md5(vec_id), vec_id)
+    * vectors — while the FINAL assignment (`asgF`) stays over the full
+    * `ev`, exactly as the Spark fit trains on the sample and assigns
+    * everything. The sample prefix shares the seeds' ordering, so
+    * wherever the corpus fits inside the bound the chain degenerates
+    * to the unsampled one (same hash — the driver-SF compatibility
+    * property).
     */
   def chainSql(k: Int, iters: Int, dims: Int, qSrc: String = "",
-      kLimitExpr: String = ""): String = {
+      kLimitExpr: String = "", trainLimitExpr: String = ""): String = {
     val kLimit = if (kLimitExpr.nonEmpty) kLimitExpr else k.toString
+    // fitsmp/evfit: collision-free vs every proven namespace (the BM25
+    // score chain already owns `qt`)
+    val evFit = if (trainLimitExpr.nonEmpty) "evfit" else "ev"
+    val trainCtes = if (trainLimitExpr.isEmpty) ""
+      else s"""fitsmp AS MATERIALIZED (SELECT vec_id FROM q
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $trainLimitExpr),
+         evfit AS MATERIALIZED (SELECT e.vec_id, e.d, e.v
+           FROM ev e JOIN fitsmp USING (vec_id)),
+         """
     val rounds = (1 to iters).map { t =>
       val p = t - 1
       s"""dist$t AS MATERIALIZED (SELECT e.vec_id, c.cluster,
              CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
-             FROM ev e JOIN ct$p c USING (d) GROUP BY 1, 2),
+             FROM $evFit e JOIN ct$p c USING (d) GROUP BY 1, 2),
            asg$t AS MATERIALIZED (SELECT vec_id, cluster FROM (
              SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
@@ -316,7 +358,7 @@ object KMeans {
              COALESCE(CAST(u.s AS BIGINT) // u.n, p.c) AS c
              FROM ct$p p LEFT JOIN (
                SELECT a.cluster, e.d, sum(e.v) AS s, CAST(count(*) AS BIGINT) AS n
-               FROM asg$t a JOIN ev e USING (vec_id) GROUP BY 1, 2) u
+               FROM asg$t a JOIN $evFit e USING (vec_id) GROUP BY 1, 2) u
              ON u.cluster = p.cluster AND u.d = p.d)"""
     }.mkString(",\n           ")
     val f = iters + 1
@@ -327,7 +369,7 @@ object KMeans {
     s"""q AS MATERIALIZED ($qBody),
          ev AS MATERIALIZED (SELECT vec_id, d, qv[d] AS v
            FROM q, (SELECT unnest(range(1, ${dims + 1})) AS d)),
-         seeds AS MATERIALIZED (SELECT vec_id,
+         ${trainCtes}seeds AS MATERIALIZED (SELECT vec_id,
            CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cluster
            FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kLimit),
          ct0 AS MATERIALIZED (SELECT s.cluster, e.d, e.v AS c

@@ -288,6 +288,19 @@ object RetrievalQueries extends QueryPack {
   //    CTE + knobsGateCtes), so the knobs are re-derived per SF, not
   //    pinned.
   private[graft] val TokCellTarget = 512L
+  /** Bound on the coarse Lloyd fit's training rows (VERDICT r19 #6 —
+    * the `IvfIndex.fitAssign(maxTrainRows)` discipline adopted by the
+    * token tier): the 100× fill was dominated by the nlist=256 fit
+    * scanning all 500k vectors per round; the fit now trains on the
+    * deterministic md5-prefix sample (`KMeans.fitQ(maxTrainRows)`) and
+    * only the one-time assignment/encode touches every row. The oracle
+    * replays the SAME sample (`chainSql(trainLimitExpr)` — a `qt`
+    * prefix CTE feeding the rounds, full `ev` feeding the final
+    * assignment), and at every driver SF the corpus fits inside the
+    * bound, so the chain degenerates to the unsampled fit and the
+    * b13/b14/b15 hashes are unchanged by construction.
+    */
+  private[graft] val TokFitSample = 100000L
   private[graft] val TokKCandLadder = Seq(25, 50, 100, 200)
   /** The gate's nprobe escalation ladder (r19 2-D gate): when no kCand
     * rung reaches the recall floor the true neighbors are outside the
@@ -331,7 +344,7 @@ object RetrievalQueries extends QueryPack {
       val nlist = graft.operators.SimilarityOps.deriveNlist(
         q.count(), TokCellTarget)
       val cents = graft.operators.KMeans.fitQ(
-        q, nlist, TokCoarseIters, TokDims)
+        q, nlist, TokCoarseIters, TokDims, maxTrainRows = TokFitSample)
       val books = graft.operators.PqIndex.fitQuantized(
         graft.operators.IvfPq.residuals(q, cents).localCheckpoint(),
         TokM, TokPqK, TokPqIters, TokDims)
@@ -1010,6 +1023,7 @@ object RetrievalQueries extends QueryPack {
                nlistExpr = "(SELECT nlist FROM geo)",
                kCandExpr = "(SELECT kc FROM ksel)",
                nprobeExpr = "(SELECT np FROM nsel)",
+               trainLimitExpr = TokFitSample.toString,
                extraCtes = graft.operators.IvfPq.knobsGateCtes(
                  TokCoarseIters, TokM, TokPqIters, TokDims,
                  TokSampleMax, TokNprobeLadder, HybK, TokKCandLadder))},
@@ -1123,6 +1137,7 @@ object RetrievalQueries extends QueryPack {
                nlistExpr = "(SELECT nlist FROM geo)",
                kCandExpr = "(SELECT kc FROM ksel)",
                nprobeExpr = "(SELECT np FROM nsel)",
+               trainLimitExpr = TokFitSample.toString,
                candFilterSql = "JOIN fdocs fd ON fd.doc_id = cd.vec_id",
                extraCtes = graft.operators.IvfPq.knobsGateCtes(
                  TokCoarseIters, TokM, TokPqIters, TokDims,
@@ -1289,6 +1304,7 @@ object RetrievalQueries extends QueryPack {
                nlistExpr = "(SELECT nlist FROM geo)",
                kCandExpr = "(SELECT kc FROM ksel)",
                nprobeExpr = "(SELECT np FROM nsel)",
+               trainLimitExpr = TokFitSample.toString,
                scopeJoinSql = "JOIN xqacct xa ON xa.query_id = l0.query_id " +
                  "JOIN adoc ad ON ad.doc_id = cd.vec_id AND ad.account = xa.account",
                extraCtes = graft.operators.IvfPq.knobsGateCtes(

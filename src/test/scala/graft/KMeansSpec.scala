@@ -97,4 +97,40 @@ class KMeansSpec extends AnyFunSuite {
     val again = KMeans.coreset(emb, k = 4, iters = 2, quota = quota).collect()
     assert(cs.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("bounded-sample fit: trains on the md5-prefix sample; a bound >= n is exactly the full fit (VERDICT r19 #6)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = KMeans.quantized(emb).localCheckpoint()
+    val n = q.count()
+    val t = 12L
+    assert(t < n, s"fixture too small for a real sample: n=$n")
+    // the sampled fit IS the full fit over the independently-computed
+    // deterministic prefix — pins the sample semantics the oracle's
+    // fitsmp/evfit CTEs mirror (same ordering expression)
+    val prefix = q
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(t.toInt)
+      .select("vec_id", "qv")
+      .localCheckpoint()
+    val sampled = KMeans.fitQ(q, k = 4, iters = 2, dims = 64,
+      maxTrainRows = t)
+    val overPrefix = KMeans.fitQ(prefix, k = 4, iters = 2, dims = 64)
+    assert(sampled.map(_.toSeq) === overPrefix.map(_.toSeq),
+      "sampled fit diverged from the fit over its own prefix")
+    // hash-compat property: a bound at least the corpus size changes
+    // NOTHING — the driver-SF degenerate region b13/b14/b15 rely on
+    val full = KMeans.fitQ(q, k = 4, iters = 2, dims = 64)
+    val bounded = KMeans.fitQ(q, k = 4, iters = 2, dims = 64,
+      maxTrainRows = n + 5)
+    assert(full.map(_.toSeq) === bounded.map(_.toSeq),
+      "an over-sized bound must degenerate to the unsampled fit")
+    // the sampled fit genuinely differs from the full one here (the
+    // test would be vacuous if the sample reproduced the full fit)
+    assert(sampled.map(_.toSeq) !== full.map(_.toSeq),
+      "fixture degenerate: sample and full fit coincide")
+    // and assignment of ALL rows under sampled centroids still covers
+    // every vector (fit is bounded; assignment never is)
+    assert(KMeans.assign(q, sampled).count() === n)
+  }
 }

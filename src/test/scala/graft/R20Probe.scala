@@ -111,7 +111,8 @@ object R20Probe {
         RetrievalQueries.TokNprobeLadder, RetrievalQueries.HybK,
         RetrievalQueries.TokKCandLadder, RetrievalQueries.TokSampleMax,
         RetrievalQueries.TokDims, RetrievalQueries.TokCellTarget,
-        current = Some(knobs))
+        current = Some(knobs),
+        maxTrainRows = RetrievalQueries.TokFitSample)
       val deepS = (System.nanoTime() - t1) / 1e9
       println(f"R20 dir=$d DEEPEN m=${st.m} nlist=${st.knobs.nlist} " +
         f"nprobe=${st.knobs.nprobe} kCand=${st.knobs.kCand} " +
