@@ -511,6 +511,47 @@ object IvfPq {
     * `recallHistory`), so the gate keeps its series next to the
     * artifact it judges.
     */
+  /** Exact integer top-k of `q` against the vector relation — the
+    * brute-force reference both recall faces compare the served list
+    * to. Linear in the store per batch (the query side broadcasts).
+    */
+  private def exactTopK(vectors: DataFrame, q: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exactBase = vectors
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("nqv"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qv").as("qqv"))))
+    (if (excludeSelf)
+        exactBase.filter(col("neighbor_id") =!= col("query_id"))
+      else exactBase)
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qqv"), col("nqv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** (nq, mean recall) of a served list against the exact one.
+    * Per-query denominator = the exact list's ACTUAL size (≤ k): a
+    * store holding fewer than k vectors serves a complete top-k and
+    * must score 1.0, not hits/k (review r18 — the gate would
+    * otherwise permanently flag every small artifact).
+    */
+  private def measuredRecall(served: DataFrame,
+      exact: DataFrame): org.apache.spark.sql.Row =
+    exact
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("denom"))
+      .agg(count(lit(1)).as("nq"),
+        avg(col("hits").cast("double") / col("denom")).as("recall"))
+      .collect()(0)
+
   def recallStatus(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int, kCand: Int, dims: Int = 64,
       threshold: Double = RecallRetrainFloor,
@@ -523,33 +564,8 @@ object IvfPq {
     val served = searchRerankDf(codes, vectors, q, cents, books,
         nprobe, kCand, k, dims, excludeSelf)
       .select("query_id", "neighbor_id")
-    val exactBase = vectors
-      .select(col("vec_id").as("neighbor_id"), col("qv").as("nqv"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("qv").as("qqv"))))
-    val exact = (if (excludeSelf)
-        exactBase.filter(col("neighbor_id") =!= col("query_id"))
-      else exactBase)
-      .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qqv"), col("nqv"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist2"))
-      .withColumn("rnk", row_number().over(Window
-        .partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id")
-    // per-query denominator = the exact list's ACTUAL size (≤ k): a
-    // store holding fewer than k vectors serves a complete top-k and
-    // must score 1.0, not hits/k (review r18 — the gate would
-    // otherwise permanently flag every small artifact)
-    val row = exact
-      .join(served.withColumn("hit", lit(1L)),
-        Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
-        count(lit(1)).as("denom"))
-      .agg(count(lit(1)).as("nq"),
-        avg(col("hits").cast("double") / col("denom")).as("recall"))
-      .collect()(0)
+    val exact = exactTopK(vectors, q, k, excludeSelf)
+    val row = measuredRecall(served, exact)
     val nq = row.getAs[Long]("nq")
     // an EMPTY query batch measures nothing — explicitly non-flagging
     // (ADVICE r18: recall 0.0 + flagged=true would read a degenerate
@@ -581,6 +597,50 @@ object IvfPq {
         .write.mode("append").parquet(s"$dir/recall_log")
     }
     status
+  }
+
+  /** `recallStatus` restricted to a consumer's grant (VERDICT r19 #7):
+    * the b14/b15 serving tier runs under knobs gated on the UNSCOPED
+    * artifact — correct, the knobs belong to the artifact — but a
+    * narrow grant can see much worse EFFECTIVE recall than the global
+    * gate reports: the probe set is chosen by query-centroid distance
+    * over the whole artifact, so when a grant's docs live mostly in
+    * cells the queries don't probe, few allowed candidates survive the
+    * pre-filter and the consumer's true neighbors (exact top-k WITHIN
+    * the grant — what a slice-built index would return) go unserved.
+    * This face measures exactly that: served = the scoped serving path
+    * (codes semi-joined to `allowed` BEFORE the LUT join, b14's
+    * pre-filter semantics), exact = the brute top-k over the allowed
+    * slice of the vector store. A governance-heavy deployment runs it
+    * per grant to see what each consumer actually gets; a flag's
+    * remediation is per-consumer policy (wider nprobe for scoped
+    * queries, or a dedicated slice artifact) — it does NOT touch the
+    * artifact's own gate state, so there is no log face here
+    * (`recall_log` stays the artifact's series, not any one grant's).
+    *
+    * `allowed`: one `vec_id` column, the grant's id set.
+    */
+  def recallStatusScoped(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int, kCand: Int,
+      allowed: DataFrame, dims: Int = 64,
+      threshold: Double = RecallRetrainFloor,
+      excludeSelf: Boolean = false): RecallStatus = {
+    val (cents, books) = loadModel(spark, dir)
+    val ids = allowed.select("vec_id")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .join(ids, Seq("vec_id"), "left_semi")
+    val vectorsScoped = spark.read.parquet(s"$dir/vectors")
+      .join(ids, Seq("vec_id"), "left_semi")
+    val q = queries.select("query_id", "qv").localCheckpoint()
+    val served = searchRerankDf(codes,
+        spark.read.parquet(s"$dir/vectors"), q, cents, books,
+        nprobe, kCand, k, dims, excludeSelf)
+      .select("query_id", "neighbor_id")
+    val exact = exactTopK(vectorsScoped, q, k, excludeSelf)
+    val row = measuredRecall(served, exact)
+    val nq = row.getAs[Long]("nq")
+    val recall = if (nq == 0) 0.0 else row.getAs[Double]("recall")
+    RecallStatus(nq, k, nprobe, recall, nq > 0 && recall < threshold)
   }
 
   /** The persisted recall series (`recallStatus(log = true)` rows,

@@ -704,4 +704,63 @@ class IvfPqArtifactSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$bad2/books")
     assertThrows[IllegalArgumentException] { IvfPq.loadModel(spark, bad2) }
   }
+
+  test("recallStatusScoped: a narrow grant's effective recall diverges from the artifact's own gate (VERDICT r19 #7)") {
+    import spark.implicits._
+    val d12 = Files.createTempDirectory("graft_ivfpq_scoped").toString + "/idx"
+    val dims16 = 16
+    // two far-apart planted clusters → two coarse cells: A (ids 0-59,
+    // near +1000 on dim 0) and B (ids 100-109, near -1000). Queries sit
+    // in A, so at nprobe=1 the serving path probes A's cell only. A
+    // grant covering ONLY B's docs then has its entire exact top-k
+    // (within the grant, i.e. B docs — what a slice-built index would
+    // return) outside the probed cell: the scoped pre-filter leaves no
+    // allowed candidate, effective recall 0, flagged — while the
+    // UNSCOPED gate on the same artifact at the same knobs is perfect
+    // (the queries' true neighbors are in the probed cell). The two
+    // measurements MUST diverge; the global one cannot see this.
+    val rnd = new scala.util.Random(11)
+    def cluster(ids: Range, c: Float) = ids.map(i =>
+      (i.toLong, (c + rnd.nextInt(3)).toFloat +: Seq.fill(dims16 - 1)(
+        rnd.nextInt(3).toFloat)))
+    val base = (cluster(0 until 60, 1000f) ++ cluster(100 until 110, -1000f))
+      .map { case (id, v) => (id, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val q = KMeans.quantized(base).localCheckpoint()
+    // hand-pinned centroids (the save path accepts any model): one per
+    // planted cluster on dim 0, so cell membership is deterministic —
+    // a 2-seed md5 fit could land both seeds in the big cluster
+    val cents2 = Seq(
+      Array.tabulate(dims16)(i => if (i == 0) 1000000000L else 0L),
+      Array.tabulate(dims16)(i => if (i == 0) -1000000000L else 0L))
+    val books2 = graft.operators.PqIndex.fitQuantized(
+      IvfPq.residuals(q, cents2).localCheckpoint(), 4, 4, 2, dims16)
+    IvfPq.save(base, d12, cents2, books2, dims16)
+    val queries = q.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val global = IvfPq.recallStatus(spark, d12, queries, k = 5,
+      nprobe = 1, kCand = 70, dims = dims16, excludeSelf = true)
+    assert(!global.flagged && global.recall > 0.9,
+      s"fixture broken: the unscoped gate should be clean here: $global")
+    val grantB = (100L until 110L).toDF("vec_id")
+    val scoped = IvfPq.recallStatusScoped(spark, d12, queries, k = 5,
+      nprobe = 1, kCand = 70, allowed = grantB, dims = dims16)
+    assert(scoped.nQueries === 3L)
+    assert(scoped.flagged && scoped.recall < 0.2,
+      s"the narrow grant must measure starved under nprobe=1: $scoped")
+    assert(scoped.recall < global.recall)
+    // the remediation the face recommends: widen nprobe FOR THE SCOPED
+    // measurement — both cells probed, the allowed candidates are back
+    val widened = IvfPq.recallStatusScoped(spark, d12, queries, k = 5,
+      nprobe = 2, kCand = 70, allowed = grantB, dims = dims16)
+    assert(!widened.flagged && widened.recall > 0.9,
+      s"nprobe=2 must restore the grant's effective recall: $widened")
+    // and a grant whose docs live in the probed cell measures clean —
+    // the divergence is the GRANT's geometry, not a scoped-path bug
+    val grantA = (0L until 60L).toDF("vec_id")
+    val aligned = IvfPq.recallStatusScoped(spark, d12, queries, k = 5,
+      nprobe = 1, kCand = 70, allowed = grantA, dims = dims16)
+    assert(!aligned.flagged && aligned.recall > 0.9,
+      s"an aligned grant must measure clean at nprobe=1: $aligned")
+  }
 }
