@@ -579,7 +579,38 @@ object Bm25 {
     * probe chains and dies at fleet scale).
     */
   def servedTopKPerGrant(spark: SparkSession, dir: String,
-      aqueries: DataFrame, k: Int, grantPairs: DataFrame): DataFrame = {
+      aqueries: DataFrame, k: Int, grantPairs: DataFrame): DataFrame =
+    servedTopKPerGrantWith(spark, dir, aqueries, k, grantPairs,
+      perGrantStats(spark, dir, grantPairs))
+
+  /** Per-account corpus stats from the index's docs store (scoped
+    * N/avgdl — one narrow pass, grouped by account instead of one
+    * scope). A FROZEN grants table prices this once and reuses it
+    * (`servedTopKPerGrantWith` — the `scopedStats` hoist discipline,
+    * VERDICT r19 #3, applied to the multi-grant face): the relation is
+    * one row per account, trivially broadcastable however many
+    * consumers the fleet serves.
+    */
+  def perGrantStats(spark: SparkSession, dir: String,
+      grantPairs: DataFrame): DataFrame =
+    spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "doc_len")
+      .join(grantPairs.select("account", "doc_id"), Seq("doc_id"))
+      .groupBy("account")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_len").as("sum_len"))
+      .withColumn("avgdl",
+        col("sum_len").cast("double") / col("n_docs").cast("double"))
+
+  /** `servedTopKPerGrant` under PRE-COMPUTED per-account stats (the
+    * `perGrantStats` frame for the SAME grants relation — supplying a
+    * different fleet's stats is a caller contract violation, exactly
+    * `servedTopKScopedWith`'s). The streaming face prices the frozen
+    * grants once at stream definition and feeds every micro-batch
+    * through here, so a trigger never re-scans the docs store.
+    */
+  def servedTopKPerGrantWith(spark: SparkSession, dir: String,
+      aqueries: DataFrame, k: Int, grantPairs: DataFrame,
+      statsA: DataFrame): DataFrame = {
     val nBuckets = spark.read.parquet(s"$dir/stats")
       .select("n_buckets").head().getInt(0)
     val pairs = grantPairs.select("account", "doc_id")
@@ -599,15 +630,6 @@ object Bm25 {
       .join(broadcast(termBuckets), Seq("bucket", "term"))
       .select("term", "doc_id", "tf", "doc_len").distinct()
       .join(pairs, Seq("doc_id"))
-    // per-account corpus stats from the docs store (scoped N/avgdl —
-    // one narrow pass, grouped by account instead of one scope)
-    val statsA = spark.read.parquet(s"$dir/docs")
-      .select("doc_id", "doc_len")
-      .join(pairs, Seq("doc_id"))
-      .groupBy("account")
-      .agg(count(lit(1)).as("n_docs"), sum("doc_len").as("sum_len"))
-      .withColumn("avgdl",
-        col("sum_len").cast("double") / col("n_docs").cast("double"))
     val dfA = pA.groupBy("account", "term").agg(count(lit(1)).as("df"))
     val idfA = dfA
       .join(broadcast(statsA.select("account", "n_docs")), Seq("account"))

@@ -259,14 +259,16 @@ object RetrievalQueries extends QueryPack {
   private[graft] val TokCoarseIters = 2
   /** The build's STARTING code budget, not a pinned serving constant
     * (VERDICT r19 #1): when the 2-D knob gate saturates flagged — the
-    * measured state at ≥10× under m=4 — the automated response is
+    * measured state at ~100× under m=4 — the build ITSELF runs
     * `IvfPq.retrainDeeper(mLadder = TokMLadder)`: refit at the next m,
-    * re-gate, atomic swap (R20Probe walks the full loop at the decade
-    * fixtures). The gate meets the 0.8 floor at every driver-tested SF
-    * (R20KnobProbe: 0.850/0.875/0.8625 at sf0.001/0.01/0.1), so the
-    * entry build never deepens there and the static-m oracle replay
-    * stays exact; a deployment at the scale where deepening fires runs
-    * it as the build step after `selectKnobsSaved`.
+    * re-gate, atomic swap (wired in `servedTokenIvfPqDir`; R20Probe
+    * measures the full loop at the decade fixtures — sfx2 deepens to
+    * m=8 and clears the flag at half the probe width). The gate meets
+    * the 0.8 floor at every driver-tested SF (R20KnobProbe:
+    * 0.850/0.875/0.8625 at sf0.001/0.01/0.1), so the build never
+    * deepens there and the static-m oracle replay stays exact
+    * (HybridServeSpec pins m == TokM on the built artifact at test
+    * scale — the hash-safety precondition, re-checked every run).
     */
   private[graft] val TokM = 4
   private[graft] val TokMLadder = Seq(4, 8)
@@ -350,8 +352,21 @@ object RetrievalQueries extends QueryPack {
         TokM, TokPqK, TokPqIters, TokDims)
       graft.operators.IvfPq.saveQ(
         q, dir + "/idx", cents, books, TokDims)
-      graft.operators.IvfPq.selectKnobsSaved(s, dir + "/idx",
+      val kn = graft.operators.IvfPq.selectKnobsSaved(s, dir + "/idx",
         TokNprobeLadder, HybK, TokKCandLadder, TokSampleMax, TokDims)
+      // the automated code-budget rung IN the build (VERDICT r19 #1):
+      // a gate that saturates flagged walks the m ladder and swaps the
+      // deeper artifact in before anything serves. At every driver SF
+      // the gate meets the floor (R20KnobProbe), so this is a no-op
+      // there and the static-TokM oracle replay stays exact; at the
+      // decade fixtures it genuinely fires (R20Probe: sfx2 deepens to
+      // m=8, recall 0.6875 flagged → 0.8375 clear).
+      if (kn.meanRecallE6 < graft.operators.IvfPq.RecallFloorE6)
+        graft.operators.IvfPq.retrainDeeper(s, dir + "/idx",
+          TokMLadder, TokPqK, TokCoarseIters, TokPqIters,
+          TokNprobeLadder, HybK, TokKCandLadder, TokSampleMax, TokDims,
+          TokCellTarget, current = Some(kn),
+          maxTrainRows = TokFitSample)
       dir + "/idx"
       }
     })

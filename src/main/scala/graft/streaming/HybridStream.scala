@@ -77,6 +77,69 @@ object HybridStream {
     serveWith(queries, bm25Dir, tableDir, annDir, merges, bpePat,
       outDir, checkpointDir, k, nprobe, kCand, dims, Some(allowed))
 
+  /** The MULTI-CONSUMER stream (the b15 serving face): a
+    * (account, query_id, q_text) stream where every query answers
+    * under ITS OWN account's grant, all accounts in one per-batch plan
+    * — per-account BM25 through `Bm25.servedTopKPerGrantWith`,
+    * grant-tagged dense candidates under the scope-keyed LUT join
+    * (`searchRerankDf(scopeCols)`), fusion per (account, query). The
+    * grants TABLE is the definition-time snapshot (the `serveScoped`
+    * contract, fleet-widened): the (account, doc_id) pairs materialize
+    * once, the per-account corpus stats price once from them
+    * (`Bm25.perGrantStats` — one row per account, reused every
+    * trigger), and the codes tag once — adding or revoking an
+    * account's grant is a stream redefinition. Idempotence and batch
+    * shape are `serve`'s; in-batch duplicates collapse per
+    * (account, query_id) — the same query text under two accounts is
+    * two legitimate queries with different answers.
+    */
+  def servePerGrant(aqueries: DataFrame, bm25Dir: String,
+      tableDir: String, annDir: String, merges: Seq[(String, String)],
+      bpePat: String, outDir: String, checkpointDir: String, k: Int,
+      nprobe: Int, kCand: Int, dims: Int,
+      grantPairs: DataFrame): DataStreamWriter[Row] = {
+    val spark = aqueries.sparkSession
+    val table = TokenEmbeddingTable.load(spark, tableDir)
+    val (cents, books) = IvfPq.loadModel(spark, annDir)
+    // definition-time fleet snapshot: pairs, per-account stats, and
+    // the grant-tagged codes all price once
+    val pairs = grantPairs.select("account", "doc_id").localCheckpoint()
+    val statsA = Bm25.perGrantStats(spark, bm25Dir, pairs)
+      .localCheckpoint()
+    val codesG = spark.read.parquet(s"$annDir/codes")
+      .join(pairs.select(col("account"), col("doc_id").as("vec_id")),
+        Seq("vec_id"))
+    val vectors = spark.read.parquet(s"$annDir/vectors")
+    aqueries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("account", "query_id")
+          .localCheckpoint()
+        val lex = Bm25.servedTopKPerGrantWith(spark, bm25Dir, b, k,
+            pairs, statsA)
+          .select("account", "query_id", "doc_id", "rnk")
+        val qvecs = b.select("account", "query_id")
+          .join(TokenEmbeddingTable.queryVecs(
+            b.select(col("query_id").as("doc_id"),
+                col("q_text").as("text"))
+              .dropDuplicates("doc_id"),
+            merges, bpePat, table), Seq("query_id"))
+        val dense = IvfPq.searchRerankDf(codesG, vectors, qvecs, cents,
+            books, nprobe, kCand, k, dims, excludeSelf = false,
+            scopeCols = Seq("account"))
+          .select(col("account"), col("query_id"),
+            col("neighbor_id").as("doc_id"), col("rnk"))
+        RankFusion.rrf(Seq(lex, dense), k,
+            keyCols = Seq("account", "query_id"))
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(outDir)
+        ()
+      }
+  }
+
   private def serveWith(queries: DataFrame, bm25Dir: String,
       tableDir: String, annDir: String, merges: Seq[(String, String)],
       bpePat: String, outDir: String, checkpointDir: String, k: Int,

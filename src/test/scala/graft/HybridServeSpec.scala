@@ -70,6 +70,15 @@ class HybridServeSpec extends AnyFunSuite {
     assert(st.nQueries === RetrievalQueries.Queries.length.toLong)
     assert(st.recall > 0.0 && st.recall <= 1.0, s"degenerate recall: $st")
     assert(!st.flagged)
+    // hash-safety precondition for the build's auto-deepen rung: at
+    // test scale the gate meets the floor, so the artifact must still
+    // carry the starting code budget — a deepened m here would desync
+    // the static-TokM oracle replay (the r20 wiring's documented
+    // contract)
+    val (_, servedBooks) = IvfPq.loadModel(spark, idx)
+    assert(servedBooks.length === RetrievalQueries.TokM,
+      s"build auto-deepened at test scale (m=${servedBooks.length}) — " +
+        "the static-m oracle replay is no longer exact")
   }
 
   test("the grown token stack serves like the full build: appendDocVecs + frozen-model appendToSavedQ ≡ union serve") {

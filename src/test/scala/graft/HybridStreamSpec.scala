@@ -276,4 +276,96 @@ class HybridStreamSpec extends AnyFunSuite {
     assert(results(spark.read.parquet(s"$base/out")) === first,
       "replayed batch must overwrite its own partition, not append")
   }
+
+  test("multi-grant stream ≡ batch b15: every account under its own grant, chopped or not; stats priced once") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val expected = SparkEntry.queries("b15_hybrid_multi_grant")(spark, sf)
+      .select("account", "query_id", "rnk", "doc_id", "rrf_e12", "n_lists")
+      .collect().map(_.toString).toSet
+    assert(expected.nonEmpty, "batch b15 reference is empty")
+    val grantPairs = Tables.load(spark, sf, "documents")
+      .join(RetrievalQueries.GrantRows.toDF("account", "source"),
+        Seq("source"))
+      .select("account", "doc_id")
+    val aRows = RetrievalQueries.GrantRows.map(_._1).distinct
+      .flatMap(a => queries.map { case (qid, t) => (a, qid, t) })
+    val aSchema = StructType(Seq(StructField("account", StringType),
+      StructField("query_id", LongType), StructField("q_text", StringType)))
+    def runPG(files: Seq[Seq[(String, Long, String)]], onePer: Boolean)
+        : Set[String] = {
+      val srcDir = Files.createTempDirectory("graft_hybmg_src").toString
+      val base = Files.createTempDirectory("graft_hybmg").toString
+      files.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("account", "query_id", "q_text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$srcDir/f$i")
+        new java.io.File(s"$srcDir/f$i").listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+      val src0 = spark.readStream.schema(aSchema)
+      val src = (if (onePer) src0.option("maxFilesPerTrigger", "1")
+        else src0)
+        .option("latestFirst", "false").parquet(s"$srcDir/*")
+      val annDir = RetrievalQueries.servedTokenIvfPqDir(spark, sf)
+      val knobs = graft.operators.IvfPq.loadKnobs(spark, annDir).get
+      // record every file scan executed by the stream's batch plans:
+      // the docs store must appear in NONE of them (per-account stats
+      // are a frozen definition-time frame — the serveScoped
+      // discipline, fleet-widened)
+      def scanPaths(p: SparkPlan): Seq[String] = (p match {
+        case a: AdaptiveSparkPlanExec => scanPaths(a.executedPlan)
+        case q: QueryStageExec => scanPaths(q.plan)
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+        case other => Seq.empty
+      }) ++ p.children.flatMap(scanPaths) ++
+        p.subqueries.flatMap(scanPaths)
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          scanPaths(qe.executedPlan).foreach { p => seen.add(p); () }
+          ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      val writer = HybridStream.servePerGrant(src,
+        RetrievalQueries.servedBm25Dir(spark, sf),
+        RetrievalQueries.servedTokenEmbDir(spark, sf), annDir,
+        TextQueries.frozenByteMerges(spark, sf), TextQueries.BpePat,
+        s"$base/out", s"$base/ck", k = RetrievalQueries.HybK,
+        nprobe = knobs.nprobe, kCand = knobs.kCand,
+        dims = RetrievalQueries.TokDims, grantPairs = grantPairs)
+      spark.listenerManager.register(listener)
+      try {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Thread.sleep(500)
+      } finally spark.listenerManager.unregister(listener)
+      import scala.jdk.CollectionConverters._
+      val docScans = seen.asScala.filter(_.contains("/docs"))
+      assert(docScans.isEmpty,
+        s"a batch plan re-scanned the docs store: $docScans")
+      spark.read.parquet(s"$base/out")
+        .select("account", "query_id", "rnk", "doc_id", "rrf_e12",
+          "n_lists")
+        .collect().map(_.toString).toSet
+    }
+    assert(runPG(Seq(aRows), onePer = false) === expected,
+      "single-batch multi-grant stream diverged from batch b15")
+    // chopped MID-ACCOUNT: acct_a's queries split across triggers and
+    // acct_b's arrive with the tail of acct_a's — per-(account, query)
+    // results must not depend on which accounts share a trigger
+    assert(runPG(Seq(aRows.take(2), aRows.slice(2, 4), aRows.drop(4)),
+      onePer = true) === expected,
+      "chopped multi-grant stream diverged from batch b15")
+    // duplicated (account, query) rows collapse; the SAME query under
+    // two accounts stays two distinct answers
+    assert(runPG(Seq(aRows ++ aRows.take(1)), onePer = false) === expected,
+      "duplicated rows corrupted the per-account fusion")
+  }
 }
