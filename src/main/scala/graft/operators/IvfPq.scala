@@ -446,7 +446,8 @@ object IvfPq {
     val cents = KMeans.fitQ(q, nlist, coarseIters, dims,
       maxTrainRows = maxTrainRows)
     val books = PqIndex.fitQuantized(
-      residuals(q, cents).localCheckpoint(), m, k, pqIters, dims)
+      residuals(q, cents).localCheckpoint(), m, k, pqIters, dims,
+      maxTrainRows = maxTrainRows)
     val staging = dir + ".staging"
     saveQ(q, staging, cents, books, dims)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1208,7 +1209,8 @@ object IvfPq {
     val sub = dims / m
     val subChains = PqIndex.subChainsSql(m, k, iters, dims, (lo, hi) =>
       s"""SELECT vec_id, d - $lo AS d, v FROM rev
-             WHERE d > $lo AND d <= $hi""", seedsRel = "pqseeds")
+             WHERE d > $lo AND d <= $hi""", seedsRel = "pqseeds",
+      trainLimitExpr = trainLimitExpr)
     s"""${KMeans.chainSql(nlist, coarseIters, dims, qSrc, nlistExpr,
         trainLimitExpr)},
          rev AS MATERIALIZED (SELECT e.vec_id, e.d, e.v - c.c AS v

@@ -72,14 +72,19 @@ object PqIndex {
     * expected to have checkpointed the input (as `fit` does).
     */
   def fitQuantized(q: DataFrame, m: Int, k: Int, iters: Int,
-      dims: Int): Seq[Seq[Array[Long]]] = {
+      dims: Int, maxTrainRows: Long = 0L): Seq[Seq[Array[Long]]] = {
     require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
     val sub = dims / m
     (0 until m).map { i =>
+      // maxTrainRows: every subspace trains on the SAME deterministic
+      // md5-prefix sample (the bound is over vec_ids, and the slice
+      // preserves them) — one sample definition shared with the coarse
+      // fit, which is exactly what the oracle's single `fitsmp` CTE
+      // replays (`subChainsSql(trainLimitExpr)`)
       KMeans.fitQ(
         q.select(col("vec_id"),
           expr(s"slice(qv, ${i * sub + 1}, $sub)").as("qv")),
-        k, iters, sub)
+        k, iters, sub, maxTrainRows = maxTrainRows)
     }
   }
 
@@ -273,16 +278,29 @@ object PqIndex {
     * supplies its own, since its coarse chain's `seeds` has nlist rows).
     */
   def subChainsSql(m: Int, k: Int, iters: Int, dims: Int,
-      evSql: (Int, Int) => String, seedsRel: String = "seeds"): String = {
+      evSql: (Int, Int) => String, seedsRel: String = "seeds",
+      trainLimitExpr: String = ""): String = {
     val sub = dims / m
     (0 until m).map { i =>
       val lo = i * sub
       val p = s"s${i}_"
+      // `trainLimitExpr` (the `fitQ(maxTrainRows)` replay at the PQ
+      // tier): the per-subspace Lloyd rounds scan only the caller's
+      // shared `fitsmp` prefix — the SAME md5-ordered sample the
+      // coarse fit trains on (one sample definition, every fit) —
+      // while the final per-subspace assignment stays full-corpus.
+      // The caller must have emitted `fitsmp` (KMeans.chainSql with
+      // the same expression); empty = the unsampled chain, verbatim.
+      val evFit = if (trainLimitExpr.nonEmpty) s"${p}evf" else s"${p}ev"
+      val fitCte = if (trainLimitExpr.isEmpty) ""
+        else s"""${p}evf AS MATERIALIZED (SELECT e.vec_id, e.d, e.v
+             FROM ${p}ev e JOIN fitsmp USING (vec_id)),
+           """
       val rounds = (1 to iters).map { t =>
         val pr = t - 1
         s"""${p}dist$t AS MATERIALIZED (SELECT e.vec_id, c.cluster,
                CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
-               FROM ${p}ev e JOIN ${p}ct$pr c USING (d) GROUP BY 1, 2),
+               FROM $evFit e JOIN ${p}ct$pr c USING (d) GROUP BY 1, 2),
              ${p}asg$t AS MATERIALIZED (SELECT vec_id, cluster FROM (
                SELECT vec_id, cluster,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
@@ -291,12 +309,12 @@ object PqIndex {
                COALESCE(CAST(u.s AS BIGINT) // u.n, pc.c) AS c
                FROM ${p}ct$pr pc LEFT JOIN (
                  SELECT a.cluster, e.d, sum(e.v) AS s, CAST(count(*) AS BIGINT) AS n
-                 FROM ${p}asg$t a JOIN ${p}ev e USING (vec_id) GROUP BY 1, 2) u
+                 FROM ${p}asg$t a JOIN $evFit e USING (vec_id) GROUP BY 1, 2) u
                ON u.cluster = pc.cluster AND u.d = pc.d)"""
       }.mkString(",\n           ")
       val f = iters + 1
       s"""${p}ev AS MATERIALIZED (${evSql(lo, lo + sub)}),
-           ${p}ct0 AS MATERIALIZED (SELECT s.cluster, e.d, e.v AS c
+           $fitCte${p}ct0 AS MATERIALIZED (SELECT s.cluster, e.d, e.v AS c
              FROM $seedsRel s JOIN ${p}ev e USING (vec_id)),
            $rounds,
            ${p}dist$f AS MATERIALIZED (SELECT e.vec_id, c.cluster,

@@ -290,17 +290,21 @@ object RetrievalQueries extends QueryPack {
   //    CTE + knobsGateCtes), so the knobs are re-derived per SF, not
   //    pinned.
   private[graft] val TokCellTarget = 512L
-  /** Bound on the coarse Lloyd fit's training rows (VERDICT r19 #6 —
-    * the `IvfIndex.fitAssign(maxTrainRows)` discipline adopted by the
-    * token tier): the 100× fill was dominated by the nlist=256 fit
-    * scanning all 500k vectors per round; the fit now trains on the
-    * deterministic md5-prefix sample (`KMeans.fitQ(maxTrainRows)`) and
-    * only the one-time assignment/encode touches every row. The oracle
-    * replays the SAME sample (`chainSql(trainLimitExpr)` — a `qt`
-    * prefix CTE feeding the rounds, full `ev` feeding the final
-    * assignment), and at every driver SF the corpus fits inside the
-    * bound, so the chain degenerates to the unsampled fit and the
-    * b13/b14/b15 hashes are unchanged by construction.
+  /** Bound on EVERY Lloyd fit's training rows (VERDICT r19 #6 — the
+    * `IvfIndex.fitAssign(maxTrainRows)` discipline adopted by the
+    * token tier, coarse AND per-subspace codebooks): the 100× fill was
+    * dominated by fits scanning all 500k vectors per round; each fit
+    * now trains on the ONE deterministic md5-prefix sample
+    * (`KMeans.fitQ(maxTrainRows)` / `PqIndex.fitQuantized` — the bound
+    * is over vec_ids, so the coarse fit and all m codebook fits share
+    * the same sample set) and only the one-time assignment/encode
+    * touches every row. The oracle replays the SAME sample (one
+    * `fitsmp` prefix CTE feeding the coarse rounds via
+    * `chainSql(trainLimitExpr)` and every `s{i}_` codebook round via
+    * `subChainsSql(trainLimitExpr)`, with the full `ev`/`s{i}_ev`
+    * feeding the final assignments), and at every driver SF the corpus
+    * fits inside the bound, so the chain degenerates to the unsampled
+    * fit and the b13/b14/b15 hashes are unchanged by construction.
     */
   private[graft] val TokFitSample = 100000L
   private[graft] val TokKCandLadder = Seq(25, 50, 100, 200)
@@ -349,7 +353,8 @@ object RetrievalQueries extends QueryPack {
         q, nlist, TokCoarseIters, TokDims, maxTrainRows = TokFitSample)
       val books = graft.operators.PqIndex.fitQuantized(
         graft.operators.IvfPq.residuals(q, cents).localCheckpoint(),
-        TokM, TokPqK, TokPqIters, TokDims)
+        TokM, TokPqK, TokPqIters, TokDims,
+        maxTrainRows = TokFitSample)
       graft.operators.IvfPq.saveQ(
         q, dir + "/idx", cents, books, TokDims)
       val kn = graft.operators.IvfPq.selectKnobsSaved(s, dir + "/idx",
