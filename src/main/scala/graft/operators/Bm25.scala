@@ -49,6 +49,23 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** `n_buckets` memo for the SERVING faces (r20): the bucket count is
+    * the index's structural constant — written once by `buildIndex`
+    * and preserved by every append/compact (the bucket layout cannot
+    * change without rewriting the postings store) — yet each served
+    * call re-read it with a one-row `head()`, a whole Spark job on the
+    * serving steady state. Keyed (applicationId, dir); the WRITE
+    * lifecycle faces (`appendToIndex`, `compactIndex`) keep reading
+    * the stats file directly — freshness over speed on mutation paths.
+    */
+  private val bucketsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  private def servedNBuckets(spark: SparkSession, dir: String): Int =
+    bucketsCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      _ => spark.read.parquet(s"$dir/stats")
+        .select("n_buckets").head().getInt(0)).intValue()
+
   /** Per-(term, doc) postings: (term, doc_id, tf). One narrow explode,
     * one partial-aggregated groupBy — the map side combines before the
     * shuffle, so the shuffled volume is the distinct (doc, term) set,
@@ -477,7 +494,7 @@ object Bm25 {
   def servedTopKDf(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int): DataFrame = {
     val stats = spark.read.parquet(s"$dir/stats")
-    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val nBuckets = servedNBuckets(spark, dir)
     val qTerms = queryTerms(queries)
     val termBuckets = qTerms.select("term").distinct()
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
@@ -538,8 +555,7 @@ object Bm25 {
   def servedTopKScopedWith(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, allowed: DataFrame,
       stats: DataFrame): DataFrame = {
-    val nBuckets = spark.read.parquet(s"$dir/stats")
-      .select("n_buckets").head().getInt(0)
+    val nBuckets = servedNBuckets(spark, dir)
     val allowedIds = allowed.select("doc_id")
     val qTerms = queryTerms(queries)
     val termBuckets = qTerms.select("term").distinct()
@@ -611,8 +627,7 @@ object Bm25 {
   def servedTopKPerGrantWith(spark: SparkSession, dir: String,
       aqueries: DataFrame, k: Int, grantPairs: DataFrame,
       statsA: DataFrame): DataFrame = {
-    val nBuckets = spark.read.parquet(s"$dir/stats")
-      .select("n_buckets").head().getInt(0)
+    val nBuckets = servedNBuckets(spark, dir)
     val pairs = grantPairs.select("account", "doc_id")
     val aqTerms = aqueries.select(col("account"), col("query_id"),
         explode(array_distinct(split(col("q_text"), " "))).as("term"))

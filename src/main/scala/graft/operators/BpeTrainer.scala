@@ -159,6 +159,24 @@ object BpeTrainer {
     trainState(pieces, k, byteLevel)._1
       .select(col("piece"), size(symbols(col("rep"))).as("n_tokens"))
 
+  /** `tokenLengths` under a FROZEN merge list: each piece is priced by
+    * the same sequential replace fold the trainer's state carries
+    * (`applyMerges` replays trainState's per-round replace with the
+    * learned pairs inlined), so on the trainer's own corpus the
+    * lengths are bit-identical to `tokenLengths(pieces, k)` — while
+    * costing ONE map-side projection instead of re-running the k-round
+    * fit (r20: the t29/t33 entries re-trained the tokenizer inside
+    * every execution, ~17 driver-loop jobs and ~1.9 s of the entries'
+    * steady state at sf0.1; the frozen list is the session's shipped
+    * artifact, the `docTokenCounts` serving discipline).
+    * BpeByteSpec pins the frozen ≡ trained equality in both modes.
+    */
+  def tokenLengthsFrozen(pieces: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): DataFrame =
+    pieces.select(col("piece"),
+      size(symbols(applyMerges(initRepOf(col("piece"), byteLevel), merges)))
+        .as("n_tokens"))
+
   /** The learned merge list collected driver-side — k (s1, s2) pairs in
     * induction order (bounded by k, the fixed-size-model-state idiom:
     * this IS the tokenizer artifact a serving tier ships).

@@ -42,6 +42,14 @@ object HashedEmbedding {
 
   /** (doc_id, embedding array<float> of length `dim`); zero-token docs
     * embed to the zero vector.
+    *
+    * r20 note: a broadcast (bucket → w0..w15) weight-table join was
+    * prototyped here (16k md5 evaluations instead of 16 per token
+    * occurrence) and MEASURED SLOWER at sf0.1 (t13 0.88 → 1.0 s, d11
+    * 2.5 → 2.75 s, +2 jobs): the md5/conv/substring chain is
+    * whole-stage-codegen'd and cheap, while the extra broadcast
+    * exchange and join added fixed overhead. Kept in-expression —
+    * guide §1: measurements over theory.
     */
   def embed(docs: DataFrame, idCol: String, textCol: String,
       dims: Int = 1024, dim: Int = 16): DataFrame = {

@@ -29,7 +29,34 @@ object Producer {
     * (they are supplier/nation-sized; at 100 TB of trips the dims are
     * still tiny, so no fact shuffle).
     */
-  def unloadDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  def unloadDocs(spark: SparkSession, sfDir: String): DataFrame =
+    unloadDocsFrom(joinedTrips(spark, sfDir)
+      // spread before the 17-field JSON serialization: the broadcast
+      // joins preserve the scan's partitioning, and the testdata's
+      // single-row-group file is unsplittable, so without this the
+      // to_json (and any shred stacked on top) runs on ONE core —
+      // measured ~2× both pipe_shred entries at sf0.1. A production
+      // multi-file layout gets this parallelism from the scan itself.
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** `unloadDocs` with the rows in GLOBAL `doc_key` (= bikeid, unique)
+    * order — the deterministic-order face the pipe_shred entries
+    * consume. The sort runs on the NARROW TYPED columns BELOW the
+    * 17-field JSON serialization: a global sort stacked on top of
+    * `unloadDocs` pays twice (range-boundary sampling re-executes the
+    * join + to_json chain, then the range exchange ships the built
+    * JSON strings — measured 2 Exchanges + a sampled to_json pass);
+    * here the sampling scans only the source key and the one range
+    * exchange carries typed columns, with the to_json → parse chain
+    * running AFTER the sort, in the sort's own 32-way partitioning
+    * (which also replaces the round-robin spread — one exchange total).
+    * Projections preserve order, and bikeid is unique, so the output
+    * row order is identical to `unloadDocs.orderBy("doc_key")`.
+    */
+  def unloadDocsOrdered(spark: SparkSession, sfDir: String): DataFrame =
+    unloadDocsFrom(joinedTrips(spark, sfDir).orderBy(col("bikeid")))
+
+  private def joinedTrips(spark: SparkSession, sfDir: String): DataFrame = {
     val t = CitibikeSource.trips(spark, sfDir)
     val ss = CitibikeSource.stations(spark, sfDir)
     val es = ss
@@ -37,13 +64,10 @@ object Producer {
     t.join(broadcast(ss.as("ss")), col("start_station_id") === col("ss.station_id"))
       .join(broadcast(es.as("es")), col("end_station_id") === col("es.station_id"))
       .join(broadcast(p.as("p")), Seq("program_id"))
-      // spread before the 17-field JSON serialization: the broadcast
-      // joins preserve the scan's partitioning, and the testdata's
-      // single-row-group file is unsplittable, so without this the
-      // to_json (and any shred stacked on top) runs on ONE core —
-      // measured ~2× both pipe_shred entries at sf0.1. A production
-      // multi-file layout gets this parallelism from the scan itself.
-      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  private def unloadDocsFrom(joined: DataFrame): DataFrame =
+    joined
       .select(
         col("starttime"),
         col("bikeid").as("doc_key"),
@@ -65,7 +89,6 @@ object Producer {
           col("gender"),
           col("program_id"),
           col("p.program_name").as("program_name"))).as("doc"))
-  }
 
   /** Unload one JSON-lines file set per day into `stageDir`; returns the
     * number of day files written (the proc's `counter` return value).

@@ -22,13 +22,17 @@ object PipelineQueries extends QueryPack {
     // round trip is lossless for every type (int, string, double,
     // timestamp_ntz).
     // Scale/efficiency note: the deterministic total order the oracle
-    // hash needs is applied on the cheap source key BEFORE the expensive
-    // to_json→parse→extract chain — a global sort placed after it would
-    // re-execute the whole chain for range-boundary sampling (measured
-    // 2× the query). The trailing projections preserve the row order.
+    // hash needs is applied on the cheap source key BELOW the whole
+    // to_json→parse→extract chain (Producer.unloadDocsOrdered): the
+    // range-boundary sampling then scans only the typed source columns
+    // and the ONE range exchange carries typed rows, not built JSON —
+    // vs `unloadDocs.orderBy(doc_key)`, which paid a round-robin
+    // exchange + a sampling re-execution of the to_json chain + a
+    // second exchange of the JSON strings (r20 plan diff: 2 Exchanges
+    // → 1). bikeid is unique, so the output order is identical.
     Q("pipe_shred_roundtrip",
       (s, d) => Transform.shredTrips(
-        Producer.unloadDocs(s, d).orderBy("doc_key").select(col("doc").as("v"))),
+        Producer.unloadDocsOrdered(s, d).select(col("doc").as("v"))),
       Some(s"""SELECT * FROM (${CitibikeSource.tripsOracleSql}) ORDER BY bikeid""")),
 
     // The same roundtrip through the schema-known fast shred
@@ -38,7 +42,7 @@ object PipelineQueries extends QueryPack {
     // slow/fast ratio visible per round (~3× measured at sf0.1).
     Q("pipe_shred_fast",
       (s, d) => Transform.shredTripsFast(
-        Producer.unloadDocs(s, d).orderBy("doc_key").select(col("doc").as("v"))),
+        Producer.unloadDocsOrdered(s, d).select(col("doc").as("v"))),
       Some(s"""SELECT * FROM (${CitibikeSource.tripsOracleSql}) ORDER BY bikeid""")),
 
     // The demo's golden-count methodology (dp_demo.sql:150-162,196-198)

@@ -1519,14 +1519,27 @@ object RelationalQueries extends QueryPack {
     // this entry is the ground truth it's validated against.
     Q("a12_exact_median",
       (s, d) => {
+        // HISTOGRAM form of the exact median (r20, guide §2.3
+        // "aggregate before you shuffle"): l_quantity is low-cardinality
+        // (~50 distinct values), so the ((n+1) div 2)-th smallest value
+        // is recoverable from per-(flag, quantity) counts — the
+        // map-side partial aggregation collapses the fact table to
+        // ~flags·values rows BEFORE any exchange, where the row_number
+        // form shuffled every fact row into |flags| partitions (3 at
+        // any SF — a skewed single-task sort per flag, unbounded
+        // per-task state as the corpus grows). The median row is the
+        // histogram bucket whose cumulative count first reaches the
+        // target rank: identical value, identical n, same oracle.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("l_returnflag").orderBy(col("l_quantity"))
         val wc = org.apache.spark.sql.expressions.Window
           .partitionBy("l_returnflag")
-        t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wc))
-          .filter(col("rn") === expr("(n + 1) div 2"))
+        t(s, d, "lineitem").groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+          .withColumn("n", sum("c").over(wc))
+          .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+            expr("(n + 1) div 2") <= col("cum"))
           .select(col("l_returnflag"), col("l_quantity").as("median_qty"),
             col("n"))
           .orderBy("l_returnflag")

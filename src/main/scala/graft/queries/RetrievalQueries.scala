@@ -881,8 +881,7 @@ object RetrievalQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val merges = TextQueries.frozenByteMerges(s, d)
-        val table = graft.operators.TokenEmbeddingTable.load(
-          s, servedTokenEmbDir(s, d))
+        val table = ServingCache.tokenTable(s, servedTokenEmbDir(s, d))
         val lex = Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, HybK)
           .select("query_id", "doc_id", "rnk")
         val qvecs = graft.operators.TokenEmbeddingTable.embedDocs(
@@ -980,17 +979,16 @@ object RetrievalQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val merges = TextQueries.frozenByteMerges(s, d)
-        val table = graft.operators.TokenEmbeddingTable.load(
-          s, servedTokenEmbDir(s, d))
+        val table = ServingCache.tokenTable(s, servedTokenEmbDir(s, d))
         val lex = Bm25.servedTopK(s, servedBm25Dir(s, d), Queries, HybK)
           .select("query_id", "doc_id", "rnk")
         val idxDir = servedTokenIvfPqDir(s, d)
-        val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
+        val (cents, books) = ServingCache.ivfPqModel(s, idxDir)
         val codes = s.read.parquet(s"$idxDir/codes")
         val vectors = s.read.parquet(s"$idxDir/vectors")
         // the gate-chosen serving knobs travel WITH the artifact
         // (dir/knobs — written by selectKnobsSaved at build time)
-        val knobs = graft.operators.IvfPq.loadKnobs(s, idxDir).get
+        val knobs = ServingCache.ivfPqKnobs(s, idxDir).get
         val qvecs = graft.operators.TokenEmbeddingTable.queryVecs(
           Queries.toDF("doc_id", "text"), merges, TextQueries.BpePat, table)
         val dense = graft.operators.IvfPq.searchRerankDf(
@@ -1088,8 +1086,7 @@ object RetrievalQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val merges = TextQueries.frozenByteMerges(s, d)
-        val table = graft.operators.TokenEmbeddingTable.load(
-          s, servedTokenEmbDir(s, d))
+        val table = ServingCache.tokenTable(s, servedTokenEmbDir(s, d))
         val allowed = Tables.load(s, d, "documents")
           .filter(col("source").isin(ScopeSources: _*))
           .select("doc_id")
@@ -1097,8 +1094,8 @@ object RetrievalQueries extends QueryPack {
             Queries.toDF("query_id", "q_text"), HybK, allowed)
           .select("query_id", "doc_id", "rnk")
         val idxDir = servedTokenIvfPqDir(s, d)
-        val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
-        val knobs = graft.operators.IvfPq.loadKnobs(s, idxDir).get
+        val (cents, books) = ServingCache.ivfPqModel(s, idxDir)
+        val knobs = ServingCache.ivfPqKnobs(s, idxDir).get
         val codes = s.read.parquet(s"$idxDir/codes")
           .join(allowed.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
@@ -1203,8 +1200,7 @@ object RetrievalQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val merges = TextQueries.frozenByteMerges(s, d)
-        val table = graft.operators.TokenEmbeddingTable.load(
-          s, servedTokenEmbDir(s, d))
+        val table = ServingCache.tokenTable(s, servedTokenEmbDir(s, d))
         val docs = Tables.load(s, d, "documents")
         val grants = GrantRows.toDF("account", "source")
         val grantPairs = docs.join(grants, Seq("source"))
@@ -1217,8 +1213,8 @@ object RetrievalQueries extends QueryPack {
             HybK, grantPairs)
           .select("account", "query_id", "doc_id", "rnk")
         val idxDir = servedTokenIvfPqDir(s, d)
-        val (cents, books) = graft.operators.IvfPq.loadModel(s, idxDir)
-        val knobs = graft.operators.IvfPq.loadKnobs(s, idxDir).get
+        val (cents, books) = ServingCache.ivfPqModel(s, idxDir)
+        val knobs = ServingCache.ivfPqKnobs(s, idxDir).get
         val codesG = s.read.parquet(s"$idxDir/codes")
           .join(grantPairs.select(col("account"),
             col("doc_id").as("vec_id")), Seq("vec_id"))

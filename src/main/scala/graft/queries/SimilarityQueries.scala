@@ -769,7 +769,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}
         val dir = servedIvfPqDir(s, d)
-        val (cents, books) = IvfPq.loadModel(s, dir)
+        val (cents, books) = ServingCache.ivfPqModel(s, dir)
         val codes = s.read.parquet(s"$dir/codes")
         val vectors = s.read.parquet(s"$dir/vectors")
         val queries = KMeans.quantized(Tables.load(s, d, "embeddings"))
@@ -800,7 +800,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import graft.operators.{IvfPq, KMeans}
         val dir = servedIvfPqDir(s, d)
-        val (cents, books) = IvfPq.loadModel(s, dir)
+        val (cents, books) = ServingCache.ivfPqModel(s, dir)
         val codes = s.read.parquet(s"$dir/codes")
         val vectors = s.read.parquet(s"$dir/vectors")
         val queries = KMeans.quantized(Tables.load(s, d, "embeddings"))

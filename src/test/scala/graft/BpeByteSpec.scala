@@ -184,4 +184,18 @@ class BpeByteSpec extends AnyFunSuite {
     // the healthy shape still loads
     assert(BpeTrainer.loadMerges(spark, write(Seq(1, 2, 3))).length === 3)
   }
+
+  test("tokenLengthsFrozen under the trained merge list equals tokenLengths, both modes (r20)") {
+    val pieces = Seq(("abab", 3L), ("ab", 2L), ("中中ab", 1L), ("x", 4L))
+      .toDF("piece", "wf")
+    Seq(false, true).foreach { byteLevel =>
+      val trained = BpeTrainer.tokenLengths(pieces, k = 3, byteLevel)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val merges = BpeTrainer.mergeList(pieces, k = 3, byteLevel)
+      val frozen = BpeTrainer.tokenLengthsFrozen(
+          pieces.select("piece"), merges, byteLevel)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(frozen === trained, s"byteLevel=$byteLevel")
+    }
+  }
 }
