@@ -82,13 +82,25 @@ object BpeTrainer {
     */
   def trainState(pieces: DataFrame, k: Int,
       byteLevel: Boolean = false): (DataFrame, Seq[DataFrame]) = {
-    var st = pieces
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    val st0 = pieces
       .select(col("piece"), col("wf"),
         initRepOf(col("piece"), byteLevel).as("rep"))
       .localCheckpoint()
+    var st = st0
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {
-      val pairs = st
+      // The round's argmax is ONE bounded collect (the mergeList /
+      // fixed-size-model-state idiom: a merge is two strings — driver-
+      // held by contract). r20: the previous shape spent 3 jobs per
+      // round (a limit(1) localCheckpoint, a count() on it, and the
+      // broadcast for a crossJoin) where the 1-row collect both IS the
+      // fail-loud emptiness check and lets the replaced state fold the
+      // learned pair in as LITERALS — the exact `applyMerges` fold —
+      // so the per-round state checkpoint goes too: each round's scan
+      // is st0 + r literal replaces, vocabulary-sized and map-side.
+      val bestRows = st
         .select(col("wf"), symbols(col("rep")).as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(col("wf"), explode(expr(
@@ -97,28 +109,22 @@ object BpeTrainer {
             " element_at(syms, i + 1) AS s2))")).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(sum("wf").as("cnt"))
-      val best = pairs
         .orderBy(col("cnt").desc, col("s1"), col("s2"))
         .limit(1)
-        .localCheckpoint()
+        .collect()
       // Fail-loud precondition check: if the corpus exhausts merges
-      // before round k (no multi-symbol piece left), the crossJoin
-      // below against an EMPTY 1-row argmax would silently empty the
-      // entire state (and the oracle's scalar subqueries go NULL) —
-      // silent data loss instead of an error. The count is a ≤1-row
-      // action on an already-checkpointed frame, i.e. free.
-      require(best.count() == 1,
+      // before round k (no multi-symbol piece left), a silent empty
+      // argmax would otherwise empty the entire state downstream.
+      require(bestRows.length == 1,
         s"BPE round $r/$k: no pair left to merge — the corpus supports " +
           "fewer merges than requested (every piece is a single symbol)")
-      merges += best.select(lit(r).cast("int").as("rnk"),
-        col("s1"), col("s2"), col("cnt"))
-      st = st
-        .crossJoin(broadcast(best.select(col("s1"), col("s2"))))
-        .select(col("piece"), col("wf"),
-          replace(col("rep"),
-            concat(lit(L), col("s1"), lit(R + L), col("s2"), lit(R)),
-            concat(lit(L), col("s1"), col("s2"), lit(R))).as("rep"))
-        .localCheckpoint()
+      val (s1, s2, cnt) = (bestRows(0).getAs[String]("s1"),
+        bestRows(0).getAs[String]("s2"), bestRows(0).getAs[Long]("cnt"))
+      merges += Seq((r, s1, s2, cnt)).toDF("rnk", "s1", "s2", "cnt")
+      st = st.select(col("piece"), col("wf"),
+        replace(col("rep"),
+          lit(L + s1 + R + L + s2 + R),
+          lit(L + s1 + s2 + R)).as("rep"))
     }
     (st, merges.result())
   }

@@ -167,8 +167,18 @@ object LateInteraction {
       .select(col("query_id"),
         explode(array_distinct(split(col("q_text"), " "))).as("term"))
       .filter(col("term") =!= "")
-    val ids = candidates.select("doc_id").distinct()
-      .collect().map(_.getLong(0))
+    // ONE bounded collect of the whole (query_id, doc_id) pool — it is
+    // driver-sized by contract (it came out of a top-k). r20: the old
+    // shape collected only the ids for the partition-pruning literals
+    // and kept `candidates` ITSELF in the serving plan, so the entire
+    // candidate-generation chain (the served BM25 top-k) executed
+    // TWICE per call — once for the collect, once inside the final
+    // plan. The collected pool re-enters the plan as a local relation:
+    // same rows, one execution (b10 2.97 → see OPTIMIZATION_r20.md).
+    val candRows = candidates.select("query_id", "doc_id").collect()
+    val candLocal = candRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("query_id", "doc_id")
+    val ids = candRows.map(_.getLong(1)).distinct
     val idbs = ids.map(id => (id % nBuckets + nBuckets) % nBuckets).distinct
     val dt = spark.read.parquet(storeDir)
       .filter(col("_idb").isin(idbs.map(Long.box): _*))
@@ -183,7 +193,7 @@ object LateInteraction {
       .select(col("term"), col("db"), simExpr(col("qb"), col("db")).as("s"))
     val m = dt.join(broadcast(simTable), Seq("db"))
       .groupBy("doc_id", "term").agg(max("s").as("ms"))
-    val scored = candidates.select("query_id", "doc_id")
+    val scored = candLocal
       .join(broadcast(qt), Seq("query_id"))
       .join(m, Seq("doc_id", "term"))
       .groupBy("query_id", "doc_id")

@@ -46,23 +46,39 @@ object RankFusion {
     require(k0 >= 1, "k0 must be >= 1")
     require(keyCols.nonEmpty, "rrf needs at least one key column")
     val keys = keyCols.map(col)
-    val unioned = ranked
-      .map(_.select(keys :+ col("doc_id") :+ col("rnk"): _*)
-        // each list contributes AT MOST ONE rank per (key, doc): a
-        // contract-violating input (e.g. a caller unioning two runs into
-        // one frame) would otherwise silently double-sum that doc and
-        // inflate n_lists (ADVICE r11). Collapse deterministically to
-        // the BEST (minimum) rank; a well-formed top-k list passes
-        // through unchanged, and the relation is already k-bounded so
-        // the partial agg is tiny.
-        .groupBy(keys :+ col("doc_id"): _*)
-        .agg(min("rnk").as("rnk")))
+    // ONE exchange for the whole fusion (r20, guide §2.4): the old
+    // chain paid an exchange per input list (the per-list best-rank
+    // dedup), another for the contribution sum, and a third for the
+    // rank window — S + 2 serialized AQE stages over relations that
+    // are only S·Q·k rows. Instead the lists union TAGGED, the
+    // explicit repartition on the fusion keys establishes the ONE
+    // partitioning that satisfies every downstream requirement
+    // (HashPartitioning(keys) clusters (keys, doc_id) for the
+    // aggregate AND keys for the window), and one aggregation computes
+    // each list's BEST (minimum) rank as a conditional min — the same
+    // at-most-one-rank-per-(key, doc, list) defense as the per-list
+    // dedup (ADVICE r11), same values: rrf_e12 = Σ_lists
+    // Scale DIV (k0 + min-rank), n_lists = lists that returned the doc
+    // (RankFusionSpec pins the contract cases).
+    val tagged = ranked.zipWithIndex
+      .map { case (df, i) =>
+        df.select(keys :+ col("doc_id") :+ col("rnk") :+
+          lit(i).as("_sys"): _*) }
       .reduce(_.unionByName(_))
-    val contrib = unioned.select(keys :+ col("doc_id") :+
-      expr(s"CAST($Scale DIV (CAST($k0 AS BIGINT) + CAST(rnk AS BIGINT)) AS BIGINT)")
-        .as("contrib_e12"): _*)
-    val scored = contrib.groupBy(keys :+ col("doc_id"): _*)
-      .agg(sum("contrib_e12").as("rrf_e12"), count(lit(1)).as("n_lists"))
+    val bestPerList = ranked.indices.map(i =>
+      min(when(col("_sys") === i, col("rnk"))).as(s"_r$i"))
+    val contribOf = ranked.indices.map(i =>
+      when(col(s"_r$i").isNotNull,
+          expr(s"CAST($Scale DIV (CAST($k0 AS BIGINT) + CAST(_r$i AS BIGINT)) AS BIGINT)"))
+        .otherwise(lit(0L)))
+    val nListsOf = ranked.indices.map(i =>
+      when(col(s"_r$i").isNotNull, 1L).otherwise(0L))
+    val scored = tagged.repartition(keys: _*)
+      .groupBy(keys :+ col("doc_id"): _*)
+      .agg(bestPerList.head, bestPerList.tail: _*)
+      .select(keys ++ Seq(col("doc_id"),
+        contribOf.reduce(_ + _).as("rrf_e12"),
+        nListsOf.reduce(_ + _).as("n_lists")): _*)
     val w = Window.partitionBy(keys: _*)
       .orderBy(col("rrf_e12").desc, col("doc_id"))
     scored.withColumn("out_rnk", row_number().over(w))

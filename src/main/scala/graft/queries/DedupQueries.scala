@@ -729,6 +729,10 @@ object DedupQueries extends QueryPack {
         val v1 = Tables.load(s, d, "documents")
         val v2 = CorpusPipelineQueries.snapshotV2(v1)
         val f1 = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+        // localCheckpoint kept deliberately (r20: the checkpoint-free
+        // twin was measured SLOWER — 1.95 → 2.18 s, 21 → 24 jobs; the
+        // double recompute of the delta plus the extra AQE stages cost
+        // more than the one eager materialization of the tiny delta)
         val delta = v2.join(f1, Seq("doc_id"), "left")
           .filter(col("fp1").isNull || md5(col("text")) =!= col("fp1"))
           .select("doc_id", "source", "text")
