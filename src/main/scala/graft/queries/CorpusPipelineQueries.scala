@@ -591,12 +591,14 @@ object CorpusPipelineQueries extends QueryPack {
     Q("x10_training_shard_release",
       (s, d) => {
         val W = 2048L
-        val docs = Tables.load(s, d, "documents")
         val kept = s.read.parquet(servedCleanDir(s, d))
           .filter(col("split") === "train").select("doc_id")
-        val ids = graft.operators.BpeTrainer.docTokenIds(
-          docs.join(kept, Seq("doc_id"), "left_semi"),
-          TextQueries.frozenByteMerges(s, d), TextQueries.BpePat)
+        // kept docs' id sequences from the session token-ids store
+        // (r20: per-doc tokenization is deterministic, so reading the
+        // materialized table semi-joined to the kept set is
+        // bit-identical to re-tokenizing the kept slice)
+        val ids = s.read.parquet(TextQueries.tokenIdsStoreDir(s, d))
+          .join(kept, Seq("doc_id"), "left_semi")
         graft.operators.ContextPacking.packedWindows(ids, W)
           .select(col("shard"), col("window_id"), col("n_docs"),
             col("n_tokens"),
@@ -653,12 +655,10 @@ object CorpusPipelineQueries extends QueryPack {
     Q("x12_greedy_shard_release",
       (s, d) => {
         val W = 2048L
-        val docs = Tables.load(s, d, "documents")
         val kept = s.read.parquet(servedCleanDir(s, d))
           .filter(col("split") === "train").select("doc_id")
-        val ids = graft.operators.BpeTrainer.docTokenIds(
-          docs.join(kept, Seq("doc_id"), "left_semi"),
-          TextQueries.frozenByteMerges(s, d), TextQueries.BpePat)
+        val ids = s.read.parquet(TextQueries.tokenIdsStoreDir(s, d))
+          .join(kept, Seq("doc_id"), "left_semi")
         graft.operators.ContextPacking.packGreedyWindows(ids, W)
           .select(col("shard"), col("window_id"), col("n_docs"),
             col("n_tokens"),

@@ -235,9 +235,9 @@ object RetrievalQueries extends QueryPack {
       graft.CacheFills.timed("token_vec_store", d) {
       val dir = graft.Artifacts.tempArtifactDir("graft_tokvec")
       graft.operators.TokenEmbeddingTable.embedDocs(
-          graft.operators.BpeTrainer.docTokenIds(
-            Tables.load(s, d, "documents"),
-            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
+          // r20: the session token-ids store is the tokenize-once
+          // artifact; re-tokenizing here would duplicate its work
+          s.read.parquet(TextQueries.tokenIdsStoreDir(s, d)),
           graft.operators.TokenEmbeddingTable.load(
             s, servedTokenEmbDir(s, d)))
         .write.mode("overwrite").parquet(s"$dir/vectors")

@@ -23,6 +23,34 @@ object SamplingQueries extends QueryPack {
   private val bucketExpr =
     graft.operators.SplitAssign.bucket(col("doc_id")).as("bucket")
 
+  /** sp16's window CENSUS (shard, window_id, n_docs, n_tokens,
+    * fill_e6 — no id arrays) persisted ONCE per (session, dataset):
+    * the coordinator-side consumers (sp17's manifest, sp20's epoch
+    * order) re-ran the whole tokenize+pack chain per execution, where
+    * a production dataloader coordinator reads the packed release's
+    * manifest — packing is a per-release batch step over a frozen
+    * corpus (see ContextPacking's scaladoc), not something re-derived
+    * per epoch. sp16/sp19 keep computing the packing itself (it is
+    * their operator) — from the shared token-ids store. Oracles
+    * unchanged: DuckDB replays merge-fit → tokenize → pack per entry.
+    */
+  private val WindowW = 2048L
+  private val censusCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  private def windowCensusStoreDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    censusCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("window_census_store", d) {
+      val dir = graft.Artifacts.tempArtifactDir("graft_window_census")
+      graft.operators.ContextPacking.packedWindows(
+          s.read.parquet(TextQueries.tokenIdsStoreDir(s, d)), WindowW)
+        .select("shard", "window_id", "n_docs", "n_tokens", "fill_e6")
+        .write.mode("overwrite").parquet(dir + "/census")
+      dir + "/census"
+      }
+    })
+
   val queries: Seq[Q] = Seq(
 
     // 80/10/10 train/val/test assignment, stable per document.
@@ -606,10 +634,7 @@ object SamplingQueries extends QueryPack {
     // one window.
     Q("sp16_packed_windows",
       (s, d) => graft.operators.ContextPacking.packedWindows(
-          graft.operators.BpeTrainer.docTokenIds(
-            Tables.load(s, d, "documents"),
-            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
-          2048L)
+          s.read.parquet(TextQueries.tokenIdsStoreDir(s, d)), 2048L)
         .select(col("shard"), col("window_id"), col("n_docs"),
           col("n_tokens"), col("fill_e6"),
           md5(concat_ws("|",
@@ -633,12 +658,8 @@ object SamplingQueries extends QueryPack {
     // sp16 hashes — the two entries cannot disagree on the packing.
     Q("sp17_shard_manifest",
       (s, d) => {
-        val W = 2048L
-        graft.operators.ContextPacking.packedWindows(
-            graft.operators.BpeTrainer.docTokenIds(
-              Tables.load(s, d, "documents"),
-              TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
-            W)
+        val W = WindowW
+        s.read.parquet(windowCensusStoreDir(s, d))
           .groupBy("shard")
           .agg(count(lit(1)).cast("bigint").as("n_windows"),
             sum("n_tokens").as("n_tokens"),
@@ -694,10 +715,7 @@ object SamplingQueries extends QueryPack {
     // under both execution models.
     Q("sp19_greedy_packed_windows",
       (s, d) => graft.operators.ContextPacking.packGreedyWindows(
-          graft.operators.BpeTrainer.docTokenIds(
-            Tables.load(s, d, "documents"),
-            TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
-          2048L)
+          s.read.parquet(TextQueries.tokenIdsStoreDir(s, d)), 2048L)
         .select(col("shard"), col("window_id"), col("n_docs"),
           col("n_tokens"), col("fill_e6"),
           md5(concat_ws("|",
@@ -729,11 +747,7 @@ object SamplingQueries extends QueryPack {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("epoch", "shard")
           .orderBy(col("ekey"), col("window_id"))
-        graft.operators.ContextPacking.packedWindows(
-            graft.operators.BpeTrainer.docTokenIds(
-              Tables.load(s, d, "documents"),
-              TextQueries.frozenByteMerges(s, d), TextQueries.BpePat),
-            2048L)
+        s.read.parquet(windowCensusStoreDir(s, d))
           .select(col("shard"), col("window_id"))
           .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
           .withColumn("ekey", md5(concat_ws(":", lit("ep"),

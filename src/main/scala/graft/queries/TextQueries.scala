@@ -77,6 +77,33 @@ object TextQueries extends QueryPack {
       }
     })
 
+  /** The corpus token-ID table persisted ONCE per (session, dataset) —
+    * the lm_score_store discipline at the TOKENIZER OUTPUT tier (r20
+    * optimization): production tokenizes a frozen corpus once and
+    * every dataloader stage reads the materialized (doc_id, ids)
+    * table, where sp16/sp17/sp19/sp20 and x10/x12 each re-tokenized
+    * the corpus (or its kept slice) inside every execution. t35/t36
+    * deliberately do NOT mount this store — tokenization/detokenization
+    * is what those entries measure. Oracles unchanged: DuckDB still
+    * replays merge-fit → vocab → tokenize from the raw table per
+    * entry, so the persisted round trip stays hash-checked.
+    */
+  private val tokenIdsStoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  private[graft] def tokenIdsStoreDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    tokenIdsStoreCache.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
+      graft.CacheFills.timed("token_ids_store", d) {
+      val dir = graft.Artifacts.tempArtifactDir("graft_token_ids")
+      graft.operators.BpeTrainer
+        .docTokenIds(Tables.load(s, d, "documents"),
+          frozenByteMerges(s, d), BpePat)
+        .write.mode("overwrite").parquet(dir + "/ids")
+      dir + "/ids"
+      }
+    })
+
   /** The CHAR-level twin of `frozenByteMerges` (r20): t29 re-ran the
     * whole k-round char-level fit inside every execution just to price
     * pieces — the merge list is the session's frozen tokenizer

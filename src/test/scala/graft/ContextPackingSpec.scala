@@ -231,4 +231,20 @@ class ContextPackingSpec extends AnyFunSuite {
       assert(bounds.map(_._3).sum === n)
     }
   }
+
+  test("token-ids store roundtrip: the session store is bit-identical to direct tokenization (r20)") {
+    val sf = "/root/testdata/sf0.001"
+    val direct = BpeTrainer.docTokenIds(
+        graft.Tables.load(spark, sf, "documents"),
+        graft.queries.TextQueries.frozenByteMerges(spark, sf),
+        pat)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector))
+    val stored = spark.read.parquet(
+        graft.queries.TextQueries.tokenIdsStoreDir(spark, sf))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector))
+    assert(stored.length === direct.length)
+    assert(stored === direct)
+  }
 }
