@@ -389,17 +389,30 @@ object CorpusPipelineQueries extends QueryPack {
           .crossSplitOverlap(train, test, "doc_id", "text", n = 8)
           .filter(col("overlap_frac") >= 0.5)
           .select(col("train_doc").as("doc_id")).distinct()
-        val finalTrain = train.select("doc_id").join(bad, Seq("doc_id"), "left_anti")
+        // r20: the counting paths need no text — trainIds comes off
+        // the cleaned store alone (cleaned ⊆ documents, inner join on
+        // doc_id preserves the count, exactly the oracle's n_train
+        // CTE), so the docs join runs only inside the gram-join
+        // subtree; and n_decont_dropped ≡ n_train − n_train_final
+        // (every bad doc IS a train doc), so the gram join — formerly
+        // executed twice, once under the bad-count aggregate and once
+        // under the anti-join — executes ONCE per run.
+        val trainIds = cleaned.filter(col("split") === "train")
+          .select("doc_id")
+        val finalTrain = trainIds.join(bad, Seq("doc_id"), "left_anti")
         val h = expr(
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
         docs.agg(count(lit(1)).as("n_raw"))
           .crossJoin(cleaned.agg(count(lit(1)).as("n_clean")))
-          .crossJoin(train.agg(count(lit(1)).as("n_train")))
-          .crossJoin(bad.agg(count(lit(1)).as("n_decont_dropped")))
+          .crossJoin(trainIds.agg(count(lit(1)).as("n_train")))
           .crossJoin(finalTrain.select(h.as("h"))
             .agg(count(lit(1)).as("n_train_final"),
               expr("bit_xor(h)").as("xor_id_hash"),
               expr("CAST(sum(h % 1000000007) AS BIGINT)").as("sum_id_hash_mod")))
+          .select(col("n_raw"), col("n_clean"), col("n_train"),
+            (col("n_train") - col("n_train_final")).as("n_decont_dropped"),
+            col("n_train_final"), col("xor_id_hash"),
+            col("sum_id_hash_mod"))
       },
       Some(s"""WITH $CleanSql,
              ct AS (SELECT c.doc_id, c.split, d2.text

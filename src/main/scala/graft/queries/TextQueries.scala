@@ -1202,9 +1202,15 @@ object TextQueries extends QueryPack {
       (s, d) => {
         import graft.operators.Sketches
         val docs = Tables.load(s, d, "documents")
+        // localCheckpoint: the distinct (source, shingle) relation is
+        // consumed TWICE (register sketch + the true_distinct oracle
+        // scaffold) — without it the shingle explode + distinct
+        // shuffle executes twice per run (r20; the d17 checkpoint-vs-
+        // recompute call, measured the same way here)
         val grams = graft.operators.DedupOps.shingles(docs, "doc_id", "text", 3)
           .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
           .select("source", "shingle").distinct()
+          .localCheckpoint()
         Sketches.estimateBy(
             Sketches.registerTableBy(
               Sketches.gramRegistersBy(grams, Seq("source")), Seq("source")),
