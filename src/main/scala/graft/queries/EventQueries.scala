@@ -274,13 +274,21 @@ object EventQueries extends QueryPack {
     // events — no window over the event log anywhere.
     Q("e9_retention_cohorts",
       (s, d) => {
-        val e = Tables.load(s, d, "events")
+        // r20 (guide §2.4): cohort assignment as a window-min over the
+        // distinct (user, week) activity — the old shape scanned events
+        // twice (per-user min + distinct) and joined them back, paying
+        // a second user_id exchange; min(wk) OVER (PARTITION BY user)
+        // rides the distinct's own partitioning, and the cohort size is
+        // the count of rows where wk = cohort_week (exactly one per
+        // user: the min week IS an activity week). Same rows out.
+        val act = Tables.load(s, d, "events")
           .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-        val first = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
-        val sizes = first.groupBy("cohort_week")
-          .agg(count(lit(1)).as("cohort_size"))
-        e.distinct()
-          .join(first, Seq("user_id"))
+          .distinct()
+          .withColumn("cohort_week", min("wk").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        val sizes = act.filter(col("wk") === col("cohort_week"))
+          .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+        act
           .groupBy(col("cohort_week"),
             (datediff(col("wk"), col("cohort_week")) / lit(7))
               .cast("int").as("week_offset"))
